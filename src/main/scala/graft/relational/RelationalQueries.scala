@@ -1,0 +1,542 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det._
+
+/** Relational operator surface (SURVEY.md §2 groups A–G), expressed as
+  * Catalyst-friendly DataFrame plans over the harness tables, each paired
+  * with an equivalent DuckDB oracle SQL for the driver's hash compare.
+  *
+  * Determinism discipline (see [[graft.Det]]): double aggregates go through
+  * exact DECIMAL sums; time arithmetic is epoch-micros longs; every
+  * tie-breakable order carries a total key.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Register all harness tables as temp views and run a SQL text that is
+    * valid in BOTH Spark SQL and DuckDB (used for GROUPING SETS etc.). */
+  private def viaSql(q: String): Q = (s, d) => {
+    Tables.all.foreach { n =>
+      val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+    s.sql(q)
+  }
+
+  private val dayUs = 86400000000L
+  private val jan1_2024Us = 1704067200000000L
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // C8/C1/C6 — pricing summary (hash agg, decimal-exact sums). Ref: reporting.py:172-198 (avg/sum over groups).
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          round(sum(dec($"l_extendedprice") * (lit(1.0).cast(Det.Money) - dec($"l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A6/B1/B5 — parquet scan with pushed filter + pruned columns. Ref: discovery.py:218-225 (projection).
+    "a6_scan_prune" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_size" >= 40)
+        .select($"p_partkey", $"p_size", $"p_retailprice")
+    }),
+
+    // B3 — IN-list filter. Ref: discovery.py:24,58 (isin).
+    "b3_isin" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("A", "R"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+    }),
+
+    // B5 — conjunctive range predicates. Ref: utils.py:191-195.
+    "b5_range" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+                $"l_discount" >= 0.05 && $"l_quantity" < 25)
+        .agg(count(lit(1)).as("n"), dsumProd($"l_extendedprice", $"l_discount").as("revenue"))
+    }),
+
+    // B4/D3 — anti join: parts with no 1995 shipment. Ref: handoff_batch.py:84-94 (NOT-IN).
+    "b4_anti" -> ((s, d) => {
+      import s.implicits._
+      val shipped95 = Tables.lineitem(s, d)
+        .filter($"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"l_partkey")
+      Tables.part(s, d)
+        .join(shipped95, $"p_partkey" === $"l_partkey", "left_anti")
+        .groupBy($"p_brand").agg(count(lit(1)).as("n_never_shipped"))
+    }),
+
+    // B6/B7 — conditional rewrite (when/otherwise banding). Ref: discovery.py:183-187 (np.where).
+    "b6_band" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("band",
+          when($"o_totalprice" < 100000d, "low")
+            .when($"o_totalprice" < 300000d, "mid")
+            .otherwise("high"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+    }),
+
+    // B11/G5 — string scalar functions. Ref: handoff_batch.py:83,111,125.
+    "b11_strings" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_name".contains("e"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("uname"),
+          regexp_replace($"p_name", "[aeiou]", "").as("consonants"),
+          length($"p_name").as("name_len"))
+    }),
+
+    // B12 — null-fill / coalesce. Ref: batch_detection.R:50 (NOT_SET fill).
+    "b12_coalesce" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("status_full", coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")))
+        .groupBy($"status_full").agg(count(lit(1)).as("n"))
+    }),
+
+    // C1 — per-group min/max of timestamps. Ref: utils.py:30-51.
+    "c1_minmax" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(min($"l_shipdate").as("first_ship"), max($"l_shipdate").as("last_ship"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // C2 — argmin-correlated aggregate via struct ordering: price of the
+    // lexicographically (shipdate, price)-minimal item. Ref: utils.py:93-106.
+    "c2_argmin" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(min(struct($"l_shipdate", dec($"l_extendedprice").as("price"))).as("m"))
+        .select($"l_orderkey", $"m.l_shipdate".as("first_ship"),
+          $"m.price".cast("double").as("price_at_first_ship"))
+    }),
+
+    // C3 — two-level aggregate: per user, latest first-occurrence over event
+    // types. Ref: utils.py:54-66 (batch-instance enabled).
+    "c3_twolevel" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(min($"ts").as("first_ts"))
+        .groupBy($"user_id")
+        .agg(max($"first_ts").as("latest_first_ts"), count(lit(1)).as("n_types"))
+    }),
+
+    // C4 — count distinct + histogram of it. Ref: discovery.py:29, utils.py:190-196.
+    "c4_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(countDistinct($"l_suppkey").as("n_supp"))
+        .groupBy($"n_supp").agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // C5 — distinct-sorted set as a group key. Ref: utils.py:14-27.
+    "c5_setkey" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(concat_ws(",", sort_array(collect_set($"event_type"))).as("type_set"))
+    }),
+
+    // C6 — group-size gate (HAVING). Ref: activation_rules.py:180.
+    "c6_having" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 4)
+    }),
+
+    // C7 — histogram of group sizes. Ref: reporting.py:171,189.
+    "c7_hist" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // C9/C10 — ratio of sums with zero guard (CTE metric). Ref: reporting.py:201-206.
+    "c9_ratio" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(dratio($"l_extendedprice" * $"l_discount", $"l_extendedprice").as("disc_share"))
+    }),
+
+    // C11 — global max id allocation. Ref: discovery.py:40,74.
+    "c11_maxid" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).agg((max($"o_orderkey") + 1).as("next_id"), count(lit(1)).as("n"))
+    }),
+
+    // C13/W1/E3 — deterministic first-row-per-group via struct-min (total
+    // order: ts, event_id). Ref: reporting.py:29,48; analysis.py:73.
+    "c13_first" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id", $"event_type")).as("m"))
+        .select($"user_id", $"m.ts".as("first_ts"), $"m.event_id".as("first_event_id"),
+          $"m.event_type".as("first_type"))
+    }),
+
+    // C-gs — GROUPING SETS (report two-level output). Ref: reporting.py:142-198.
+    "cx_grouping_sets" -> viaSql(
+      """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |count(*) AS cnt,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin),
+
+    // D1 — aggregate write-back as broadcast equi-join. Ref: analysis.py:82-105.
+    "d1_writeback" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val perUser = e.groupBy($"user_id".as("u"))
+        .agg(count(lit(1)).as("user_n"), dsum($"value").as("user_sum"))
+      e.select($"event_id", $"user_id", $"value")
+        .join(broadcast(perUser), $"user_id" === $"u")
+        .select($"event_id", $"user_id", $"value", $"user_n", $"user_sum")
+    }),
+
+    // D2 — left-semi join. Ref: handoff_batch.py:66-74.
+    "d2_semi" -> ((s, d) => {
+      import s.implicits._
+      val highDisc = Tables.lineitem(s, d).filter($"l_discount" >= 0.08).select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(highDisc, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    }),
+
+    // D4 — interval (theta) join: per daily instant, active events/users
+    // (event active in [ts, ts + value minutes]). Ref: utils.py:179-196 workload.
+    "d4_interval" -> ((s, d) => {
+      import s.implicits._
+      val instants = s.range(0, 31)
+        .select(timestamp_micros(lit(jan1_2024Us) + $"id" * dayUs).as("instant"))
+      val e = Tables.events(s, d)
+        .withColumn("end_us", us($"ts") + round($"value" * 60000000d).cast("long"))
+      e.join(broadcast(instants),
+          us($"ts") <= us($"instant") && us($"instant") <= $"end_us")
+        .groupBy($"instant")
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_active"))
+    }),
+
+    // D5 — as-of (predecessor) join: latest click before each purchase,
+    // same user. Ref: handoff_batch.py:163-173.
+    "d5_asof" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      p.join(c, $"user_id" === $"cu" && $"cts" <= $"ts", "left")
+        .groupBy($"event_id")
+        .agg(max($"cts").as("prev_click_ts"), count($"cts").as("n_prior_clicks"))
+    }),
+
+    // D6 — UNION ALL then aggregate. Ref: handoff_batch.py:59,213.
+    "d6_union" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      e.filter($"event_type" === "purchase")
+        .unionByName(e.filter($"event_type" === "error"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    }),
+
+    // E2 — deterministic top-k (total order incl. tiebreak). Ref: handoff_batch.py:73.
+    "e2_topk" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // G1 — date-part extraction; weekday is Monday=0 (pandas origin, SURVEY G1).
+    "g1_dateparts" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select(
+        $"event_id",
+        weekday($"ts").as("day_of_week"),
+        dayofmonth($"ts").as("day_of_month"),
+        hour($"ts").as("hour_of_day"),
+        minute($"ts").as("minute_of_hour"))
+    }),
+
+    // G4 — floor/round/pmod arithmetic. Ref: batch_injection.py:50,127-134.
+    "g4_math" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("r", round($"value").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          sum(floor($"value").cast("long")).as("sum_floor"),
+          sum($"r").as("sum_round"),
+          count(when(pmod($"r", lit(7)) === 0, 1)).as("n_mod7"))
+    }),
+
+    // G8 — semi-structured props extraction (regexp over JSON-ish text).
+    "g8_json" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+    }),
+
+    // Multi-join + top-k (TPC-H Q3 shape): shipping-priority revenue.
+    "q3_revenue" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, d).filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(round(sum(dec($"l_extendedprice") * (lit(1.0).cast(Det.Money) - dec($"l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+        .select($"l_orderkey", $"revenue", $"o_orderdate")
+    }),
+
+    // Snowflake join chain (TPC-H Q5 shape): revenue per nation, one region,
+    // customer and supplier in same nation. Dims broadcast.
+    "q5_nation_revenue" -> ((s, d) => {
+      import s.implicits._
+      val nat = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+      val supp = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      Tables.lineitem(s, d)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum(dec($"l_extendedprice") * (lit(1.0).cast(Det.Money) - dec($"l_discount"))), 2)
+          .cast("double").as("revenue"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val sumQty = "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)"
+  private val revenueExpr =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |$sumQty AS sum_qty,
+         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+         |$revenueExpr AS sum_disc_price,
+         |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+         |round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a6_scan_prune" ->
+      "SELECT p_partkey, p_size, p_retailprice FROM part WHERE p_size >= 40",
+
+    "b3_isin" ->
+      s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty
+         |FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag""".stripMargin,
+
+    "b5_range" ->
+      """SELECT count(*) AS n,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_discount >= 0.05 AND l_quantity < 25""".stripMargin,
+
+    "b4_anti" ->
+      """SELECT p_brand, count(*) AS n_never_shipped FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY p_brand""".stripMargin,
+
+    "b6_band" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band,
+        |count(*) AS n,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "b11_strings" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |CAST(length(p_name) AS INT) AS name_len
+        |FROM part WHERE contains(p_name, 'e')""".stripMargin,
+
+    "b12_coalesce" ->
+      """SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_full, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "c1_minmax" ->
+      """SELECT l_orderkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+        |count(*) AS n_items FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "c2_argmin" ->
+      """SELECT l_orderkey, min(l_shipdate) AS first_ship,
+        |CAST(min(CASE WHEN l_shipdate = ms THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS price_at_first_ship
+        |FROM (SELECT *, min(l_shipdate) OVER (PARTITION BY l_orderkey) AS ms FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "c3_twolevel" ->
+      """SELECT user_id, max(first_ts) AS latest_first_ts, count(*) AS n_types
+        |FROM (SELECT user_id, event_type, min(ts) AS first_ts FROM events GROUP BY 1, 2)
+        |GROUP BY user_id""".stripMargin,
+
+    "c4_distinct" ->
+      """SELECT n_supp, count(*) AS n_parts
+        |FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1)
+        |GROUP BY n_supp""".stripMargin,
+
+    "c5_setkey" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "c6_having" ->
+      "SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey HAVING count(*) > 4",
+
+    "c7_hist" ->
+      """SELECT sz, count(*) AS n_orders
+        |FROM (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1)
+        |GROUP BY sz""".stripMargin,
+
+    "c9_ratio" ->
+      """SELECT l_returnflag,
+        |CASE WHEN CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) = 0 THEN 0
+        |ELSE round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) END AS disc_share
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "c11_maxid" ->
+      "SELECT max(o_orderkey) + 1 AS next_id, count(*) AS n FROM orders",
+
+    "c13_first" ->
+      """SELECT user_id, ts AS first_ts, event_id AS first_event_id, event_type AS first_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "cx_grouping_sets" ->
+      """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |count(*) AS cnt,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "d1_writeback" ->
+      """SELECT e.event_id, e.user_id, e.value, a.user_n, a.user_sum
+        |FROM events e JOIN (
+        |  SELECT user_id, count(*) AS user_n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS user_sum
+        |  FROM events GROUP BY user_id) a ON e.user_id = a.user_id""".stripMargin,
+
+    "d2_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "d4_interval" ->
+      """WITH inst AS (
+        |  SELECT make_timestamp(1704067200000000 + i * 86400000000) AS instant
+        |  FROM generate_series(0, 30) t(i))
+        |SELECT instant, count(DISTINCT user_id) AS n_users, count(*) AS n_active
+        |FROM inst JOIN events e
+        |  ON epoch_us(e.ts) <= epoch_us(instant)
+        | AND epoch_us(instant) <= epoch_us(e.ts) + CAST(round(e.value * 60000000.0) AS BIGINT)
+        |GROUP BY instant""".stripMargin,
+
+    "d5_asof" ->
+      """SELECT p.event_id, max(c.ts) AS prev_click_ts, count(c.ts) AS n_prior_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin,
+
+    "d6_union" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase'
+        |      UNION ALL SELECT * FROM events WHERE event_type = 'error')
+        |GROUP BY event_type""".stripMargin,
+
+    "e2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "g1_dateparts" ->
+      """SELECT event_id, CAST(isodow(ts) - 1 AS INT) AS day_of_week,
+        |CAST(day(ts) AS INT) AS day_of_month, CAST(hour(ts) AS INT) AS hour_of_day,
+        |CAST(minute(ts) AS INT) AS minute_of_hour FROM events""".stripMargin,
+
+    "g4_math" ->
+      """SELECT event_type,
+        |sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
+        |sum(CAST(round(value) AS BIGINT)) AS sum_round,
+        |count(CASE WHEN CAST(round(value) AS BIGINT) % 7 = 0 THEN 1 END) AS n_mod7
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "g8_json" ->
+      """SELECT event_type, sum(k) AS sum_k, max(k) AS max_k, count(*) AS n
+        |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q3_revenue" ->
+      s"""SELECT l_orderkey, $revenueExpr AS revenue, o_orderdate
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueExpr AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin
+  )
+}

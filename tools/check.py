@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify, then
+compare every query's parquet output against its DuckDB oracle SQL.
+
+Usage: python3 tools/check.py [sfdir] [--only q1,q2] [--keep]
+"""
+import json, os, shutil, subprocess, sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
+OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    if os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    r = subprocess.run([os.path.join(REPO, "tools", "run.sh"), "graft.Verify", SF, OUT],
+                       capture_output=True, text=True,
+                       env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-8000:])
+        sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+    names = sorted(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+    npass = nfail = nweak = 0
+    for name in names:
+        if ONLY and name not in ONLY:
+            continue
+        got = pd.read_parquet(os.path.join(OUT, name))
+        if name not in oracle:
+            print(f"  WEAK  {name}: rows={len(got)} (no oracle)")
+            nweak += 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  FAIL  {name}: oracle SQL error: {str(e)[:200]}")
+            nfail += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"  FAIL  {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
+            nfail += 1
+            continue
+        if len(g) != len(e):
+            print(f"  FAIL  {name}: rows spark={len(g)} oracle={len(e)}")
+            nfail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"  PASS  {name}: rows={len(g)}")
+            npass += 1
+        except AssertionError as ex:
+            # show first differing cells
+            diff = (g != e) & ~(g.isna() & e.isna())
+            cells = diff.to_numpy().nonzero()
+            msg = ""
+            if len(cells[0]):
+                i, j = cells[0][0], cells[1][0]
+                col = g.columns[j]
+                msg = f" first diff row {i} col {col}: spark={g.iloc[i, j]!r} oracle={e.iloc[i, j]!r}"
+            print(f"  FAIL  {name}:{msg}")
+            nfail += 1
+    print(f"== {npass} pass, {nfail} fail, {nweak} weak (rows-only), sf={SF}")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
