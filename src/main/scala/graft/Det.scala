@@ -45,8 +45,15 @@ object Det {
   }
 
   /** Epoch microseconds of a timestamp column (all engine time arithmetic is
-    * done in long micros — exact, and identical in DuckDB via epoch_us()). */
-  def us(c: Column): Column = unix_micros(c)
+    * done in long micros — exact, and identical in DuckDB via epoch_us()).
+    * Accepts TIMESTAMP and TIMESTAMP_NTZ (NTZ wall time read as UTC — the
+    * session timezone — matching DuckDB's naive-as-UTC convention). */
+  def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Epoch micros -> naive (NTZ) timestamp, wall time in UTC. All engine
+    * timestamp OUTPUTS are NTZ so parquet matches DuckDB's naive type. */
+  def tsNtz(usCol: Column): Column =
+    timestamp_micros(usCol).cast(TimestampNTZType)
 
   /** Deterministic pseudo-random key from a long id (Knuth multiplicative
     * hash mod a prime) — replaces unseeded sampling so results oracle-match.

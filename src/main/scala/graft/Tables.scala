@@ -24,12 +24,13 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark does not
     * read natively: read it as a long and truncate to microseconds (matching
-    * DuckDB's ns->us truncation, so oracle comparisons line up). */
+    * DuckDB's ns->us truncation, so oracle comparisons line up). Emitted as
+    * TIMESTAMP_NTZ like every other harness timestamp column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,313 @@
+package graft.pm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Process-mining kernel queries (SURVEY §2 W-group + EP1/EP2 lifecycle),
+  * each paired with a DuckDB oracle reproducing the exact documented
+  * semantics over the same `events` table (CTE pipeline mirrors the engine
+  * stage by stage; W4's fixed point becomes a recursive-CTE threshold
+  * sequence). */
+object PmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- engine
+
+  private def disc(s: SparkSession, d: String): DataFrame =
+    BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d)))
+
+  /** Report input at batch-case grain: activities key + WT decomposition. */
+  private def reportInput(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = disc(s, d)
+    val acts = dd.filter($"batch_id".isNotNull)
+      .groupBy("batch_id")
+      .agg(concat_ws(",", sort_array(collect_set($"activity"))).as("activities"))
+    WaitingTimes.batchCaseWT(dd).join(acts, Seq("batch_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // K2 phase 1 — concurrency relation.
+    "pm_pairs" -> ((s, d) =>
+      EnabledTime.concurrencyPairs(EventLogOps.fromEvents(s, d))),
+
+    // K2 — enabled-time estimation (per-case sweep kernel).
+    "pm_enabled" -> ((s, d) =>
+      EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))),
+
+    // K1 + W4..W8 — full batch discovery, event grain.
+    "pm_batches" -> ((s, d) => {
+      import s.implicits._
+      disc(s, d).select($"event_id", $"case_id", $"activity", $"resource",
+        $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
+    }),
+
+    // Batch-instance grain stats (activities set key C5, sizes C4).
+    "pm_batch_stats" -> ((s, d) => {
+      import s.implicits._
+      disc(s, d).filter($"batch_id".isNotNull)
+        .groupBy($"batch_id", $"batch_type")
+        .agg(
+          concat_ws(",", sort_array(collect_set($"activity"))).as("activities"),
+          countDistinct($"case_id").as("n_cases"),
+          count(lit(1)).as("n_events"),
+          min($"start_us").as("b_start_us"),
+          max($"end_us").as("b_end_us"))
+    }),
+
+    // EP1 stage 6 — six-way waiting-time decomposition, batch-case grain.
+    "pm_wt" -> ((s, d) => WaitingTimes.batchCaseWT(disc(s, d))),
+
+    // K3 — sweep-line PT/WT.
+    "pm_sweepline" -> ((s, d) => WaitingTimes.sweepLine(disc(s, d))),
+
+    // EP2 — grouping-sets report over the decomposition.
+    "pm_report" -> ((s, d) => {
+      reportInput(s, d).createOrReplaceTempView("graft_pm_repin")
+      s.sql(reportSelect("graft_pm_repin"))
+    }),
+
+    // W2 — ordered n-gram (length-3) subsequence counting per case.
+    "w2_ngram_seq" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("case_id").orderBy("start_us", "end_us", "event_id")
+      EventLogOps.fromEvents(s, d)
+        .withColumn("act2", lead($"activity", 1).over(w))
+        .withColumn("act3", lead($"activity", 2).over(w))
+        .filter($"act3".isNotNull)
+        .groupBy($"activity".as("act1"), $"act2", $"act3")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // W11 — k equally spaced instants inside an interval (explode+sequence).
+    "w11_instants" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", explode(sequence(lit(1), lit(3))).as("i0"),
+          Det.us($"o_orderdate").as("base_us"))
+        .select($"o_orderkey", $"i0".cast("long").as("i"),
+          Det.tsNtz($"base_us" + $"i0" * lit(648000000000L)).as("instant"))
+    }),
+
+    // W12 — deterministic per-group sample without replacement (seeded
+    // replacement for the reference's unseeded random.sample).
+    "w12_sample" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy(Det.pseudoRand($"event_id"), $"event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"user_id", $"event_id", $"rn")
+    }),
+
+    // W13 — ntile chunking over a total order.
+    "w13_ntile" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("tile", ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Canonical log derivation (mirrors EventLogOps.fromEvents). */
+  private val logCte =
+    """log AS (
+      |  SELECT event_id, user_id AS case_id, event_type AS activity,
+      |         concat('r', user_id % 4) AS resource,
+      |         epoch_us(ts) AS start_us,
+      |         epoch_us(ts) + CAST(round(value * 60000000.0) AS BIGINT) AS end_us
+      |  FROM events)""".stripMargin
+
+  /** Enabled-time CTEs (mirrors EnabledTime: df pairs -> concurrency ->
+    * max non-concurrent predecessor end -> case-start fallback). */
+  private val enCtes =
+    """cs AS (SELECT case_id, min(start_us) AS case_start FROM log GROUP BY 1),
+      |seqv AS (SELECT case_id, activity,
+      |  lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id) AS prev_act FROM log),
+      |dfp AS (SELECT prev_act AS a, activity AS b FROM seqv WHERE prev_act IS NOT NULL GROUP BY 1, 2),
+      |conc AS (SELECT d1.a AS a, d1.b AS b FROM dfp d1 JOIN dfp d2 ON d1.a = d2.b AND d1.b = d2.a WHERE d1.a <> d1.b),
+      |pred AS (
+      |  SELECT e.event_id, max(p.end_us) AS pred_end
+      |  FROM log e JOIN log p ON p.case_id = e.case_id AND p.end_us <= e.start_us
+      |  WHERE NOT EXISTS (SELECT 1 FROM conc c WHERE c.a = p.activity AND c.b = e.activity)
+      |  GROUP BY e.event_id),
+      |en AS (
+      |  SELECT l.event_id, l.case_id, l.activity, l.resource, l.start_us, l.end_us,
+      |         coalesce(pr.pred_end, c.case_start) AS enabled_us
+      |  FROM log l LEFT JOIN pred pr ON l.event_id = pr.event_id
+      |  JOIN cs c ON l.case_id = c.case_id)""".stripMargin
+
+  /** Segmentation CTEs (mirrors BatchDiscovery.segment). */
+  private val segCtes =
+    """seg0 AS (
+      |  SELECT *, max(end_us) OVER (PARTITION BY resource, activity
+      |    ORDER BY start_us, end_us, case_id, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max_end
+      |  FROM en),
+      |seg AS (
+      |  SELECT *,
+      |    sum(CASE WHEN run_max_end IS NULL OR start_us > run_max_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no,
+      |    CASE WHEN run_max_end IS NULL OR start_us >= run_max_end THEN 1 ELSE 0 END AS seq_row
+      |  FROM seg0)""".stripMargin
+
+  /** Classification + batch-case grain + W4 recursive split + W7 min size +
+    * W8 renumbering (mirrors BatchDiscovery.classify/batchCases/split/discover). */
+  private val batchCtes =
+    """btype AS (
+      |  SELECT resource, activity, seg_no,
+      |    CASE WHEN count(DISTINCT start_us) = 1 AND count(DISTINCT end_us) = 1 THEN 'Parallel'
+      |         WHEN min(seq_row) = 1 THEN 'Sequential task-based'
+      |         ELSE 'Concurrent task-based' END AS batch_type
+      |  FROM seg GROUP BY 1, 2, 3),
+      |bc AS (
+      |  SELECT resource, activity, seg_no, case_id,
+      |    min(start_us) AS case_start,
+      |    min(CASE WHEN start_us = cs2 THEN enabled_us END) AS case_enabled,
+      |    max(end_us) AS case_end
+      |  FROM (SELECT *, min(start_us) OVER (PARTITION BY resource, activity, seg_no, case_id) AS cs2 FROM seg) z
+      |  GROUP BY 1, 2, 3, 4),
+      |thr AS (
+      |  SELECT resource, activity, seg_no, 0 AS g, min(case_start) AS s FROM bc GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT t.resource, t.activity, t.seg_no, t.g + 1,
+      |    (SELECT min(c.case_start) FROM bc c WHERE c.resource = t.resource
+      |       AND c.activity = t.activity AND c.seg_no = t.seg_no AND c.case_enabled > t.s)
+      |  FROM thr t
+      |  WHERE EXISTS (SELECT 1 FROM bc c WHERE c.resource = t.resource
+      |       AND c.activity = t.activity AND c.seg_no = t.seg_no AND c.case_enabled > t.s)),
+      |gen AS (
+      |  SELECT c.*, (SELECT count(*) FROM thr t WHERE t.resource = c.resource
+      |    AND t.activity = c.activity AND t.seg_no = c.seg_no AND t.s < c.case_enabled) AS sub
+      |  FROM bc c),
+      |bkeys AS (
+      |  SELECT resource, activity, seg_no, sub, min(case_start) AS b_start, count(*) AS n_cases
+      |  FROM gen GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |bid AS (
+      |  SELECT *, CAST(dense_rank() OVER (ORDER BY b_start, resource, activity, seg_no, sub) AS BIGINT) AS batch_id
+      |  FROM bkeys),
+      |bcase AS (
+      |  SELECT b.batch_id, t.batch_type, g.case_id, g.case_start, g.case_enabled, g.case_end
+      |  FROM gen g
+      |  JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+      |  JOIN btype t ON g.resource = t.resource AND g.activity = t.activity AND g.seg_no = t.seg_no),
+      |bev AS (
+      |  SELECT s.*, b.batch_id, t.batch_type
+      |  FROM seg s
+      |  JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
+      |  JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+      |  JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no)""".stripMargin
+
+  private val wtSelect =
+    """SELECT batch_id, batch_type, case_id,
+      |  case_start - case_enabled AS total_wt_us,
+      |  inst_enabled - case_enabled AS creation_wt_us,
+      |  inst_start - inst_enabled AS ready_wt_us,
+      |  case_start - inst_start AS other_wt_us,
+      |  case_end - case_start AS pt_us,
+      |  case_start - case_enabled AS wt_us,
+      |  inst_enabled AS instance_enabled_us,
+      |  inst_start AS instance_start_us
+      |FROM (SELECT *, max(case_enabled) OVER (PARTITION BY batch_id) AS inst_enabled,
+      |             min(case_start) OVER (PARTITION BY batch_id) AS inst_start FROM bcase) z""".stripMargin
+
+  /** Report SELECT — identical text runs in Spark SQL (over a temp view) and
+    * in DuckDB (over the CTE pipeline); only the FROM name differs. */
+  private def reportSelect(from: String): String =
+    s"""SELECT activities, coalesce(batch_type, 'ALL') AS batch_type,
+       |count(DISTINCT batch_id) AS n_instances, count(*) AS n_cases,
+       |CAST(floor(CAST(sum(total_wt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_total_wt_us,
+       |CAST(floor(CAST(sum(creation_wt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_creation_wt_us,
+       |CAST(floor(CAST(sum(ready_wt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_ready_wt_us,
+       |CAST(floor(CAST(sum(other_wt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_other_wt_us,
+       |CAST(floor(CAST(sum(pt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_pt_us,
+       |CAST(floor(CAST(sum(wt_us) AS DOUBLE) / count(*)) AS BIGINT) AS avg_wt_us,
+       |CASE WHEN sum(pt_us) + sum(wt_us) = 0 THEN 0
+       |     ELSE round(CAST(sum(pt_us) AS DOUBLE) / (sum(pt_us) + sum(wt_us)), 6) END AS cte
+       |FROM $from
+       |GROUP BY GROUPING SETS ((activities), (activities, batch_type))""".stripMargin
+
+  private def withPrefix(ctes: String*)(select: String): String =
+    s"WITH RECURSIVE ${ctes.mkString(",\n")}\n$select"
+
+  val oracleSql: Map[String, String] = Map(
+    "pm_pairs" -> withPrefix(logCte, enCtes)("SELECT a, b FROM conc"),
+
+    "pm_enabled" -> withPrefix(logCte, enCtes)(
+      "SELECT event_id, case_id, activity, resource, start_us, end_us, enabled_us FROM en"),
+
+    "pm_batches" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
+      """SELECT s.event_id, s.case_id, s.activity, s.resource, s.start_us, s.end_us, s.enabled_us,
+        |  b.batch_id, CASE WHEN b.batch_id IS NULL THEN NULL ELSE t.batch_type END AS batch_type
+        |FROM seg s
+        |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
+        |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+        |LEFT JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no""".stripMargin),
+
+    "pm_batch_stats" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
+      """SELECT batch_id, batch_type,
+        |  string_agg(DISTINCT activity, ',' ORDER BY activity) AS activities,
+        |  count(DISTINCT case_id) AS n_cases, count(*) AS n_events,
+        |  min(start_us) AS b_start_us, max(end_us) AS b_end_us
+        |FROM bev GROUP BY 1, 2""".stripMargin),
+
+    "pm_wt" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(wtSelect),
+
+    "pm_sweepline" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
+      """SELECT batch_id, case_id,
+        |  CAST(sum(CASE WHEN proc_c > 0 THEN nxt - t ELSE 0 END) AS BIGINT) AS pt_us,
+        |  CAST(sum(CASE WHEN proc_c = 0 AND enabled_c > 0 THEN nxt - t ELSE 0 END) AS BIGINT) AS wt_us
+        |FROM (
+        |  SELECT batch_id, case_id, t, lc,
+        |    sum(CASE lc WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE 0 END)
+        |      OVER (PARTITION BY batch_id, case_id ORDER BY t, lc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS enabled_c,
+        |    sum(CASE lc WHEN 2 THEN 1 WHEN 3 THEN -1 ELSE 0 END)
+        |      OVER (PARTITION BY batch_id, case_id ORDER BY t, lc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS proc_c,
+        |    lead(t) OVER (PARTITION BY batch_id, case_id ORDER BY t, lc) AS nxt
+        |  FROM (
+        |    SELECT batch_id, case_id, enabled_us AS t, 1 AS lc FROM bev
+        |    UNION ALL SELECT batch_id, case_id, start_us, 2 FROM bev
+        |    UNION ALL SELECT batch_id, case_id, end_us, 3 FROM bev) m) o
+        |WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+
+    "pm_report" -> withPrefix(logCte, enCtes, segCtes, batchCtes,
+      """acts AS (SELECT batch_id, string_agg(DISTINCT activity, ',' ORDER BY activity) AS activities
+        |  FROM bev GROUP BY 1),
+        |wtc AS (
+        |""".stripMargin + wtSelect + "),\n" +
+      """repin AS (SELECT a.activities, w.* FROM wtc w JOIN acts a USING (batch_id))""".stripMargin
+    )(reportSelect("repin")),
+
+    "w2_ngram_seq" -> withPrefix(logCte)(
+      """SELECT act1, act2, act3, count(*) AS n FROM (
+        |  SELECT activity AS act1,
+        |    lead(activity, 1) OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id) AS act2,
+        |    lead(activity, 2) OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id) AS act3
+        |  FROM log) z
+        |WHERE act3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin),
+
+    "w11_instants" ->
+      """SELECT o_orderkey, i, make_timestamp(epoch_us(o_orderdate) + i * 648000000000) AS instant
+        |FROM orders, generate_series(1, 3) t(i)""".stripMargin,
+
+    "w12_sample" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
+        |  FROM events) z
+        |WHERE rn <= 5""".stripMargin,
+
+    "w13_ntile" ->
+      """SELECT tile, count(*) AS n,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders) z
+        |GROUP BY tile""".stripMargin
+  )
+}

@@ -237,7 +237,7 @@ object RelationalQueries {
     "d4_interval" -> ((s, d) => {
       import s.implicits._
       val instants = s.range(0, 31)
-        .select(timestamp_micros(lit(jan1_2024Us) + $"id" * dayUs).as("instant"))
+        .select(Det.tsNtz(lit(jan1_2024Us) + $"id" * dayUs).as("instant"))
       val e = Tables.events(s, d)
         .withColumn("end_us", us($"ts") + round($"value" * 60000000d).cast("long"))
       e.join(broadcast(instants),
@@ -506,13 +506,13 @@ object RelationalQueries {
 
     "g4_math" ->
       """SELECT event_type,
-        |sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
-        |sum(CAST(round(value) AS BIGINT)) AS sum_round,
+        |CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+        |CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS sum_round,
         |count(CASE WHEN CAST(round(value) AS BIGINT) % 7 = 0 THEN 1 END) AS n_mod7
         |FROM events GROUP BY event_type""".stripMargin,
 
     "g8_json" ->
-      """SELECT event_type, sum(k) AS sum_k, max(k) AS max_k, count(*) AS n
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k, count(*) AS n
         |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY event_type""".stripMargin,
 
