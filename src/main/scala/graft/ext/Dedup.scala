@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines (SURVEY J1/J2).
+  *
+  * All hashing is md5-based so the DuckDB oracle reproduces signatures
+  * bit-for-bit (xxhash64/murmur are engine-specific). At 100 TB the shapes
+  * hold: shingling explodes per doc (no cross-doc state), minhash is a
+  * partial-aggregable min, band buckets shuffle once on the signature, and
+  * the verify join touches only candidate pairs.
+  */
+object Dedup {
+  /** First 8 md5 hex chars of `seed:shingle` as a long (32-bit hash space). */
+  def md5Hash32(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** (doc_id, i, tok) token stream, positions 1-based. */
+  def tokens(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", posexplode(split(col(textCol), " ")).as(Seq("i0", "tok")))
+      .select($"doc_id", ($"i0" + 1).as("i"), $"tok")
+  }
+
+  /** Word 3-gram shingles per doc (null-propagating concat at the tail). */
+  def shingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    tokens(docs)
+      .withColumn("shingle",
+        concat($"tok", lit(" "), lead($"tok", 1).over(w), lit(" "), lead($"tok", 2).over(w)))
+      .filter($"shingle".isNotNull)
+      .select($"doc_id", $"shingle")
+  }
+
+  /** MinHash signatures: 4 independent 32-bit hashes (2 bands of 2). */
+  def minhash(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    sh.groupBy($"doc_id").agg(
+      min(md5Hash32(0, $"shingle")).as("h0"),
+      min(md5Hash32(1, $"shingle")).as("h1"),
+      min(md5Hash32(2, $"shingle")).as("h2"),
+      min(md5Hash32(3, $"shingle")).as("h3"))
+  }
+
+  /** LSH candidate pairs (docs sharing either band) verified with exact
+    * Jaccard over distinct shingle sets. */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = shingles(docs).cache()
+    val mh = minhash(sh)
+    val a = mh.select($"doc_id".as("doc_a"), $"h0", $"h1", $"h2", $"h3")
+    val b = mh.select($"doc_id".as("doc_b"), $"h0".as("g0"), $"h1".as("g1"), $"h2".as("g2"), $"h3".as("g3"))
+    val cand = a.join(b, $"doc_a" < $"doc_b" &&
+      ($"h0" === $"g0" && $"h1" === $"g1" || $"h2" === $"g2" && $"h3" === $"g3"))
+      .select($"doc_a", $"doc_b")
+    val ds = sh.distinct()
+    val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(ds.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ninter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1). */
+  def simhash(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    tokens(docs)
+      .withColumn("h", md5Hash32(0, $"tok"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("(shiftright(h, b) & 1)") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+  }
+}

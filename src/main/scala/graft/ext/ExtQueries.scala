@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** LLM-pipeline extension queries (SURVEY §2 J + streaming-shaped I):
+  * dedup, near-dup, simhash, similarity search, text analysis, multimodal
+  * plumbing, sketches, windowed/session aggregation. */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J1 — exact dedup, deterministic representative.
+    "j1_dedup_docs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text".cast("binary")).as("text_hash"))
+        .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    }),
+    "j1_dedup_events" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"event_id").as("first_event_id"), count(lit(1)).as("n_dupes"))
+    }),
+
+    // J2 — MinHash signatures, LSH candidate pairs with exact Jaccard, SimHash.
+    "j2_minhash_sigs" -> ((s, d) =>
+      Dedup.minhash(Dedup.shingles(Tables.documents(s, d)))),
+    "j2_neardup_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d))),
+    "j2_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d))),
+
+    // J3 — brute-force cosine top-k (quantized exact-integer arithmetic).
+    "j3_knn_cosine" -> ((s, d) =>
+      Similarity.knnCosine(Tables.embeddings(s, d))),
+
+    // J4 — text quality stats, language ID, token frequencies.
+    "j4_quality" -> ((s, d) => TextOps.qualityStats(Tables.documents(s, d))),
+    "j4_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "j4_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+
+    // J5 — multimodal binary payload + metadata (decode stubbed).
+    "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
+
+    // J6 — sketches (approx; no DuckDB-equivalent oracle → rows-only check).
+    "j6_sketch" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(10000))
+          .as("price_quantiles"),
+        count(lit(1)).as("n"))
+    }),
+
+    // I — tumbling / sliding / session windows (batch form of the
+    // Structured Streaming transforms in graft.streaming.StreamOps).
+    "st_tumbling" -> ((s, d) => graft.streaming.StreamOps.tumbling(Tables.events(s, d))),
+    "st_sliding" -> ((s, d) => graft.streaming.StreamOps.sliding(Tables.events(s, d))),
+    "st_session" -> ((s, d) => graft.streaming.StreamOps.sessions(Tables.events(s, d)))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val tokCtes =
+    """toks AS (
+      |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)) z
+      |  WHERE shingle IS NOT NULL),
+      |mh AS (
+      |  SELECT doc_id,
+      |    min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT) AS h0,
+      |    min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT) AS h1,
+      |    min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT) AS h2,
+      |    min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT) AS h3
+      |  FROM sh GROUP BY 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "j1_dedup_docs" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
+
+    "j1_dedup_events" ->
+      "SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes FROM events GROUP BY 1, 2",
+
+    "j2_minhash_sigs" -> s"WITH $tokCtes SELECT doc_id, h0, h1, h2, h3 FROM mh",
+
+    "j2_neardup_pairs" ->
+      s"""WITH $tokCtes,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a JOIN mh b
+         |  ON a.doc_id < b.doc_id AND (a.h0 = b.h0 AND a.h1 = b.h1 OR a.h2 = b.h2 AND a.h3 = b.h3)),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
+         |  JOIN ds x ON x.doc_id = c.doc_a
+         |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin,
+
+    "j2_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+        |th AS (SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, generate_series(0, 31) t(b) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+
+    "j3_knn_cosine" ->
+      """WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |sims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
+        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |WHERE rn <= 5""".stripMargin,
+
+    "j4_quality" ->
+      """SELECT doc_id, lang, n_tokens, n_chars_measured, n_stop, n_punct,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents) z""".stripMargin,
+
+    "j4_langid" ->
+      """SELECT doc_id, lang, n_en, n_de, n_es, predicted, (predicted = lang) AS agree
+        |FROM (
+        |  SELECT *, CASE WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+        |                 WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS predicted
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS n_en,
+        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS n_de,
+        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'y'))) AS BIGINT) AS n_es
+        |    FROM documents) a) b""".stripMargin,
+
+    "j4_top_tokens" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "j5_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT AS stub_feature
+        |FROM documents""".stripMargin,
+
+    "st_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st_sliding" ->
+      """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "st_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS flag
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+        |SELECT user_id, make_timestamp(min(t)) AS sess_start, make_timestamp(max(t) + 600000000) AS sess_end,
+        |  count(*) AS n, CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess""".stripMargin
+  )
+}
