@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries ++ pm.PmQueries.queries ++ ext.ExtQueries.queries
+    relational.RelationalQueries.queries ++ pm.PmQueries.queries ++
+      ext.ExtQueries.queries ++ rules.RuleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++ ext.ExtQueries.oracleSql
+    relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++
+      ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql
 }

@@ -15,8 +15,17 @@ object PmQueries {
 
   // ---------------------------------------------------------------- engine
 
-  private def disc(s: SparkSession, d: String): DataFrame =
-    BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d)))
+  /** The discovery pipeline output is shared by every pm/ar query in a
+    * session: memoize + persist it per (session, sfDir) so the gate/bench
+    * pay for enabled-time + segmentation once (it is one pipeline stage,
+    * not per-query work). Event-grain rows only — tiny relative to input. */
+  private val discCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def disc(s: SparkSession, d: String): DataFrame =
+    discCache.computeIfAbsent((s, d), { _ =>
+      BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))).persist()
+    })
 
   /** Report input at batch-case grain: activities key + WT decomposition. */
   private def reportInput(s: SparkSession, d: String): DataFrame = {
@@ -235,6 +244,11 @@ object PmQueries {
 
   private def withPrefix(ctes: String*)(select: String): String =
     s"WITH RECURSIVE ${ctes.mkString(",\n")}\n$select"
+
+  /** Expose the full PM CTE pipeline for downstream oracles (rules). The
+    * argument is an extra CTE chain ending in the final SELECT. */
+  def withFeaturePrefix(extraCtesAndSelect: String): String =
+    s"WITH RECURSIVE ${Seq(logCte, enCtes, segCtes, batchCtes).mkString(",\n")},\n$extraCtesAndSelect"
 
   val oracleSql: Map[String, String] = Map(
     "pm_pairs" -> withPrefix(logCte, enCtes)("SELECT a, b FROM conc"),

@@ -1,0 +1,114 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP3 feature engineering (activation_rules.py:33-150), fully set-based.
+  *
+  * Per batch instance: one ACTIVATE row at the instance start; one negative
+  * at the midpoint of (instance-enabled, instance-start) (the reference's
+  * k equally spaced instants with k=1 — activation_rules.py:56-62); one
+  * negative at a deterministically sampled case-enabled instant before the
+  * start (seeded replacement for random.sample — SURVEY W12). Features of a
+  * negative instant are computed over the subset of cases enabled at that
+  * instant (activation_rules.py:75-89).
+  *
+  * All instants carry a source tag (0=activate, 1=ready-interval, 2=case-
+  * enabled) so coincident instants stay distinct rows, as in the reference.
+  * Times are epoch micros; day_of_week is Monday=0 (pandas origin, G1 trap).
+  */
+object Features {
+  /** @param disc event grain from BatchDiscovery.discover (incl. enabled_us)
+    * @return one row per (batch_id, instant, src) with the 15 features */
+  def featuresTable(disc: DataFrame): DataFrame = {
+    val spark = disc.sparkSession
+    import spark.implicits._
+
+    val bev = disc.filter($"batch_id".isNotNull)
+      .select($"batch_id", $"batch_type", $"case_id", $"activity", $"resource",
+        $"start_us", $"end_us", $"enabled_us")
+
+    // batch-case grain: C2 struct-min enabled, min start
+    val bcase = bev.groupBy($"batch_id", $"case_id")
+      .agg(min(struct($"start_us".as("s"), $"enabled_us".as("e"))).as("m"))
+      .select($"batch_id", $"case_id", $"m.s".as("case_start"), $"m.e".as("case_enabled"))
+
+    // instance grain
+    val inst = bcase.groupBy($"batch_id")
+      .agg(min($"case_start").as("inst_start"),
+        min($"case_enabled").as("inst_first_en"),
+        max($"case_enabled").as("inst_last_en"))
+    val meta = bev.groupBy($"batch_id")
+      .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource"))
+
+    // instants: src 0 = activate, 1 = ready midpoint, 2 = sampled case enable
+    val pos = inst.select($"batch_id", $"inst_start".as("instant"), lit(0).as("src"), lit(1).as("outcome"))
+    val neg1 = inst
+      .select($"batch_id",
+        ($"inst_last_en" + expr("(inst_start - inst_last_en) div 2")).as("instant"),
+        lit(1).as("src"), lit(0).as("outcome"), $"inst_start")
+      .filter($"instant" < $"inst_start").drop("inst_start")
+    val sampleKey = pmod(($"case_id" + $"batch_id") * lit(2654435761L), lit(1000000007L))
+    val neg2 = bcase.join(inst.select($"batch_id", $"inst_start"), Seq("batch_id"))
+      .filter($"case_enabled" < $"inst_start")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(sampleKey, $"case_id")))
+      .filter($"rn" <= 1)
+      .select($"batch_id", $"case_enabled".as("instant"), lit(2).as("src"), lit(0).as("outcome"))
+    val instants = pos.unionByName(neg1).unionByName(neg2)
+
+    // subset of cases enabled at each instant + per-case first start in the FULL log
+    val caseFirst = disc.groupBy($"case_id").agg(min($"start_us").as("case_first_start"))
+    val subs = instants
+      .join(bcase, Seq("batch_id"))
+      .filter($"case_enabled" <= $"instant")
+      .join(caseFirst, Seq("case_id"))
+      .groupBy($"batch_id", $"instant", $"src", $"outcome")
+      .agg(count(lit(1)).as("num_queue"),
+        max($"case_enabled").as("last_en"),
+        min($"case_enabled").as("first_en"),
+        min($"case_first_start").as("min_case_first"))
+
+    // event-level subset: activities key + firing activity (deterministic
+    // (start, enabled, activity) lexicographic min replaces iloc[0])
+    val subev = instants.select($"batch_id", $"instant", $"src")
+      .join(bcase.select($"batch_id", $"case_id", $"case_enabled"), Seq("batch_id"))
+      .filter($"case_enabled" <= $"instant")
+      .join(bev.select($"batch_id", $"case_id", $"activity", $"start_us", $"enabled_us"),
+        Seq("batch_id", "case_id"))
+    val actsAndFiring = subev
+      .groupBy($"batch_id", $"instant", $"src")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"activity"))).as("activities"),
+        min(struct($"start_us".as("s"), $"enabled_us".as("e"), $"activity".as("a"))).as("f"))
+      .select($"batch_id", $"instant", $"src", $"activities", $"f.a".as("firing_activity"))
+
+    // workload: D4 interval join against the full log, per distinct instant
+    val wl = instants.select($"batch_id", $"instant").distinct()
+      .join(meta.select($"batch_id", $"resource"), Seq("batch_id"))
+      .join(disc.select($"resource", $"enabled_us", $"end_us", $"case_id".as("wcase")),
+        Seq("resource"))
+      .filter($"enabled_us" <= $"instant" && $"instant" <= $"end_us")
+      .groupBy($"batch_id", $"instant")
+      .agg(countDistinct($"wcase").as("workload"))
+
+    subs
+      .join(actsAndFiring, Seq("batch_id", "instant", "src"))
+      .join(broadcast(meta), Seq("batch_id"))
+      .join(wl, Seq("batch_id", "instant"), "left")
+      .na.fill(0L, Seq("workload"))
+      .select(
+        $"batch_id", $"batch_type", $"activities", $"firing_activity",
+        $"instant".as("instant_us"), $"src",
+        $"num_queue",
+        ($"instant" - $"last_en").as("t_ready_us"),
+        ($"instant" - $"first_en").as("t_waiting_us"),
+        ($"instant" - $"min_case_first").as("t_max_flow_us"),
+        weekday(graft.Det.tsNtz($"instant")).as("day_of_week"),
+        dayofmonth(graft.Det.tsNtz($"instant")).as("day_of_month"),
+        hour(graft.Det.tsNtz($"instant")).as("hour_of_day"),
+        minute(graft.Det.tsNtz($"instant")).as("minute_of_hour"),
+        $"workload", $"outcome")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pm.{BatchDiscovery, EnabledTime, EventLogOps}
+
+/** EP3 queries: the feature table (oracle-checked, the heavy lifting) and
+  * the RIPPER rule induction (driver-side, rows-only check — rule text has
+  * no SQL equivalent; its determinism is covered by ScalaTest). */
+object RuleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def disc(s: SparkSession, d: String): DataFrame =
+    graft.pm.PmQueries.disc(s, d)
+
+  val queries: Map[String, Q] = Map(
+    "ar_features" -> ((s, d) => Features.featuresTable(disc(s, d))),
+
+    "ar_rules" -> ((s, d) => {
+      import s.implicits._
+      val ruleSets = Ripper.fitPerGroup(Features.featuresTable(disc(s, d)))
+      val rows = ruleSets.toSeq.sortBy(_._1).map { case (k, rs) =>
+        (k, rs.numObs, math.round(rs.confidence * 1000000d), math.round(rs.support * 1000000d), rs.render)
+      }
+      rows.toDF("activities", "num_obs", "confidence_e6", "support_e6", "rules")
+    })
+  )
+
+  /** ar_features oracle: extends the PM CTE pipeline with the instant
+    * generation + subset-feature computation (mirrors Features stage by
+    * stage; see that file for the semantics notes). */
+  def featuresOracleSelect: String =
+    """inst2 AS (SELECT batch_id, min(case_start) AS inst_start,
+      |  min(case_enabled) AS inst_first_en, max(case_enabled) AS inst_last_en FROM bcase GROUP BY 1),
+      |meta AS (SELECT batch_id, min(batch_type) AS batch_type, min(resource) AS resource FROM bev GROUP BY 1),
+      |pos AS (SELECT batch_id, inst_start AS instant, 0 AS src, 1 AS outcome FROM inst2),
+      |neg1 AS (SELECT batch_id, instant, 1 AS src, 0 AS outcome FROM (
+      |  SELECT batch_id, inst_last_en + (inst_start - inst_last_en) // 2 AS instant, inst_start FROM inst2) z
+      |  WHERE instant < inst_start),
+      |neg2 AS (SELECT batch_id, instant, 2 AS src, 0 AS outcome FROM (
+      |  SELECT b.batch_id, b.case_enabled AS instant,
+      |    row_number() OVER (PARTITION BY b.batch_id
+      |      ORDER BY ((b.case_id + b.batch_id) * 2654435761) % 1000000007, b.case_id) AS rn
+      |  FROM bcase b JOIN inst2 i ON b.batch_id = i.batch_id AND b.case_enabled < i.inst_start) z
+      |  WHERE rn <= 1),
+      |instants AS (SELECT * FROM pos UNION ALL SELECT * FROM neg1 UNION ALL SELECT * FROM neg2),
+      |casefirst AS (SELECT case_id, min(start_us) AS case_first_start FROM log GROUP BY 1),
+      |subs AS (
+      |  SELECT n.batch_id, n.instant, n.src, n.outcome,
+      |    count(*) AS num_queue, max(b.case_enabled) AS last_en, min(b.case_enabled) AS first_en,
+      |    min(cf.case_first_start) AS min_case_first
+      |  FROM instants n
+      |  JOIN bcase b ON b.batch_id = n.batch_id AND b.case_enabled <= n.instant
+      |  JOIN casefirst cf ON cf.case_id = b.case_id
+      |  GROUP BY 1, 2, 3, 4),
+      |subev AS (
+      |  SELECT n.batch_id, n.instant, n.src, e.activity, e.start_us, e.enabled_us
+      |  FROM instants n
+      |  JOIN bcase b ON b.batch_id = n.batch_id AND b.case_enabled <= n.instant
+      |  JOIN bev e ON e.batch_id = b.batch_id AND e.case_id = b.case_id),
+      |firing AS (SELECT batch_id, instant, src, activity AS firing_activity FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY batch_id, instant, src
+      |    ORDER BY start_us, enabled_us, activity) AS rn FROM subev) z WHERE rn = 1),
+      |acts AS (SELECT batch_id, instant, src,
+      |  string_agg(DISTINCT activity, ',' ORDER BY activity) AS activities
+      |  FROM subev GROUP BY 1, 2, 3),
+      |wl AS (
+      |  SELECT n.batch_id, n.instant, count(DISTINCT l.case_id) AS workload
+      |  FROM (SELECT DISTINCT batch_id, instant FROM instants) n
+      |  JOIN meta m ON m.batch_id = n.batch_id
+      |  JOIN en l ON l.resource = m.resource AND l.enabled_us <= n.instant AND n.instant <= l.end_us
+      |  GROUP BY 1, 2)
+      |SELECT s.batch_id, m.batch_type, a.activities, f.firing_activity,
+      |  s.instant AS instant_us, s.src, s.num_queue,
+      |  s.instant - s.last_en AS t_ready_us,
+      |  s.instant - s.first_en AS t_waiting_us,
+      |  s.instant - s.min_case_first AS t_max_flow_us,
+      |  CAST(isodow(make_timestamp(s.instant)) - 1 AS INT) AS day_of_week,
+      |  CAST(day(make_timestamp(s.instant)) AS INT) AS day_of_month,
+      |  CAST(hour(make_timestamp(s.instant)) AS INT) AS hour_of_day,
+      |  CAST(minute(make_timestamp(s.instant)) AS INT) AS minute_of_hour,
+      |  coalesce(w.workload, 0) AS workload, s.outcome
+      |FROM subs s
+      |JOIN meta m ON m.batch_id = s.batch_id
+      |JOIN firing f ON f.batch_id = s.batch_id AND f.instant = s.instant AND f.src = s.src
+      |JOIN acts a ON a.batch_id = s.batch_id AND a.instant = s.instant AND a.src = s.src
+      |LEFT JOIN wl w ON w.batch_id = s.batch_id AND w.instant = s.instant""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ar_features" -> graft.pm.PmQueries.withFeaturePrefix(featuresOracleSelect)
+  )
+}

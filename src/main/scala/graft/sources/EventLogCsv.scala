@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-to-logical column mapping for external event logs — the
+  * reference's EventLogIDs indirection (config.py:14-42), resolved once at
+  * ingestion into the engine's canonical columns. */
+case class LogSchema(
+    caseId: String = "case_id",
+    activity: String = "Activity",
+    start: String = "start_time",
+    end: String = "end_time",
+    resource: String = "Resource",
+    enabled: Option[String] = None)
+
+/** A1/A2/A3 — gzip CSV event-log source/sink with UTC timestamp discipline
+  * (main.py:14-16, discovery.py:227-232). Produces the canonical log grain:
+  * case_id (hashed long), activity, resource (NOT_SET-filled,
+  * batch_detection.R:50), start_us/end_us (+ enabled_us when present),
+  * event_id (deterministic total-order row number). */
+object EventLogCsv {
+  def read(spark: SparkSession, path: String, schema: LogSchema = LogSchema()): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("header", "true").csv(path)
+    val withEnabled = schema.enabled match {
+      case Some(en) => raw.withColumn("enabled_us", graft.Det.us(to_timestamp(col(en))))
+      case None => raw
+    }
+    val base = withEnabled
+      .withColumn("case_str", col(schema.caseId))
+      .withColumn("case_id", xxhash64(col(schema.caseId)))
+      .withColumn("activity", col(schema.activity))
+      .withColumn("resource", coalesce(col(schema.resource), lit("NOT_SET")))
+      .withColumn("start_us", graft.Det.us(to_timestamp(col(schema.start))))
+      .withColumn("end_us", graft.Det.us(to_timestamp(col(schema.end))))
+    // deterministic event ids via a total order (test-scale logs; at fleet
+    // scale ids would come from the source or a per-partition offset)
+    val ordered = Window.orderBy("case_str", "activity", "start_us", "end_us", "resource")
+    val cols = Seq("event_id", "case_id", "case_str", "activity", "resource", "start_us", "end_us") ++
+      (if (schema.enabled.isDefined) Seq("enabled_us") else Nil)
+    base
+      .withColumn("event_id", row_number().over(ordered).cast("long"))
+      .select(cols.map(col): _*)
+  }
+
+  /** Gzip CSV sink with the reference's timestamp format (A3). */
+  def writeCsvGz(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .csv(path)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // 1 token changed
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) > 0.5))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("knn cosine: identical vectors rank first with sim 1.0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (6L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (7L, Array(-1.0f, 0.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val r = Similarity.knnCosine(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(r(0).getAs[Long]("vid") == 5L && r(0).getAs[Long]("cos_sim_e6") == 1000000L)
+    assert(r(1).getAs[Long]("vid") == 6L && r(1).getAs[Long]("cos_sim_e6") == 0L)
+    assert(r(2).getAs[Long]("vid") == 7L && r(2).getAs[Long]("cos_sim_e6") == -1000000L)
+  }
+
+  test("multimodal decode stub runs batched per partition with real schema") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val feats = Multimodal.decodeStub(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(feats(1L)._1 == 11L)
+    assert(feats.keySet == Set(1L, 2L))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16")).toDF("doc_id", "text")
+    val h = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pm.{BatchDiscovery, EnabledTime, WaitingTimes}
+import graft.sources.{EventLogCsv, LogSchema}
+
+/** Golden replay against the reference's own logs (SURVEY §5): run the full
+  * EP1 pipeline on Production.csv.gz and check structural anchors. Exact
+  * instance counts depend on BAMA-internal semantics (subprocess batches
+  * not yet reimplemented), so round-1 asserts invariants + sane magnitude
+  * and prints the observed numbers for round-over-round tracking.
+  */
+class GoldenReplaySpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("EP1 on Production.csv.gz: events preserved, batches found, invariants hold") {
+    import spark.implicits._
+    val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
+    assert(log.count() == 4503L) // BASELINE.md dataset scale
+    assert(log.select("case_id").distinct().count() == 225L)
+
+    val en = EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    // enabled time never exceeds start
+    assert(en.filter($"enabled_us" > $"start_us").count() == 0L)
+
+    val d = BatchDiscovery.discover(en).persist()
+    val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
+    val batchedEvents = d.filter($"batch_id".isNotNull).count()
+    info(s"Production: $nBatches batch instances, $batchedEvents/4503 batched events (golden: 485 instances)")
+    // Observed 515 in round 1 (golden 485, within 6% — no subprocess batches
+    // yet, enabled-time oracle reconstructed). Bound guards regressions.
+    assert(nBatches >= 450L && nBatches <= 550L,
+      s"batch instance count $nBatches drifted from the golden neighborhood [450, 550]")
+    assert(d.count() == 4503L)
+
+    // per-batch invariants
+    val sizes = d.filter($"batch_id".isNotNull)
+      .groupBy("batch_id").agg(countDistinct($"case_id").as("n"))
+    assert(sizes.filter($"n" < 2).count() == 0L)
+
+    val wt = WaitingTimes.batchCaseWT(d)
+    assert(wt.filter($"total_wt_us" =!=
+      $"creation_wt_us" + $"ready_wt_us" + $"other_wt_us").count() == 0L)
+    assert(wt.filter($"ready_wt_us" < 0 || $"creation_wt_us" < 0 || $"other_wt_us" < 0).count() == 0L)
+    d.unpersist()
+  }
+
+  test("EP1 on Loan_Application_batched.csv.gz: scale anchors") {
+    import spark.implicits._
+    val log = EventLogCsv.read(spark, "/root/reference/logs/Loan_Application_batched.csv.gz",
+      LogSchema(enabled = Some("enabled_time")))
+    assert(log.count() == 70162L)
+    assert(log.select("case_id").distinct().count() == 7000L)
+    // precomputed enabled times: never after start (reference guarantees)
+    assert(log.filter($"enabled_us" > $"start_us").count() == 0L)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.pm.{BatchDiscovery, EnabledTime, WaitingTimes}
+
+/** Unit fixtures for the K1/K2/K3 kernels — esp. the classification branches
+  * the synthetic harness data never exercises (Parallel/Sequential) and the
+  * W4 split / W7 min-size edges. */
+class PmKernelSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def log(rows: (Long, Long, String, String, Long, Long, Long)*): DataFrame =
+    rows.toDF("event_id", "case_id", "activity", "resource", "start_us", "end_us", "enabled_us")
+
+  private def discovered(rows: (Long, Long, String, String, Long, Long, Long)*): Map[Long, (Any, Any)] =
+    BatchDiscovery.discover(log(rows: _*))
+      .select("event_id", "batch_id", "batch_type").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+
+  test("K1 classifies simultaneous batches as Parallel") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 100L, 200L, 50L),
+      (3L, 3L, "A", "r0", 100L, 200L, 50L))
+    assert(d.values.map(_._2).toSet == Set("Parallel"))
+    assert(d.values.map(_._1).toSet.size == 1)
+  }
+
+  test("K1 classifies back-to-back batches as Sequential task-based") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 200L, 300L, 50L),
+      (3L, 3L, "A", "r0", 300L, 400L, 50L))
+    assert(d.values.map(_._2).toSet == Set("Sequential task-based"))
+  }
+
+  test("K1 classifies overlapping batches as Concurrent task-based") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 250L, 50L),
+      (2L, 2L, "A", "r0", 200L, 350L, 50L))
+    assert(d.values.map(_._2).toSet == Set("Concurrent task-based"))
+  }
+
+  test("K1 splits on temporal gaps and drops single-case groups (W7)") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 300L, 400L, 50L)) // gap: 300 > max end 200
+    assert(d.values.forall(_._1 == null))
+  }
+
+  test("K1 does not batch across resources or activities") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r1", 100L, 200L, 50L),
+      (3L, 3L, "B", "r0", 100L, 200L, 50L))
+    assert(d.values.forall(_._1 == null))
+  }
+
+  test("W7 requires >= 2 distinct cases, not 2 events") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 1L, "A", "r0", 200L, 300L, 50L)) // same case twice
+    assert(d.values.forall(_._1 == null))
+  }
+
+  test("W4 splits off late-enabled cases; undersized splinters dropped") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 120L, 220L, 60L),
+      (3L, 3L, "A", "r0", 130L, 230L, 110L)) // enabled 110 > min start 100
+    assert(d(1L)._1 != null && d(2L)._1 != null)
+    assert(d(1L)._1 == d(2L)._1)
+    assert(d(3L)._1 == null) // split off alone -> below min size
+  }
+
+  test("W4 keeps a splinter that still has >= 2 cases") {
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 120L, 220L, 60L),
+      (3L, 3L, "A", "r0", 130L, 230L, 110L),
+      (4L, 4L, "A", "r0", 140L, 240L, 115L)) // 3,4 both late -> their own batch
+    assert(d(1L)._1 == d(2L)._1 && d(3L)._1 == d(4L)._1)
+    assert(d(1L)._1 != d(3L)._1)
+  }
+
+  test("K2 enabled time: max non-concurrent predecessor end, case-start fallback") {
+    val l = log(
+      (1L, 1L, "A", "r0", 0L, 100L, 0L),
+      (2L, 1L, "B", "r0", 50L, 150L, 0L),
+      (3L, 1L, "C", "r0", 200L, 300L, 0L)).drop("enabled_us")
+    val en = EnabledTime.withEnabled(l).select("event_id", "enabled_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(en(1L) == 0L)   // no predecessor -> case start
+    assert(en(2L) == 0L)   // A still running at 50 -> fallback
+    assert(en(3L) == 150L) // max(100, 150)
+  }
+
+  test("K2 concurrency pairs suppress parallel predecessors") {
+    // A and B appear in both orders across cases -> concurrent
+    val l = log(
+      (1L, 1L, "A", "r0", 0L, 100L, 0L),
+      (2L, 1L, "B", "r0", 150L, 250L, 0L),
+      (3L, 2L, "B", "r0", 0L, 100L, 0L),
+      (4L, 2L, "A", "r0", 150L, 250L, 0L)).drop("enabled_us")
+    val pairs = EnabledTime.concurrencyPairs(l).as[(String, String)].collect().toSet
+    assert(pairs == Set(("A", "B"), ("B", "A")))
+    val en = EnabledTime.withEnabled(l).select("event_id", "enabled_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(en(2L) == 0L) // A||B: A's end is not an enabler -> case start
+  }
+
+  test("K3 sweep line matches hand computation") {
+    val d = Seq(
+      (1L, 1L, java.lang.Long.valueOf(1L), 0L, 10L, 20L),
+      (2L, 1L, java.lang.Long.valueOf(1L), 5L, 25L, 35L))
+      .toDF("event_id", "case_id", "batch_id", "enabled_us", "start_us", "end_us")
+    val r = WaitingTimes.sweepLine(d).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("pt_us") == 20L) // [10,20) + [25,35)
+    assert(r(0).getAs[Long]("wt_us") == 15L) // [0,10) + [20,25)
+  }
+
+  test("WT decomposition invariant: total = creation + ready + other") {
+    val d = BatchDiscovery.discover(log(
+      (1L, 1L, "A", "r0", 100L, 200L, 40L),
+      (2L, 2L, "A", "r0", 120L, 220L, 60L),
+      (3L, 3L, "A", "r0", 130L, 230L, 80L)))
+    val wt = WaitingTimes.batchCaseWT(d).collect()
+    assert(wt.length == 3)
+    wt.foreach { r =>
+      assert(r.getAs[Long]("total_wt_us") ==
+        r.getAs[Long]("creation_wt_us") + r.getAs[Long]("ready_wt_us") + r.getAs[Long]("other_wt_us"))
+      assert(r.getAs[Long]("ready_wt_us") >= 0L)
+      assert(r.getAs[Long]("creation_wt_us") >= 0L)
+      assert(r.getAs[Long]("other_wt_us") >= 0L)
+    }
+    // instance enabled = max case enabled = 80; instance start = min start = 100
+    assert(wt.map(_.getAs[Long]("ready_wt_us")).toSet == Set(20L))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Structured Streaming path: the tumbling aggregate over a parquet
+  * readStream (memory sink, processAllAvailable) must agree with the batch
+  * form of the same transform. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("streaming tumbling counts equal batch tumbling counts") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    val expected = StreamOps.tumbling(batch)
+      .select($"win_start", $"event_type", $"n")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream needs a directory source: stage the single parquet file
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val q = StreamOps.tumblingStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT win_start, event_type, n FROM graft_stream_test")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+}

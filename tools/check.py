@@ -42,9 +42,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     if os.path.exists(OUT):
         shutil.rmtree(OUT)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    if ONLY:
+        env["SPARK_GRAFT_ONLY"] = ",".join(sorted(ONLY))
     r = subprocess.run([os.path.join(REPO, "tools", "run.sh"), "graft.Verify", SF, OUT],
-                       capture_output=True, text=True,
-                       env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+                       capture_output=True, text=True, env=env)
     if r.returncode != 0:
         print(r.stdout[-4000:])
         print(r.stderr[-8000:])
