@@ -42,9 +42,13 @@ object PmQueries {
     "pm_pairs" -> ((s, d) =>
       EnabledTime.concurrencyPairs(EventLogOps.fromEvents(s, d))),
 
-    // K2 — enabled-time estimation (per-case sweep kernel).
-    "pm_enabled" -> ((s, d) =>
-      EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))),
+    // K2 — enabled-time estimation (per-case sweep kernel). Slices the
+    // shared discovery cache (enabled_us is computed on its way in).
+    "pm_enabled" -> ((s, d) => {
+      import s.implicits._
+      disc(s, d).select($"event_id", $"case_id", $"activity", $"resource",
+        $"start_us", $"end_us", $"enabled_us")
+    }),
 
     // K1 + W4..W8 — full batch discovery, event grain.
     "pm_batches" -> ((s, d) => {

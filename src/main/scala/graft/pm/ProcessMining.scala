@@ -204,7 +204,11 @@ object BatchDiscovery {
     */
   def discover(en: DataFrame, minSize: Int = 2): DataFrame = {
     import en.sparkSession.implicits._
-    val seg = segment(en)
+    // seg feeds three consumers (classify, batchCases->split, the final
+    // join-back): persist it so the enabled-time kernel + segmentation
+    // windows run once, not three times (visible as repeated case_id /
+    // (resource, activity) exchanges in the un-cached plan)
+    val seg = segment(en).persist()
     val types = classify(seg)
     val withSub = split(batchCases(seg))
     val bkeys = withSub

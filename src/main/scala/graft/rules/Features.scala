@@ -84,14 +84,36 @@ object Features {
         min(struct($"start_us".as("s"), $"enabled_us".as("e"), $"activity".as("a"))).as("f"))
       .select($"batch_id", $"instant", $"src", $"activities", $"f.a".as("firing_activity"))
 
-    // workload: D4 interval join against the full log, per distinct instant
-    val wl = instants.select($"batch_id", $"instant").distinct()
+    // workload = #distinct cases with an active event of the batch's
+    // resource at the instant (utils.py:179-196). The naive form is an
+    // interval join whose only equi-key is the low-cardinality resource —
+    // a quasi-cross-join. Scalable form with identical semantics over the
+    // integer-micros domain: union each case's [enabled, end] intervals per
+    // resource (K1-style sessionization), emit +1/-1 boundary deltas, and
+    // read the running sum at each query instant (deltas sort before
+    // queries at equal t, matching the inclusive bounds).
+    val wiv = Window.partitionBy("resource", "wcase").orderBy("s", "e")
+    val merged = disc
+      .select($"resource", $"case_id".as("wcase"), $"enabled_us".as("s"), $"end_us".as("e"))
+      .withColumn("rme", max($"e").over(wiv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag", when($"rme".isNull || $"s" > $"rme" + 1, 1).otherwise(0))
+      .withColumn("grp", sum($"flag").over(wiv.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"resource", $"wcase", $"grp")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+    val deltas = merged.select($"resource", $"s".as("t"), lit(1L).as("d"))
+      .unionByName(merged.select($"resource", ($"e" + 1).as("t"), lit(-1L).as("d")))
+      .groupBy($"resource", $"t").agg(sum($"d").as("d"))
+    val qrys = instants.select($"batch_id", $"instant").distinct()
       .join(meta.select($"batch_id", $"resource"), Seq("batch_id"))
-      .join(disc.select($"resource", $"enabled_us", $"end_us", $"case_id".as("wcase")),
-        Seq("resource"))
-      .filter($"enabled_us" <= $"instant" && $"instant" <= $"end_us")
-      .groupBy($"batch_id", $"instant")
-      .agg(countDistinct($"wcase").as("workload"))
+    val stream = deltas
+      .select($"resource", $"t", $"d", lit(0).as("kind"), lit(null).cast("long").as("batch_id"))
+      .unionByName(qrys.select($"resource", $"instant".as("t"), lit(0L).as("d"),
+        lit(1).as("kind"), $"batch_id"))
+    val ws = Window.partitionBy("resource").orderBy("t", "kind")
+    val wl = stream
+      .withColumn("wlv", sum($"d").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"kind" === 1)
+      .select($"batch_id", $"t".as("instant"), $"wlv".as("workload"))
 
     subs
       .join(actsAndFiring, Seq("batch_id", "instant", "src"))

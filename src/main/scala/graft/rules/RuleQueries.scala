@@ -13,12 +13,19 @@ object RuleQueries {
   private def disc(s: SparkSession, d: String): DataFrame =
     graft.pm.PmQueries.disc(s, d)
 
+  /** ar_features and ar_rules share the feature table: memoize + persist
+    * (same pattern as the discovery stage). */
+  private val featCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def feats(s: SparkSession, d: String): DataFrame =
+    featCache.computeIfAbsent((s, d), _ => Features.featuresTable(disc(s, d)).persist())
+
   val queries: Map[String, Q] = Map(
-    "ar_features" -> ((s, d) => Features.featuresTable(disc(s, d))),
+    "ar_features" -> ((s, d) => feats(s, d)),
 
     "ar_rules" -> ((s, d) => {
       import s.implicits._
-      val ruleSets = Ripper.fitPerGroup(Features.featuresTable(disc(s, d)))
+      val ruleSets = Ripper.fitPerGroup(feats(s, d))
       val rows = ruleSets.toSeq.sortBy(_._1).map { case (k, rs) =>
         (k, rs.numObs, math.round(rs.confidence * 1000000d), math.round(rs.support * 1000000d), rs.render)
       }

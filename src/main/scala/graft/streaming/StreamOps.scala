@@ -27,8 +27,38 @@ object StreamOps {
       .select($"w.start".cast("timestamp_ntz").as("win_start"), $"event_type", $"n", $"sum_value")
   }
 
-  /** Per-user session windows with a 10min inactivity gap. */
+  /** Per-user session windows with a 10min inactivity gap.
+    *
+    * Batch form uses island detection (lag + running sum of new-session
+    * flags) rather than `session_window`: identical semantics (events merge
+    * while gap < 10min; session end = last ts + gap), but O(n log n) with
+    * no degenerate path — `session_window`'s MergingSessionsIterator
+    * collapses when a key's whole history merges into one giant session
+    * (observed: a single task pinned for minutes at sf0.1). The
+    * session_window/streaming variant below stays for readStream use. */
   def sessions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapUs = 600000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "event_id")
+    events
+      .select($"user_id", $"event_id", graft.Det.us($"ts").as("t"), $"value")
+      .withColumn("flag",
+        when(lag($"t", 1).over(w).isNull || $"t" - lag($"t", 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sess", sum($"flag").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(count(lit(1)).as("n"), graft.Det.dsum($"value").as("sum_value"),
+        min($"t").as("s"), max($"t").as("e"))
+      .select($"user_id",
+        graft.Det.tsNtz($"s").as("sess_start"),
+        graft.Det.tsNtz($"e" + gapUs).as("sess_end"),
+        $"n", $"sum_value")
+  }
+
+  /** session_window form (streaming-capable; use with readStream + a
+    * watermark). Semantically equal to [[sessions]]. */
+  def sessionsViaSessionWindow(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
       .groupBy($"user_id", session_window($"ts", "10 minutes").as("w"))

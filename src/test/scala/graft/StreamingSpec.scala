@@ -10,6 +10,13 @@ import graft.streaming.StreamOps
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("island-detection sessions equal session_window sessions") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = StreamOps.sessions(e).collect().map(_.toString).sorted.toSeq
+    val b = StreamOps.sessionsViaSessionWindow(e).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("streaming tumbling counts equal batch tumbling counts") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
