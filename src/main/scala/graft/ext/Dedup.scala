@@ -24,7 +24,8 @@ object Dedup {
       .select($"doc_id", ($"i0" + 1).as("i"), $"tok")
   }
 
-  /** Word 3-gram shingles per doc (null-propagating concat at the tail). */
+  /** Word 3-gram shingles per doc with their position (null-propagating
+    * concat at the tail). */
   def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val w = Window.partitionBy("doc_id").orderBy("i")
@@ -32,7 +33,22 @@ object Dedup {
       .withColumn("shingle",
         concat($"tok", lit(" "), lead($"tok", 1).over(w), lit(" "), lead($"tok", 2).over(w)))
       .filter($"shingle".isNotNull)
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", $"i", $"shingle")
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+    * the ordered shingle stream, take the min of each 4-hash window
+    * (right-aligned partial tail windows included), dedupe. The selected
+    * fingerprint set is position-robust — the standard copy-detection /
+    * near-dup index at corpus scale. */
+  def winnow(docs: DataFrame, window: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    shingles(docs)
+      .withColumn("h", md5Hash32(9, $"shingle"))
+      .withColumn("fp", min($"h").over(w))
+      .select($"doc_id", $"fp")
+      .distinct()
   }
 
   /** MinHash signatures: 4 independent 32-bit hashes (2 bands of 2). */
@@ -56,7 +72,7 @@ object Dedup {
     val cand = a.join(b, $"doc_a" < $"doc_b" &&
       ($"h0" === $"g0" && $"h1" === $"g1" || $"h2" === $"g2" && $"h3" === $"g3"))
       .select($"doc_a", $"doc_b")
-    val ds = sh.distinct()
+    val ds = sh.select($"doc_id", $"shingle").distinct()
     val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ds.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))

@@ -37,6 +37,14 @@ object ExtQueries {
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
 
+    // J3 scale path — LSH-bucketed ANN (candidates restricted to bucket-mates).
+    "j3_lsh_ann" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d))),
+
+    // J4 — winnowing document fingerprints (rolling-hash minima).
+    "j4_winnow" -> ((s, d) =>
+      Dedup.winnow(Tables.documents(s, d))),
+
     // J4 — text quality stats, language ID, token frequencies.
     "j4_quality" -> ((s, d) => TextOps.qualityStats(Tables.documents(s, d))),
     "j4_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -130,6 +138,45 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= 5""".stripMargin,
+
+    "j3_lsh_ann" ->
+      """WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |pw AS (SELECT p, i, ((('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT) % 2001) - 1000 AS w
+        |       FROM generate_series(0, 7) tp(p), generate_series(1, 64) ti(i)),
+        |bits AS (SELECT e.vec_id, p.p, CASE WHEN sum(p.w * e.q) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM qe e JOIN pw p ON p.i = e.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, p // 4 AS tbl,
+        |          CAST(sum(CAST(bit AS BIGINT) << (p % 4)) AS BIGINT) AS bucket
+        |        FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+        |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |           AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
+        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |WHERE rn <= 3""".stripMargin,
+
+    "j4_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+        |sh AS (
+        |  SELECT doc_id, i, shingle FROM (
+        |    SELECT doc_id, i, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)) z
+        |  WHERE shingle IS NOT NULL),
+        |h AS (SELECT doc_id, i, ('0x' || substr(md5('9:' || shingle), 1, 8))::BIGINT AS h FROM sh)
+        |SELECT DISTINCT doc_id,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |FROM h""".stripMargin,
 
     "j4_quality" ->
       """SELECT doc_id, lang, n_tokens, n_chars_measured, n_stop, n_punct,

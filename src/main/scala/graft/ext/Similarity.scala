@@ -20,6 +20,59 @@ object Similarity {
       .select($"vec_id", ($"i0" + 1).as("i"), round($"x" * 1000000d).cast("long").as("q"))
   }
 
+  /** Random-hyperplane LSH bucketing, multi-table (OR-amplification):
+    * nTables independent tables of nPlanes md5-derived integer hyperplanes;
+    * bit = sign of the exact integer projection; bucket = packed bits per
+    * table. Candidates are vectors sharing a bucket in ANY table — the
+    * standard recall/cost dial (measured here: 1 table x 8 planes gave ~0
+    * top-5 recall on 500 random vectors; 2 x 4 recovers usable recall at
+    * ~13% of the brute-force pair count). Deterministic, oracle-matched. */
+  def lshBuckets(emb: DataFrame, nTables: Int = 2, nPlanes: Int = 4): DataFrame = {
+    import emb.sparkSession.implicits._
+    val spark = emb.sparkSession
+    val planes = spark.range(0, nTables.toLong * nPlanes).select($"id".as("p"))
+      .select($"p", explode(sequence(lit(1), lit(64))).as("i"))
+      .withColumn("w",
+        conv(substring(md5(concat($"p", lit(":"), $"i").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000)
+    quantized(emb)
+      .join(broadcast(planes), Seq("i"))
+      .groupBy($"vec_id", $"p")
+      .agg(sum($"w" * $"q").as("proj"))
+      .withColumn("bit", when($"proj" > 0, 1L).otherwise(0L))
+      .withColumn("tbl", ($"p" / nPlanes).cast("int"))
+      .groupBy($"vec_id", $"tbl")
+      .agg(sum(expr(s"shiftleft(bit, cast(p % $nPlanes as int))")).as("bucket"))
+  }
+
+  /** ANN via LSH buckets: exact quantized cosine, but only among vectors
+    * sharing a bucket in at least one table. */
+  def annLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    import emb.sparkSession.implicits._
+    val qe = quantized(emb).cache()
+    val bkt = lshBuckets(emb)
+    val cand = bkt.select($"vec_id".as("qid"), $"tbl", $"bucket")
+      .filter($"qid" < nQueries)
+      .join(bkt.select($"vec_id".as("vid"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
+      .filter($"qid" =!= $"vid")
+      .select($"qid", $"vid").distinct()
+    val norms = qe.groupBy($"vec_id").agg(sum($"q" * $"q").as("nq"))
+    val dots = cand
+      .join(qe.select($"vec_id".as("qid"), $"i", $"q".as("qq")), Seq("qid"))
+      .join(qe.select($"vec_id".as("vid"), $"i", $"q"), Seq("vid", "i"))
+      .groupBy($"qid", $"vid")
+      .agg(sum($"qq" * $"q").as("dot"))
+    dots
+      .join(broadcast(norms.select($"vec_id".as("qid"), $"nq".as("na"))), Seq("qid"))
+      .join(broadcast(norms.select($"vec_id".as("vid"), $"nq".as("nb"))), Seq("vid"))
+      .select($"qid", $"vid",
+        round($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
+      .filter($"rnk" <= k)
+  }
+
   /** Brute-force cosine top-k of every vec_id < nQueries against the corpus. */
   def knnCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import emb.sparkSession.implicits._

@@ -23,15 +23,27 @@ object RuleQueries {
   val queries: Map[String, Q] = Map(
     "ar_features" -> ((s, d) => feats(s, d)),
 
-    "ar_rules" -> ((s, d) => {
+    "ar_rules" -> ((s, d) => rulesDf(s, feats(s, d), "activities")),
+
+    // H3 — the reference's other ActivationRulesMode groupings
+    // (config.py:7-10): per firing activity / per (activities, type).
+    "ar_rules_by_activity" -> ((s, d) => rulesDf(s, feats(s, d), "firing_activity")),
+    "ar_rules_by_type" -> ((s, d) => {
       import s.implicits._
-      val ruleSets = Ripper.fitPerGroup(feats(s, d))
-      val rows = ruleSets.toSeq.sortBy(_._1).map { case (k, rs) =>
-        (k, rs.numObs, math.round(rs.confidence * 1000000d), math.round(rs.support * 1000000d), rs.render)
-      }
-      rows.toDF("activities", "num_obs", "confidence_e6", "support_e6", "rules")
+      val f = feats(s, d).withColumn("grp",
+        concat_ws("|", $"activities", $"batch_type"))
+      rulesDf(s, f, "grp")
     })
   )
+
+  private def rulesDf(s: SparkSession, features: DataFrame, groupCol: String): DataFrame = {
+    import s.implicits._
+    val ruleSets = Ripper.fitPerGroup(features, groupCol)
+    val rows = ruleSets.toSeq.sortBy(_._1).map { case (k, rs) =>
+      (k, rs.numObs, math.round(rs.confidence * 1000000d), math.round(rs.support * 1000000d), rs.render)
+    }
+    rows.toDF("group_key", "num_obs", "confidence_e6", "support_e6", "rules")
+  }
 
   /** ar_features oracle: extends the PM CTE pipeline with the instant
     * generation + subset-feature computation (mirrors Features stage by
