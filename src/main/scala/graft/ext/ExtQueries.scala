@@ -50,6 +50,19 @@ object ExtQueries {
     "j4_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "j4_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
 
+    // J4 — BPE-ish regex token counting (words | digit-runs | punctuation),
+    // alongside the whitespace tokenizer in TextOps.
+    "j4_bpe_tokens" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_bpe_tokens"),
+          size(expr("filter(toks, x -> x rlike '^[0-9]+$')")).cast("long").as("n_digit_runs"),
+          size(expr("filter(toks, x -> x rlike '^[a-z]+$')")).cast("long").as("n_words"))
+    }),
+
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
 
@@ -206,6 +219,13 @@ object ExtQueries {
       """SELECT tok, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "j4_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_words
+        |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks FROM documents) z""".stripMargin,
 
     "j5_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5,

@@ -3,6 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Per-user running state for the stateful-streaming example. */
+case class UserCount(user_id: Long, n: Long, sum_value_e2: Long)
+
 /** Structured-Streaming-shaped aggregations (SURVEY §2 I). Each transform
   * works identically on a batch DataFrame and on a readStream source; the
   * streaming path adds a watermark. Batch mode is what the correctness gate
@@ -67,6 +70,28 @@ object StreamOps {
         $"w.start".cast("timestamp_ntz").as("sess_start"),
         $"w.end".cast("timestamp_ntz").as("sess_end"),
         $"n", $"sum_value")
+  }
+
+  /** Custom keyed state over a stream: per-user running (count, exact
+    * cents-sum) via mapGroupsWithState — the KeyValueGroupedDataset state
+    * API the reference's streaming-shaped extensions call for. Works on a
+    * readStream source (update mode); on a batch frame it degenerates to
+    * one state update per key. */
+  def runningUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select($"user_id", round($"value" * 100d).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val (dn, dsum) = rows.foldLeft((0L, 0L)) { case ((n, s), (_, c)) => (n + 1, s + c) }
+          val prev = state.getOption.getOrElse(UserCount(uid, 0L, 0L))
+          val next = UserCount(uid, prev.n + dn, prev.sum_value_e2 + dsum)
+          state.update(next)
+          next
+      }
   }
 
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream

@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{EventLogCsv, LogSchema}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("A3 csv.gz sink roundtrips through the A1 source") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/log"
+    val df = Seq(
+      ("Case1", "A", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "r1"),
+      ("Case2", "B", "2024-01-02 10:00:00.123456", "2024-01-02 11:30:00", null))
+      .toDF("case_id", "Activity", "start_time", "end_time", "Resource")
+    EventLogCsv.writeCsvGz(df, out)
+    val back = EventLogCsv.read(spark, out, LogSchema())
+    assert(back.count() == 2L)
+    val r = back.filter($"activity" === "B").collect()(0)
+    assert(r.getAs[String]("resource") == "NOT_SET") // null fill
+    assert(r.getAs[Long]("start_us") % 1000000L == 123456L) // us precision kept
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}

@@ -17,6 +17,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mapGroupsWithState running counts match batch aggregation (streaming)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    val expected = batch.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100d).cast("long")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Files.createTempDirectory("graft_state").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+    val q = StreamOps.runningUserCounts(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_state_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // latest state per user = final running totals
+      val got = spark.sql(
+        """SELECT user_id, max_by(n, n) AS n, max_by(sum_value_e2, n) AS s
+          |FROM graft_state_test GROUP BY user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch tumbling counts") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
