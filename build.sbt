@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNPREFIXED: the round-1 bench JSON
+// line came out as "[info] {...}" (sbt's default LoggedOutput), which the
+// harness line-parser missed — BENCH_r01.json recorded parsed:null.
+// StdoutOutput pipes the forked JVM's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

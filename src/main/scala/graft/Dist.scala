@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for global-order windows. A bare
+  * `Window.orderBy(...)` moves the whole table through ONE task (the
+  * round-1 `WindowExec: No Partition Defined` warnings) — correct at test
+  * scale, dead at 100 TB. The shape here is the classic scale-safe form:
+  * range-partition on the order key, rank locally per partition, then add
+  * per-partition offsets computed from a tiny (numPartitions-row) count
+  * table. Two extra exchanges, no single-task stage. */
+object Dist {
+  /** Exact global dense row rank (1-based) by `order`, computed without a
+    * single-partition window. `order` must be a total order (include a
+    * unique tiebreak column) for deterministic ids. */
+  def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column],
+                     numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // local rank within each range partition (parallel window on __pid)
+    val local = parted.withColumn("__lrn",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long"))
+    // per-partition row counts -> prefix-sum offsets (numParts rows: the
+    // single-partition window here is bounded and deliberate)
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Exact ntile(k) by `order` from the distributed global rank — identical
+    * result to `ntile(k) over (order by ...)` (first n%k tiles get
+    * ceil(n/k) rows), without the all-rows-to-one-task WindowExec. */
+  def ntileBy(df: DataFrame, k: Int, tileCol: String, order: Seq[Column],
+              numParts: Int = 32): DataFrame = {
+    val ranked = withGlobalRank(df, "__rank", order, numParts)
+    val total = ranked.groupBy().agg(count(lit(1)).as("__n"))
+    val n = col("__n"); val r0 = col("__rank") - 1
+    val small = n / k                      // floor tile size
+    val bigger = n % k                     // first `bigger` tiles get small+1
+    val cut = bigger * (small + 1)         // rows covered by the big tiles
+    ranked.crossJoin(broadcast(total))
+      .withColumn(tileCol,
+        when(lit(k) >= n, col("__rank"))   // degenerate: every row its own tile
+          .when(r0 < cut, r0 / (small + 1) + 1)
+          .otherwise(bigger + (r0 - cut) / small + 1))
+      .drop("__rank", "__n")
+  }
+}

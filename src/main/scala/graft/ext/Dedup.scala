@@ -51,32 +51,51 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: 4 independent 32-bit hashes (2 bands of 2). */
-  def minhash(sh: DataFrame): DataFrame = {
+  /** LSH signature layout: bands x rowsPerBand independent minhashes.
+    * The (b, r) pair is THE recall/precision dial: P(candidate) =
+    * 1 - (1 - j^r)^b for Jaccard j. Defaults stay at the round-1 shape
+    * (2 bands of 2) so oracle hashes are unchanged; lift for scale runs. */
+  val Bands = 2
+  val RowsPerBand = 2
+
+  /** Band buckets holding more than this many docs are dropped from
+    * candidate generation: a corpus with k identical boilerplate docs
+    * otherwise puts all k in one bucket and emits k^2/2 pairs from a single
+    * task. Dropped buckets are near-certain duplicate clusters — recover
+    * them with exact dedup (J1), which handles identical text directly. */
+  val BucketCap = 1000
+
+  /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes. */
+  def minhash(sh: DataFrame, nHashes: Int = Bands * RowsPerBand): DataFrame = {
     import sh.sparkSession.implicits._
-    sh.groupBy($"doc_id").agg(
-      min(md5Hash32(0, $"shingle")).as("h0"),
-      min(md5Hash32(1, $"shingle")).as("h1"),
-      min(md5Hash32(2, $"shingle")).as("h2"),
-      min(md5Hash32(3, $"shingle")).as("h3"))
+    val aggs = (0 until nHashes).map(s => min(md5Hash32(s, $"shingle")).as(s"h$s"))
+    sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs (docs sharing either band) verified with exact
+  /** LSH candidate pairs (docs sharing any band bucket) verified with exact
     * Jaccard over distinct shingle sets. */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+  def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,
+                   bucketCap: Int = BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = shingles(docs).cache()
-    val mh = minhash(sh).cache()
+    val mh = minhash(sh, bands * rows).cache()
     // one equi-join per band, unioned — an OR-of-bands condition would force
     // a BroadcastNestedLoopJoin (O(N^2) pairs; measured 10x slower at sf0.1
     // and unusable at fleet scale), while per-band hash joins shuffle on the
     // band signature only
-    def bandPairs(x: String, y: String): DataFrame = {
-      val a = mh.select($"doc_id".as("doc_a"), col(x).as("b0"), col(y).as("b1"))
-      val b = mh.select($"doc_id".as("doc_b"), col(x).as("b0"), col(y).as("b1"))
-      a.join(b, Seq("b0", "b1")).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
+    def bandPairs(band: Int): DataFrame = {
+      val keys = (0 until rows).map(r => s"h${band * rows + r}")
+      // keep only buckets with 2..bucketCap docs: <2 yields no pairs,
+      // >cap is the boilerplate mega-bucket (quadratic blowup guard)
+      val ok = mh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
+        .select(keys.map(col): _*)
+      val pruned = mh.join(ok, keys, "left_semi")
+      val a = pruned.select(($"doc_id".as("doc_a") +: keys.map(col)): _*)
+      val b = pruned.select(($"doc_id".as("doc_b") +: keys.map(col)): _*)
+      a.join(b, keys).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
     }
-    val cand = bandPairs("h0", "h1").unionByName(bandPairs("h2", "h3")).distinct()
+    val cand = (0 until bands).map(bandPairs).reduce(_ unionByName _).distinct()
     val ds = sh.select($"doc_id", $"shingle").distinct()
     val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand

@@ -85,8 +85,14 @@ object ExtQueries {
 
   // ------------------------------------------------------------ oracle SQL
 
+  // Oracle SQL for LSH dedup/ANN is GENERATED from the same constants the
+  // Scala operators use (Dedup.Bands/RowsPerBand/BucketCap, Similarity.N*)
+  // so a config change cannot silently desync the oracle.
+  private val nMinhashes = Dedup.Bands * Dedup.RowsPerBand
+  private val mhSelects = (0 until nMinhashes).map(s =>
+    s"    min(('0x' || substr(md5('$s:' || shingle), 1, 8))::BIGINT) AS h$s").mkString(",\n")
   private val tokCtes =
-    """toks AS (
+    s"""toks AS (
       |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
       |sh AS (
@@ -96,11 +102,24 @@ object ExtQueries {
       |  WHERE shingle IS NOT NULL),
       |mh AS (
       |  SELECT doc_id,
-      |    min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT) AS h0,
-      |    min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT) AS h1,
-      |    min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT) AS h2,
-      |    min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT) AS h3
+      |$mhSelects
       |  FROM sh GROUP BY 1)""".stripMargin
+
+  // per-band candidate CTEs mirroring Dedup.nearDupPairs: bucket gate
+  // (2..cap members) then equi-join within the band
+  private val bandCtes = (0 until Dedup.Bands).map { b =>
+    val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
+    val sel = keys.mkString(", ")
+    val pos = (1 to keys.size).mkString(", ")
+    val gOn = keys.map(k => s"g.$k = a.$k").mkString(" AND ")
+    val abOn = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
+    s"""ok$b AS (SELECT $sel FROM mh GROUP BY $pos HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+       |cand$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a
+       |  JOIN ok$b g ON $gOn
+       |  JOIN mh b ON $abOn AND a.doc_id < b.doc_id)""".stripMargin
+  }.mkString(",\n")
+  private val candUnion =
+    (0 until Dedup.Bands).map(b => s"SELECT * FROM cand$b").mkString(" UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
@@ -109,12 +128,13 @@ object ExtQueries {
     "j1_dedup_events" ->
       "SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes FROM events GROUP BY 1, 2",
 
-    "j2_minhash_sigs" -> s"WITH $tokCtes SELECT doc_id, h0, h1, h2, h3 FROM mh",
+    "j2_minhash_sigs" ->
+      s"WITH $tokCtes SELECT doc_id, ${(0 until nMinhashes).map(s => s"h$s").mkString(", ")} FROM mh",
 
     "j2_neardup_pairs" ->
       s"""WITH $tokCtes,
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a JOIN mh b
-         |  ON a.doc_id < b.doc_id AND (a.h0 = b.h0 AND a.h1 = b.h1 OR a.h2 = b.h2 AND a.h3 = b.h3)),
+         |$bandCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
          |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
@@ -139,33 +159,33 @@ object ExtQueries {
         |FROM bits GROUP BY 1""".stripMargin,
 
     "j3_knn_cosine" ->
-      """WITH qe AS (
+      s"""WITH qe AS (
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
         |dots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-        |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < ${Similarity.KnnQueries} AND a.vec_id <> b.vec_id GROUP BY 1, 2),
         |sims AS (SELECT qid, vid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
         |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
-        |WHERE rn <= 5""".stripMargin,
+        |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
 
     "j3_lsh_ann" ->
-      """WITH qe AS (
+      s"""WITH qe AS (
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |pw AS (SELECT p, i, ((('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT) % 2001) - 1000 AS w
-        |       FROM generate_series(0, 7) tp(p), generate_series(1, 64) ti(i)),
+        |       FROM generate_series(0, ${Similarity.NTables * Similarity.NPlanes - 1}) tp(p), generate_series(1, 64) ti(i)),
         |bits AS (SELECT e.vec_id, p.p, CASE WHEN sum(p.w * e.q) > 0 THEN 1 ELSE 0 END AS bit
         |         FROM qe e JOIN pw p ON p.i = e.i GROUP BY 1, 2),
-        |bkt AS (SELECT vec_id, p // 4 AS tbl,
-        |          CAST(sum(CAST(bit AS BIGINT) << (p % 4)) AS BIGINT) AS bucket
+        |bkt AS (SELECT vec_id, p // ${Similarity.NPlanes} AS tbl,
+        |          CAST(sum(CAST(bit AS BIGINT) << (p % ${Similarity.NPlanes})) AS BIGINT) AS bucket
         |        FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
         |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
-        |           AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |           AND a.vec_id < ${Similarity.AnnQueries} AND a.vec_id <> b.vec_id),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
         |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
         |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
@@ -175,7 +195,7 @@ object ExtQueries {
         |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
-        |WHERE rn <= 3""".stripMargin,
+        |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
 
     "j4_winnow" ->
       """WITH toks AS (

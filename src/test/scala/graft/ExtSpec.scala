@@ -44,6 +44,22 @@ class ExtSpec extends AnyFunSuite {
     assert(feats.keySet == Set(1L, 2L))
   }
 
+  test("near-dup bucket cap drops boilerplate mega-buckets (no quadratic pairs)") {
+    import spark.implicits._
+    // 2000 identical docs would fill one band bucket and emit ~2M pairs;
+    // with the cap they are excluded from LSH candidates entirely (exact
+    // dedup J1 is the right tool for identical text). Two genuinely
+    // near-dup docs must still surface.
+    val boiler = spark.range(100L, 2100L)
+      .select($"id".as("doc_id"), lit("t c1 c2 c3 c4 c5 c6 c7 c8 c9").as("text"))
+    val near = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(near.unionByName(boiler)).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(0) >= 100L)) // mega-bucket dropped
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     import spark.implicits._
     val docs = Seq(

@@ -60,9 +60,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-    names = sorted(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+    produced = sorted(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+    # A query that threw in Spark writes no output dir — iterate over the
+    # EXPECTED set (queries.json manifest written by Verify) so crashed
+    # queries count as FAIL instead of being silently skipped.
+    qmanifest = os.path.join(OUT, "queries.json")
+    expected = sorted(json.load(open(qmanifest))) if os.path.exists(qmanifest) else produced
+    fmanifest = os.path.join(OUT, "failures.json")
+    failures = json.load(open(fmanifest)) if os.path.exists(fmanifest) else {}
     npass = nfail = nweak = 0
+    names = sorted(set(expected) | set(produced))
     for name in names:
+        if name not in produced:
+            print(f"  FAIL  {name}: no output (Spark error: {failures.get(name, 'unknown')[:200]})")
+            nfail += 1
+            continue
         if ONLY and name not in ONLY:
             continue
         got = pd.read_parquet(os.path.join(OUT, name))
