@@ -3,7 +3,7 @@ package graft.pm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Det, Tables}
+import graft.{Det, Dist, Tables}
 
 /** Process-mining kernel queries (SURVEY §2 W-group + EP1/EP2 lifecycle),
   * each paired with a DuckDB oracle reproducing the exact documented
@@ -115,11 +115,13 @@ object PmQueries {
         .select($"user_id", $"event_id", $"rn")
     }),
 
-    // W13 — ntile chunking over a total order.
+    // W13 — ntile chunking over a total order, computed distributed
+    // (Dist.ntileBy: range partition + per-partition offsets) instead of a
+    // single-task global WindowExec; identical tiles to ntile(10) OVER.
     "w13_ntile" -> ((s, d) => {
       import s.implicits._
-      Tables.orders(s, d)
-        .withColumn("tile", ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+      Dist.ntileBy(Tables.orders(s, d), 10, "tile", Seq($"o_totalprice", $"o_orderkey"))
+        .withColumn("tile", $"tile".cast("long"))
         .groupBy($"tile")
         .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
     })

@@ -35,13 +35,13 @@ object EventLogCsv {
       .withColumn("resource", coalesce(col(schema.resource), lit("NOT_SET")))
       .withColumn("start_us", graft.Det.us(to_timestamp(col(schema.start))))
       .withColumn("end_us", graft.Det.us(to_timestamp(col(schema.end))))
-    // deterministic event ids via a total order (test-scale logs; at fleet
-    // scale ids would come from the source or a per-partition offset)
-    val ordered = Window.orderBy("case_str", "activity", "start_us", "end_us", "resource")
+    // deterministic event ids via a distributed global rank (range
+    // partition + per-partition offsets) — no single-task WindowExec on the
+    // ingest path
+    val order = Seq("case_str", "activity", "start_us", "end_us", "resource").map(col)
     val cols = Seq("event_id", "case_id", "case_str", "activity", "resource", "start_us", "end_us") ++
       (if (schema.enabled.isDefined) Seq("enabled_us") else Nil)
-    base
-      .withColumn("event_id", row_number().over(ordered).cast("long"))
+    graft.Dist.withGlobalRank(base, "event_id", order)
       .select(cols.map(col): _*)
   }
 
