@@ -57,7 +57,10 @@ object Det {
 
   /** Deterministic pseudo-random key from a long id (Knuth multiplicative
     * hash mod a prime) — replaces unseeded sampling so results oracle-match.
-    * DuckDB: (id * 2654435761) % 1000000007 */
+    * The id is reduced mod the prime BEFORE multiplying: the product then
+    * stays under 2^62 for ANY 64-bit id, where the naive id*2654435761
+    * silently wraps in Spark but raises BIGINT-out-of-range in DuckDB.
+    * DuckDB: ((id % 1000000007) * 2654435761) % 1000000007 */
   def pseudoRand(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(1000000007L))
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
 }

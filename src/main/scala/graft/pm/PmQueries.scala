@@ -22,10 +22,26 @@ object PmQueries {
   private val discCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def disc(s: SparkSession, d: String): DataFrame =
+  /** Evict every other entry of `cache` for this session (and any entry of a
+    * stopped session) before computing: bounds the cache to one dataset per
+    * live session instead of pinning persisted partitions forever. */
+  private[graft] def evictOthers(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.toList
+      .filter { case (ks, kd) => ks.sparkContext.isStopped || (ks == s && kd != d) }
+      .foreach { k =>
+        Option(cache.remove(k)).foreach(df => if (!k._1.sparkContext.isStopped) df.unpersist())
+      }
+  }
+
+  private[graft] def disc(s: SparkSession, d: String): DataFrame = {
+    evictOthers(discCache, s, d)
     discCache.computeIfAbsent((s, d), { _ =>
       BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))).persist()
     })
+  }
 
   /** Report input at batch-case grain: activities key + WT decomposition. */
   private def reportInput(s: SparkSession, d: String): DataFrame = {
@@ -141,11 +157,12 @@ object PmQueries {
   /** Enabled-time CTEs (mirrors EnabledTime: df pairs -> concurrency ->
     * max non-concurrent predecessor end -> case-start fallback). */
   private val enCtes =
-    """cs AS (SELECT case_id, min(start_us) AS case_start FROM log GROUP BY 1),
+    s"""cs AS (SELECT case_id, min(start_us) AS case_start FROM log GROUP BY 1),
       |seqv AS (SELECT case_id, activity,
       |  lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id) AS prev_act FROM log),
-      |dfp AS (SELECT prev_act AS a, activity AS b FROM seqv WHERE prev_act IS NOT NULL GROUP BY 1, 2),
-      |conc AS (SELECT d1.a AS a, d1.b AS b FROM dfp d1 JOIN dfp d2 ON d1.a = d2.b AND d1.b = d2.a WHERE d1.a <> d1.b),
+      |dfp AS (SELECT prev_act AS a, activity AS b, count(*) AS n FROM seqv WHERE prev_act IS NOT NULL GROUP BY 1, 2),
+      |conc AS (SELECT d1.a AS a, d1.b AS b FROM dfp d1 JOIN dfp d2 ON d1.a = d2.b AND d1.b = d2.a
+      |  WHERE d1.a <> d1.b AND abs(d1.n - d2.n) / (d1.n + d2.n + 1.0) < ${EnabledTime.DependencyThreshold}),
       |pred AS (
       |  SELECT e.event_id, max(p.end_us) AS pred_end
       |  FROM log e JOIN log p ON p.case_id = e.case_id AND p.end_us <= e.start_us
@@ -320,7 +337,7 @@ object PmQueries {
     "w12_sample" ->
       """SELECT user_id, event_id, rn FROM (
         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
+        |    ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000007, event_id) AS rn
         |  FROM events) z
         |WHERE rn <= 5""".stripMargin,
 

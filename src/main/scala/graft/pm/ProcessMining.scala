@@ -54,6 +54,16 @@ object EventLogOps {
   * cross-case state, spill-safe at 100 TB.
   */
 object EnabledTime {
+  /** Heuristics-miner dependency threshold (the reference's oracle is the
+    * external `estimate_start_times` HeuristicsConcurrencyOracle,
+    * analysis.py:28-39, whose frequency gate is the Heuristics Miner
+    * dependency measure). a∥b requires BOTH directly-follows directions
+    * observed AND |df(a,b)-df(b,a)| / (df(a,b)+df(b,a)+1) below this
+    * threshold — a strongly one-directional pair is sequential dependence,
+    * not concurrency. 1.0 disables the gate (round-1 behavior: any
+    * bidirectional pair is concurrent). */
+  val DependencyThreshold = 0.9
+
   def dfPairs(log: DataFrame): DataFrame = {
     import log.sparkSession.implicits._
     val w = Window.partitionBy("case_id").orderBy("start_us", "end_us", "event_id")
@@ -63,22 +73,25 @@ object EnabledTime {
       .agg(count(lit(1)).as("n"))
   }
 
-  def concurrencyPairs(log: DataFrame): DataFrame = {
+  def concurrencyPairs(log: DataFrame,
+                       depThreshold: Double = DependencyThreshold): DataFrame = {
     import log.sparkSession.implicits._
-    val d1 = dfPairs(log).select($"a", $"b")
-    val d2 = d1.select($"a".as("a2"), $"b".as("b2"))
+    val d1 = dfPairs(log)
+    val d2 = d1.select($"a".as("a2"), $"b".as("b2"), $"n".as("n2"))
     d1.join(d2, $"a" === $"b2" && $"b" === $"a2")
       .filter($"a" =!= $"b")
+      .filter(abs($"n" - $"n2") / ($"n" + $"n2" + lit(1d)) < depThreshold)
       .select($"a", $"b")
   }
 
   /** Adds `enabled_us`. One shuffle on case_id; per-case time-ordered sweep
     * keeps a last-completed-end per activity (O(n·A) per case). */
-  def withEnabled(log: DataFrame): DataFrame = {
+  def withEnabled(log: DataFrame,
+                  depThreshold: Double = DependencyThreshold): DataFrame = {
     val spark = log.sparkSession
     import spark.implicits._
     val conc: Set[(String, String)] =
-      concurrencyPairs(log).as[(String, String)].collect().toSet
+      concurrencyPairs(log, depThreshold).as[(String, String)].collect().toSet
     log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")
       .as[Ev]
       .groupByKey(_.case_id)

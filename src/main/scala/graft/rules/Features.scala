@@ -49,7 +49,7 @@ object Features {
         ($"inst_last_en" + expr("(inst_start - inst_last_en) div 2")).as("instant"),
         lit(1).as("src"), lit(0).as("outcome"), $"inst_start")
       .filter($"instant" < $"inst_start").drop("inst_start")
-    val sampleKey = pmod(($"case_id" + $"batch_id") * lit(2654435761L), lit(1000000007L))
+    val sampleKey = graft.Det.pseudoRand($"case_id" + $"batch_id")
     val neg2 = bcase.join(inst.select($"batch_id", $"inst_start"), Seq("batch_id"))
       .filter($"case_enabled" < $"inst_start")
       .withColumn("rn", row_number().over(

@@ -72,7 +72,13 @@ object Ripper {
 
   /** Greedy growth: repeatedly add the condition with best FOIL gain until
     * the rule is pure, gain vanishes, or maxConds is reached. Deterministic
-    * tie-break: (gain, feature name, op, threshold). */
+    * tie-break: (gain, feature name, op, threshold).
+    *
+    * Per feature the rows are sorted ONCE and prefix sums give (p1, n1) for
+    * every <=/>= threshold in O(1) — the round-1 version re-scanned the
+    * covered set per candidate (64 thresholds x 2 ops x features x rows).
+    * Candidate set, evaluation order, and gain arithmetic are unchanged, so
+    * the induced rules are identical. */
   private def growRule(data: Array[(Array[Double], Int)], features: Array[String]): Option[Rule] = {
     if (!data.exists(_._2 == 1)) return None
     var covered = data
@@ -86,24 +92,39 @@ object Ripper {
         var best: Option[(Double, Cond)] = None
         var fi = 0
         while (fi < features.length) {
+          // sorted distinct values with cumulative pos/neg counts (v <= dv(j))
+          val sorted = covered.sortBy(_._1(fi))
+          val m = sorted.length
+          val dv = Array.newBuilder[Double]
+          val cp = Array.newBuilder[Double]
+          val cn = Array.newBuilder[Double]
+          var i = 0; var pAcc = 0d; var nAcc = 0d
+          while (i < m) {
+            val v = sorted(i)._1(fi)
+            if (sorted(i)._2 == 1) pAcc += 1 else nAcc += 1
+            if (i == m - 1 || sorted(i + 1)._1(fi) != v) { dv += v; cp += pAcc; cn += nAcc }
+            i += 1
+          }
+          val dvA = dv.result(); val cpA = cp.result(); val cnA = cn.result()
+          val nd = dvA.length
           // cap candidate thresholds at 64 per feature (deterministic stride
-          // over the sorted distinct values) so growth stays O(rows * 640)
-          // even on large groups
-          val values0 = covered.map(_._1(fi)).distinct.sorted
-          val values =
-            if (values0.length <= 64) values0
-            else Array.tabulate(64)(k => values0(k * values0.length / 64))
+          // over the sorted distinct values) so growth stays bounded even on
+          // large groups
+          val idxs = if (nd <= 64) Array.range(0, nd)
+                     else Array.tabulate(64)(k => k * nd / 64)
           var vi = 0
-          while (vi < values.length) {
-            val t = values(vi)
+          while (vi < idxs.length) {
+            val j = idxs(vi)
+            val t = dvA(j)
             var leq = 0
             while (leq < 2) {
-              val c = Cond(features(fi), leq == 0, t)
-              var p1 = 0d; var n1 = 0d
-              covered.foreach { case (r, y) =>
-                if (c.matches(r(fi))) { if (y == 1) p1 += 1 else n1 += 1 }
-              }
+              // <= t covers the prefix; >= t covers the suffix (total - prefix below)
+              val (p1, n1) =
+                if (leq == 0) (cpA(j), cnA(j))
+                else (pAcc - (if (j == 0) 0d else cpA(j - 1)),
+                      nAcc - (if (j == 0) 0d else cnA(j - 1)))
               if (p1 > 0) {
+                val c = Cond(features(fi), leq == 0, t)
                 val gain = p1 * (log2(p1 / (p1 + n1)) - log2(p0 / (p0 + n0)))
                 val better = best match {
                   case None => gain > 1e-9
@@ -133,21 +154,27 @@ object Ripper {
 
   private def log2(x: Double): Double = math.log(x) / math.log(2d)
 
+  /** The engineered feature columns (activation_rules.py:134-150). */
+  val featCols: Array[String] = Array("instant_us", "num_queue", "t_ready_us",
+    "t_waiting_us", "t_max_flow_us", "day_of_week", "day_of_month",
+    "hour_of_day", "minute_of_hour", "workload")
+
   /** H3 — fit per group (PER_BATCH mode: group = activities key), with the
     * reference's gates (>30 rows, both outcomes — activation_rules.py:179-188).
-    * Collects only the tiny feature table to the driver. */
+    * Collects only the tiny feature table to the driver; groups fit in
+    * parallel (fit is row-order-insensitive, so results are deterministic).
+    * The distributed form is RuleQueries.rulesDf (groupByKey.mapGroups). */
   def fitPerGroup(features: DataFrame,
                   groupCol: String = "activities",
                   maxRules: Int = defaultMaxRules,
                   minRuleSupport: Double = defaultMinRuleSupport): Map[String, RuleSet] = {
-    val featCols = Array("instant_us", "num_queue", "t_ready_us", "t_waiting_us",
-      "t_max_flow_us", "day_of_week", "day_of_month", "hour_of_day",
-      "minute_of_hour", "workload")
+    import scala.collection.parallel.CollectionConverters._
     val rows = features
       .select(col(groupCol) +: col("outcome") +: featCols.map(c => col(c).cast("double")): _*)
       .collect()
     rows.groupBy(_.getString(0))
       .filter(_._2.length > 30)
+      .par
       .flatMap { case (key, rs) =>
         val data = rs.map { r =>
           (featCols.indices.map(i => r.getDouble(i + 2)).toArray, r.getAs[Number](1).intValue())
@@ -155,5 +182,6 @@ object Ripper {
         if (data.map(_._2).distinct.length < 2) None
         else fit(data, featCols, maxRules, minRuleSupport).map(key -> _)
       }
+      .seq.toMap
   }
 }

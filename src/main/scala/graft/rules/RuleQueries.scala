@@ -17,8 +17,10 @@ object RuleQueries {
     * (same pattern as the discovery stage). */
   private val featCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def feats(s: SparkSession, d: String): DataFrame =
+  private def feats(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(featCache, s, d)
     featCache.computeIfAbsent((s, d), _ => Features.featuresTable(disc(s, d)).persist())
+  }
 
   val queries: Map[String, Q] = Map(
     "ar_features" -> ((s, d) => feats(s, d)),
@@ -36,13 +38,33 @@ object RuleQueries {
     })
   )
 
+  /** Distributed rule induction: one mapGroups task per group, fit runs on
+    * the executor holding the group (groups are provably tiny — one row per
+    * instance x ~3 instants — but there can be MANY groups; the round-1
+    * driver-side sequential loop was the bench's #2 cost center). fit is
+    * row-order-insensitive, so results are deterministic. */
   private def rulesDf(s: SparkSession, features: DataFrame, groupCol: String): DataFrame = {
     import s.implicits._
-    val ruleSets = Ripper.fitPerGroup(features, groupCol)
-    val rows = ruleSets.toSeq.sortBy(_._1).map { case (k, rs) =>
-      (k, rs.numObs, math.round(rs.confidence * 1000000d), math.round(rs.support * 1000000d), rs.render)
-    }
-    rows.toDF("group_key", "num_obs", "confidence_e6", "support_e6", "rules")
+    val featCols = Ripper.featCols
+    features
+      .select(col(groupCol) +: col("outcome").cast("int") +:
+        featCols.map(c => col(c).cast("double")): _*)
+      .groupByKey(_.getString(0))
+      .mapGroups { (key, it) =>
+        val data = it.map { r =>
+          (Array.tabulate(featCols.length)(i => r.getDouble(i + 2)), r.getInt(1))
+        }.toArray
+        val rs =
+          if (data.length <= 30 || data.map(_._2).distinct.length < 2) None
+          else Ripper.fit(data, featCols)
+        rs match {
+          case Some(r) => (key, r.numObs,
+            math.round(r.confidence * 1000000d), math.round(r.support * 1000000d), r.render)
+          case None => (key, -1L, 0L, 0L, "")
+        }
+      }
+      .toDF("group_key", "num_obs", "confidence_e6", "support_e6", "rules")
+      .filter($"num_obs" >= 0)
   }
 
   /** ar_features oracle: extends the PM CTE pipeline with the instant
@@ -59,7 +81,7 @@ object RuleQueries {
       |neg2 AS (SELECT batch_id, instant, 2 AS src, 0 AS outcome FROM (
       |  SELECT b.batch_id, b.case_enabled AS instant,
       |    row_number() OVER (PARTITION BY b.batch_id
-      |      ORDER BY ((b.case_id + b.batch_id) * 2654435761) % 1000000007, b.case_id) AS rn
+      |      ORDER BY (((b.case_id + b.batch_id) % 1000000007) * 2654435761) % 1000000007, b.case_id) AS rn
       |  FROM bcase b JOIN inst2 i ON b.batch_id = i.batch_id AND b.case_enabled < i.inst_start) z
       |  WHERE rn <= 1),
       |instants AS (SELECT * FROM pos UNION ALL SELECT * FROM neg1 UNION ALL SELECT * FROM neg2),
