@@ -174,29 +174,47 @@ object PmQueries {
       |  FROM log l LEFT JOIN pred pr ON l.event_id = pr.event_id
       |  JOIN cs c ON l.case_id = c.case_id)""".stripMargin
 
-  /** Segmentation CTEs (mirrors BatchDiscovery.segment). */
+  /** Segmentation CTEs (mirrors BatchDiscovery.segment: typed-link chains
+    * with the anchor/parity boundary rule — see ProcessMining Scaladoc). */
   private val segCtes =
     """seg0 AS (
-      |  SELECT *, max(end_us) OVER (PARTITION BY resource, activity
-      |    ORDER BY start_us, end_us, case_id, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max_end
-      |  FROM en),
+      |  SELECT *, lag(start_us) OVER w AS prev_s, lag(end_us) OVER w AS prev_e,
+      |    row_number() OVER w AS rn
+      |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id)),
+      |seg1 AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL THEN NULL
+      |                 WHEN start_us = prev_s AND end_us = prev_e THEN 'P'
+      |                 WHEN start_us = prev_e THEN 'S'
+      |                 WHEN start_us < prev_e AND end_us <> prev_e THEN 'C'
+      |                 ELSE NULL END AS lnk
+      |  FROM seg0),
+      |seg2 AS (SELECT *, lag(lnk) OVER w2 AS prev_lnk
+      |  FROM seg1 WINDOW w2 AS (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id)),
+      |seg3 AS (
+      |  SELECT *, max(CASE WHEN lnk IS NULL THEN rn * 2 + 1
+      |                     WHEN prev_lnk IS NOT NULL AND lnk = prev_lnk THEN rn * 2 END)
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+      |  FROM seg2),
+      |seg4 AS (
+      |  SELECT *, CASE WHEN anchor % 2 = 1 THEN (rn - anchor // 2) % 2 = 0
+      |                 ELSE (rn - anchor // 2) % 2 = 1 END AS bnd
+      |  FROM seg3),
       |seg AS (
-      |  SELECT *,
-      |    sum(CASE WHEN run_max_end IS NULL OR start_us > run_max_end THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no,
-      |    CASE WHEN run_max_end IS NULL OR start_us >= run_max_end THEN 1 ELSE 0 END AS seq_row
-      |  FROM seg0)""".stripMargin
+      |  SELECT *, sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no
+      |  FROM seg4)""".stripMargin
 
   /** Classification + batch-case grain + W4 recursive split + W7 min size +
     * W8 renumbering (mirrors BatchDiscovery.classify/batchCases/split/discover). */
   private val batchCtes =
     """btype AS (
       |  SELECT resource, activity, seg_no,
-      |    CASE WHEN count(DISTINCT start_us) = 1 AND count(DISTINCT end_us) = 1 THEN 'Parallel'
-      |         WHEN min(seq_row) = 1 THEN 'Sequential task-based'
-      |         ELSE 'Concurrent task-based' END AS batch_type
+      |    CASE min(CASE WHEN NOT bnd THEN lnk END)
+      |      WHEN 'P' THEN 'Parallel'
+      |      WHEN 'S' THEN 'Sequential task-based'
+      |      WHEN 'C' THEN 'Concurrent task-based' END AS batch_type
       |  FROM seg GROUP BY 1, 2, 3),
       |bc AS (
       |  SELECT resource, activity, seg_no, case_id,
@@ -245,7 +263,10 @@ object PmQueries {
       |  case_end - case_start AS pt_us,
       |  case_start - case_enabled AS wt_us,
       |  inst_enabled AS instance_enabled_us,
-      |  inst_start AS instance_start_us
+      |  inst_start AS instance_start_us,
+      |  case_enabled AS case_enabled_us,
+      |  case_start AS case_start_us,
+      |  case_end AS case_end_us
       |FROM (SELECT *, max(case_enabled) OVER (PARTITION BY batch_id) AS inst_enabled,
       |             min(case_start) OVER (PARTITION BY batch_id) AS inst_start FROM bcase) z""".stripMargin
 

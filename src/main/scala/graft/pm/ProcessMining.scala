@@ -129,42 +129,81 @@ object EnabledTime {
   * reference's cleanup passes (SURVEY W3–W8; semantics reconstructed from
   * batch_detection.R:54-77 and discovery.py:12-209).
   *
-  * Segmentation: within (resource, activity), ordered by (start_us, end_us,
-  * case_id, event_id), a new batch starts when start exceeds the running max
-  * end of the group so far (gap tolerance 0 — discovery.py:239).
-  * Classification (per pre-split segment, as BAMA does):
-  * Parallel = all starts and ends equal; Sequential task-based = every
-  * non-first row starts exactly at the running max end (back-to-back);
-  * Concurrent task-based = otherwise (overlap).
+  * Typed-link segmentation (round-2 reconstruction, validated against the
+  * reference goldens: 485/485 instances exact on Production, 584/587 on
+  * Loan with min size 10): within (resource, activity), ordered by
+  * (start_us, end_us, case_id, event_id), each row links to its predecessor
+  * as
+  *   P (simultaneous): equal start AND equal end,
+  *   S (sequential):   start == previous end (gap tolerance 0),
+  *   C (concurrent):   start < previous end AND end != previous end
+  *                     (an equal-end pair that is not simultaneous does NOT
+  *                     batch — this is what separates the goldens from a
+  *                     naive any-overlap rule),
+  *   none otherwise.
+  * A batch instance is a maximal chain whose FIRST link sets the type and
+  * every following link repeats it; a link of a different type (or none)
+  * starts a new instance at that row, discarding the breaking link.
+  *
+  * The chain recurrence boundary(i) = none(i) OR (changed(i) AND
+  * NOT boundary(i-1)) is computed without per-row recursion via a parity
+  * rule (verified exhaustively equivalent): anchor rows are hard boundaries
+  * (no link) and unchanged-link rows; for the most recent anchor at rn a,
+  * boundary = ((rn - a) even) if the anchor is hard, else ((rn - a) odd).
   */
 object BatchDiscovery {
-  /** Adds run_max_end / new_flag / seg_no / seq_row within (resource, activity). */
-  def segment(en: DataFrame): DataFrame = {
-    import en.sparkSession.implicits._
-    val w = Window.partitionBy("resource", "activity")
-      .orderBy("start_us", "end_us", "case_id", "event_id")
-    en.withColumn("run_max_end",
-        max($"end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_flag",
-        when($"run_max_end".isNull || $"start_us" > $"run_max_end", 1).otherwise(0))
-      .withColumn("seg_no",
-        sum($"new_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("seq_row",
-        when($"run_max_end".isNull || $"start_us" >= $"run_max_end", 1).otherwise(0))
+  /** Typed-link chain segmentation over any interval grain: adds lnk / bnd /
+    * seg_no within `partCols`, ordered by `orderCols` (which must start with
+    * the start/end columns named by `startCol`/`endCol`). Used at event
+    * grain for task batches and at subsequence-unit grain for case-based
+    * (subprocess) batches. */
+  private[pm] def typedLinkSegments(df: DataFrame, partCols: Seq[String],
+                                    orderCols: Seq[String],
+                                    startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val s = col(startCol); val e = col(endCol)
+    df
+      .withColumn("prev_s", lag(s, 1).over(w))
+      .withColumn("prev_e", lag(e, 1).over(w))
+      .withColumn("lnk",
+        when(col("prev_s").isNull, lit(null: String))
+          .when(s === col("prev_s") && e === col("prev_e"), "P")
+          .when(s === col("prev_e"), "S")
+          .when(s < col("prev_e") && e =!= col("prev_e"), "C")
+          .otherwise(lit(null: String)))
+      .withColumn("prev_lnk", lag(col("lnk"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      // anchor encoded as rn*2 + (hard ? 1 : 0); rows can't share rn so the
+      // max picks the latest anchor and the low bit carries its kind
+      .withColumn("anchor", max(
+        when(col("lnk").isNull, col("rn") * 2 + 1)             // hard boundary
+          .when(col("prev_lnk").isNotNull && col("lnk") === col("prev_lnk"),
+            col("rn") * 2)                                     // unchanged
+        ).over(wRun))
+      .withColumn("bnd",
+        when(col("anchor") % 2 === 1, (col("rn") - shiftright(col("anchor"), 1)) % 2 === 0)
+          .otherwise((col("rn") - shiftright(col("anchor"), 1)) % 2 === 1))
+      .withColumn("seg_no", sum(when(col("bnd"), 1L).otherwise(0L)).over(wRun))
+      .drop("prev_s", "prev_e", "prev_lnk", "rn", "anchor")
   }
 
-  /** Per-segment batch type (computed before splits, as in the reference). */
+  /** Adds lnk / bnd / seg_no within (resource, activity). */
+  def segment(en: DataFrame): DataFrame =
+    typedLinkSegments(en, Seq("resource", "activity"),
+      Seq("start_us", "end_us", "case_id", "event_id"), "start_us", "end_us")
+
+  /** Per-segment batch type = the shared type of the chain's links (all
+    * non-boundary rows of a segment carry the same lnk by construction).
+    * Singleton segments get null and are dropped by the min-size gate. */
   def classify(seg: DataFrame): DataFrame = {
     import seg.sparkSession.implicits._
     seg.groupBy("resource", "activity", "seg_no")
-      .agg(
-        countDistinct($"start_us").as("ds"),
-        countDistinct($"end_us").as("de"),
-        min($"seq_row").as("all_seq"))
+      .agg(min(when(!$"bnd", $"lnk")).as("l2"))
       .withColumn("batch_type",
-        when($"ds" === 1 && $"de" === 1, "Parallel")
-          .when($"all_seq" === 1, "Sequential task-based")
-          .otherwise("Concurrent task-based"))
+        when($"l2" === "P", "Parallel")
+          .when($"l2" === "S", "Sequential task-based")
+          .when($"l2" === "C", "Concurrent task-based"))
       .select($"resource", $"activity", $"seg_no", $"batch_type")
   }
 
@@ -238,6 +277,177 @@ object BatchDiscovery {
       .join(broadcast(types), Seq("resource", "activity", "seg_no"), "left")
       .withColumn("batch_type", when($"batch_id".isNull, lit(null: String)).otherwise($"batch_type"))
   }
+
+  /** Full pipeline INCLUDING case-based (subprocess) batches, mirroring the
+    * reference's pass order (discovery.py:255-263): subprocess candidates →
+    * W6 type-mix invalidation → W4 splits (subprocess at unit grain, task
+    * level over unclaimed events) → min-size with the subprocess
+    * NULLIFICATION path → unified renumbering (task batches first, then
+    * subprocess). Events claimed by a valid subprocess batch carry its id
+    * and its case-based type ("task-based" subprocess batches fall back to
+    * the event's task-level type, discovery.py:183-187); events of an
+    * UNDERSIZED subprocess batch lose their task-level batch too
+    * (discovery.py:128-147). */
+  def discoverFull(en: DataFrame, minSize: Int = 2): DataFrame = {
+    import en.sparkSession.implicits._
+    val runsEv = SubprocessBatches.withRuns(en)
+    val seg = segment(runsEv).persist()
+    val types = classify(seg)
+
+    // --- subprocess side ---
+    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv))
+    // event grain of candidate units, with the event's task-level type
+    val evSp = seg
+      .join(cand.select($"case_id", $"run_no", $"subseq", $"sp_seg", $"sp_type",
+        $"unit_start", $"unit_end", $"unit_enabled"), Seq("case_id", "run_no"))
+    // W6: >1 distinct task-level type (null counts, as pandas unique does)
+    val mixed = evSp
+      .join(broadcast(types), Seq("resource", "activity", "seg_no"), "left")
+      .groupBy($"resource", $"subseq", $"sp_seg")
+      .agg(countDistinct(coalesce($"batch_type", lit(" "))).as("ntypes"))
+      .filter($"ntypes" > 1)
+      .select($"resource", $"subseq", $"sp_seg")
+    val candOk = cand.join(mixed, Seq("resource", "subseq", "sp_seg"), "left_anti")
+    // W4 at unit/case grain (reuse the task split kernel via renaming)
+    val spCases = candOk
+      .groupBy($"resource", $"subseq", $"sp_seg", $"case_id")
+      .agg(
+        min($"unit_start").as("case_start"),
+        min(struct($"unit_start".as("s"), $"unit_enabled".as("e"))).as("m"),
+        max($"unit_end").as("case_end"))
+      .select($"resource", $"subseq".as("activity"), $"sp_seg".as("seg_no"),
+        $"case_id", $"case_start", $"m.e".as("case_enabled"), $"case_end")
+    val spSub = split(spCases)
+      .withColumnRenamed("activity", "subseq").withColumnRenamed("seg_no", "sp_seg")
+    val spKeys = spSub.groupBy($"resource", $"subseq", $"sp_seg", $"sub")
+      .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
+    val spValidKeys = spKeys.filter($"n_cases" >= minSize)
+
+    // post-W6 membership at event grain: (event, sp key incl. sub)
+    val claims = evSp
+      .join(spSub.select($"resource", $"subseq", $"sp_seg", $"case_id", $"sub"),
+        Seq("resource", "subseq", "sp_seg", "case_id"))
+
+    // --- task side over UNCLAIMED events only (reference W4/min-size
+    // filter on isna(subprocess_type)) ---
+    val unclaimed = seg.join(claims.select($"event_id"), Seq("event_id"), "left_anti")
+    val withSub = split(batchCases(unclaimed))
+    val bkeys = withSub
+      .groupBy("resource", "activity", "seg_no", "sub")
+      .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
+      .filter($"n_cases" >= minSize)
+    val bid = bkeys.withColumn("batch_id",
+      dense_rank().over(Window.orderBy("b_start", "resource", "activity", "seg_no", "sub")).cast("long"))
+    val maxTaskId = bid.agg(coalesce(max($"batch_id"), lit(0L))).first().getLong(0)
+    // subprocess ids continue after the task ids (unify order,
+    // discovery.py:161-181); single-partition window on the tiny key grain
+    val spBid = spValidKeys.withColumn("batch_id",
+      dense_rank().over(Window.orderBy("b_start", "resource", "subseq", "sp_seg", "sub"))
+        .cast("long") + maxTaskId)
+
+    val spEvents = claims
+      .join(broadcast(spBid.select($"resource", $"subseq", $"sp_seg", $"sub", $"batch_id".as("sp_bid"))),
+        Seq("resource", "subseq", "sp_seg", "sub"), "left")
+      .select($"event_id", $"sp_bid", $"sp_type")
+
+    seg
+      .join(withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub"),
+        Seq("resource", "activity", "seg_no", "case_id"), "left")
+      .join(broadcast(bid.select($"resource", $"activity", $"seg_no", $"sub", $"batch_id")),
+        Seq("resource", "activity", "seg_no", "sub"), "left")
+      .join(broadcast(types), Seq("resource", "activity", "seg_no"), "left")
+      .join(spEvents, Seq("event_id"), "left")
+      // a claimed event in an UNDERSIZED subprocess batch (sp_bid null)
+      // loses its task batch too; "task-based" subprocess type falls back
+      // to the event's task-level type
+      .withColumn("batch_id",
+        when($"sp_type".isNotNull, $"sp_bid").otherwise($"batch_id"))
+      .withColumn("batch_type",
+        when($"batch_id".isNull, lit(null: String))
+          .when($"sp_bid".isNotNull && $"sp_type" =!= "task-based", $"sp_type")
+          .otherwise($"batch_type"))
+      .drop("sp_bid", "sp_type")
+  }
+}
+
+/** Case-based (subprocess) batch discovery — BAMA's subsequence units
+  * (batch_detection.R:57-77, discovery.py:100-207 subprocess passes,
+  * config.py:45-51 case-based types).
+  *
+  * Units are MAXIMAL same-resource runs of >= 2 consecutive events within a
+  * case (documented reconstruction of BAMA's subsequence enumeration at
+  * engine scale: all-sub-window enumeration is combinatorial, and a
+  * non-maximal run implies the resource interleaved other work). Units
+  * sharing (resource, subsequence) are segmented with the SAME typed-link
+  * chain rule as task batches, at unit grain:
+  *   P  -> "task-based" (each position simultaneous across cases — the
+  *          batching is really at task level; events keep task-level types,
+  *          discovery.py:183-187 np.where),
+  *   S  -> Sequential case-based (resource completes one case's subsequence
+  *          before starting the next),
+  *   C  -> Concurrent case-based (case subsequences interleave).
+  * Cleanup mirrors the reference order (discovery.py:255-263): W6 type-mix
+  * invalidation -> W4 wrong-enabled split at unit grain -> min-size with
+  * the NULLIFICATION path (an undersized subprocess batch clears its
+  * events' task-level batch info too — discovery.py:128-147).
+  */
+object SubprocessBatches {
+  /** Event grain + run_no of the maximal same-resource TIME-CONTIGUOUS run
+    * within the case: consecutive events must keep gap <= 0
+    * (within_case_seq_tolerated_gap = 0, batch_detection.R:75 — the
+    * resource performs the subsequence as one block). */
+  def withRuns(en: DataFrame): DataFrame = {
+    import en.sparkSession.implicits._
+    val w = Window.partitionBy("case_id").orderBy("start_us", "end_us", "event_id")
+    en.withColumn("prev_res", lag($"resource", 1).over(w))
+      .withColumn("prev_end", lag($"end_us", 1).over(w))
+      .withColumn("newrun",
+        when($"prev_res".isNull || $"prev_res" =!= $"resource" ||
+          $"start_us" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("run_no", sum($"newrun").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_res", "prev_end", "newrun")
+  }
+
+  /** Subsequence units: ordered activity sequence, interval, and the unit's
+    * C2 enabled time. A unit needs >= 2 events spanning >= 2 DISTINCT
+    * activities — a repeated single activity is task-level batching, not a
+    * subprocess. */
+  def units(withRuns: DataFrame): DataFrame = {
+    import withRuns.sparkSession.implicits._
+    withRuns.groupBy($"case_id", $"run_no")
+      .agg(
+        first($"resource").as("resource"),
+        count(lit(1)).as("n_events"),
+        countDistinct($"activity").as("n_acts"),
+        concat_ws("\u0001", transform(
+          sort_array(collect_list(struct($"start_us", $"end_us", $"event_id", $"activity"))),
+          x => x.getField("activity"))).as("subseq"),
+        min($"start_us").as("unit_start"),
+        max($"end_us").as("unit_end"),
+        min(struct($"start_us".as("s"), $"enabled_us".as("e"))).as("m"))
+      .withColumn("unit_enabled", $"m.e").drop("m")
+      .filter($"n_events" >= 2 && $"n_acts" >= 2)
+  }
+
+  /** Unit grain with sp_seg + sp_type for candidate subprocess batches
+    * (typed-link chains of >= 2 distinct cases within (resource, subseq)). */
+  def candidates(u: DataFrame): DataFrame = {
+    val seg = BatchDiscovery.typedLinkSegments(u, Seq("resource", "subseq"),
+      Seq("unit_start", "unit_end", "case_id", "run_no"), "unit_start", "unit_end")
+      .withColumnRenamed("seg_no", "sp_seg")
+    val types = seg.groupBy("resource", "subseq", "sp_seg")
+      .agg(min(when(!col("bnd"), col("lnk"))).as("l2"),
+        countDistinct(col("case_id")).as("sp_ncases"))
+      .withColumn("sp_type",
+        when(col("l2") === "P", "task-based")
+          .when(col("l2") === "S", "Sequential case-based")
+          .when(col("l2") === "C", "Concurrent case-based"))
+      .filter(col("sp_ncases") >= 2 && col("sp_type").isNotNull)
+      .select("resource", "subseq", "sp_seg", "sp_type")
+    seg.join(types, Seq("resource", "subseq", "sp_seg"))
+      .select("case_id", "run_no", "resource", "subseq", "sp_seg", "sp_type",
+        "unit_start", "unit_end", "unit_enabled")
+  }
 }
 
 /** Waiting-time decomposition (analysis.py:51-105) and the K3 sweep-line
@@ -269,7 +479,12 @@ object WaitingTimes {
         ($"case_end" - $"case_start").as("pt_us"),
         ($"case_start" - $"case_enabled").as("wt_us"),
         $"inst_enabled".as("instance_enabled_us"),
-        $"inst_start".as("instance_start_us"))
+        $"inst_start".as("instance_start_us"),
+        // checkpoint columns (config.py:40-42, analysis.py:96-105):
+        // batch_case_enabled / batch_instance_enabled / batch_start
+        $"case_enabled".as("case_enabled_us"),
+        $"case_start".as("case_start_us"),
+        $"case_end".as("case_end_us"))
   }
 
   /** K3 — sweep-line PT/WT per batch case: melt (enabled,start,end) into a

@@ -25,14 +25,16 @@ class GoldenReplaySpec extends AnyFunSuite {
     // enabled time never exceeds start
     assert(en.filter($"enabled_us" > $"start_us").count() == 0L)
 
-    val d = BatchDiscovery.discover(en).persist()
+    val d = BatchDiscovery.discoverFull(en).persist()
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     val batchedEvents = d.filter($"batch_id".isNotNull).count()
     info(s"Production: $nBatches batch instances, $batchedEvents/4503 batched events (golden: 485 instances)")
-    // Observed 515 in round 1 (golden 485, within 6% — no subprocess batches
-    // yet, enabled-time oracle reconstructed). Bound guards regressions.
-    assert(nBatches >= 450L && nBatches <= 550L,
-      s"batch instance count $nBatches drifted from the golden neighborhood [450, 550]")
+    // Round-2 typed-link segmentation reproduces all 485 golden instances
+    // exactly, plus one extra 2-case pair the reference's subprocess
+    // nullification path removes (our enabled-time oracle reconstruction may
+    // shift a couple of W4 splits vs the reference's, hence the +/-2 band).
+    assert(nBatches >= 484L && nBatches <= 488L,
+      s"batch instance count $nBatches drifted from the golden 485 (expected ~486)")
     assert(d.count() == 4503L)
 
     // per-batch invariants
@@ -47,7 +49,7 @@ class GoldenReplaySpec extends AnyFunSuite {
     d.unpersist()
   }
 
-  test("EP1 on Loan_Application_batched.csv.gz: scale anchors") {
+  test("EP1 on Loan_Application_batched.csv.gz: scale anchors + full discovery") {
     import spark.implicits._
     val log = EventLogCsv.read(spark, "/root/reference/logs/Loan_Application_batched.csv.gz",
       LogSchema(enabled = Some("enabled_time")))
@@ -55,5 +57,19 @@ class GoldenReplaySpec extends AnyFunSuite {
     assert(log.select("case_id").distinct().count() == 7000L)
     // precomputed enabled times: never after start (reference guarantees)
     assert(log.filter($"enabled_us" > $"start_us").count() == 0L)
+
+    // The Loan golden was produced with min_batch_instance_size=10 (the
+    // commented config in preprocessing/main.py; every golden instance has
+    // >= 10 cases). The reference recomputes enabled times with its oracle
+    // (the input column differs from the golden's on ~90% of rows), so we
+    // do the same with K2 and allow a small band around the golden 587.
+    val en = EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    val d = BatchDiscovery.discoverFull(en, minSize = 10).persist()
+    val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
+    info(s"Loan: $nBatches batch instances at minSize=10 (golden: 587)")
+    assert(nBatches >= 575L && nBatches <= 600L,
+      s"batch instance count $nBatches drifted from the golden 587")
+    d.unpersist()
   }
 }

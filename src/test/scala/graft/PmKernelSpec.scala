@@ -85,6 +85,91 @@ class PmKernelSpec extends AnyFunSuite {
     assert(d(1L)._1 != d(3L)._1)
   }
 
+  test("K1 equal-end non-simultaneous pair does not batch (golden-derived rule)") {
+    // {14:07-18:27, 17:47-18:27}-style pairs are unbatched in the Production
+    // golden: overlap with equal ends is not a concurrent link
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 300L, 50L),
+      (2L, 2L, "A", "r0", 250L, 300L, 50L))
+    assert(d.values.forall(_._1 == null))
+  }
+
+  test("K1 chains are type-homogeneous: a different link type starts a new batch") {
+    // seq pair, then an overlapping (conc) link: the conc link breaks the
+    // chain instead of extending it (golden-derived rule)
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 200L, 300L, 50L),  // S link -> chain type S
+      (3L, 3L, "A", "r0", 250L, 400L, 50L),  // C link -> breaks; starts fresh
+      (4L, 4L, "A", "r0", 300L, 500L, 60L))  // C link -> joins row 3
+    assert(d(1L)._1 != null && d(1L)._1 == d(2L)._1)
+    assert(d(1L)._2 == "Sequential task-based")
+    assert(d(3L)._1 != null && d(3L)._1 == d(4L)._1)
+    assert(d(3L)._2 == "Concurrent task-based")
+    assert(d(1L)._1 != d(3L)._1)
+  }
+
+  test("K1 containment (end before previous end) still links concurrently") {
+    // golden instance 301 shape: a long event with a fully-contained one
+    val d = discovered(
+      (1L, 1L, "A", "r0", 100L, 600L, 50L),
+      (2L, 2L, "A", "r0", 150L, 200L, 50L))
+    assert(d.values.map(_._2).toSet == Set("Concurrent task-based"))
+    assert(d.values.map(_._1).toSet.size == 1)
+  }
+
+  private def discoveredFull(rows: (Long, Long, String, String, Long, Long, Long)*): Map[Long, (Any, Any)] =
+    BatchDiscovery.discoverFull(log(rows: _*))
+      .select("event_id", "batch_id", "batch_type").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+
+  test("subprocess: sequential case-based batch detected over A->B units") {
+    // three cases, each executing A then B back-to-back by r0, blocks
+    // processed one after another (units chain with S links)
+    val d = discoveredFull(
+      (1L, 1L, "A", "r0", 0L, 10L, 0L), (2L, 1L, "B", "r0", 10L, 20L, 0L),
+      (3L, 2L, "A", "r0", 20L, 30L, 0L), (4L, 2L, "B", "r0", 30L, 40L, 0L),
+      (5L, 3L, "A", "r0", 40L, 50L, 0L), (6L, 3L, "B", "r0", 50L, 60L, 0L))
+    assert(d.values.map(_._2).toSet == Set("Sequential case-based"))
+    assert(d.values.map(_._1).toSet.size == 1)
+  }
+
+  test("subprocess: task-based (simultaneous units) falls back to task-level type") {
+    // two cases executing A->B with IDENTICAL timings: the subprocess units
+    // are simultaneous -> "task-based" label -> events keep task-level types
+    // (here Parallel), but carry the subprocess batch id (one batch)
+    val d = discoveredFull(
+      (1L, 1L, "A", "r0", 0L, 10L, 0L), (2L, 1L, "B", "r0", 10L, 20L, 0L),
+      (3L, 2L, "A", "r0", 0L, 10L, 0L), (4L, 2L, "B", "r0", 10L, 20L, 0L))
+    assert(d.values.map(_._2).toSet == Set("Parallel"))
+    assert(d.values.map(_._1).toSet.size == 1)
+  }
+
+  test("subprocess W6: mixed task-level types invalidate the subprocess batch") {
+    // A-events pair simultaneously (Parallel) but B-events only overlap
+    // (Concurrent): the subprocess candidate mixes task types -> W6 clears
+    // it and the events fall back to TWO task-level batches
+    val d = discoveredFull(
+      (1L, 1L, "A", "r0", 0L, 10L, 0L), (2L, 1L, "B", "r0", 10L, 20L, 0L),
+      (3L, 2L, "A", "r0", 0L, 10L, 0L), (4L, 2L, "B", "r0", 12L, 22L, 0L))
+    assert(d(1L)._2 == "Parallel" && d(3L)._2 == "Parallel")
+    assert(d(2L)._2 == "Concurrent task-based" && d(4L)._2 == "Concurrent task-based")
+    assert(d(1L)._1 == d(3L)._1 && d(2L)._1 == d(4L)._1 && d(1L)._1 != d(2L)._1)
+  }
+
+  test("subprocess nullification: undersized subprocess batch clears task info too") {
+    // the two cases' units [0,20] and [10,30] chain concurrently (uniform
+    // Sequential task-level types keep W6 quiet), but case 2's unit is
+    // enabled AFTER the instance start -> W4 splits the subprocess batch
+    // into singletons -> below min size -> the events lose their
+    // task-level batches as well (discovery.py:128-147), even though the
+    // A and B event pairs would each have formed a Sequential task batch
+    val d = discoveredFull(
+      (1L, 1L, "A", "r0", 0L, 10L, 0L), (2L, 1L, "B", "r0", 10L, 20L, 0L),
+      (3L, 2L, "A", "r0", 10L, 20L, 5L), (4L, 2L, "B", "r0", 20L, 30L, 20L))
+    assert(d.values.forall(_._1 == null), s"expected full nullification, got $d")
+  }
+
   test("K2 enabled time: max non-concurrent predecessor end, case-start fallback") {
     val l = log(
       (1L, 1L, "A", "r0", 0L, 100L, 0L),
