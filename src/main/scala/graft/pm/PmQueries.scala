@@ -131,6 +131,36 @@ object PmQueries {
         .select($"user_id", $"event_id", $"rn")
     }),
 
+    // Full discovery INCLUDING case-based (subprocess) batches — the
+    // reference's complete pass order with the nullification path.
+    "pm_sp_batches" -> ((s, d) => {
+      import s.implicits._
+      BatchDiscovery.discoverFull(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d)))
+        .select($"event_id", $"case_id", $"activity", $"resource",
+          $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
+    }),
+
+    // EP1 output log: event grain + the six WT durations (zero-filled for
+    // unbatched events, analysis.py:53-58), the numeric twin of the
+    // *_WTs.csv.gz artifact (Ep1.wtLogView renders the reference layout).
+    "pm_wt_log" -> ((s, d) => {
+      import s.implicits._
+      val dd = disc(s, d)
+      val wt = WaitingTimes.batchCaseWT(dd).select($"batch_id", $"case_id",
+        $"pt_us".as("batch_pt_us"), $"wt_us".as("batch_wt_us"),
+        $"total_wt_us".as("batch_total_wt_us"),
+        $"creation_wt_us".as("batch_creation_wt_us"),
+        $"ready_wt_us".as("batch_ready_wt_us"),
+        $"other_wt_us".as("batch_other_wt_us"))
+      dd.join(broadcast(wt), Seq("batch_id", "case_id"), "left")
+        .select($"event_id", $"case_id", $"activity", $"resource",
+          $"enabled_us", $"start_us", $"end_us", $"batch_id", $"batch_type",
+          $"batch_pt_us", $"batch_wt_us", $"batch_total_wt_us",
+          $"batch_creation_wt_us", $"batch_ready_wt_us", $"batch_other_wt_us")
+        .na.fill(0L, Seq("batch_pt_us", "batch_wt_us", "batch_total_wt_us",
+          "batch_creation_wt_us", "batch_ready_wt_us", "batch_other_wt_us"))
+    }),
+
     // W13 — ntile chunking over a total order, computed distributed
     // (Dist.ntileBy: range partition + per-partition offsets) instead of a
     // single-task global WindowExec; identical tiles to ntile(10) OVER.
@@ -254,6 +284,131 @@ object PmQueries {
       |  JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
       |  JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no)""".stripMargin
 
+  /** Subprocess (case-based) CTEs mirroring BatchDiscovery.discoverFull:
+    * units (maximal same-resource gap-0 multi-activity runs) → typed-link
+    * unit segmentation → W6 mix invalidation → W4 recursive split at unit
+    * grain → min-size with nullification → unified ids (task over
+    * unclaimed events first, then subprocess). */
+  private val spCtes =
+    """runs0 AS (SELECT *, lag(resource) OVER wc AS prev_res, lag(end_us) OVER wc AS prev_end
+      |  FROM en WINDOW wc AS (PARTITION BY case_id ORDER BY start_us, end_us, event_id)),
+      |runs AS (SELECT *, sum(CASE WHEN prev_res IS NULL OR prev_res <> resource OR start_us > prev_end THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_no
+      |  FROM runs0),
+      |units AS (
+      |  SELECT case_id, run_no, min(resource) AS resource,
+      |    string_agg(activity, chr(1) ORDER BY start_us, end_us, event_id) AS subseq,
+      |    min(start_us) AS unit_start, max(end_us) AS unit_end,
+      |    min(CASE WHEN start_us = u_min_s THEN enabled_us END) AS unit_enabled
+      |  FROM (SELECT *, min(start_us) OVER (PARTITION BY case_id, run_no) AS u_min_s FROM runs) z
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2 AND count(DISTINCT activity) >= 2),
+      |usg0 AS (SELECT *, lag(unit_start) OVER wu AS prev_s, lag(unit_end) OVER wu AS prev_e,
+      |    row_number() OVER wu AS rn
+      |  FROM units WINDOW wu AS (PARTITION BY resource, subseq ORDER BY unit_start, unit_end, case_id, run_no)),
+      |usg1 AS (SELECT *, CASE WHEN prev_s IS NULL THEN NULL
+      |                        WHEN unit_start = prev_s AND unit_end = prev_e THEN 'P'
+      |                        WHEN unit_start = prev_e THEN 'S'
+      |                        WHEN unit_start < prev_e AND unit_end <> prev_e THEN 'C'
+      |                        ELSE NULL END AS lnk FROM usg0),
+      |usg2 AS (SELECT *, lag(lnk) OVER wu2 AS prev_lnk
+      |  FROM usg1 WINDOW wu2 AS (PARTITION BY resource, subseq ORDER BY unit_start, unit_end, case_id, run_no)),
+      |usg3 AS (SELECT *, max(CASE WHEN lnk IS NULL THEN rn * 2 + 1
+      |                            WHEN prev_lnk IS NOT NULL AND lnk = prev_lnk THEN rn * 2 END)
+      |    OVER (PARTITION BY resource, subseq ORDER BY unit_start, unit_end, case_id, run_no
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+      |  FROM usg2),
+      |usg4 AS (SELECT *, CASE WHEN anchor % 2 = 1 THEN (rn - anchor // 2) % 2 = 0
+      |                        ELSE (rn - anchor // 2) % 2 = 1 END AS bnd FROM usg3),
+      |usg AS (SELECT *, sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY resource, subseq ORDER BY unit_start, unit_end, case_id, run_no
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp_seg
+      |  FROM usg4),
+      |sptype AS (
+      |  SELECT resource, subseq, sp_seg,
+      |    CASE min(CASE WHEN NOT bnd THEN lnk END)
+      |      WHEN 'P' THEN 'task-based'
+      |      WHEN 'S' THEN 'Sequential case-based'
+      |      WHEN 'C' THEN 'Concurrent case-based' END AS sp_type
+      |  FROM usg GROUP BY 1, 2, 3
+      |  HAVING count(DISTINCT case_id) >= 2 AND min(CASE WHEN NOT bnd THEN lnk END) IS NOT NULL),
+      |cand AS (SELECT u.*, t.sp_type FROM usg u JOIN sptype t USING (resource, subseq, sp_seg)),
+      |evsp AS (
+      |  SELECT s.event_id, s.case_id, s.activity, s.resource, s.seg_no,
+      |    c.subseq, c.sp_seg, c.sp_type, c.run_no
+      |  FROM seg s JOIN runs r ON r.event_id = s.event_id
+      |  JOIN cand c ON c.case_id = r.case_id AND c.run_no = r.run_no),
+      |mixed AS (
+      |  SELECT resource, subseq, sp_seg FROM (
+      |    SELECT v.resource, v.subseq, v.sp_seg, coalesce(t.batch_type, ' ') AS bt
+      |    FROM evsp v LEFT JOIN btype t ON t.resource = v.resource AND t.activity = v.activity AND t.seg_no = v.seg_no) e
+      |  GROUP BY 1, 2, 3 HAVING count(DISTINCT bt) > 1),
+      |candok AS (SELECT c.* FROM cand c LEFT JOIN mixed m
+      |  ON m.resource = c.resource AND m.subseq = c.subseq AND m.sp_seg = c.sp_seg
+      |  WHERE m.resource IS NULL),
+      |evok AS (SELECT v.* FROM evsp v LEFT JOIN mixed m
+      |  ON m.resource = v.resource AND m.subseq = v.subseq AND m.sp_seg = v.sp_seg
+      |  WHERE m.resource IS NULL),
+      |spbc AS (
+      |  SELECT resource, subseq, sp_seg, case_id, min(unit_start) AS case_start,
+      |    min(CASE WHEN unit_start = us2 THEN unit_enabled END) AS case_enabled,
+      |    max(unit_end) AS case_end
+      |  FROM (SELECT *, min(unit_start) OVER (PARTITION BY resource, subseq, sp_seg, case_id) AS us2 FROM candok) z
+      |  GROUP BY 1, 2, 3, 4),
+      |spthr AS (
+      |  SELECT resource, subseq, sp_seg, 0 AS g, min(case_start) AS s FROM spbc GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT t.resource, t.subseq, t.sp_seg, t.g + 1,
+      |    (SELECT min(c.case_start) FROM spbc c WHERE c.resource = t.resource
+      |       AND c.subseq = t.subseq AND c.sp_seg = t.sp_seg AND c.case_enabled > t.s)
+      |  FROM spthr t
+      |  WHERE EXISTS (SELECT 1 FROM spbc c WHERE c.resource = t.resource
+      |       AND c.subseq = t.subseq AND c.sp_seg = t.sp_seg AND c.case_enabled > t.s)),
+      |spgen AS (
+      |  SELECT c.*, (SELECT count(*) FROM spthr t WHERE t.resource = c.resource
+      |    AND t.subseq = c.subseq AND t.sp_seg = c.sp_seg AND t.s < c.case_enabled) AS sub
+      |  FROM spbc c),
+      |spvalid AS (
+      |  SELECT resource, subseq, sp_seg, sub, min(case_start) AS b_start, count(*) AS n_cases
+      |  FROM spgen GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |spclaims AS (
+      |  SELECT v.event_id, v.sp_type, g.resource, g.subseq, g.sp_seg, g.sub
+      |  FROM evok v JOIN spgen g ON g.resource = v.resource AND g.subseq = v.subseq
+      |    AND g.sp_seg = v.sp_seg AND g.case_id = v.case_id),
+      |useg AS (SELECT s.* FROM seg s
+      |  WHERE NOT EXISTS (SELECT 1 FROM evok v WHERE v.event_id = s.event_id)),
+      |ubc AS (
+      |  SELECT resource, activity, seg_no, case_id, min(start_us) AS case_start,
+      |    min(CASE WHEN start_us = cs2 THEN enabled_us END) AS case_enabled,
+      |    max(end_us) AS case_end
+      |  FROM (SELECT *, min(start_us) OVER (PARTITION BY resource, activity, seg_no, case_id) AS cs2 FROM useg) z
+      |  GROUP BY 1, 2, 3, 4),
+      |uthr AS (
+      |  SELECT resource, activity, seg_no, 0 AS g, min(case_start) AS s FROM ubc GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT t.resource, t.activity, t.seg_no, t.g + 1,
+      |    (SELECT min(c.case_start) FROM ubc c WHERE c.resource = t.resource
+      |       AND c.activity = t.activity AND c.seg_no = t.seg_no AND c.case_enabled > t.s)
+      |  FROM uthr t
+      |  WHERE EXISTS (SELECT 1 FROM ubc c WHERE c.resource = t.resource
+      |       AND c.activity = t.activity AND c.seg_no = t.seg_no AND c.case_enabled > t.s)),
+      |ugen AS (
+      |  SELECT c.*, (SELECT count(*) FROM uthr t WHERE t.resource = c.resource
+      |    AND t.activity = c.activity AND t.seg_no = c.seg_no AND t.s < c.case_enabled) AS sub
+      |  FROM ubc c),
+      |ubkeys AS (
+      |  SELECT resource, activity, seg_no, sub, min(case_start) AS b_start, count(*) AS n_cases
+      |  FROM ugen GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |ubid AS (
+      |  SELECT *, CAST(dense_rank() OVER (ORDER BY b_start, resource, activity, seg_no, sub) AS BIGINT) AS batch_id
+      |  FROM ubkeys),
+      |umax AS (SELECT coalesce(max(batch_id), 0) AS m FROM ubid),
+      |spbid AS (
+      |  SELECT *, CAST(dense_rank() OVER (ORDER BY b_start, resource, subseq, sp_seg, sub) AS BIGINT)
+      |    + (SELECT m FROM umax) AS batch_id
+      |  FROM spvalid)""".stripMargin
+
   private val wtSelect =
     """SELECT batch_id, batch_type, case_id,
       |  case_start - case_enabled AS total_wt_us,
@@ -342,6 +497,38 @@ object PmQueries {
         |""".stripMargin + wtSelect + "),\n" +
       """repin AS (SELECT a.activities, w.* FROM wtc w JOIN acts a USING (batch_id))""".stripMargin
     )(reportSelect("repin")),
+
+    "pm_sp_batches" -> withPrefix(logCte, enCtes, segCtes, batchCtes, spCtes)(
+      """SELECT s.event_id, s.case_id, s.activity, s.resource, s.start_us, s.end_us, s.enabled_us,
+        |  CASE WHEN c.event_id IS NOT NULL THEN sb.batch_id ELSE tb.batch_id END AS batch_id,
+        |  CASE WHEN (CASE WHEN c.event_id IS NOT NULL THEN sb.batch_id ELSE tb.batch_id END) IS NULL THEN NULL
+        |       WHEN c.event_id IS NOT NULL AND c.sp_type <> 'task-based' THEN c.sp_type
+        |       ELSE t.batch_type END AS batch_type
+        |FROM seg s
+        |LEFT JOIN spclaims c ON c.event_id = s.event_id
+        |LEFT JOIN spbid sb ON sb.resource = c.resource AND sb.subseq = c.subseq
+        |  AND sb.sp_seg = c.sp_seg AND sb.sub = c.sub
+        |LEFT JOIN ugen g ON g.resource = s.resource AND g.activity = s.activity
+        |  AND g.seg_no = s.seg_no AND g.case_id = s.case_id
+        |LEFT JOIN ubid tb ON tb.resource = g.resource AND tb.activity = g.activity
+        |  AND tb.seg_no = g.seg_no AND tb.sub = g.sub
+        |LEFT JOIN btype t ON t.resource = s.resource AND t.activity = s.activity AND t.seg_no = s.seg_no""".stripMargin),
+
+    "pm_wt_log" -> withPrefix(logCte, enCtes, segCtes, batchCtes,
+      "wtc AS (\n" + wtSelect + ")")(
+      """SELECT s.event_id, s.case_id, s.activity, s.resource, s.enabled_us, s.start_us, s.end_us,
+        |  b.batch_id, CASE WHEN b.batch_id IS NULL THEN NULL ELSE t.batch_type END AS batch_type,
+        |  coalesce(w.pt_us, 0) AS batch_pt_us,
+        |  coalesce(w.wt_us, 0) AS batch_wt_us,
+        |  coalesce(w.total_wt_us, 0) AS batch_total_wt_us,
+        |  coalesce(w.creation_wt_us, 0) AS batch_creation_wt_us,
+        |  coalesce(w.ready_wt_us, 0) AS batch_ready_wt_us,
+        |  coalesce(w.other_wt_us, 0) AS batch_other_wt_us
+        |FROM seg s
+        |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
+        |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+        |LEFT JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no
+        |LEFT JOIN wtc w ON w.batch_id = b.batch_id AND w.case_id = s.case_id""".stripMargin),
 
     "w2_ngram_seq" -> withPrefix(logCte)(
       """SELECT act1, act2, act3, count(*) AS n FROM (

@@ -36,11 +36,37 @@ object Reporting {
       .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect()
       .map(t => CaseRow(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
 
-    // occurrence counts per activities key (single-activity keys: plain
-    // count; multi-activity keys — subprocess batches, future round — would
-    // use the W2 ordered-subsequence counter)
+    // occurrence counts per activities key: single-activity keys are a
+    // plain count; multi-activity keys (subprocess batches) count ordered
+    // occurrences of the group's representative activity SEQUENCE per case
+    // (W2 general-n, utils.py:199-229: the sequence is the first batch's
+    // first case's ordered activities; rolling windows matched exactly)
     val singleCounts = disc.groupBy($"activity").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
+    val multiKeys = batches.map(_.activities).distinct.filter(_.contains(",")).toSeq
+    val multiCounts: Map[String, Long] =
+      if (multiKeys.isEmpty) Map.empty
+      else {
+        val bk = bev.join(acts.withColumnRenamed("activities", "akey"), Seq("batch_id"))
+          .filter($"akey".isin(multiKeys: _*))
+        // representative = min batch_id of the group, its min case
+        val minB = bk.groupBy($"akey").agg(min($"batch_id").as("batch_id"))
+        val minC = bk.join(minB, Seq("akey", "batch_id"))
+          .groupBy($"akey", $"batch_id").agg(min($"case_id").as("case_id"))
+        val repSeq = bk.join(minC, Seq("akey", "batch_id", "case_id"))
+          .groupBy($"akey")
+          .agg(transform(
+            sort_array(collect_list(struct($"start_us", $"end_us", $"event_id", $"activity"))),
+            x => x.getField("activity")).as("seq"))
+          .as[(String, Seq[String])].collect().toMap
+        repSeq.map { case (key, sq) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("case_id").orderBy("start_us", "end_us", "event_id")
+            .rowsBetween(0, sq.length - 1)
+          key -> disc.withColumn("win", collect_list($"activity").over(w))
+            .filter($"win" === array(sq.map(lit): _*)).count()
+        }
+      }
 
     val typeOrder = Seq("Parallel", "Sequential task-based", "Concurrent task-based",
       "Sequential case-based", "Concurrent case-based")
@@ -49,7 +75,7 @@ object Reporting {
       val kb = batches.filter(_.activities == key)
       val kc = cases.filter(_.activities == key)
       val totalOcc =
-        if (key.contains(",")) 0L // no subprocess batches emitted yet
+        if (key.contains(",")) multiCounts.getOrElse(key, 0L)
         else singleCounts.getOrElse(key, 0L)
       val batchedOcc = kc.length.toLong
       sb ++= s"\n\nBatch formed by activities: (${key.split(",").map(a => s"'$a'").mkString(", ")})\n"

@@ -170,6 +170,20 @@ class PmKernelSpec extends AnyFunSuite {
     assert(d.values.forall(_._1 == null), s"expected full nullification, got $d")
   }
 
+  test("report: multi-activity group counts W2 sequence occurrences (general n)") {
+    val d = BatchDiscovery.discoverFull(log(
+      (1L, 1L, "A", "r0", 0L, 10L, 0L), (2L, 1L, "B", "r0", 10L, 20L, 0L),
+      (3L, 2L, "A", "r0", 20L, 30L, 0L), (4L, 2L, "B", "r0", 30L, 40L, 0L),
+      (5L, 3L, "A", "r0", 40L, 50L, 0L), (6L, 3L, "B", "r0", 50L, 60L, 0L),
+      // case 4 executes the same A->B sequence far away (not batched) —
+      // it must still count toward "Num occurrences"
+      (7L, 4L, "A", "r0", 1000L, 1010L, 900L), (8L, 4L, "B", "r0", 1010L, 1020L, 900L)))
+    val txt = graft.pm.Reporting.render(d)
+    assert(txt.contains("Batch formed by activities: ('A', 'B')"), txt)
+    assert(txt.contains("Num occurrences: 4"), txt)
+    assert(txt.contains("Num occurrences in batch: 3"), txt)
+  }
+
   test("K2 enabled time: max non-concurrent predecessor end, case-start fallback") {
     val l = log(
       (1L, 1L, "A", "r0", 0L, 100L, 0L),
