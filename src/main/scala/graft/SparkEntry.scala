@@ -19,8 +19,11 @@ object SparkEntry {
       ext.ExtQueries.queries ++ rules.RuleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * CTEs get MATERIALIZED hints ([[Oracle.materialize]]) so the driver's
+    * DuckDB pass stays inside its time budget. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++
-      ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql
+    (relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++
+      ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql)
+      .map { case (k, v) => k -> Oracle.materialize(v) }
 }

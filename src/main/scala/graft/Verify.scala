@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +19,25 @@ object Verify {
     // Optional subset for fast local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    var failures = List.empty[(String, String)]
+    // Run queries concurrently: Spark schedules jobs from multiple driver
+    // threads fine, and most queries leave the 32 cores mostly idle —
+    // sequential execution made the driver's gate ~7min at sf0.01.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt)
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failures ::= (name, String.valueOf(e.getMessage))
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            failures.add((name, String.valueOf(e.getMessage)))
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,12 +58,14 @@ object Verify {
     // queries.json lists what SHOULD exist; failures.json says what broke.
     val allNames = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), allNames)
-    val failJson = failures.sortBy(_._1)
+    import scala.jdk.CollectionConverters._
+    val failList = failures.asScala.toList
+    val failJson = failList.sortBy(_._1)
       .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
-    if (failures.nonEmpty)
-      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
-        failures.map(_._1).sorted.mkString(", "))
+    if (failList.nonEmpty)
+      System.err.println(s"[verify] ${failList.size} queries FAILED: " +
+        failList.map(_._1).sorted.mkString(", "))
   }
 }

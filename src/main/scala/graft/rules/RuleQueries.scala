@@ -54,13 +54,14 @@ object RuleQueries {
         val data = it.map { r =>
           (Array.tabulate(featCols.length)(i => r.getDouble(i + 2)), r.getInt(1))
         }.toArray
-        val rs =
-          if (data.length <= 30 || data.map(_._2).distinct.length < 2) None
-          else Ripper.fit(data, featCols)
-        rs match {
+        if (data.length <= 30 || data.map(_._2).distinct.length < 2)
+          (key, -1L, 0L, 0L, "") // gate-fail: reference only prints a notice
+        else Ripper.fit(data, featCols) match {
           case Some(r) => (key, r.numObs,
             math.round(r.confidence * 1000000d), math.round(r.support * 1000000d), r.render)
-          case None => (key, -1L, 0L, 0L, "")
+          // no surviving ruleset: the reference still records the group with
+          // an empty dict (activation_rules.py:240) — keep the row
+          case None => (key, data.length.toLong, 0L, 0L, "")
         }
       }
       .toDF("group_key", "num_obs", "confidence_e6", "support_e6", "rules")
