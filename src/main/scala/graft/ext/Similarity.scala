@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * Determinism: floats are quantized to integer millionths, so dot products
   * and norms are EXACT integer sums (order-independent, identical in the
   * DuckDB oracle); cosine is computed from those exact integers in double.
-  * Brute-force top-k is the baseline; the quantized (vec, pos, q) layout is
-  * the 100 TB path — shard queries, broadcast them, partial-aggregate dots.
+  *
+  * Shape: everything is array-native — `transform`/`zip_with`/`aggregate`
+  * over the embedding column in one codegen'd pass per row. The round-1/2
+  * formulation exploded every vector to (vec_id, i, q) rows and joined on
+  * the dimension index; correct, but it materialized |corpus|·dim rows,
+  * needed a persisted cache, and its norm join dominated the bench (49s/94s
+  * at sf0.1 vs ~1s now). At 100 TB the query side is broadcast and the
+  * corpus is read once, no shuffle before the per-pair aggregate.
   */
 object Similarity {
   /** LSH/ANN defaults — the DuckDB oracles in ExtQueries are generated from
@@ -22,97 +28,111 @@ object Similarity {
   val AnnK = 3
   val KnnQueries = 10
   val KnnK = 5
+  /** Hyperplane length — the oracle generates weights for dims 1..64. */
+  val PlaneDim = 64
 
-  /** (vec_id, i, q) with q = round(x * 1e6) — exact integer embedding view. */
+  /** q = round(x * 1e6) per element — exact integer embedding view. */
+  private def qvec(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000000d).cast("long"))
+
+  /** Exact integer dot product of two quantized arrays. */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, qv: array<long>, nq: long) — quantized vector + norm, one
+    * narrow pass, no explode, nothing cached. */
+  private def base(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", qvec($"embedding").as("qv"))
+      .withColumn("nq", idot($"qv", $"qv"))
+  }
+
+  /** (vec_id, i, q) exploded integer view — kept for callers that need the
+    * positional layout (oracle mirrors, diagnostics). */
   def quantized(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     emb.select($"vec_id", posexplode($"embedding").as(Seq("i0", "x")))
       .select($"vec_id", ($"i0" + 1).as("i"), round($"x" * 1000000d).cast("long").as("q"))
   }
 
+  /** md5-derived hyperplane weights, identical to the oracle's
+    * `(('0x'||substr(md5(p||':'||i),1,8))::BIGINT % 2001) - 1000`
+    * (computed driver-side: tiny, deterministic, shipped as literals). */
+  private def planeWeights(p: Long): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to PlaneDim).map { i =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+  }
+
   /** Random-hyperplane LSH bucketing, multi-table (OR-amplification):
-    * nTables independent tables of nPlanes md5-derived integer hyperplanes;
-    * bit = sign of the exact integer projection; bucket = packed bits per
-    * table. Candidates are vectors sharing a bucket in ANY table — the
-    * standard recall/cost dial (measured here: 1 table x 8 planes gave ~0
-    * top-5 recall on 500 random vectors; 2 x 4 recovers usable recall at
-    * ~13% of the brute-force pair count). Deterministic, oracle-matched. */
+    * nTables independent tables of nPlanes hyperplanes; bit = sign of the
+    * exact integer projection; bucket = packed bits per table. Candidates
+    * are vectors sharing a bucket in ANY table — the standard recall/cost
+    * dial (measured: 1 table x 8 planes gave ~0 top-5 recall on 500 random
+    * vectors; 2 x 4 recovers usable recall at ~13% of the brute-force pair
+    * count). Planes are literal arrays — the projection is a zip_with per
+    * (row, plane), no join, no explode. */
   def lshBuckets(emb: DataFrame, nTables: Int = NTables, nPlanes: Int = NPlanes): DataFrame = {
     import emb.sparkSession.implicits._
-    val spark = emb.sparkSession
-    val planes = spark.range(0, nTables.toLong * nPlanes).select($"id".as("p"))
-      .select($"p", explode(sequence(lit(1), lit(64))).as("i"))
-      .withColumn("w",
-        conv(substring(md5(concat($"p", lit(":"), $"i").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 2001 - 1000)
-    quantized(emb)
-      .join(broadcast(planes), Seq("i"))
-      .groupBy($"vec_id", $"p")
-      .agg(sum($"w" * $"q").as("proj"))
-      .withColumn("bit", when($"proj" > 0, 1L).otherwise(0L))
-      .withColumn("tbl", ($"p" / nPlanes).cast("int"))
-      .groupBy($"vec_id", $"tbl")
-      .agg(sum(expr(s"shiftleft(bit, cast(p % $nPlanes as int))")).as("bucket"))
+    val withBuckets = base(emb).withColumn("buckets",
+      array((0 until nTables).map { t =>
+        (0 until nPlanes).map { j =>
+          val p = t.toLong * nPlanes + j
+          val bit = when(idot($"qv", typedlit(planeWeights(p))) > 0, 1L).otherwise(0L)
+          (bit * (1L << j)): Column
+        }.reduce(_ + _)
+      }: _*))
+    withBuckets
+      .select($"vec_id", posexplode($"buckets").as(Seq("tbl", "bucket")))
+      .select($"vec_id", $"tbl".cast("int").as("tbl"), $"bucket")
   }
 
   /** ANN via LSH buckets: exact quantized cosine, but only among vectors
-    * sharing a bucket in at least one table. */
+    * sharing a bucket in at least one table. The query side (vec_id <
+    * nQueries) is broadcast everywhere it appears; the corpus side is
+    * joined by vec_id on the bucket-filtered candidate set only. */
   def annLsh(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK): DataFrame = {
     import emb.sparkSession.implicits._
-    val qe = quantized(emb).cache()
+    val b = base(emb)
     val bkt = lshBuckets(emb)
-    val cand = bkt.select($"vec_id".as("qid"), $"tbl", $"bucket")
-      .filter($"qid" < nQueries)
+    val cand = broadcast(bkt.filter($"vec_id" < nQueries).select($"vec_id".as("qid"), $"tbl", $"bucket"))
       .join(bkt.select($"vec_id".as("vid"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
       .filter($"qid" =!= $"vid")
       .select($"qid", $"vid").distinct()
-    val norms = qe.groupBy($"vec_id").agg(sum($"q" * $"q").as("nq"))
-    val dots = cand
-      .join(qe.select($"vec_id".as("qid"), $"i", $"q".as("qq")), Seq("qid"))
-      .join(qe.select($"vec_id".as("vid"), $"i", $"q"), Seq("vid", "i"))
-      .groupBy($"qid", $"vid")
-      .agg(sum($"qq" * $"q").as("dot"))
-    // norms of the QUERY side are bounded by nQueries → broadcast is safe;
-    // norms of the CORPUS side are corpus-sized → shuffle join (a broadcast
-    // here would ship per-vector norms of every vector to every executor,
-    // a driver/executor-memory killer at 1e9 vectors)
-    dots
-      .join(broadcast(norms.filter($"vec_id" < nQueries)
-        .select($"vec_id".as("qid"), $"nq".as("na"))), Seq("qid"))
-      .join(norms.select($"vec_id".as("vid"), $"nq".as("nb")), Seq("vid"))
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"qv".as("qa"), $"nq".as("na")))
+    cand
+      .join(queries, Seq("qid"))
+      .join(b.select($"vec_id".as("vid"), $"qv".as("va"), $"nq".as("nb")), Seq("vid"))
       .select($"qid", $"vid",
-        round($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
           .cast("long").as("cos_sim_e6"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
       .filter($"rnk" <= k)
   }
 
-  /** Brute-force cosine top-k of every vec_id < nQueries against the corpus. */
+  /** Brute-force cosine top-k of every vec_id < nQueries against the
+    * corpus: broadcast the queries, scan the corpus once — the exact
+    * re-rank baseline, shardable by corpus partition at 100 TB. */
   def knnCosine(emb: DataFrame, nQueries: Int = KnnQueries, k: Int = KnnK): DataFrame = {
     import emb.sparkSession.implicits._
-    val qe = quantized(emb).cache()
-    val norms = qe.groupBy($"vec_id").agg(sum($"q" * $"q").as("nq"))
-    val queries = qe.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("qid"), $"i", $"q".as("qq"))
-    val dots = queries
-      .join(qe.select($"vec_id".as("vid"), $"i", $"q"), Seq("i"))
-      .filter($"qid" =!= $"vid")
-      .groupBy($"qid", $"vid")
-      .agg(sum($"qq" * $"q").as("dot"))
+    val b = base(emb)
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"qv".as("qa"), $"nq".as("na")))
     // cos similarity in integer millionths: round(x*1e6) operates on the
     // same IEEE double in Spark and DuckDB (round(x, 6) does not — DuckDB
     // rounds x*1e6 post hoc, Spark rounds the exact decimal expansion).
-    // query-side norms bounded by nQueries → broadcast; corpus-side norms
-    // are corpus-sized → shuffle join (see annLsh note)
-    val sims = dots
-      .join(broadcast(norms.filter($"vec_id" < nQueries)
-        .select($"vec_id".as("qid"), $"nq".as("na"))), Seq("qid"))
-      .join(norms.select($"vec_id".as("vid"), $"nq".as("nb")), Seq("vid"))
+    b.select($"vec_id".as("vid"), $"qv".as("va"), $"nq".as("nb"))
+      .join(queries, $"qid" =!= $"vid")
       .select($"qid", $"vid",
-        round($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
           .cast("long").as("cos_sim_e6"))
-    sims
       .withColumn("rank",
         row_number().over(Window.partitionBy("qid").orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
       .filter($"rank" <= k)

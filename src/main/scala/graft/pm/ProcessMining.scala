@@ -304,7 +304,7 @@ object BatchDiscovery {
     val mixed = evSp
       .join(broadcast(types), Seq("resource", "activity", "seg_no"), "left")
       .groupBy($"resource", $"subseq", $"sp_seg")
-      .agg(countDistinct(coalesce($"batch_type", lit(" "))).as("ntypes"))
+      .agg(countDistinct(coalesce($"batch_type", lit("\u0000"))).as("ntypes"))
       .filter($"ntypes" > 1)
       .select($"resource", $"subseq", $"sp_seg")
     val candOk = cand.join(mixed, Seq("resource", "subseq", "sp_seg"), "left_anti")
