@@ -41,6 +41,10 @@ object ExtQueries {
     "j3_lsh_ann" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d))),
 
+    // J2/J3 — embedding-cosine near-dup pairs over LSH buckets.
+    "j2_embed_neardup" -> ((s, d) =>
+      Similarity.embedNearDup(Tables.embeddings(s, d))),
+
     // J4 — winnowing document fingerprints (rolling-hash minima).
     "j4_winnow" -> ((s, d) =>
       Dedup.winnow(Tables.documents(s, d))),
@@ -196,6 +200,29 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
+
+    "j2_embed_neardup" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |pw AS (SELECT p, i, ((('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT) % 2001) - 1000 AS w
+        |       FROM generate_series(0, ${Similarity.NTables * Similarity.NPlanes - 1}) tp(p), generate_series(1, 64) ti(i)),
+        |bits AS (SELECT e.vec_id, p.p, CASE WHEN sum(p.w * e.q) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM qe e JOIN pw p ON p.i = e.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, p // ${Similarity.NPlanes} AS tbl,
+        |          CAST(sum(CAST(bit AS BIGINT) << (p % ${Similarity.NPlanes})) AS BIGINT) AS bucket
+        |        FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+        |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |           AND a.vec_id < b.vec_id),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT c.vid_a, c.vid_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cand c JOIN qe x ON x.vec_id = c.vid_a JOIN qe y ON y.vec_id = c.vid_b AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT vid_a, vid_b,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.vid_a JOIN norms nb ON nb.vec_id = dots.vid_b)
+        |SELECT vid_a, vid_b, cos_sim_e6 FROM sims WHERE cos_sim_e6 >= ${Similarity.NearDupCosE6}""".stripMargin,
 
     "j4_winnow" ->
       """WITH toks AS (

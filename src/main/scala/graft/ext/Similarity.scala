@@ -30,6 +30,10 @@ object Similarity {
   val KnnK = 5
   /** Hyperplane length — the oracle generates weights for dims 1..64. */
   val PlaneDim = 64
+  /** Embedding near-dup cosine threshold, in integer millionths. 0.35 for
+    * the harness's near-random synthetic embeddings (their max pairwise
+    * cosine is ~0.49); a real dedup corpus runs this at 0.9+. */
+  val NearDupCosE6 = 350000L
 
   /** q = round(x * 1e6) per element — exact integer embedding view. */
   private def qvec(e: Column): Column =
@@ -114,6 +118,29 @@ object Similarity {
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
       .filter($"rnk" <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup surface, SURVEY J2/J3):
+    * unordered pairs sharing an LSH bucket in any table whose exact
+    * quantized cosine clears the threshold. Candidate generation is
+    * bucket-join (never all-pairs); at 100 TB the recall/cost dial is
+    * (tables, planes) and per-bucket caps as in the text LSH path. */
+  def embedNearDup(emb: DataFrame, thresholdE6: Long = NearDupCosE6): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
+    val bkt = lshBuckets(emb)
+    val cand = bkt.select($"vec_id".as("vid_a"), $"tbl", $"bucket")
+      .join(bkt.select($"vec_id".as("vid_b"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
+      .filter($"vid_a" < $"vid_b")
+      .select($"vid_a", $"vid_b").distinct()
+    cand
+      .join(b.select($"vec_id".as("vid_a"), $"qv".as("va"), $"nq".as("na")), Seq("vid_a"))
+      .join(b.select($"vec_id".as("vid_b"), $"qv".as("vb"), $"nq".as("nb")), Seq("vid_b"))
+      .select($"vid_a", $"vid_b",
+        round(idot($"va", $"vb").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .filter($"cos_sim_e6" >= thresholdE6)
   }
 
   /** Brute-force cosine top-k of every vec_id < nQueries against the

@@ -161,6 +161,22 @@ object PmQueries {
           "batch_creation_wt_us", "batch_ready_wt_us", "batch_other_wt_us"))
     }),
 
+    // Checkpoint columns (config.py:40-42, analysis.py:96-105): the
+    // report_batch_checkpoints option adds batch_case_enabled /
+    // batch_instance_enabled / batch_start to every event of a batch case
+    // (NULL outside batches).
+    "pm_checkpoints" -> ((s, d) => {
+      import s.implicits._
+      val dd = disc(s, d)
+      val cp = WaitingTimes.batchCaseWT(dd).select($"batch_id", $"case_id",
+        $"case_enabled_us".as("batch_case_enabled_us"),
+        $"instance_enabled_us".as("batch_instance_enabled_us"),
+        $"instance_start_us".as("batch_start_us"))
+      dd.join(broadcast(cp), Seq("batch_id", "case_id"), "left")
+        .select($"event_id", $"case_id", $"activity", $"batch_id",
+          $"batch_case_enabled_us", $"batch_instance_enabled_us", $"batch_start_us")
+    }),
+
     // W13 — ntile chunking over a total order, computed distributed
     // (Dist.ntileBy: range partition + per-partition offsets) instead of a
     // single-task global WindowExec; identical tiles to ntile(10) OVER.
@@ -528,6 +544,17 @@ object PmQueries {
         |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
         |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
         |LEFT JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no
+        |LEFT JOIN wtc w ON w.batch_id = b.batch_id AND w.case_id = s.case_id""".stripMargin),
+
+    "pm_checkpoints" -> withPrefix(logCte, enCtes, segCtes, batchCtes,
+      "wtc AS (\n" + wtSelect + ")")(
+      """SELECT s.event_id, s.case_id, s.activity, b.batch_id,
+        |  w.case_enabled_us AS batch_case_enabled_us,
+        |  w.instance_enabled_us AS batch_instance_enabled_us,
+        |  w.instance_start_us AS batch_start_us
+        |FROM seg s
+        |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
+        |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
         |LEFT JOIN wtc w ON w.batch_id = b.batch_id AND w.case_id = s.case_id""".stripMargin),
 
     "w2_ngram_seq" -> withPrefix(logCte)(

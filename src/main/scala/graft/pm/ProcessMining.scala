@@ -290,16 +290,23 @@ object BatchDiscovery {
     * (discovery.py:128-147). */
   def discoverFull(en: DataFrame, minSize: Int = 2): DataFrame = {
     import en.sparkSession.implicits._
-    val runsEv = SubprocessBatches.withRuns(en)
+    // runsEv feeds both the task-side segmentation and the subprocess-unit
+    // side; without a persist the whole enabled-time kernel upstream (K2
+    // sweep + concurrency collect) runs twice.
+    val runsEv = SubprocessBatches.withRuns(en).persist()
     val seg = segment(runsEv).persist()
     val types = classify(seg)
 
     // --- subprocess side ---
-    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv))
+    // candidate units are tiny (subsequence-unit grain) but cost a window
+    // chain to build; evSp and candOk both consume them
+    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv)).persist()
     // event grain of candidate units, with the event's task-level type
+    // tiny (claimed-event grain) but feeds both mixed and claims
     val evSp = seg
       .join(cand.select($"case_id", $"run_no", $"subseq", $"sp_seg", $"sp_type",
         $"unit_start", $"unit_end", $"unit_enabled"), Seq("case_id", "run_no"))
+      .persist()
     // W6: >1 distinct task-level type (null counts, as pandas unique does)
     val mixed = evSp
       .join(broadcast(types), Seq("resource", "activity", "seg_no"), "left")
@@ -317,21 +324,29 @@ object BatchDiscovery {
         max($"unit_end").as("case_end"))
       .select($"resource", $"subseq".as("activity"), $"sp_seg".as("seg_no"),
         $"case_id", $"case_start", $"m.e".as("case_enabled"), $"case_end")
+    // consumed by spKeys (→ ids) and claims — persist so the split kernel
+    // chain runs once
     val spSub = split(spCases)
       .withColumnRenamed("activity", "subseq").withColumnRenamed("seg_no", "sp_seg")
+      .persist()
     val spKeys = spSub.groupBy($"resource", $"subseq", $"sp_seg", $"sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
     val spValidKeys = spKeys.filter($"n_cases" >= minSize)
 
-    // post-W6 membership at event grain: (event, sp key incl. sub)
+    // post-W6 membership at event grain: (event, sp key incl. sub).
+    // Persisted: feeds unclaimed (twice through the task side below) and
+    // spEvents — without it the subprocess chain above re-runs per consumer.
     val claims = evSp
       .join(spSub.select($"resource", $"subseq", $"sp_seg", $"case_id", $"sub"),
         Seq("resource", "subseq", "sp_seg", "case_id"))
+      .persist()
 
     // --- task side over UNCLAIMED events only (reference W4/min-size
     // filter on isna(subprocess_type)) ---
     val unclaimed = seg.join(claims.select($"event_id"), Seq("event_id"), "left_anti")
-    val withSub = split(batchCases(unclaimed))
+    // batch-case grain is tiny (#cases x #segments); persisting it means the
+    // maxTaskId action + the two final joins don't re-run the split kernel.
+    val withSub = split(batchCases(unclaimed)).persist()
     val bkeys = withSub
       .groupBy("resource", "activity", "seg_no", "sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
@@ -432,19 +447,20 @@ object SubprocessBatches {
   /** Unit grain with sp_seg + sp_type for candidate subprocess batches
     * (typed-link chains of >= 2 distinct cases within (resource, subseq)). */
   def candidates(u: DataFrame): DataFrame = {
-    val seg = BatchDiscovery.typedLinkSegments(u, Seq("resource", "subseq"),
+    // per-segment type + case count as WINDOW aggregates over the segmented
+    // units (one pass) — the groupBy+self-join form evaluated the whole
+    // units aggregation twice
+    val wSeg = Window.partitionBy("resource", "subseq", "sp_seg")
+    BatchDiscovery.typedLinkSegments(u, Seq("resource", "subseq"),
       Seq("unit_start", "unit_end", "case_id", "run_no"), "unit_start", "unit_end")
       .withColumnRenamed("seg_no", "sp_seg")
-    val types = seg.groupBy("resource", "subseq", "sp_seg")
-      .agg(min(when(!col("bnd"), col("lnk"))).as("l2"),
-        countDistinct(col("case_id")).as("sp_ncases"))
+      .withColumn("l2", min(when(!col("bnd"), col("lnk"))).over(wSeg))
+      .withColumn("sp_ncases", size(collect_set(col("case_id")).over(wSeg)))
       .withColumn("sp_type",
         when(col("l2") === "P", "task-based")
           .when(col("l2") === "S", "Sequential case-based")
           .when(col("l2") === "C", "Concurrent case-based"))
       .filter(col("sp_ncases") >= 2 && col("sp_type").isNotNull)
-      .select("resource", "subseq", "sp_seg", "sp_type")
-    seg.join(types, Seq("resource", "subseq", "sp_seg"))
       .select("case_id", "run_no", "resource", "subseq", "sp_seg", "sp_type",
         "unit_start", "unit_end", "unit_enabled")
   }
