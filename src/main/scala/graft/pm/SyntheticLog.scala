@@ -30,4 +30,23 @@ object SyntheticLog {
     }
     rows.toDF("event_id", "case_id", "activity", "resource", "start_us", "end_us")
   }
+
+  /** Handoff base log for the prioritization harness
+    * (handoff_batch.py:150-171 preconditions): m independent blocks, each
+    * with a seamless-handoff chain G->H (H starts exactly when G ends, so
+    * H.enabled == H.start) and a second case P->Q on another resource whose
+    * Q runs on H's resource, is enabled strictly inside H's execution, and
+    * starts exactly at H's end — the as-of prioritization candidate. */
+  def handoffLog(spark: SparkSession, m: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until m).flatMap { j =>
+      val t = day0Us + j.toLong * 3600000000L
+      Seq(
+        (j * 4L + 0, j * 2L, "G", s"rg$j", t - 5 * min, t),
+        (j * 4L + 1, j * 2L, "H", s"rh$j", t, t + 10 * min),
+        (j * 4L + 2, j * 2L + 1, "P", s"rp$j", t + 2 * min, t + 5 * min),
+        (j * 4L + 3, j * 2L + 1, "Q", s"rh$j", t + 10 * min, t + 15 * min))
+    }
+    rows.toDF("event_id", "case_id", "activity", "resource", "start_us", "end_us")
+  }
 }

@@ -49,6 +49,26 @@ class GoldenReplaySpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("WTs artifact layout matches the golden Production_WTs.csv.gz") {
+    import spark.implicits._
+    val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
+    val view = graft.pm.Ep1.wtLogView(graft.pm.Ep1.analyze(log)).persist()
+    val golden = spark.read.option("header", "true")
+      .csv("/root/reference/outputs/Production_WTs.csv.gz").persist()
+    // exact reference column order (FIXTURES.md §2)
+    assert(view.columns.toSeq == golden.columns.toSeq)
+    assert(view.count() == 4503L)
+    // timestamp and duration renderings are byte-identical on the identity
+    // columns (independent of batch-discovery deltas): every (case,
+    // activity, start, end, resource) 5-tuple matches the golden file
+    val key = Seq("case_id", "Activity", "start_time", "end_time", "Resource")
+    assert(view.select(key.map(col): _*).except(golden.select(key.map(col): _*)).count() == 0L)
+    // duration strings parse in the golden "D days HH:MM:SS[.ffffff]" shape
+    val durRe = "^\\d+ days \\d{2}:\\d{2}:\\d{2}(\\.\\d{6})?$"
+    assert(view.filter(!$"batch_pt".rlike(durRe) || !$"batch_ready_wt".rlike(durRe)).count() == 0L)
+    view.unpersist(); golden.unpersist()
+  }
+
   test("EP1 on Loan_Application_batched.csv.gz: scale anchors + full discovery") {
     import spark.implicits._
     val log = EventLogCsv.read(spark, "/root/reference/logs/Loan_Application_batched.csv.gz",

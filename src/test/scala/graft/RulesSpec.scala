@@ -36,6 +36,29 @@ class RulesSpec extends AnyFunSuite {
     assert(Ripper.fit(rows, Array("x")).isEmpty)
   }
 
+  test("ActivationRulesText renders blocks, no-rule notice, and skip notices") {
+    lazy val spark = SparkSuite.spark
+    import spark.implicits._
+    val featNames = Ripper.featCols
+    def row(grp: String, outcome: Int, numQueue: Double): (String, Int, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double) =
+      (grp, outcome, 0d, numQueue, 0d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)
+    // learnable group: outcome == 1 iff num_queue >= 8 (80 rows)
+    val learnable = (0 until 80).map(i => row("A", if (i % 10 >= 8) 1 else 0, (i % 10).toDouble))
+    // one-outcome group (40 rows, all negative)
+    val oneOutcome = (0 until 40).map(_ => row("B", 0, 1d))
+    // undersized group
+    val tiny = (0 until 5).map(_ => row("C,D", 1, 1d))
+    val df = (learnable ++ oneOutcome ++ tiny)
+      .toDF(("activities" +: "outcome" +: featNames.toSeq): _*)
+    val txt = graft.rules.ActivationRulesText.render(df)
+    assert(txt.contains("Not extracting rules from batch ('C', 'D') due to low size: 5"))
+    assert(txt.contains("Not extracting rules from batch ('B',) due to only one outcome in training!"))
+    assert(txt.contains("Batch: ('A',):"))
+    assert(txt.contains("# Observations: 80"))
+    assert(txt.contains("num_queue=>8.0"))
+    assert(txt.contains("Confidence: 1.00"))
+  }
+
   test("RuleSet compiles to a scoring Column (H2)") {
     lazy val spark = SparkSuite.spark
     import spark.implicits._
