@@ -45,6 +45,10 @@ object ExtQueries {
     "j2_embed_neardup" -> ((s, d) =>
       Similarity.embedNearDup(Tables.embeddings(s, d))),
 
+    // J3 scale path #2 — IVF coarse-quantizer ANN (probe-limited search).
+    "j3_ivf_ann" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d))),
+
     // J4 — winnowing document fingerprints (rolling-hash minima).
     "j4_winnow" -> ((s, d) =>
       Dedup.winnow(Tables.documents(s, d))),
@@ -191,6 +195,38 @@ object ExtQueries {
         |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
         |           AND a.vec_id < ${Similarity.AnnQueries} AND a.vec_id <> b.vec_id),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
+        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
+
+    "j3_ivf_ann" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride FROM embeddings),
+        |cents AS (SELECT vec_id AS cid FROM embeddings, nn
+        |          WHERE vec_id % stride = 0 AND vec_id < stride * ${Similarity.IvfCells}),
+        |cdots AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * x.q) AS BIGINT) AS dot
+        |          FROM qe e JOIN cents c ON TRUE JOIN qe x ON x.vec_id = c.cid AND x.i = e.i
+        |          GROUP BY 1, 2),
+        |vcos AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(nc2.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nc2 ON nc2.vec_id = d.cid),
+        |cells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |  FROM vcos WHERE vec_id < ${Similarity.AnnQueries}) z
+        |  WHERE rn <= ${Similarity.IvfProbes}),
+        |cand AS (SELECT DISTINCT p.qid, c.vid FROM probes p JOIN cells c ON c.cid = p.cid AND c.vid <> p.qid),
         |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
         |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
         |         GROUP BY 1, 2),

@@ -34,6 +34,9 @@ object Similarity {
     * the harness's near-random synthetic embeddings (their max pairwise
     * cosine is ~0.49); a real dedup corpus runs this at 0.9+. */
   val NearDupCosE6 = 350000L
+  /** IVF defaults: coarse cells, probed cells per query. */
+  val IvfCells = 16
+  val IvfProbes = 4
 
   /** q = round(x * 1e6) per element — exact integer embedding view. */
   private def qvec(e: Column): Column =
@@ -141,6 +144,56 @@ object Similarity {
           sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
           .cast("long").as("cos_sim_e6"))
       .filter($"cos_sim_e6" >= thresholdE6)
+  }
+
+  /** ANN via an IVF-style coarse quantizer: centroids are a deterministic
+    * stride over vec_ids (training-free seed pick — a k-means refinement
+    * would drop in here; the search shape is unchanged), every vector is
+    * assigned to its max-cosine cell, and each query probes its nProbes
+    * nearest cells; exact quantized cosine re-ranks the probed candidates.
+    * At 100 TB: centroids broadcast, the corpus is scanned once for
+    * assignment (or pre-partitioned by cell at rest), and a query touches
+    * nProbes/nCells of the data — the standard IVF cost dial. */
+  def annIvf(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK,
+             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
+    val n = emb.count()
+    val stride = math.max(1L, n / nCells)
+    val cents = broadcast(b
+      .filter($"vec_id" % stride === 0 && $"vec_id" < stride * nCells)
+      .select($"vec_id".as("cid"), $"qv".as("cv"), $"nq".as("nc")))
+    // cosine of every vector against every centroid (|corpus| x nCells)
+    val vcos = b.join(cents)
+      .select($"vec_id", $"cid",
+        round(idot($"qv", $"cv").cast("double") /
+          sqrt($"nq".cast("double") * $"nc".cast("double")) * 1000000d)
+          .cast("long").as("ccos"))
+    // cell assignment: argmax cosine, centroid id as the deterministic tiebreak
+    val cells = vcos.groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("nc"), $"cid")).as("m"))
+      .select($"vec_id".as("vid"), $"m.cid".as("cid"))
+    // probe lists: top-nProbes cells per query
+    val probes = vcos.filter($"vec_id" < nQueries)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+      .filter($"rn" <= nProbes)
+      .select($"vec_id".as("qid"), $"cid")
+    val cand = broadcast(probes).join(cells, Seq("cid"))
+      .filter($"qid" =!= $"vid")
+      .select($"qid", $"vid").distinct()
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"qv".as("qa"), $"nq".as("na")))
+    cand
+      .join(queries, Seq("qid"))
+      .join(b.select($"vec_id".as("vid"), $"qv".as("va"), $"nq".as("nb")), Seq("vid"))
+      .select($"qid", $"vid",
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
+      .filter($"rnk" <= k)
   }
 
   /** Brute-force cosine top-k of every vec_id < nQueries against the

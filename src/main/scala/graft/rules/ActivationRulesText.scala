@@ -22,16 +22,32 @@ import org.apache.spark.sql.functions._
   * the grouped feature table is tiny (same posture as EP2 rendering).
   */
 object ActivationRulesText {
-  /** Reference condition style: `f=<v` / `f=>v` (wittgenstein's rendering
-    * after main.py's replace chain), values formatted like python floats. */
-  private def renderCond(c: Cond): String = {
-    val v = if (c.threshold == c.threshold.floor && math.abs(c.threshold) < 1e15)
-      s"${c.threshold.toLong}.0" else c.threshold.toString
-    s"${c.feature}${if (c.isLeq) "=<" else "=>"}$v"
+  private def pyFloat(v: Double): String =
+    if (v == v.floor && math.abs(v) < 1e15) s"${v.toLong}.0" else v.toString
+  private def pyInt(v: Double): String =
+    if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  /** Reference condition styles (wittgenstein's rendering after main.py's
+    * replace chain): `f=<v` / `f=>v` for one-sided bounds, `f=a-b` for an
+    * interval (a >= and <= pair on the same feature), `f=v` for equality. */
+  private def renderConds(conds: List[Cond]): String = {
+    val byFeature = conds.zipWithIndex.groupBy(_._1.feature).toSeq
+      .sortBy(_._2.map(_._2).min) // keep first-appearance order
+    byFeature.map { case (f, cs) =>
+      val lows = cs.map(_._1).filter(!_.isLeq).map(_.threshold)
+      val highs = cs.map(_._1).filter(_.isLeq).map(_.threshold)
+      (lows.maxOption, highs.minOption) match {
+        case (Some(lo), Some(hi)) if lo == hi => s"$f=${pyInt(lo)}"
+        case (Some(lo), Some(hi)) => s"$f=${pyFloat(lo)}-${pyFloat(hi)}"
+        case (Some(lo), None) => s"$f=>${pyFloat(lo)}"
+        case (None, Some(hi)) => s"$f=<${pyFloat(hi)}"
+        case (None, None) => f
+      }
+    }.mkString(" ^ ")
   }
 
   private def renderRuleset(rs: RuleSet): String =
-    rs.rules.map(r => "[" + r.conds.map(renderCond).mkString(" ^ ") + "]")
+    rs.rules.map(r => "[" + renderConds(r.conds) + "]")
       .mkString("[", " V\n\t", "]")
 
   /** Python-tuple key rendering: ('A',) / ('A', 'B') for a comma-joined

@@ -34,6 +34,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("vid") == 7L && r(2).getAs[Long]("cos_sim_e6") == -1000000L)
   }
 
+  test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus (hash-derived floats)
+    val emb = spark.range(0L, 500L).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => (pmod(xxhash64($"id" * 1000 + i), lit(2001)) - 1000).cast("float") / 1000f)
+        .as("embedding"))
+    val exact = Similarity.knnCosine(emb, nQueries = 10, k = 3)
+      .select($"qid", $"vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(emb, nQueries = 10, k = 3)
+      .select($"qid", $"vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 over 10 queries: $recall%.2f")
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
   test("multimodal decode stub runs batched per partition with real schema") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")
