@@ -78,7 +78,12 @@ object Reporting {
         if (key.contains(",")) multiCounts.getOrElse(key, 0L)
         else singleCounts.getOrElse(key, 0L)
       val batchedOcc = kc.length.toLong
-      sb ++= s"\n\nBatch formed by activities: (${key.split(",").map(a => s"'$a'").mkString(", ")})\n"
+      // python-tuple rendering (reporting.py prints the tuple key):
+      // singleton keys carry the trailing comma — ('X',)
+      val parts = key.split(",")
+      val tuple = if (parts.length == 1) s"('${parts.head}',)"
+                  else parts.map(a => s"'$a'").mkString("(", ", ", ")")
+      sb ++= s"\n\nBatch formed by activities: $tuple\n"
       sb ++= s"\tNum occurrences: $totalOcc\n"
       sb ++= s"\tNum occurrences in batch: $batchedOcc\n"
       sb ++= f"\tFrequency occurrences in batch: ${if (totalOcc == 0) 0d else batchedOcc * 100.0 / totalOcc}%.2f%%\n"

@@ -13,7 +13,11 @@ case class LogSchema(
     start: String = "start_time",
     end: String = "end_time",
     resource: String = "Resource",
-    enabled: Option[String] = None)
+    enabled: Option[String] = None,
+    /** strip + drop NBSP + collapse double spaces in activity names — the
+      * reference's handoff preprocessing (handoff_batch.py:83), applied to
+      * the Loan goldens but NOT the Production ones (main.py reads raw). */
+    cleanActivity: Boolean = false)
 
 /** A1/A2/A3 — gzip CSV event-log source/sink with UTC timestamp discipline
   * (main.py:14-16, discovery.py:227-232). Produces the canonical log grain:
@@ -31,7 +35,11 @@ object EventLogCsv {
     val base = withEnabled
       .withColumn("case_str", col(schema.caseId))
       .withColumn("case_id", xxhash64(col(schema.caseId)))
-      .withColumn("activity", col(schema.activity))
+      .withColumn("activity",
+        if (schema.cleanActivity)
+          regexp_replace(regexp_replace(trim(col(schema.activity)),
+            "\u00a0", ""), "  ", " ")
+        else col(schema.activity))
       .withColumn("resource", coalesce(col(schema.resource), lit("NOT_SET")))
       .withColumn("start_us", graft.Det.us(to_timestamp(col(schema.start))))
       .withColumn("end_us", graft.Det.us(to_timestamp(col(schema.end))))

@@ -71,8 +71,11 @@ class GoldenReplaySpec extends AnyFunSuite {
 
   test("EP1 on Loan_Application_batched.csv.gz: scale anchors + full discovery") {
     import spark.implicits._
+    // cleanActivity: the Loan goldens were produced through the handoff
+    // preprocessing, which strips/normalizes activity names
+    // (handoff_batch.py:83) — ' Assess loan risk' -> 'Assess loan risk'
     val log = EventLogCsv.read(spark, "/root/reference/logs/Loan_Application_batched.csv.gz",
-      LogSchema(enabled = Some("enabled_time")))
+      LogSchema(enabled = Some("enabled_time"), cleanActivity = true))
     assert(log.count() == 70162L)
     assert(log.select("case_id").distinct().count() == 7000L)
     // precomputed enabled times: never after start (reference guarantees)
@@ -90,6 +93,20 @@ class GoldenReplaySpec extends AnyFunSuite {
     info(s"Loan: $nBatches batch instances at minSize=10 (golden: 587)")
     assert(nBatches >= 575L && nBatches <= 600L,
       s"batch instance count $nBatches drifted from the golden 587")
+
+    // EP2 report anchors for 'Assess loan risk' (Loan_Application_Report.txt
+    // lines 1-5): 7000 occurrences, ~5264 batched (75.20%), all sizes 14.
+    val report = graft.pm.Reporting.render(d)
+    val block = report.split("Batch formed by activities: ")
+      .find(_.startsWith("('Assess loan risk',)")).getOrElse("")
+    assert(block.contains("Num occurrences: 7000"))
+    val batched = "Num occurrences in batch: (\\d+)".r
+      .findFirstMatchIn(block).map(_.group(1).toLong).getOrElse(0L)
+    info(s"Loan 'Assess loan risk': $batched batched occurrences (golden: 5264)")
+    assert(math.abs(batched - 5264L) <= 30L,
+      s"batched occurrences $batched drifted from golden 5264")
+    assert(block.contains("Batch size distribution: Counter({14: "),
+      "golden batches are all size 14")
     d.unpersist()
   }
 }

@@ -49,7 +49,7 @@ class InjectionRoundTripSpec extends AnyFunSuite {
 
   test("report renderer emits the reference's structure") {
     val text = Reporting.render(disc)
-    assert(text.contains("Batch formed by activities: ('B')"))
+    assert(text.contains("Batch formed by activities: ('B',)"))
     assert(text.contains(s"\tNum occurrences: $nCases"))
     assert(text.contains(s"\tNum occurrences in batch: $nCases"))
     assert(text.contains("Frequency occurrences in batch: 100.00%"))
