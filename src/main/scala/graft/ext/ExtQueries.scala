@@ -74,6 +74,13 @@ object ExtQueries {
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
 
+    // J5 — video-style strided frame sampling (explode shape + per-frame
+    // feature join surface; decode stubbed).
+    "j5_frames" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+
+    // J5 — aspect-preserving resize bookkeeping in exact integer math.
+    "j5_resize" -> ((s, d) => Multimodal.resizeMeta(Tables.documents(s, d))),
+
     // J6 — sketches (approx; no DuckDB-equivalent oracle → rows-only check).
     "j6_sketch" -> ((s, d) => {
       import s.implicits._
@@ -314,6 +321,24 @@ object ExtQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5,
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT AS stub_feature
         |FROM documents""".stripMargin,
+
+    "j5_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames FROM documents)
+        |SELECT doc_id, n_frames, CAST(g.frame_idx AS BIGINT) AS frame_idx,
+        |  ('0x' || substr(md5(doc_id || ':' || g.frame_idx), 1, 8))::BIGINT AS frame_feature
+        |FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx) g""".stripMargin,
+
+    "j5_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS BIGINT) AS src_w,
+        |    CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS BIGINT) AS src_h
+        |  FROM documents)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST(CASE WHEN src_w >= src_h THEN 224 ELSE src_w * 224 // src_h END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN src_w >= src_h THEN src_h * 224 // src_w ELSE 224 END AS BIGINT) AS out_h
+        |FROM s""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
