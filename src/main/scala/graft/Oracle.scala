@@ -9,16 +9,38 @@ package graft
   * rounds 1-2. Hints change evaluation strategy only, never results.
   */
 object Oracle {
-  /** Recursive CTE members cannot be MATERIALIZED in DuckDB. */
-  private val RecursiveCtes = Set("thr", "uthr", "spthr")
-
   private val AtLineStart = "(?m)^(\\s*)([A-Za-z_]\\w*) AS \\(".r
   private val AfterWith = "(WITH (?:RECURSIVE )?)([A-Za-z_]\\w*) AS \\(".r
+
+  /** True when the CTE body references its own name — the recursive-member
+    * test. DuckDB rejects MATERIALIZED on recursive members; detecting them
+    * structurally (instead of the round-3 hard-coded {thr, uthr, spthr} set)
+    * keeps any future recursive CTE valid and any name reuse hinted. */
+  private def isRecursive(sql: String, name: String, bodyStart: Int): Boolean = {
+    // scan to the matching close paren, skipping single-quoted literals
+    var depth = 1
+    var i = bodyStart
+    var inStr = false
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _    =>
+      }
+      i += 1
+    }
+    val body = sql.substring(bodyStart, math.max(bodyStart, i - 1))
+    ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .findFirstIn(body).isDefined
+  }
 
   def materialize(sql: String): String = {
     def sub(re: scala.util.matching.Regex, s: String): String =
       re.replaceAllIn(s, m =>
-        if (RecursiveCtes(m.group(2))) scala.util.matching.Regex.quoteReplacement(m.matched)
+        if (isRecursive(s, m.group(2), m.end)) scala.util.matching.Regex.quoteReplacement(m.matched)
         else scala.util.matching.Regex.quoteReplacement(
           s"${m.group(1)}${m.group(2)} AS MATERIALIZED ("))
     sub(AfterWith, sub(AtLineStart, sql))

@@ -20,6 +20,7 @@ object Probe {
         val t0 = System.nanoTime()
         val c = fn(spark, sfDir).count()
         println(f"== $n: ${(System.nanoTime() - t0) / 1e9}%.1f s rows=$c")
+        Pinned.release(spark)
       }
     }
     spark.stop()

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -23,21 +24,36 @@ object Verify {
     // threads fine, and most queries leave the 32 cores mostly idle —
     // sequential execution made the driver's gate ~7min at sf0.01.
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt)
     selected.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            done.add(name)
+          } catch { case e: Throwable =>
             failures.add((name, String.valueOf(e.getMessage)))
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    // A hung query must surface as a RECORDED failure, not a silently
+    // missing artifact: on timeout, every query that neither finished nor
+    // threw is written to failures.json before the artifacts go out.
+    val finished = pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!finished) {
+      pool.shutdownNow()
+      selected.keys
+        .filterNot(n => done.contains(n) || failures.asScala.exists(_._1 == n))
+        .foreach { n =>
+          failures.add((n, "timeout: unfinished after 2h"))
+          System.err.println(s"[verify] $n TIMED OUT")
+        }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,7 +74,6 @@ object Verify {
     // queries.json lists what SHOULD exist; failures.json says what broke.
     val allNames = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), allNames)
-    import scala.jdk.CollectionConverters._
     val failList = failures.asScala.toList
     val failJson = failList.sortBy(_._1)
       .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")

@@ -82,12 +82,15 @@ object ExtQueries {
     "j5_resize" -> ((s, d) => Multimodal.resizeMeta(Tables.documents(s, d))),
 
     // J6 — sketches (approx; no DuckDB-equivalent oracle → rows-only check).
+    // Quantiles come out as SCALAR columns, not an array: the driver's
+    // pandas comparator sorts column values and crashes on unhashable
+    // numpy arrays (round-3 `j6_sketch` err).
     "j6_sketch" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d).agg(
         approx_count_distinct($"l_orderkey").as("approx_orders"),
-        percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(10000))
-          .as("price_quantiles"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("price_q50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("price_q95"),
         count(lit(1)).as("n"))
     }),
 

@@ -46,6 +46,16 @@ object Similarity {
   private def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Integer dot over the OVERLAPPING positions of two quantized arrays:
+    * zip_with pads the shorter array with nulls, which a plain idot turns
+    * into a null total (every LSH bit 0 → all vectors in one bucket when
+    * the embedding dim != PlaneDim). Coalescing each product to 0 makes
+    * non-overlapping positions contribute nothing — exactly the oracle's
+    * join-on-dimension-index semantics, for any embedding length. */
+  private def idotOverlap(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
   /** (vec_id, qv: array<long>, nq: long) — quantized vector + norm, one
     * narrow pass, no explode, nothing cached. */
   private def base(emb: DataFrame): DataFrame = {
@@ -88,7 +98,7 @@ object Similarity {
       array((0 until nTables).map { t =>
         (0 until nPlanes).map { j =>
           val p = t.toLong * nPlanes + j
-          val bit = when(idot($"qv", typedlit(planeWeights(p))) > 0, 1L).otherwise(0L)
+          val bit = when(idotOverlap($"qv", typedlit(planeWeights(p))) > 0, 1L).otherwise(0L)
           (bit * (1L << j)): Column
         }.reduce(_ + _)
       }: _*))
@@ -158,10 +168,14 @@ object Similarity {
              nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame = {
     import emb.sparkSession.implicits._
     val b = base(emb)
-    val n = emb.count()
-    val stride = math.max(1L, n / nCells)
-    val cents = broadcast(b
-      .filter($"vec_id" % stride === 0 && $"vec_id" < stride * nCells)
+    // the stride is data-dependent but stays IN the plan (1-row aggregate,
+    // broadcast cross join): building this DataFrame runs zero Spark jobs —
+    // a driver-side emb.count() here forced a full corpus scan at plan-build
+    // time, mis-attributed in Bench/Verify timing (round-3 verdict)
+    val strideF = emb.agg(
+      greatest(lit(1L), (count(lit(1)) / nCells).cast("long")).as("stride"))
+    val cents = broadcast(b.crossJoin(broadcast(strideF))
+      .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * nCells)
       .select($"vec_id".as("cid"), $"qv".as("cv"), $"nq".as("nc")))
     // cosine of every vector against every centroid (|corpus| x nCells)
     val vcos = b.join(cents)

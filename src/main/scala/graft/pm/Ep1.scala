@@ -34,7 +34,9 @@ object Ep1 {
       $"creation_wt_us".as("batch_creation_wt_us"),
       $"ready_wt_us".as("batch_ready_wt_us"),
       $"other_wt_us".as("batch_other_wt_us")) ++ cp: _*)
-    val out = d.join(broadcast(perCase), Seq("batch_id", "case_id"), "left")
+    // shuffle join on (batch_id, case_id): perCase is batch-case grain —
+    // unbounded at 100 TB, so no broadcast hint; AQE broadcasts when small
+    val out = d.join(perCase, Seq("batch_id", "case_id"), "left")
       .na.fill(0L, wtCols)
     // the enabled-time kernel keeps only canonical columns; re-attach the
     // original case string (collision-free id for external output) by event
@@ -107,6 +109,8 @@ object Ep1 {
     val analyzed = analyze(EventLogCsv.read(spark, input, schema)).persist()
     analyzed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wts.parquet")
     EventLogCsv.writeCsvGz(wtLogView(analyzed), s"$outDir/wts_csv")
+    analyzed.unpersist()
+    graft.Pinned.release(spark)
     spark.stop()
   }
 }

@@ -152,7 +152,11 @@ object PmQueries {
         $"creation_wt_us".as("batch_creation_wt_us"),
         $"ready_wt_us".as("batch_ready_wt_us"),
         $"other_wt_us".as("batch_other_wt_us"))
-      dd.join(broadcast(wt), Seq("batch_id", "case_id"), "left")
+      // shuffle join on (batch_id, case_id): the WT table is batch-case
+      // grain — proportional to batched cases, NOT bounded at 100 TB, so a
+      // forced broadcast is a driver/executor OOM there. AQE still picks a
+      // broadcast at runtime when the side is actually small.
+      dd.join(wt, Seq("batch_id", "case_id"), "left")
         .select($"event_id", $"case_id", $"activity", $"resource",
           $"enabled_us", $"start_us", $"end_us", $"batch_id", $"batch_type",
           $"batch_pt_us", $"batch_wt_us", $"batch_total_wt_us",
@@ -172,7 +176,8 @@ object PmQueries {
         $"case_enabled_us".as("batch_case_enabled_us"),
         $"instance_enabled_us".as("batch_instance_enabled_us"),
         $"instance_start_us".as("batch_start_us"))
-      dd.join(broadcast(cp), Seq("batch_id", "case_id"), "left")
+      // shuffle join, same unbounded-grain rationale as pm_wt_log above
+      dd.join(cp, Seq("batch_id", "case_id"), "left")
         .select($"event_id", $"case_id", $"activity", $"batch_id",
           $"batch_case_enabled_us", $"batch_instance_enabled_us", $"batch_start_us")
     }),
@@ -221,16 +226,18 @@ object PmQueries {
       |  JOIN cs c ON l.case_id = c.case_id)""".stripMargin
 
   /** Segmentation CTEs (mirrors BatchDiscovery.segment: typed-link chains
-    * with the anchor/parity boundary rule — see ProcessMining Scaladoc). */
+    * with the anchor/parity boundary rule — see ProcessMining Scaladoc).
+    * The S-link gap tolerance is generated from PmConfig.SeqGapUs (same
+    * constant the engine uses — const-sharing pattern). */
   private val segCtes =
-    """seg0 AS (
+    s"""seg0 AS (
       |  SELECT *, lag(start_us) OVER w AS prev_s, lag(end_us) OVER w AS prev_e,
       |    row_number() OVER w AS rn
       |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id)),
       |seg1 AS (
       |  SELECT *, CASE WHEN prev_s IS NULL THEN NULL
       |                 WHEN start_us = prev_s AND end_us = prev_e THEN 'P'
-      |                 WHEN start_us = prev_e THEN 'S'
+      |                 WHEN start_us >= prev_e AND start_us <= prev_e + ${PmConfig.SeqGapUs} THEN 'S'
       |                 WHEN start_us < prev_e AND end_us <> prev_e THEN 'C'
       |                 ELSE NULL END AS lnk
       |  FROM seg0),
@@ -306,9 +313,9 @@ object PmQueries {
     * grain → min-size with nullification → unified ids (task over
     * unclaimed events first, then subprocess). */
   private val spCtes =
-    """runs0 AS (SELECT *, lag(resource) OVER wc AS prev_res, lag(end_us) OVER wc AS prev_end
+    s"""runs0 AS (SELECT *, lag(resource) OVER wc AS prev_res, lag(end_us) OVER wc AS prev_end
       |  FROM en WINDOW wc AS (PARTITION BY case_id ORDER BY start_us, end_us, event_id)),
-      |runs AS (SELECT *, sum(CASE WHEN prev_res IS NULL OR prev_res <> resource OR start_us > prev_end THEN 1 ELSE 0 END)
+      |runs AS (SELECT *, sum(CASE WHEN prev_res IS NULL OR prev_res <> resource OR start_us > prev_end + ${PmConfig.SeqGapUs} THEN 1 ELSE 0 END)
       |    OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_no
       |  FROM runs0),
@@ -325,7 +332,7 @@ object PmQueries {
       |  FROM units WINDOW wu AS (PARTITION BY resource, subseq ORDER BY unit_start, unit_end, case_id, run_no)),
       |usg1 AS (SELECT *, CASE WHEN prev_s IS NULL THEN NULL
       |                        WHEN unit_start = prev_s AND unit_end = prev_e THEN 'P'
-      |                        WHEN unit_start = prev_e THEN 'S'
+      |                        WHEN unit_start >= prev_e AND unit_start <= prev_e + ${PmConfig.SeqGapUs} THEN 'S'
       |                        WHEN unit_start < prev_e AND unit_end <> prev_e THEN 'C'
       |                        ELSE NULL END AS lnk FROM usg0),
       |usg2 AS (SELECT *, lag(lnk) OVER wu2 AS prev_lnk

@@ -212,14 +212,17 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin),
 
-    // D1 — aggregate write-back as broadcast equi-join. Ref: analysis.py:82-105.
+    // D1 — aggregate write-back as shuffle equi-join (the per-user aggregate
+    // grain grows with the data — a forced broadcast OOMs at 100 TB; AQE
+    // still broadcasts at runtime when the side is small). Ref:
+    // analysis.py:82-105.
     "d1_writeback" -> ((s, d) => {
       import s.implicits._
       val e = Tables.events(s, d)
       val perUser = e.groupBy($"user_id".as("u"))
         .agg(count(lit(1)).as("user_n"), dsum($"value").as("user_sum"))
       e.select($"event_id", $"user_id", $"value")
-        .join(broadcast(perUser), $"user_id" === $"u")
+        .join(perUser, $"user_id" === $"u")
         .select($"event_id", $"user_id", $"value", $"user_n", $"user_sum")
     }),
 

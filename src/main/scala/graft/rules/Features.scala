@@ -42,19 +42,30 @@ object Features {
     val meta = bev.groupBy($"batch_id")
       .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource"))
 
-    // instants: src 0 = activate, 1 = ready midpoint, 2 = sampled case enable
+    // instants: src 0 = activate, 1 = ready-interval points, 2 = sampled
+    // case enables. kReady equally spaced interior points of
+    // (inst_last_en, inst_start) — pd.date_range(periods=k+2)[1:-1],
+    // activation_rules.py:56-62 — and up to kEnabled seeded case-enable
+    // samples (activation_rules.py:63-71, W12 seeded replacement for
+    // random.sample). Defaults (1, 1) are the reference's config.py:80-81.
+    val kReady = graft.pm.PmConfig.ReadyNegEvents
+    val kEnabled = graft.pm.PmConfig.EnabledNegEvents
     val pos = inst.select($"batch_id", $"inst_start".as("instant"), lit(0).as("src"), lit(1).as("outcome"))
     val neg1 = inst
+      .select($"batch_id", explode(sequence(lit(1), lit(kReady))).as("i"),
+        $"inst_last_en", $"inst_start")
       .select($"batch_id",
-        ($"inst_last_en" + expr("(inst_start - inst_last_en) div 2")).as("instant"),
+        ($"inst_last_en" +
+          expr(s"(i * (inst_start - inst_last_en)) div ${kReady + 1}")).as("instant"),
         lit(1).as("src"), lit(0).as("outcome"), $"inst_start")
       .filter($"instant" < $"inst_start").drop("inst_start")
+      .distinct() // coincident interior points collapse (micros resolution)
     val sampleKey = graft.Det.pseudoRand($"case_id" + $"batch_id")
     val neg2 = bcase.join(inst.select($"batch_id", $"inst_start"), Seq("batch_id"))
       .filter($"case_enabled" < $"inst_start")
       .withColumn("rn", row_number().over(
         Window.partitionBy("batch_id").orderBy(sampleKey, $"case_id")))
-      .filter($"rn" <= 1)
+      .filter($"rn" <= kEnabled)
       .select($"batch_id", $"case_enabled".as("instant"), lit(2).as("src"), lit(0).as("outcome"))
     val instants = pos.unionByName(neg1).unionByName(neg2)
 
@@ -117,7 +128,9 @@ object Features {
 
     subs
       .join(actsAndFiring, Seq("batch_id", "instant", "src"))
-      .join(broadcast(meta), Seq("batch_id"))
+      // meta is batch grain — unbounded at 100 TB; shuffle-join, AQE
+      // broadcasts at runtime when actually small
+      .join(meta, Seq("batch_id"))
       .join(wl, Seq("batch_id", "instant"), "left")
       .na.fill(0L, Seq("workload"))
       .select(

@@ -8,6 +8,9 @@ case class Cond(feature: String, isLeq: Boolean, threshold: Double) {
   def matches(v: Double): Boolean = if (isLeq) v <= threshold else v >= threshold
   def render: String = s"$feature${if (isLeq) "<=" else ">="}${if (threshold == threshold.floor) threshold.toLong.toString else threshold.toString}"
   def toColumn: Column = if (isLeq) col(feature) <= threshold else col(feature) >= threshold
+  /** ANSI SQL form of the condition; Double.toString ("123.0" / "1.7E15")
+    * parses as a DOUBLE literal in DuckDB, matching the Column promotion. */
+  def toSql: String = s"$feature ${if (isLeq) "<=" else ">="} $threshold"
 }
 
 /** Conjunction of conditions. */
@@ -16,6 +19,8 @@ case class Rule(conds: List[Cond]) {
     conds.forall(c => c.matches(row(idx(c.feature))))
   def render: String = conds.map(_.render).mkString(" ^ ")
   def toColumn: Column = conds.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
+  def toSql: String =
+    if (conds.isEmpty) "TRUE" else conds.map(_.toSql).mkString("(", " AND ", ")")
 }
 
 /** Disjunction of rules + scores (reference rules dict shape:
@@ -23,6 +28,11 @@ case class Rule(conds: List[Cond]) {
 case class RuleSet(rules: List[Rule], numObs: Long, confidence: Double, support: Double) {
   def render: String = rules.map(r => s"[${r.render}]").mkString(" v ")
   def toColumn: Column = rules.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
+  /** The induced predicate as SQL — the H2 scoring oracle recomputes
+    * num_obs/confidence/support over the feature pipeline in DuckDB with
+    * exactly this text. */
+  def toSql: String =
+    if (rules.isEmpty) "FALSE" else rules.map(_.toSql).mkString("(", " OR ", ")")
 }
 
 /** H1 — RIPPER-style sequential covering, reimplemented natively and
@@ -167,7 +177,18 @@ object Ripper {
   def fitPerGroup(features: DataFrame,
                   groupCol: String = "activities",
                   maxRules: Int = defaultMaxRules,
-                  minRuleSupport: Double = defaultMinRuleSupport): Map[String, RuleSet] = {
+                  minRuleSupport: Double = defaultMinRuleSupport): Map[String, RuleSet] =
+    fitPerGroupAll(features, groupCol, maxRules, minRuleSupport)
+      .collect { case (k, Some(rs)) => k -> rs }
+
+  /** Like fitPerGroup, but keeps gate-passed groups whose fit found no
+    * surviving ruleset as `None` (the reference records these with an empty
+    * rules dict, activation_rules.py:240) — the scoring oracle needs the
+    * full gate-passed group list to be stable across scales. */
+  def fitPerGroupAll(features: DataFrame,
+                     groupCol: String = "activities",
+                     maxRules: Int = defaultMaxRules,
+                     minRuleSupport: Double = defaultMinRuleSupport): Map[String, Option[RuleSet]] = {
     import scala.collection.parallel.CollectionConverters._
     val rows = features
       .select(col(groupCol) +: col("outcome") +: featCols.map(c => col(c).cast("double")): _*)
@@ -180,7 +201,7 @@ object Ripper {
           (featCols.indices.map(i => r.getDouble(i + 2)).toArray, r.getAs[Number](1).intValue())
         }
         if (data.map(_._2).distinct.length < 2) None
-        else fit(data, featCols, maxRules, minRuleSupport).map(key -> _)
+        else Some(key -> fit(data, featCols, maxRules, minRuleSupport))
       }
       .seq.toMap
   }

@@ -22,10 +22,30 @@ object RuleQueries {
     featCache.computeIfAbsent((s, d), _ => Features.featuresTable(disc(s, d)).persist())
   }
 
+  /** Fitted rulesets per (session, sfDir) — memoized so the scoring query
+    * and the dynamically generated oracle SQL (dumped by Verify AFTER the
+    * queries ran) see the same fit. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, RuleSet]]()
+  @volatile private var lastFit: Map[String, RuleSet] = Map.empty
+  private def fitted(s: SparkSession, d: String): Map[String, RuleSet] = {
+    val f = fitCache.computeIfAbsent((s, d), _ => Ripper.fitPerGroup(feats(s, d)))
+    lastFit = f
+    f
+  }
+
   val queries: Map[String, Q] = Map(
     "ar_features" -> ((s, d) => feats(s, d)),
 
     "ar_rules" -> ((s, d) => rulesDf(s, feats(s, d), "activities")),
+
+    // H1/H2 oracle-checkable surface: re-SCORE the induced rulesets over the
+    // feature table distributed (RuleSet.toColumn), with num_obs /
+    // confidence / support in exact integer arithmetic. The DuckDB oracle
+    // rebuilds the feature pipeline independently and evaluates the SAME
+    // predicates (RuleSet.toSql) — so a fit or scoring defect breaks the
+    // hash match (reference scoring semantics: activation_rules.py:203-238).
+    "ar_rule_scores" -> ((s, d) => ruleScores(s, d)),
 
     // H3 — the reference's other ActivationRulesMode groupings
     // (config.py:7-10): per firing activity / per (activities, type).
@@ -68,23 +88,49 @@ object RuleQueries {
       .filter($"num_obs" >= 0)
   }
 
+  /** Distributed re-scoring of the fitted rulesets: one pass over the
+    * feature table, per-group predicate via a chained `when`, exact counts,
+    * integer-division e6 ratios (identical in DuckDB's `//`). */
+  private def ruleScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = fitted(s, d)
+    val pred = f.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
+      case (acc, (g, rs)) => when($"activities" === g, rs.toColumn).otherwise(acc)
+    }
+    feats(s, d)
+      .filter($"activities".isin(f.keys.toSeq: _*))
+      .withColumn("m", pred)
+      .groupBy($"activities")
+      .agg(count(lit(1)).as("num_obs"),
+        sum(when($"m" && $"outcome" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"m", 1L).otherwise(0L)).as("pp"))
+      .select($"activities".as("group_key"), $"num_obs",
+        expr("(tp * 1000000) div nullif(pp, 0)").as("confidence_e6"),
+        expr("(tp * 1000000) div nullif(num_obs, 0)").as("support_e6"))
+  }
+
   /** ar_features oracle: extends the PM CTE pipeline with the instant
     * generation + subset-feature computation (mirrors Features stage by
-    * stage; see that file for the semantics notes). */
-  def featuresOracleSelect: String =
-    """inst2 AS (SELECT batch_id, min(case_start) AS inst_start,
+    * stage; see that file for the semantics notes). Split into the CTE
+    * chain and the final SELECT so ar_rule_scores can wrap the SELECT as
+    * one more CTE. */
+  def featuresOracleCtes: String =
+    s"""inst2 AS (SELECT batch_id, min(case_start) AS inst_start,
       |  min(case_enabled) AS inst_first_en, max(case_enabled) AS inst_last_en FROM bcase GROUP BY 1),
       |meta AS (SELECT batch_id, min(batch_type) AS batch_type, min(resource) AS resource FROM bev GROUP BY 1),
       |pos AS (SELECT batch_id, inst_start AS instant, 0 AS src, 1 AS outcome FROM inst2),
-      |neg1 AS (SELECT batch_id, instant, 1 AS src, 0 AS outcome FROM (
-      |  SELECT batch_id, inst_last_en + (inst_start - inst_last_en) // 2 AS instant, inst_start FROM inst2) z
+      |neg1 AS (SELECT DISTINCT batch_id, instant, 1 AS src, 0 AS outcome FROM (
+      |  SELECT batch_id,
+      |    inst_last_en + (g.i * (inst_start - inst_last_en)) // ${graft.pm.PmConfig.ReadyNegEvents + 1} AS instant,
+      |    inst_start
+      |  FROM inst2, LATERAL (SELECT unnest(generate_series(1, ${graft.pm.PmConfig.ReadyNegEvents})) AS i) g) z
       |  WHERE instant < inst_start),
       |neg2 AS (SELECT batch_id, instant, 2 AS src, 0 AS outcome FROM (
       |  SELECT b.batch_id, b.case_enabled AS instant,
       |    row_number() OVER (PARTITION BY b.batch_id
       |      ORDER BY (((b.case_id + b.batch_id) % 1000000007) * 2654435761) % 1000000007, b.case_id) AS rn
       |  FROM bcase b JOIN inst2 i ON b.batch_id = i.batch_id AND b.case_enabled < i.inst_start) z
-      |  WHERE rn <= 1),
+      |  WHERE rn <= ${graft.pm.PmConfig.EnabledNegEvents}),
       |instants AS (SELECT * FROM pos UNION ALL SELECT * FROM neg1 UNION ALL SELECT * FROM neg2),
       |casefirst AS (SELECT case_id, min(start_us) AS case_first_start FROM log GROUP BY 1),
       |subs AS (
@@ -111,8 +157,10 @@ object RuleQueries {
       |  FROM (SELECT DISTINCT batch_id, instant FROM instants) n
       |  JOIN meta m ON m.batch_id = n.batch_id
       |  JOIN en l ON l.resource = m.resource AND l.enabled_us <= n.instant AND n.instant <= l.end_us
-      |  GROUP BY 1, 2)
-      |SELECT s.batch_id, m.batch_type, a.activities, f.firing_activity,
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def featuresOracleFinalSelect: String =
+    """SELECT s.batch_id, m.batch_type, a.activities, f.firing_activity,
       |  s.instant AS instant_us, s.src, s.num_queue,
       |  s.instant - s.last_en AS t_ready_us,
       |  s.instant - s.first_en AS t_waiting_us,
@@ -128,7 +176,37 @@ object RuleQueries {
       |JOIN acts a ON a.batch_id = s.batch_id AND a.instant = s.instant AND a.src = s.src
       |LEFT JOIN wl w ON w.batch_id = s.batch_id AND w.instant = s.instant""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "ar_features" -> graft.pm.PmQueries.withFeaturePrefix(featuresOracleSelect)
-  )
+  def featuresOracleSelect: String =
+    featuresOracleCtes + "\n" + featuresOracleFinalSelect
+
+  /** The rule-scores oracle embeds the induced predicates (data-dependent):
+    * generated from the memoized fit, which Verify populates by RUNNING
+    * ar_rule_scores before it dumps oracle_sql.json. Omitted (rows-only
+    * check) when no fit ran or nothing survived the gates. */
+  private def ruleScoresOracle(f: Map[String, RuleSet]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val groups = f.toSeq.sortBy(_._1)
+    val predSql = "CASE activities " +
+      groups.map { case (g, rs) => s"WHEN '${esc(g)}' THEN ${rs.toSql}" }.mkString(" ") +
+      " ELSE NULL END"
+    val inList = groups.map { case (g, _) => s"'${esc(g)}'" }.mkString(", ")
+    graft.pm.PmQueries.withFeaturePrefix(
+      featuresOracleCtes + ",\nfeat AS (\n" + featuresOracleFinalSelect + ")\n" +
+        s"""SELECT group_key, num_obs,
+           |  (tp * 1000000) // NULLIF(pp, 0) AS confidence_e6,
+           |  (tp * 1000000) // NULLIF(num_obs, 0) AS support_e6
+           |FROM (
+           |  SELECT activities AS group_key, CAST(count(*) AS BIGINT) AS num_obs,
+           |    CAST(sum(CASE WHEN m AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS pp
+           |  FROM (SELECT *, $predSql AS m FROM feat WHERE activities IN ($inList)) z
+           |  GROUP BY 1) y""".stripMargin)
+  }
+
+  def oracleSql: Map[String, String] = {
+    val base = Map(
+      "ar_features" -> graft.pm.PmQueries.withFeaturePrefix(featuresOracleSelect))
+    if (lastFit.isEmpty) base
+    else base + ("ar_rule_scores" -> ruleScoresOracle(lastFit))
+  }
 }
