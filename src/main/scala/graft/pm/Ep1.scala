@@ -103,13 +103,14 @@ object Ep1 {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val analyzed = analyze(EventLogCsv.read(spark, input, schema)).persist()
+    val analyzed = graft.Pinned.stage(analyze(EventLogCsv.read(spark, input, schema)))
     analyzed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wts.parquet")
     EventLogCsv.writeCsvGz(wtLogView(analyzed), s"$outDir/wts_csv")
-    analyzed.unpersist()
+    graft.Pinned.releaseFrame(analyzed)
     graft.Pinned.release(spark)
     spark.stop()
   }

@@ -32,14 +32,16 @@ object PmQueries {
     cache.keySet.asScala.toList
       .filter { case (ks, kd) => ks.sparkContext.isStopped || (ks == s && kd != d) }
       .foreach { k =>
-        Option(cache.remove(k)).foreach(df => if (!k._1.sparkContext.isStopped) df.unpersist())
+        Option(cache.remove(k)).foreach(df => if (!k._1.sparkContext.isStopped) graft.Pinned.releaseFrame(df))
       }
   }
 
   private[graft] def disc(s: SparkSession, d: String): DataFrame = {
     evictOthers(discCache, s, d)
     discCache.computeIfAbsent((s, d), { _ =>
-      BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))).persist()
+      // STAGE boundary (graft.Pinned.stage): ~15 downstream queries plan
+      // against a leaf instead of re-printing the discovery DAG per action
+      graft.Pinned.stage(BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))))
     })
   }
 
@@ -210,13 +212,14 @@ object PmQueries {
   private val enCtes =
     s"""cs AS (SELECT case_id, min(start_us) AS case_start FROM log GROUP BY 1),
       |seqv AS (SELECT case_id, activity,
-      |  lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, end_us, event_id) AS prev_act FROM log),
+      |  lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, event_id) AS prev_act FROM log),
       |dfp AS (SELECT prev_act AS a, activity AS b, count(*) AS n FROM seqv WHERE prev_act IS NOT NULL GROUP BY 1, 2),
       |conc AS (SELECT d1.a AS a, d1.b AS b FROM dfp d1 JOIN dfp d2 ON d1.a = d2.b AND d1.b = d2.a
       |  WHERE d1.a <> d1.b AND abs(d1.n - d2.n) / (d1.n + d2.n + 1.0) < ${EnabledTime.DependencyThreshold}),
       |pred AS (
       |  SELECT e.event_id, max(p.end_us) AS pred_end
       |  FROM log e JOIN log p ON p.case_id = e.case_id AND p.end_us <= e.start_us
+      |    AND p.event_id <> e.event_id
       |  WHERE NOT EXISTS (SELECT 1 FROM conc c WHERE c.a = p.activity AND c.b = e.activity)
       |  GROUP BY e.event_id),
       |en AS (
@@ -233,7 +236,7 @@ object PmQueries {
     s"""seg0 AS (
       |  SELECT *, lag(start_us) OVER w AS prev_s, lag(end_us) OVER w AS prev_e,
       |    row_number() OVER w AS rn
-      |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id)),
+      |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, event_id)),
       |seg1 AS (
       |  SELECT *, CASE WHEN prev_s IS NULL THEN NULL
       |                 WHEN start_us = prev_s AND end_us = prev_e THEN 'P'
@@ -242,11 +245,11 @@ object PmQueries {
       |                 ELSE NULL END AS lnk
       |  FROM seg0),
       |seg2 AS (SELECT *, lag(lnk) OVER w2 AS prev_lnk
-      |  FROM seg1 WINDOW w2 AS (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id)),
+      |  FROM seg1 WINDOW w2 AS (PARTITION BY resource, activity ORDER BY start_us, event_id)),
       |seg3 AS (
       |  SELECT *, max(CASE WHEN lnk IS NULL THEN rn * 2 + 1
       |                     WHEN prev_lnk IS NOT NULL AND lnk = prev_lnk THEN rn * 2 END)
-      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
       |  FROM seg2),
       |seg4 AS (
@@ -255,7 +258,7 @@ object PmQueries {
       |  FROM seg3),
       |seg AS (
       |  SELECT *, sum(CASE WHEN bnd THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, case_id, event_id
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no
       |  FROM seg4)""".stripMargin
 

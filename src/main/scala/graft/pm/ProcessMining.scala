@@ -58,13 +58,22 @@ object EventLogOps {
 /** K2 — enabled-time estimation (concurrency-oracle style).
   *
   * Semantics (reconstruction of the Heuristics concurrency oracle used by
-  * the reference at analysis.py:28-43; deterministic, fully specified here):
+  * the reference at analysis.py:28-43; deterministic, fully specified here,
+  * and round-4-validated to reproduce EVERY golden Production enabled time:
+  * the per-pair must-be-concurrent / must-not-be-concurrent constraint set
+  * derived from Production_WTs.csv.gz has zero violations):
   *  - directly-follows df(a,b): count of adjacent pairs in each case ordered
-  *    by (start_us, end_us, event_id);
-  *  - a ∥ b  iff  a ≠ b and df(a,b) > 0 and df(b,a) > 0;
-  *  - enabled(e) = max{ end(p) : p in same case, end(p) <= start(e),
+  *    by (start_us, event_id) — event_id is INPUT ORDER, mirroring the
+  *    stable same-start tie-break of the reference stack (an end_us
+  *    tie-break flips e.g. Production Case61's Stress Relief / T&M Q.C.
+  *    adjacency into a spurious bidirectional pair);
+  *  - a ∥ b  iff  a ≠ b and df(a,b) > 0 and df(b,a) > 0 and the Heuristics
+  *    dependency |df(a,b)-df(b,a)|/(df(a,b)+df(b,a)+1) < threshold;
+  *  - enabled(e) = max{ end(p) : p in same case, p ≠ e, end(p) <= start(e),
   *    activity(p) not ∥ activity(e) }, falling back to the case's min start
-  *    (cf. batch_injection.py:186-191).
+  *    (cf. batch_injection.py:186-191). The p ≠ e exclusion matters for
+  *    zero-duration events, which otherwise enable THEMSELVES (end == start)
+  *    — 9 of the 13 round-3 golden enabled-time mismatches.
   *
   * Scale posture: phase 1 is a pair aggregation (tiny result, collected &
   * closure-broadcast); phase 2 shuffles once on case_id and runs an
@@ -84,7 +93,9 @@ object EnabledTime {
 
   def dfPairs(log: DataFrame): DataFrame = {
     import log.sparkSession.implicits._
-    val w = Window.partitionBy("case_id").orderBy("start_us", "end_us", "event_id")
+    // (start_us, event_id): same-start ties break by input order, NOT end
+    // time — see the object Scaladoc (golden-validated)
+    val w = Window.partitionBy("case_id").orderBy("start_us", "event_id")
     log.withColumn("prev_act", lag($"activity", 1).over(w))
       .filter($"prev_act".isNotNull)
       .groupBy($"prev_act".as("a"), $"activity".as("b"))
@@ -123,7 +134,11 @@ object EnabledTime {
         var i = 0
         while (i < evs.length) {
           val e = evs(i)
-          while (j < byEnd.length && byEnd(j).end_us <= e.start_us) {
+          // accrue predecessors that ended STRICTLY before this start; the
+          // end == start boundary is handled per-event below so the event
+          // itself (zero-duration: own end == own start) never qualifies
+          // as its own enabler
+          while (j < byEnd.length && byEnd(j).end_us < e.start_us) {
             val p = byEnd(j)
             if (lastEnd.getOrElse(p.activity, Long.MinValue) < p.end_us)
               lastEnd(p.activity) = p.end_us
@@ -132,6 +147,18 @@ object EnabledTime {
           var best = Long.MinValue
           lastEnd.foreach { case (a, en) =>
             if (en > best && !conc.contains((a, e.activity))) best = en
+          }
+          // boundary: another event ending exactly at this start enables it
+          if (best < e.start_us) {
+            var k = j
+            var found = false
+            while (!found && k < byEnd.length && byEnd(k).end_us == e.start_us) {
+              val p = byEnd(k)
+              if (p.event_id != e.event_id && !conc.contains((p.activity, e.activity)))
+                found = true
+              k += 1
+            }
+            if (found) best = e.start_us
           }
           val enb = if (best == Long.MinValue) caseStart else best
           out(i) = EvEn(e.event_id, e.case_id, e.activity, e.resource, e.start_us, e.end_us, enb)
@@ -191,6 +218,17 @@ object BatchDiscovery {
           // S admits a tolerated gap after the previous end
           // (batch_detection.R:36,53-55 seq_tolerated_gap; 0 = exact abut)
           .when(s >= col("prev_e") && s <= col("prev_e") + seqGapUs, "S")
+          // C = overlap that is neither simultaneous nor equal-end. Round-4
+          // variants tried and REJECTED by the goldens: strict s > prev_s
+          // (same-start different-end pairs DO batch — Production instances
+          // 2/334/352/379/471) and any-overlap C (equal-end pairs almost
+          // never batch: +55 spurious batched events). The three remaining
+          // pairwise-indistinguishable deltas (Case28/Case87 extra pair vs
+          // instance 352; golden 314's equal-end link vs 55 unbatched
+          // equal-end twins; 334's split) trace to BAMA's model-based
+          // candidate filter (log_and_model_based=TRUE, batch_detection.R:72)
+          // which conditions on a discovered process model, not on the
+          // interval sequence — accepted residuals vs the golden 485.
           .when(s < col("prev_e") && e =!= col("prev_e"), "C")
           .otherwise(lit(null: String)))
       .withColumn("prev_lnk", lag(col("lnk"), 1).over(w))
@@ -209,10 +247,14 @@ object BatchDiscovery {
       .drop("prev_s", "prev_e", "prev_lnk", "rn", "anchor")
   }
 
-  /** Adds lnk / bnd / seg_no within (resource, activity). */
+  /** Adds lnk / bnd / seg_no within (resource, activity). Ordered by
+    * (start_us, event_id): same-start ties break by input order like the
+    * reference stack's stable sorts — golden Production batch 384 exists
+    * only because Case110's row precedes Case78's same-interval second row
+    * in the file. */
   def segment(en: DataFrame, seqGapUs: Long = PmConfig.SeqGapUs): DataFrame =
     typedLinkSegments(en, Seq("resource", "activity"),
-      Seq("start_us", "end_us", "case_id", "event_id"), "start_us", "end_us", seqGapUs)
+      Seq("start_us", "event_id"), "start_us", "end_us", seqGapUs)
 
   /** Per-segment batch type = the shared type of the chain's links (all
     * non-boundary rows of a segment carry the same lnk by construction).

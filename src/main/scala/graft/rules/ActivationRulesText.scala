@@ -27,10 +27,25 @@ object ActivationRulesText {
   private def pyInt(v: Double): String =
     if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
+  /** The engine's feature columns carry explicit units (micros); the
+    * reference's rules text renders the parsed features table
+    * (activation_rules.py:161-163: durations in SECONDS, column `minute`).
+    * Map names and scale thresholds so the layout matches the reference's
+    * schema exactly. */
+  private val refNames = Map(
+    "t_ready_us" -> ("t_ready", 1e6), "t_waiting_us" -> ("t_waiting", 1e6),
+    "t_max_flow_us" -> ("t_max_flow", 1e6), "instant_us" -> ("instant", 1e6),
+    "minute_of_hour" -> ("minute", 1d))
+  private def toRef(c: Cond): Cond = refNames.get(c.feature) match {
+    case Some((n, s)) => Cond(n, c.isLeq, c.threshold / s)
+    case None => c
+  }
+
   /** Reference condition styles (wittgenstein's rendering after main.py's
     * replace chain): `f=<v` / `f=>v` for one-sided bounds, `f=a-b` for an
     * interval (a >= and <= pair on the same feature), `f=v` for equality. */
-  private def renderConds(conds: List[Cond]): String = {
+  private def renderConds(conds0: List[Cond]): String = {
+    val conds = conds0.map(toRef)
     val byFeature = conds.zipWithIndex.groupBy(_._1.feature).toSeq
       .sortBy(_._2.map(_._2).min) // keep first-appearance order
     byFeature.map { case (f, cs) =>

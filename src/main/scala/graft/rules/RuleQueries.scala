@@ -19,7 +19,7 @@ object RuleQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def feats(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(featCache, s, d)
-    featCache.computeIfAbsent((s, d), _ => Features.featuresTable(disc(s, d)).persist())
+    featCache.computeIfAbsent((s, d), _ => graft.Pinned.stage(Features.featuresTable(disc(s, d))))
   }
 
   /** Fitted rulesets per (session, sfDir) — memoized so the scoring query

@@ -43,13 +43,17 @@ object EventLogCsv {
       .withColumn("resource", coalesce(col(schema.resource), lit("NOT_SET")))
       .withColumn("start_us", graft.Det.us(to_timestamp(col(schema.start))))
       .withColumn("end_us", graft.Det.us(to_timestamp(col(schema.end))))
-    // deterministic event ids via a distributed global rank (range
-    // partition + per-partition offsets) — no single-task WindowExec on the
-    // ingest path
-    val order = Seq("case_str", "activity", "start_us", "end_us", "resource").map(col)
+    // event_id = FILE ORDER (partition-ordered monotonic id). This is
+    // load-bearing for golden parity: the reference stack (pandas sorts,
+    // R's stable order) breaks every same-start tie by original row order,
+    // and the concurrency oracle fitted against Production_WTs matches the
+    // golden enabled times EXACTLY only with this tie-break (a value-sorted
+    // rank mis-orders e.g. Case61's Stress Relief / T&M Q.C. pair and
+    // flips their concurrency). Cheaper than a global rank too: no shuffle,
+    // no sort — ids are non-dense across partitions, which nothing needs.
     val cols = Seq("event_id", "case_id", "case_str", "activity", "resource", "start_us", "end_us") ++
       (if (schema.enabled.isDefined) Seq("enabled_us") else Nil)
-    graft.Dist.withGlobalRank(base, "event_id", order)
+    base.withColumn("event_id", monotonically_increasing_id())
       .select(cols.map(col): _*)
   }
 

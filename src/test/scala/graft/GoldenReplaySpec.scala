@@ -25,16 +25,39 @@ class GoldenReplaySpec extends AnyFunSuite {
     // enabled time never exceeds start
     assert(en.filter($"enabled_us" > $"start_us").count() == 0L)
 
-    val d = BatchDiscovery.discoverFull(en).persist()
+    // Round 4: the engine's enabled times match the golden's on EVERY event
+    // (the per-pair concurrency constraint set derived from
+    // Production_WTs.csv.gz has zero violations) — assert full equality.
+    val golden = spark.read.option("header", "true")
+      .csv("/root/reference/outputs/Production_WTs.csv.gz")
+      .select(col("case_id").as("g_case"), col("Activity").as("g_act"),
+        graft.Det.us(to_timestamp(col("start_time"))).as("g_start"),
+        graft.Det.us(to_timestamp(col("end_time"))).as("g_end"),
+        graft.Det.us(to_timestamp(col("enabled_time"))).as("g_enabled"))
+    val enMismatch = en
+      .join(log.select($"event_id", $"case_str"), Seq("event_id"))
+      .join(golden, $"case_str" === $"g_case" && $"activity" === $"g_act" &&
+        $"start_us" === $"g_start" && $"end_us" === $"g_end")
+      .filter($"enabled_us" =!= $"g_enabled")
+    assert(enMismatch.count() == 0L,
+      "engine enabled times diverged from the golden Production enabled times")
+
+    val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en))
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     val batchedEvents = d.filter($"batch_id".isNotNull).count()
-    info(s"Production: $nBatches batch instances, $batchedEvents/4503 batched events (golden: 485 instances)")
-    // Round-2 typed-link segmentation reproduces all 485 golden instances
-    // exactly, plus one extra 2-case pair the reference's subprocess
-    // nullification path removes (our enabled-time oracle reconstruction may
-    // shift a couple of W4 splits vs the reference's, hence the +/-2 band).
-    assert(nBatches >= 484L && nBatches <= 488L,
-      s"batch instance count $nBatches drifted from the golden 485 (expected ~486)")
+    info(s"Production: $nBatches batch instances, $batchedEvents/4503 batched events (golden: 485 / 1244)")
+    // Round 4: deterministic 487 instances / 1245 batched events vs golden
+    // 485 / 1244. Instance-level diff: 483 of 485 golden instances match
+    // EXACTLY; the three residuals (one extra 2-case pair, golden 314
+    // missing its equal-end third member, golden 334 split across an
+    // equal-end link) are each pairwise-indistinguishable from batched
+    // twins elsewhere in the golden and trace to BAMA's model-based
+    // candidate filter (log_and_model_based=TRUE, batch_detection.R:72) —
+    // see the C-link Scaladoc in ProcessMining.typedLinkSegments.
+    assert(nBatches == 487L,
+      s"batch instance count $nBatches drifted (round-4 pinned: 487 = golden 485 + documented residuals)")
+    assert(batchedEvents == 1245L,
+      s"batched event count $batchedEvents drifted (round-4 pinned: 1245 vs golden 1244)")
     assert(d.count() == 4503L)
 
     // per-batch invariants
@@ -46,7 +69,62 @@ class GoldenReplaySpec extends AnyFunSuite {
     assert(wt.filter($"total_wt_us" =!=
       $"creation_wt_us" + $"ready_wt_us" + $"other_wt_us").count() == 0L)
     assert(wt.filter($"ready_wt_us" < 0 || $"creation_wt_us" < 0 || $"other_wt_us" < 0).count() == 0L)
-    d.unpersist()
+    graft.Pinned.releaseFrame(d); graft.Pinned.release(spark)
+  }
+
+  test("Production report + ActivationRules match golden anchors") {
+    import spark.implicits._
+    val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
+    val en = EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en))
+
+    // EP2 report: byte-level anchors from outputs/Production_Report.txt.
+    // The full render matches the golden on 463/468 lines; the remaining
+    // lines are the three documented instance residuals (all in the
+    // 'Turning & Milling' block) and three ±1ns float64-mean artifacts.
+    val report = graft.pm.Reporting.render(d)
+    assert(report.split("Batch formed by activities: ").length - 1 == 12,
+      "golden report has 12 activity groups")
+    val fiqc = report.split("Batch formed by activities: ")
+      .find(_.startsWith("('Final Inspection Q.C.',)")).getOrElse("")
+    for (anchor <- Seq(
+      "Num occurrences: 550",
+      "Num occurrences in batch: 196",
+      "Frequency occurrences in batch: 35.64%",
+      "Batch size distribution: Counter({2: 77, 3: 10, 4: 3})",
+      "Average creation wt: 5 days 04:10:03.061224489 sec", // exact ns floor
+      "- Batch type: Parallel\n\t\tNum batch instances: 1",
+      "- Batch type: Sequential task-based\n\t\tNum batch instances: 42",
+      "- Batch type: Concurrent task-based\n\t\tNum batch instances: 47"))
+      assert(fiqc.contains(anchor), s"FIQC block missing golden anchor: $anchor")
+    // representative-sequence occurrence counts (utils.py:199-229): a
+    // repeated-activity batch case makes even a single-activity group a
+    // SEQUENCE count — golden Lapping is 112 windows, not 370 events
+    val lap = report.split("Batch formed by activities: ")
+      .find(_.startsWith("('Lapping',)")).getOrElse("")
+    assert(lap.contains("Num occurrences: 112"), "Lapping sequence count (golden 112)")
+    assert(report.contains("('Turning',)\nNum occurrences: 85".replace("\n", "\n\t")) ||
+      report.split("Batch formed by activities: ")
+        .find(_.startsWith("('Turning',)")).exists(_.contains("Num occurrences: 85")),
+      "Turning sequence count (golden 85)")
+
+    // ActivationRules text: the gate notices and observation counts are
+    // deterministic feature-pipeline outputs (golden-exact); the fitted
+    // rules themselves differ (unseeded wittgenstein vs deterministic
+    // sequential covering) and are structure-only.
+    val rules = graft.rules.ActivationRulesText.render(
+      graft.rules.Features.featuresTable(d))
+    for (notice <- Seq(
+      "Not extracting rules from batch ('Flat Grinding',) due to low size: 12",
+      "Not extracting rules from batch ('Turning',) due to low size: 2",
+      "Not extracting rules from batch ('Turning Q.C.',) due to low size: 9",
+      "Not extracting rules from batch ('Turning Rework',) due to low size: 3"))
+      assert(rules.contains(notice), s"missing golden gate notice: $notice")
+    assert("Batch: \\(".r.findAllIn(rules).length == 8, "8 gated rule blocks (golden)")
+    assert(rules.contains("Batch: ('Final Inspection Q.C.',):\n\t# Observations: 270"),
+      "FIQC observation count (golden 270)")
+    graft.Pinned.releaseFrame(d); graft.Pinned.release(spark)
   }
 
   test("WTs artifact layout matches the golden Production_WTs.csv.gz") {
@@ -88,11 +166,14 @@ class GoldenReplaySpec extends AnyFunSuite {
     // do the same with K2 and allow a small band around the golden 587.
     val en = EnabledTime.withEnabled(
       log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
-    val d = BatchDiscovery.discoverFull(en, minSize = 10).persist()
+    val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en, minSize = 10))
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     info(s"Loan: $nBatches batch instances at minSize=10 (golden: 587)")
-    assert(nBatches >= 575L && nBatches <= 600L,
-      s"batch instance count $nBatches drifted from the golden 587")
+    // Round 4 pinned: 588 (golden 587; the goldens were generated from a
+    // different injected instance of this log — dates/resources differ —
+    // so only the aggregate count is comparable).
+    assert(nBatches == 588L,
+      s"batch instance count $nBatches drifted (round-4 pinned: 588, golden 587)")
 
     // EP2 report anchors for 'Assess loan risk' (Loan_Application_Report.txt
     // lines 1-5): 7000 occurrences, ~5264 batched (75.20%), all sizes 14.
@@ -103,10 +184,12 @@ class GoldenReplaySpec extends AnyFunSuite {
     val batched = "Num occurrences in batch: (\\d+)".r
       .findFirstMatchIn(block).map(_.group(1).toLong).getOrElse(0L)
     info(s"Loan 'Assess loan risk': $batched batched occurrences (golden: 5264)")
-    assert(math.abs(batched - 5264L) <= 30L,
-      s"batched occurrences $batched drifted from golden 5264")
+    // exact since the round-4 K2 fixes (input-order df tie-break +
+    // zero-duration self-enable exclusion)
+    assert(batched == 5264L,
+      s"batched occurrences $batched drifted from the golden 5264")
     assert(block.contains("Batch size distribution: Counter({14: "),
       "golden batches are all size 14")
-    d.unpersist()
+    graft.Pinned.releaseFrame(d); graft.Pinned.release(spark)
   }
 }
