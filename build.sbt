@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One suite at a time: all suites share one SparkSession, and concurrent
+// heavy suites oversubscribe its local[n] threads and thrash the 100-entry
+// codegen cache (serialized janino recompiles) — a parallel run of the
+// round-4 suite took 35 min vs ~6 min sequential (GoldenReplaySpec alone:
+// 47 s isolated, 22+ min when racing the other eight suites).
+Test / parallelExecution := false
 run / fork := true
 // Forked run output must pass through UNPREFIXED: the round-1 bench JSON
 // line came out as "[info] {...}" (sbt's default LoggedOutput), which the
