@@ -35,7 +35,8 @@ object Bench {
     * machine-contention signal a judge can normalize artifacts with. */
   private def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(0, 200000000L, 1, 32).selectExpr("sum(xxhash64(id)) AS s").collect()
+    // bit_xor, not sum: summing 200M uniform longs overflows under ANSI
+    spark.range(0, 200000000L, 1, 32).selectExpr("bit_xor(xxhash64(id)) AS s").collect()
     (System.nanoTime() - t0) / 1e9
   }
 
