@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * the verify join touches only candidate pairs.
   */
 object Dedup {
-  /** First 8 md5 hex chars of `seed:shingle` as a long (32-bit hash space). */
+  /** First 8 md5 hex chars of `seed:shingle` as a long (32-bit hash space).
+    * Native codegen'd digest ([[graft.functions.Md5Head32]]) — bit-identical
+    * to the composed `conv(substring(md5(...), 1, 8), 16, 10)` form, minus
+    * its three string allocations per hash. */
   def md5Hash32(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Head32(concat(lit(s"$seed:"), c))
 
   /** (doc_id, i, tok) token stream, positions 1-based. */
   def tokens(docs: DataFrame, textCol: String = "text"): DataFrame = {

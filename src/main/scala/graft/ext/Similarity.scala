@@ -42,19 +42,21 @@ object Similarity {
   private def qvec(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000000d).cast("long"))
 
-  /** Exact integer dot product of two quantized arrays. */
-  private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized arrays — a codegen'd
+    * native expression ([[graft.functions.LongDot]]; the interpreted
+    * `aggregate(zip_with(...))` HOF form it replaces dominated the
+    * similarity queries' CPU). Callers' arrays are same-length here, so
+    * overlap semantics coincide with a plain elementwise dot. */
+  private def idot(a: Column, b: Column): Column = graft.functions.LongDot(a, b)
 
   /** Integer dot over the OVERLAPPING positions of two quantized arrays:
-    * zip_with pads the shorter array with nulls, which a plain idot turns
-    * into a null total (every LSH bit 0 → all vectors in one bucket when
-    * the embedding dim != PlaneDim). Coalescing each product to 0 makes
-    * non-overlapping positions contribute nothing — exactly the oracle's
-    * join-on-dimension-index semantics, for any embedding length. */
-  private def idotOverlap(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+    * a plane weight vector of PlaneDim entries against an embedding of any
+    * length contributes only the overlapping dims, and null elements
+    * contribute 0 — exactly the oracle's join-on-dimension-index
+    * semantics (round-3 ADVICE trap: the zip_with form null-padded the
+    * shorter side into a null total → every LSH bit 0). LongDot implements
+    * precisely these semantics natively. */
+  private def idotOverlap(a: Column, b: Column): Column = graft.functions.LongDot(a, b)
 
   /** (vec_id, qv: array<long>, nq: long) — quantized vector + norm, one
     * narrow pass, no explode, nothing cached. */

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.LongDot
+
+/** Native codegen'd expressions vs their interpreted HOF reference forms. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))), lit(0L), (acc, v) => acc + v)
+
+  test("LongDot matches the aggregate(zip_with) reference on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unequal lengths and null elements included — overlap + null-skip semantics
+    val rows = Seq.tabulate(200) { i =>
+      val n1 = 1 + rnd.nextInt(80)
+      val n2 = 1 + rnd.nextInt(80)
+      def arr(n: Int) = Seq.tabulate(n)(j =>
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextLong() % 1000000L))
+      (i.toLong, arr(n1), arr(n2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select($"id", LongDot($"a", $"b").as("native"), hofDot($"a", $"b").as("ref"))
+    assert(out.filter($"native" =!= $"ref").count() == 0L)
+    assert(out.filter($"native".isNull).count() == 0L)
+  }
+
+  test("LongDot null/empty semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L))), // overlap: 1*4 + 2*5
+      (2L, Some(Seq.empty[Long]), Some(Seq(1L))),     // empty overlap -> 0
+      (3L, None, Some(Seq(1L)))                       // null array -> null
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", LongDot($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(1L) == 14L && got(2L) == 0L && got(3L) == null)
+  }
+
+  test("Md5Head32 is bit-identical to the composed conv(substring(md5)) form") {
+    import spark.implicits._
+    val df = (Seq("", "a", "hello world", "3:some shingle text", "é中文")
+      ++ Seq.tabulate(100)(i => s"doc $i body"))
+      .toDF("s")
+    val out = df.select(
+      graft.functions.Md5Head32($"s").as("native"),
+      conv(substring(md5($"s".cast("binary")), 1, 8), 16, 10).cast("long").as("ref"))
+    assert(out.filter($"native" =!= $"ref" || $"native".isNull).count() == 0L)
+  }
+
+  test("LongDot stays inside whole-stage codegen") {
+    import spark.implicits._
+    // range source so the project isn't constant-folded into a LocalTableScan
+    val df = spark.range(10)
+      .select(array($"id", $"id" + 1).as("a"), array($"id" * 2, $"id").as("b"))
+      .select(LongDot($"a", $"b").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the project with long_dot must sit under a WholeStageCodegen span
+    assert(plan.contains("*(1)") && plan.contains("long_dot"), s"no codegen span in:\n$plan")
+    assert(df.agg(sum($"d")).collect()(0).getLong(0) ==
+      (0L until 10L).map(i => i * i * 2 + (i + 1) * i).sum)
+  }
+}
