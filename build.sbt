@@ -43,4 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole suite in one 8g JVM under external load, amplifying cache
   // contention ~8x; override with SPARK_DRIVER_MEM when the host is smaller.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A long suite session JIT-compiles thousands of janino-generated
+  // classes; at the 240m default the code cache fills, the JIT disables
+  // itself, and the whole JVM drops to interpreter speed — observed as a
+  // nondeterministic 10x suite slowdown (2m11s vs 24m for identical code)
+  // with one thread grinding in codegen string building and the sweeper
+  // busy. 512m keeps the JIT alive for the session lifetime.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,12 +36,25 @@ object PmQueries {
       }
   }
 
+  /** Enabled-time stage (K2 output): the pipeline's FIRST natural
+    * materialization point, shared by task-only discovery (disc) and the
+    * full subprocess discovery (pm_sp_batches) — without it each built its
+    * own K2 sweep (+~4s per consumer at sf0.1). */
+  private val enCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def enabledStage(s: SparkSession, d: String): DataFrame = {
+    evictOthers(enCache, s, d)
+    enCache.computeIfAbsent((s, d), { _ =>
+      graft.Pinned.stage(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d)))
+    })
+  }
+
   private[graft] def disc(s: SparkSession, d: String): DataFrame = {
     evictOthers(discCache, s, d)
     discCache.computeIfAbsent((s, d), { _ =>
       // STAGE boundary (graft.Pinned.stage): ~15 downstream queries plan
       // against a leaf instead of re-printing the discovery DAG per action
-      graft.Pinned.stage(BatchDiscovery.discover(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d))))
+      graft.Pinned.stage(BatchDiscovery.discover(enabledStage(s, d)))
     })
   }
 
@@ -137,7 +150,7 @@ object PmQueries {
     // reference's complete pass order with the nullification path.
     "pm_sp_batches" -> ((s, d) => {
       import s.implicits._
-      BatchDiscovery.discoverFull(EnabledTime.withEnabled(EventLogOps.fromEvents(s, d)))
+      BatchDiscovery.discoverFull(enabledStage(s, d))
         .select($"event_id", $"case_id", $"activity", $"resource",
           $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
     }),

@@ -24,12 +24,16 @@ object RuleQueries {
 
   /** Fitted rulesets per (session, sfDir) — memoized so the scoring query
     * and the dynamically generated oracle SQL (dumped by Verify AFTER the
-    * queries ran) see the same fit. */
+    * queries ran) see the same fit. Gate-passed groups whose fit found no
+    * surviving ruleset stay in the map as None (reference: empty rules
+    * dict, activation_rules.py:240) — their predicate scores as FALSE, so
+    * the scoring surface exists at every scale, not only when a rule
+    * happens to clear min-support. */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, RuleSet]]()
-  @volatile private var lastFit: Map[String, RuleSet] = Map.empty
-  private def fitted(s: SparkSession, d: String): Map[String, RuleSet] = {
-    val f = fitCache.computeIfAbsent((s, d), _ => Ripper.fitPerGroup(feats(s, d)))
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, Option[RuleSet]]]()
+  @volatile private var lastFit: Map[String, Option[RuleSet]] = Map.empty
+  private def fitted(s: SparkSession, d: String): Map[String, Option[RuleSet]] = {
+    val f = fitCache.computeIfAbsent((s, d), _ => Ripper.fitPerGroupAll(feats(s, d)))
     lastFit = f
     f
   }
@@ -95,7 +99,8 @@ object RuleQueries {
     import s.implicits._
     val f = fitted(s, d)
     val pred = f.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
-      case (acc, (g, rs)) => when($"activities" === g, rs.toColumn).otherwise(acc)
+      case (acc, (g, rs)) =>
+        when($"activities" === g, rs.map(_.toColumn).getOrElse(lit(false))).otherwise(acc)
     }
     feats(s, d)
       .filter($"activities".isin(f.keys.toSeq: _*))
@@ -183,11 +188,13 @@ object RuleQueries {
     * generated from the memoized fit, which Verify populates by RUNNING
     * ar_rule_scores before it dumps oracle_sql.json. Omitted (rows-only
     * check) when no fit ran or nothing survived the gates. */
-  private def ruleScoresOracle(f: Map[String, RuleSet]): String = {
+  private def ruleScoresOracle(f: Map[String, Option[RuleSet]]): String = {
     def esc(s: String) = s.replace("'", "''")
     val groups = f.toSeq.sortBy(_._1)
     val predSql = "CASE activities " +
-      groups.map { case (g, rs) => s"WHEN '${esc(g)}' THEN ${rs.toSql}" }.mkString(" ") +
+      groups.map { case (g, rs) =>
+        s"WHEN '${esc(g)}' THEN ${rs.map(_.toSql).getOrElse("FALSE")}"
+      }.mkString(" ") +
       " ELSE NULL END"
     val inList = groups.map { case (g, _) => s"'${esc(g)}'" }.mkString(", ")
     graft.pm.PmQueries.withFeaturePrefix(

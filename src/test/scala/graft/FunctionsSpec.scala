@@ -51,6 +51,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.filter($"native" =!= $"ref" || $"native".isNull).count() == 0L)
   }
 
+  test("GraftFunctions registers long_dot / md5_head32 for SQL text") {
+    // newSession: fresh sessionState (registry) over the shared context —
+    // registration must not leak into the suite session
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    val r = s2.sql(
+      "SELECT long_dot(array(1L,2L,3L), array(4L,5L)) AS d, md5_head32('x') AS h").collect()(0)
+    assert(r.getLong(0) == 14L)
+    val ref = s2.sql(
+      "SELECT conv(substring(md5(cast('x' AS binary)), 1, 8), 16, 10) AS h").collect()(0)
+    assert(r.getLong(1) == ref.getString(0).toLong)
+    // the extensions injector exposes the same builders
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT long_dot(array(1L), array(1L))").collect()
+    }
+  }
+
   test("LongDot stays inside whole-stage codegen") {
     import spark.implicits._
     // range source so the project isn't constant-folded into a LocalTableScan

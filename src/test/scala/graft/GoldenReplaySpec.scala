@@ -20,8 +20,12 @@ class GoldenReplaySpec extends AnyFunSuite {
     assert(log.count() == 4503L) // BASELINE.md dataset scale
     assert(log.select("case_id").distinct().count() == 225L)
 
-    val en = EnabledTime.withEnabled(
-      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    // stage the enabled frame to a leaf: discoverFull references it many
+    // times, and Catalyst re-analyzes each reference's full subtree per
+    // action — over a leaf the expansion is trivial (same pattern as
+    // PmQueries.enabledStage in the production path)
+    val en = graft.Pinned.stage(EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")))
     // enabled time never exceeds start
     assert(en.filter($"enabled_us" > $"start_us").count() == 0L)
 
@@ -75,8 +79,12 @@ class GoldenReplaySpec extends AnyFunSuite {
   test("Production report + ActivationRules match golden anchors") {
     import spark.implicits._
     val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
-    val en = EnabledTime.withEnabled(
-      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    // stage the enabled frame to a leaf: discoverFull references it many
+    // times, and Catalyst re-analyzes each reference's full subtree per
+    // action — over a leaf the expansion is trivial (same pattern as
+    // PmQueries.enabledStage in the production path)
+    val en = graft.Pinned.stage(EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")))
     val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en))
 
     // EP2 report: byte-level anchors from outputs/Production_Report.txt.
@@ -164,8 +172,12 @@ class GoldenReplaySpec extends AnyFunSuite {
     // >= 10 cases). The reference recomputes enabled times with its oracle
     // (the input column differs from the golden's on ~90% of rows), so we
     // do the same with K2 and allow a small band around the golden 587.
-    val en = EnabledTime.withEnabled(
-      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"))
+    // stage the enabled frame to a leaf: discoverFull references it many
+    // times, and Catalyst re-analyzes each reference's full subtree per
+    // action — over a leaf the expansion is trivial (same pattern as
+    // PmQueries.enabledStage in the production path)
+    val en = graft.Pinned.stage(EnabledTime.withEnabled(
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")))
     val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en, minSize = 10))
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     info(s"Loan: $nBatches batch instances at minSize=10 (golden: 587)")

@@ -6,7 +6,9 @@ cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 # 32g default (the sandbox has 128 GiB): an 8g heap under external load
-# amplified cache contention ~8x in the round-3 driver bench
-exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
+# amplified cache contention ~8x in the round-3 driver bench.
+# 512m code cache: the 240m default fills with JIT output over a long
+# janino-heavy session, silently disabling the JIT (10x slowdowns).
+exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
