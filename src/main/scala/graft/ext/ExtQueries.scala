@@ -98,7 +98,8 @@ object ExtQueries {
     // Structured Streaming transforms in graft.streaming.StreamOps).
     "st_tumbling" -> ((s, d) => graft.streaming.StreamOps.tumbling(Tables.events(s, d))),
     "st_sliding" -> ((s, d) => graft.streaming.StreamOps.sliding(Tables.events(s, d))),
-    "st_session" -> ((s, d) => graft.streaming.StreamOps.sessions(Tables.events(s, d)))
+    "st_session" -> ((s, d) => graft.streaming.StreamOps.sessions(Tables.events(s, d))),
+    "st_dedup" -> ((s, d) => graft.streaming.StreamOps.dedup(Tables.events(s, d)))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -363,6 +364,9 @@ object ExtQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
         |SELECT user_id, make_timestamp(min(t)) AS sess_start, make_timestamp(max(t) + 600000000) AS sess_end,
         |  count(*) AS n, CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sess""".stripMargin
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    "st_dedup" ->
+      "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us FROM events"
   )
 }

@@ -94,6 +94,30 @@ object StreamOps {
       }
   }
 
+  /** Exact streaming deduplication (the J1 dedup surface in streaming form
+    * — what a continuously-ingesting training pipeline runs): DISTINCT on
+    * the content key. Batch form; key-only projection makes dropDuplicates
+    * deterministic (no arbitrary carried columns). */
+  def dedup(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select($"user_id", $"event_type", graft.Det.us($"ts").as("t_us"))
+      .dropDuplicates()
+  }
+
+  /** Streaming [[dedup]]: watermarked dropDuplicates — per-key state is
+    * dropped once the watermark passes the event time, so state is bounded
+    * by the lateness horizon, not the stream length (the only shape that
+    * survives an unbounded 100 TB/day ingest). */
+  def dedupStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type", "ts")
+      .select($"user_id", $"event_type", graft.Det.us($"ts").as("t_us"))
+  }
+
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream
     * source (tested via the memory sink). */
   def tumblingStream(events: DataFrame): DataFrame = {

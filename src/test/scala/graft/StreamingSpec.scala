@@ -78,4 +78,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming watermarked dedup equals batch distinct") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = StreamOps.dedup(Tables.events(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val q = StreamOps.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_dedup_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
