@@ -18,7 +18,11 @@ class InjectionRoundTripSpec extends AnyFunSuite {
 
   private lazy val disc = {
     val log = SyntheticLog.withParallelBatches(spark, nCases, k)
-    BatchDiscovery.discover(EnabledTime.withEnabled(log)).persist()
+    // stage (leaf), not persist: featuresTable references this frame ~6
+    // times and Catalyst re-analyzes each reference's full subtree per
+    // action — over the un-cut discovery plan that re-walk is the
+    // dominant cost of this suite (planning cost is data-independent)
+    graft.Pinned.stage(BatchDiscovery.discover(EnabledTime.withEnabled(log)))
   }
 
   test("discovery recovers exactly the planted batches") {

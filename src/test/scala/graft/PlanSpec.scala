@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan posture regression locks (SURVEY §4): pushdown reaches the
+  * parquet scan, projection is pruned, small dims broadcast, and the
+  * native expressions stay inside whole-stage codegen. These are the
+  * properties `.explain` review verified by hand — asserted here so a
+  * refactor can't silently lose them. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("a6: filter pushed to the parquet scan, schema pruned") {
+    val p = planOf("a6_scan_prune")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(p_size,40)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"),
+      s"schema not pruned to the 3 projected columns:\n$p")
+  }
+
+  test("q3: dimension sides broadcast, fact scan filtered at the source") {
+    val p = planOf("q3_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"dim filter not pushed:\n$p")
+  }
+
+  test("similarity: long_dot runs inside a codegen span, embeddings scan pruned") {
+    val p = planOf("j3_knn_cosine")
+    assert(p.contains("long_dot"), s"native expression missing:\n$p")
+    assert(p.contains("*("), s"no whole-stage codegen span:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embedding scan not pruned:\n$p")
+  }
+
+  test("pm: event scan prunes to the canonical log columns") {
+    // pm queries plan against the memoized stage leaf (LogicalRDD), so the
+    // parquet scan lives in the log-derivation plan the stage materializes
+    val p = graft.pm.EventLogOps.fromEvents(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exactly the five columns the canonical log derivation consumes
+    // (ts read as nanos long via the legacy conf; value derives end_us)
+    assert(p.contains(
+      "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double>"),
+      s"events scan not pruned:\n$p")
+  }
+}
