@@ -47,9 +47,16 @@ object HandoffPriority {
   def injectPrioritizedHandoff(log: DataFrame, activity: String): DataFrame = {
     import log.sparkSession.implicits._
     val en = EnabledTime.withEnabled(log)
-    val pairs = prioritizationPairs(en, activity)
+    // STAGE boundary (tiny pair-grain frame): t1 and t2 each embed this
+    // plan, and the union is re-analyzed by every downstream consumer —
+    // un-cut, the nested self-join lineage (pairs contains the enabled-time
+    // kernel twice) made Catalyst re-analysis the dominant cost of the
+    // prioritization suite (minutes of driver CPU on a 24-row log). The
+    // function is already eager (max-id .first() below), so an eager leaf
+    // here changes nothing semantically.
+    val pairs = graft.Pinned.stage(prioritizationPairs(en, activity)
       .withColumn("diff", $"e2_end" - $"e1_start")
-      .withColumn("en_shift", $"e2_enabled" - $"e1_enabled" - lit(SecUs))
+      .withColumn("en_shift", $"e2_enabled" - $"e1_enabled" - lit(SecUs)))
     val mx = log.agg(max($"case_id"), max($"event_id")).first()
     val (maxCase, maxEvent) = (mx.getLong(0), mx.getLong(1))
     val t1 = log.join(pairs.select($"e1_case".as("case_id"), $"i",
@@ -86,7 +93,10 @@ object HandoffPriority {
     * result == invariant holds. */
   def checkPrioritization(injected: DataFrame): DataFrame = {
     import injected.sparkSession.implicits._
-    val en = EnabledTime.withEnabled(injected)
+    // stage: the re-estimated frame is self-joined below (waiting x others)
+    // — without the cut both sides re-embed the caller's full injected
+    // lineage plus the enabled-time kernel
+    val en = graft.Pinned.stage(EnabledTime.withEnabled(injected))
     val waiting = en.filter($"start_us" > $"enabled_us" && $"resource".contains("_prior_"))
       .select($"event_id", $"resource".as("w_res"), $"start_us", $"enabled_us")
     val others = en.select($"resource".as("o_res"), $"end_us".as("o_end"),

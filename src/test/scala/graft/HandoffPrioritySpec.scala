@@ -19,7 +19,9 @@ class HandoffPrioritySpec extends AnyFunSuite {
 
   test("injected log passes _check_priorit: planted 1s gaps survive re-estimation") {
     val log = SyntheticLog.handoffLog(spark, 3)
-    val injected = HandoffPriority.injectPrioritizedHandoff(log, "H")
+    // stage: every assertion below re-estimates enabled times over this
+    // frame — plan against a leaf, not the union-of-clone-joins lineage
+    val injected = graft.Pinned.stage(HandoffPriority.injectPrioritizedHandoff(log, "H"))
     // 3 blocks x 2 cloned traces x 2 events on top of the 12 base events
     assert(injected.count() == 12 + 3 * 4)
     import spark.implicits._
@@ -38,7 +40,7 @@ class HandoffPrioritySpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val log = SyntheticLog.handoffLog(spark, 2)
-    val injected = HandoffPriority.injectPrioritizedHandoff(log, "H")
+    val injected = graft.Pinned.stage(HandoffPriority.injectPrioritizedHandoff(log, "H"))
     // widen one planted gap by a second: the G-clone end moves back
     val corrupted = injected.withColumn("end_us",
       when($"activity" === "G" && $"resource" === "rg0_prior_0",
