@@ -23,14 +23,28 @@ object StageProbe {
       r
     }
 
+    if (args.length > 1 && args(1) == "explain") {
+      val en0 = Pinned.stage(pm.EnabledTime.withEnabled(pm.EventLogOps.fromEvents(spark, sfDir)))
+      val d0 = Pinned.stage(pm.BatchDiscovery.discover(en0))
+      val plan = rules.Features.featuresTable(d0).queryExecution.executedPlan.toString
+      println(plan.linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("Window") || l.contains("Cartesian") || l.contains("NestedLoop") ||
+        l.contains("Aggregate")).mkString("\n"))
+      spark.stop(); return
+    }
     val log = pm.EventLogOps.fromEvents(spark, sfDir)
     time("read+derive count")(log.count())
     val en = time("K2 enabled stage")(Pinned.stage(pm.EnabledTime.withEnabled(log)))
     val seg = time("segment")(pm.BatchDiscovery.segment(en).count())
     val disc = time("discover (task)")(Pinned.stage(pm.BatchDiscovery.discover(en)))
-    time("discoverFull (subprocess)")(pm.BatchDiscovery.discoverFull(en).count())
-    val feats = time("featuresTable")(rules.Features.featuresTable(disc).count())
-    println(s"rows: seg=$seg feats=$feats")
+    for (part <- Seq("runsEv", "seg", "cand", "evSp", "spSub", "claims",
+        "unclaimed", "withSub", "spEvents", "all")) {
+      val n = time(s"discoverFull/$part")(pm.BatchDiscovery.discoverFull(en, debugPart = part).count())
+      println(s"   rows=$n")
+    }
+    for (part <- Seq("instants", "subs", "actsfiring", "workload", "all"))
+      time(s"features/$part")(rules.Features.featuresTable(disc, part).count())
+    println(s"rows: seg=$seg")
     spark.stop()
   }
 }

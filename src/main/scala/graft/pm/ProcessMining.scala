@@ -353,7 +353,8 @@ object BatchDiscovery {
     * UNDERSIZED subprocess batch lose their task-level batch too
     * (discovery.py:128-147). */
   def discoverFull(en: DataFrame, minSize: Int = 2,
-                   seqGapUs: Long = PmConfig.SeqGapUs): DataFrame = {
+                   seqGapUs: Long = PmConfig.SeqGapUs,
+                   debugPart: String = "all"): DataFrame = {
     import en.sparkSession.implicits._
     // runsEv feeds both the task-side segmentation and the subprocess-unit
     // side; without a persist the whole enabled-time kernel upstream (K2
@@ -436,6 +437,19 @@ object BatchDiscovery {
       .join(spBid.select($"resource", $"subseq", $"sp_seg", $"sub", $"batch_id".as("sp_bid")),
         Seq("resource", "subseq", "sp_seg", "sub"), "left")
       .select($"event_id", $"sp_bid", $"sp_type")
+
+    debugPart match {
+      case "runsEv" => return runsEv
+      case "seg" => return seg
+      case "cand" => return cand
+      case "evSp" => return evSp
+      case "spSub" => return spSub
+      case "claims" => return claims
+      case "unclaimed" => return unclaimed
+      case "withSub" => return withSub
+      case "spEvents" => return spEvents
+      case _ =>
+    }
 
     seg
       .join(withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub"),

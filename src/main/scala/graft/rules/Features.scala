@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Features {
   /** @param disc event grain from BatchDiscovery.discover (incl. enabled_us)
+    * @param debugPart diagnostics hook (StageProbe): return an intermediate
+    *        ("instants" | "subs" | "actsfiring" | "workload") instead of the
+    *        full table
     * @return one row per (batch_id, instant, src) with the 15 features */
-  def featuresTable(disc: DataFrame): DataFrame = {
+  def featuresTable(disc: DataFrame, debugPart: String = "all"): DataFrame = {
     val spark = disc.sparkSession
     import spark.implicits._
 
@@ -29,18 +32,26 @@ object Features {
       .select($"batch_id", $"batch_type", $"case_id", $"activity", $"resource",
         $"start_us", $"end_us", $"enabled_us")
 
-    // batch-case grain: C2 struct-min enabled, min start
-    val bcase = bev.groupBy($"batch_id", $"case_id")
+    // batch-case grain: C2 struct-min enabled, min start.
+    // bcase/inst/meta/instants are each consumed by 2-6 downstream branches
+    // (subs, subev, the negative-instant generators, the workload queries,
+    // the final join): tracked persists (graft.Pinned) so one action
+    // computes each small grain once — un-cached, every branch re-expanded
+    // the full aggregation chain with its own exchanges, and the whole
+    // feature build cost ~6x its data size (the round-4 bench's #1 cost).
+    // Grains are bounded by #batched cases / #batches — far below event
+    // grain, safe to cache at any scale.
+    val bcase = graft.Pinned.track(bev.groupBy($"batch_id", $"case_id")
       .agg(min(struct($"start_us".as("s"), $"enabled_us".as("e"))).as("m"))
-      .select($"batch_id", $"case_id", $"m.s".as("case_start"), $"m.e".as("case_enabled"))
+      .select($"batch_id", $"case_id", $"m.s".as("case_start"), $"m.e".as("case_enabled")))
 
     // instance grain
-    val inst = bcase.groupBy($"batch_id")
+    val inst = graft.Pinned.track(bcase.groupBy($"batch_id")
       .agg(min($"case_start").as("inst_start"),
         min($"case_enabled").as("inst_first_en"),
-        max($"case_enabled").as("inst_last_en"))
-    val meta = bev.groupBy($"batch_id")
-      .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource"))
+        max($"case_enabled").as("inst_last_en")))
+    val meta = graft.Pinned.track(bev.groupBy($"batch_id")
+      .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource")))
 
     // instants: src 0 = activate, 1 = ready-interval points, 2 = sampled
     // case enables. kReady equally spaced interior points of
@@ -67,7 +78,7 @@ object Features {
         Window.partitionBy("batch_id").orderBy(sampleKey, $"case_id")))
       .filter($"rn" <= kEnabled)
       .select($"batch_id", $"case_enabled".as("instant"), lit(2).as("src"), lit(0).as("outcome"))
-    val instants = pos.unionByName(neg1).unionByName(neg2)
+    val instants = graft.Pinned.track(pos.unionByName(neg1).unionByName(neg2))
 
     // subset of cases enabled at each instant + per-case first start in the FULL log
     val caseFirst = disc.groupBy($"case_id").agg(min($"start_us").as("case_first_start"))
@@ -125,6 +136,11 @@ object Features {
       .withColumn("wlv", sum($"d").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
       .filter($"kind" === 1)
       .select($"batch_id", $"t".as("instant"), $"wlv".as("workload"))
+
+    if (debugPart == "instants") return instants
+    if (debugPart == "subs") return subs
+    if (debugPart == "actsfiring") return actsAndFiring
+    if (debugPart == "workload") return wl
 
     subs
       .join(actsAndFiring, Seq("batch_id", "instant", "src"))
