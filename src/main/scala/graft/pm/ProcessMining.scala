@@ -113,14 +113,29 @@ object EnabledTime {
       .select($"a", $"b")
   }
 
+  /** Driver-side concurrency set from ONE directly-follows pass. The pair
+    * relation is bounded by |activities|^2 (a schema-sized constant, never
+    * data-sized), so the threshold rule runs on the collected map — the
+    * DataFrame self-join form (kept above as the oracle-facing query)
+    * evaluated the full directly-follows window aggregation twice. */
+  private def concurrencySet(log: DataFrame, depThreshold: Double): Set[(String, String)] = {
+    val df = dfPairs(log).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    df.keysIterator.filter { case (a, b) =>
+      a != b && df.contains((b, a)) && {
+        val n = df((a, b)); val n2 = df((b, a))
+        math.abs(n - n2).toDouble / (n + n2 + 1d) < depThreshold
+      }
+    }.toSet
+  }
+
   /** Adds `enabled_us`. One shuffle on case_id; per-case time-ordered sweep
     * keeps a last-completed-end per activity (O(n·A) per case). */
   def withEnabled(log: DataFrame,
                   depThreshold: Double = DependencyThreshold): DataFrame = {
     val spark = log.sparkSession
     import spark.implicits._
-    val conc: Set[(String, String)] =
-      concurrencyPairs(log, depThreshold).as[(String, String)].collect().toSet
+    val conc: Set[(String, String)] = concurrencySet(log, depThreshold)
     log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")
       .as[Ev]
       .groupByKey(_.case_id)
@@ -333,13 +348,15 @@ object BatchDiscovery {
       .filter($"n_cases" >= minSize)
     val bid = bkeys.withColumn("batch_id",
       dense_rank().over(Window.orderBy("b_start", "resource", "activity", "seg_no", "sub")).cast("long"))
-    seg
-      .join(withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub"),
-        Seq("resource", "activity", "seg_no", "case_id"), "left")
+    // Pre-combine the three small frames (case grain <= batched cases) so
+    // the event-grain seg shuffles through ONE join-back, not three.
+    val perCase = withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub")
       .join(bid.select($"resource", $"activity", $"seg_no", $"sub", $"batch_id"),
         Seq("resource", "activity", "seg_no", "sub"), "left")
       .join(types, Seq("resource", "activity", "seg_no"), "left")
       .withColumn("batch_type", when($"batch_id".isNull, lit(null: String)).otherwise($"batch_type"))
+      .select($"resource", $"activity", $"seg_no", $"case_id", $"batch_id", $"batch_type")
+    seg.join(perCase, Seq("resource", "activity", "seg_no", "case_id"), "left")
   }
 
   /** Full pipeline INCLUDING case-based (subprocess) batches, mirroring the
@@ -433,10 +450,15 @@ object BatchDiscovery {
       .withColumn("batch_id", $"sp_rank" + $"max_task_id")
       .drop("sp_rank", "max_task_id")
 
+    // tk_type = the event's task-level segment type (types is seg grain,
+    // claims carry the seg key): the "task-based" subprocess fallback reads
+    // it here, since claimed events are excluded from the task-side perCase
     val spEvents = claims
       .join(spBid.select($"resource", $"subseq", $"sp_seg", $"sub", $"batch_id".as("sp_bid")),
         Seq("resource", "subseq", "sp_seg", "sub"), "left")
-      .select($"event_id", $"sp_bid", $"sp_type")
+      .join(types.select($"resource", $"activity", $"seg_no", $"batch_type".as("tk_type")),
+        Seq("resource", "activity", "seg_no"), "left")
+      .select($"event_id", $"sp_bid", $"sp_type", $"tk_type")
 
     debugPart match {
       case "runsEv" => return runsEv
@@ -451,12 +473,16 @@ object BatchDiscovery {
       case _ =>
     }
 
-    seg
-      .join(withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub"),
-        Seq("resource", "activity", "seg_no", "case_id"), "left")
+    // Pre-combine the task-side small frames at case grain (same rewrite as
+    // discover): the event-grain seg then shuffles through two join-backs
+    // (per-case task info + per-event subprocess claims), not four.
+    val perCase = withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub")
       .join(bid.select($"resource", $"activity", $"seg_no", $"sub", $"batch_id"),
         Seq("resource", "activity", "seg_no", "sub"), "left")
       .join(types, Seq("resource", "activity", "seg_no"), "left")
+      .select($"resource", $"activity", $"seg_no", $"case_id", $"batch_id", $"batch_type")
+    seg
+      .join(perCase, Seq("resource", "activity", "seg_no", "case_id"), "left")
       .join(spEvents, Seq("event_id"), "left")
       // a claimed event in an UNDERSIZED subprocess batch (sp_bid null)
       // loses its task batch too; "task-based" subprocess type falls back
@@ -466,8 +492,9 @@ object BatchDiscovery {
       .withColumn("batch_type",
         when($"batch_id".isNull, lit(null: String))
           .when($"sp_bid".isNotNull && $"sp_type" =!= "task-based", $"sp_type")
+          .when($"sp_bid".isNotNull, $"tk_type")
           .otherwise($"batch_type"))
-      .drop("sp_bid", "sp_type")
+      .drop("sp_bid", "sp_type", "tk_type")
   }
 }
 
