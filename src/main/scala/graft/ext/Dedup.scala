@@ -27,31 +27,49 @@ object Dedup {
       .select($"doc_id", ($"i0" + 1).as("i"), $"tok")
   }
 
-  /** Word 3-gram shingles per doc with their position (null-propagating
-    * concat at the tail). */
+  /** (doc_id, shings: array<string>) word 3-gram shingles as a per-row
+    * array, position = index + 1. One codegen'd projection — the exploded
+    * token stream + lead-window form this replaces shuffled and sorted the
+    * full token grain (corpus-sized) just to pair adjacent tokens that
+    * already sit in one row's array. Per-doc ops (shingling, minhash,
+    * winnowing, distinct shingle sets) stay row-local from here; the only
+    * shuffles left in the dedup surface are the genuinely cross-doc ones
+    * (band buckets, pair verification). */
+  def shingleArrays(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", split(col(textCol), " ").as("toks"))
+      .select($"doc_id",
+        when(size($"toks") >= 3,
+          transform(sequence(lit(1), size($"toks") - 2),
+            i => concat(element_at($"toks", i), lit(" "),
+              element_at($"toks", i + 1), lit(" "),
+              element_at($"toks", i + 2))))
+          .otherwise(typedLit(Seq.empty[String])).as("shings"))
+  }
+
+  /** Word 3-gram shingles per doc with their position (exploded view of
+    * [[shingleArrays]]). */
   def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    tokens(docs)
-      .withColumn("shingle",
-        concat($"tok", lit(" "), lead($"tok", 1).over(w), lit(" "), lead($"tok", 2).over(w)))
-      .filter($"shingle".isNotNull)
-      .select($"doc_id", $"i", $"shingle")
+    shingleArrays(docs)
+      .select($"doc_id", posexplode($"shings").as(Seq("i0", "shingle")))
+      .select($"doc_id", ($"i0" + 1).as("i"), $"shingle")
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
     * the ordered shingle stream, take the min of each 4-hash window
     * (right-aligned partial tail windows included), dedupe. The selected
     * fingerprint set is position-robust — the standard copy-detection /
-    * near-dup index at corpus scale. */
+    * near-dup index at corpus scale. Fully row-local (array transforms)
+    * until the final explode. */
   def winnow(docs: DataFrame, window: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
-    shingles(docs)
-      .withColumn("h", md5Hash32(9, $"shingle"))
-      .withColumn("fp", min($"h").over(w))
-      .select($"doc_id", $"fp")
-      .distinct()
+    shingleArrays(docs)
+      .filter(size($"shings") > 0)
+      .select($"doc_id", transform($"shings", s => md5Hash32(9, s)).as("hs"))
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"hs")),
+          i => array_min(slice($"hs", i, lit(window)))))).as("fp"))
   }
 
   /** LSH signature layout: bands x rowsPerBand independent minhashes.
@@ -68,11 +86,16 @@ object Dedup {
     * them with exact dedup (J1), which handles identical text directly. */
   val BucketCap = 1000
 
-  /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes. */
-  def minhash(sh: DataFrame, nHashes: Int = Bands * RowsPerBand): DataFrame = {
-    import sh.sparkSession.implicits._
-    val aggs = (0 until nHashes).map(s => min(md5Hash32(s, $"shingle")).as(s"h$s"))
-    sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes,
+    * computed row-locally over the shingle array (no explode, no shuffle —
+    * min over a set equals min over the multiset). Docs with no shingles
+    * (< 3 tokens) emit no signature, as in the exploded+groupBy form. */
+  def minhash(docs: DataFrame, nHashes: Int = Bands * RowsPerBand): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cols = (0 until nHashes).map(s =>
+      array_min(transform($"shings", x => md5Hash32(s, x))).as(s"h$s"))
+    shingleArrays(docs).filter(size($"shings") > 0)
+      .select(($"doc_id" +: cols): _*)
   }
 
   /** LSH candidate pairs (docs sharing any band bucket) verified with exact
@@ -80,12 +103,16 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,
                    bucketCap: Int = BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
-    // tracked persists (graft.Pinned): sh feeds every band join + the exact
-    // Jaccard verify; mh feeds one join per band. Harness code releases
-    // them after the consuming action — a bare .cache() here leaked both
-    // for the session lifetime (round-3 verdict What's-wrong #1).
-    val sh = graft.Pinned.track(shingles(docs))
-    val mh = graft.Pinned.track(minhash(sh, bands * rows))
+    // tracked persists (graft.Pinned): sa (distinct shingle sets, row-local)
+    // feeds the signature build + the exact Jaccard verify; mh feeds one
+    // join per band. Harness code releases them after the consuming action
+    // — a bare .cache() here leaked both for the session lifetime (round-3
+    // verdict What's-wrong #1).
+    val sa = graft.Pinned.track(shingleArrays(docs).filter(size($"shings") > 0)
+      .select($"doc_id", array_distinct($"shings").as("dshings")))
+    val sigCols = (0 until bands * rows).map(s =>
+      array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
+    val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
     // one equi-join per band, unioned — an OR-of-bands condition would force
     // a BroadcastNestedLoopJoin (O(N^2) pairs; measured 10x slower at sf0.1
     // and unusable at fleet scale), while per-band hash joins shuffle on the
@@ -103,8 +130,11 @@ object Dedup {
       a.join(b, keys).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
     }
     val cand = (0 until bands).map(bandPairs).reduce(_ unionByName _).distinct()
-    val ds = sh.select($"doc_id", $"shingle").distinct()
-    val sizes = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // distinct shingle sets come straight off the per-row arrays — the
+    // exploded .distinct() + groupBy-count this replaces shuffled the full
+    // shingle grain twice
+    val ds = sa.select($"doc_id", explode($"dshings").as("shingle"))
+    val sizes = sa.select($"doc_id", size($"dshings").as("n"))
     val inter = cand
       .join(ds.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
       .join(ds.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))

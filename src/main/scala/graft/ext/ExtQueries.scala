@@ -27,7 +27,7 @@ object ExtQueries {
 
     // J2 — MinHash signatures, LSH candidate pairs with exact Jaccard, SimHash.
     "j2_minhash_sigs" -> ((s, d) =>
-      Dedup.minhash(Dedup.shingles(Tables.documents(s, d)))),
+      Dedup.minhash(Tables.documents(s, d))),
     "j2_neardup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d))),
     "j2_simhash" -> ((s, d) =>
