@@ -30,6 +30,18 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative GC milliseconds across all collectors: a per-query delta
+    * separates heap thrash (gc tracks wall) from external contention
+    * (wall inflates, gc does not). */
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** Fixed-work calibration: hash-reduce 200M longs across all cores. The
     * work is constant across rounds, so its wall time is a pure
     * machine-contention signal a judge can normalize artifacts with. */
@@ -61,6 +73,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val c0 = cpuNs
+      val g0 = gcMs
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed ::= name
@@ -69,23 +82,22 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (c0 < 0) -1.0 else (cpuNs - c0) / 1e9
       Pinned.release(spark)
-      name -> (wall, cpu)
+      // per-query 1-min load average + GC delta: pinpoints WHICH queries a
+      // transient external-load window hit (round-3's artifact recorded a
+      // uniform ~8x inflation with no way to localize it)
+      name -> (wall, cpu, loadAvg, (gcMs - g0) / 1e3)
     }.toMap
     val calibEnd = calibrate(spark)
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val cpuQs = ok.map { case (k, v) => s"\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
+    def jmap(f: ((Double, Double, Double, Double)) => Double): String =
+      ok.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val cpuTotal = if (ok.nonEmpty) ok.values.map(_._2).sum else 0.0
-    val loadAvg =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val calib =
       s"""{"fixed_work_start_sec":$calibStart,"fixed_work_end_sec":$calibEnd,"load_avg":$loadAvg}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"cpu_total":$cpuTotal,"calibration":$calib,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"cpu":${jmap(_._2)},"load":${jmap(_._3)},"gc":${jmap(_._4)},"cpu_total":$cpuTotal,"calibration":$calib,"failed":$failedJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "graft_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

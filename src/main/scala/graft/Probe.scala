@@ -30,6 +30,8 @@ object Probe {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def sysLoad: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val results = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
         val t0 = System.nanoTime()
@@ -39,15 +41,14 @@ object Probe {
         val cpu = if (c0 < 0) -1.0 else (cpuNs - c0) / 1e9
         println(f"== $n: $wall%.1f s rows=$c")
         Pinned.release(spark)
-        (n, wall, cpu)
+        (n, wall, cpu, sysLoad)
       }
     }
-    val loadAvg =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val qs = results.map { case (n, w, _) => s"\"$n\":$w" }.mkString("{", ",", "}")
-    val cq = results.map { case (n, _, c) => s"\"$n\":$c" }.mkString("{", ",", "}")
+    val qs = results.map { case (n, w, _, _) => s"\"$n\":$w" }.mkString("{", ",", "}")
+    val cq = results.map { case (n, _, c, _) => s"\"$n\":$c" }.mkString("{", ",", "}")
+    val lq = results.map { case (n, _, _, l) => s"\"$n\":$l" }.mkString("{", ",", "}")
     val json =
-      s"""{"sf":"$sfDir","total":${results.map(_._2).sum},"queries":$qs,"cpu":$cq,"load_avg":$loadAvg}"""
+      s"""{"sf":"$sfDir","total":${results.map(_._2).sum},"queries":$qs,"cpu":$cq,"load":$lq,"load_avg":$sysLoad}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_FILE", "graft_probe.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[probe] file write failed: $e") }
