@@ -34,7 +34,13 @@ object Dedup {
     * already sit in one row's array. Per-doc ops (shingling, minhash,
     * winnowing, distinct shingle sets) stay row-local from here; the only
     * shuffles left in the dedup surface are the genuinely cross-doc ones
-    * (band buckets, pair verification). */
+    * (band buckets, pair verification).
+    *
+    * Scale bound: one row holds one document's shingle array (~3x text
+    * size), so rows stay executor-friendly for documents up to tens of MB —
+    * the training-data regime. A corpus of GB-scale single documents would
+    * need upstream chunking regardless (the same bound applies to the raw
+    * `text` column itself). */
   def shingleArrays(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", split(col(textCol), " ").as("toks"))

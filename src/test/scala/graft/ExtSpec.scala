@@ -19,6 +19,26 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("shingle/minhash/winnow handle short docs (< 3 tokens) row-locally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // 2 shingles
+      (2L, "a b"),       // too short: no shingles
+      (3L, ""),          // empty
+      (4L, "x y z")      // exactly one shingle
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).collect()
+    assert(sh.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ==
+      Set((1L, 1, "a b c"), (1L, 2, "b c d"), (4L, 1, "x y z")))
+    // short docs emit no signature row (same contract as the grouped form)
+    assert(Dedup.minhash(docs).select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    val fps = Dedup.winnow(docs).collect().map(r => r.getLong(0)).toSet
+    assert(fps == Set(1L, 4L))
+    // winnow window min: doc 1's two right-aligned windows collapse to the
+    // stream min plus the tail hash -> at most 2 distinct fingerprints
+    assert(Dedup.winnow(docs).filter($"doc_id" === 1L).count() <= 2)
+  }
+
   test("knn cosine: identical vectors rank first with sim 1.0") {
     import spark.implicits._
     val emb = Seq(
