@@ -39,6 +39,19 @@ class PlanSpec extends AnyFunSuite {
       s"embedding scan not pruned:\n$p")
   }
 
+  test("dedup: per-doc stages are shuffle-free projections") {
+    // shingling/minhash/winnowing are row-local array transforms: the only
+    // exchanges in the dedup surface belong to the cross-doc stages (band
+    // buckets, pair verification)
+    val sigs = planOf("j2_minhash_sigs")
+    assert(!sigs.contains("Exchange") && !sigs.contains("Window"),
+      s"minhash signatures should be a pure projection:\n$sigs")
+    val fps = planOf("j4_winnow")
+    assert(!fps.contains("Exchange") && !fps.contains("Window"),
+      s"winnowing should be a pure projection + explode:\n$fps")
+    assert(sigs.contains("md5_head32"), s"native digest missing:\n$sigs")
+  }
+
   test("pm: event scan prunes to the canonical log columns") {
     // pm queries plan against the memoized stage leaf (LogicalRDD), so the
     // parquet scan lives in the log-derivation plan the stage materializes
