@@ -64,10 +64,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm the session (JIT, parquet footers) so the first timed query
-    // doesn't absorb one-time startup cost
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // warm the session (JIT, parquet footers, exchange + codegen paths) so
+    // the first timed query doesn't absorb one-time startup cost
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val r = spark.range(0, 1000000L, 1, 8).toDF("id")
+      r.join(r.withColumnRenamed("id", "id2"),
+          org.apache.spark.sql.functions.col("id") === org.apache.spark.sql.functions.col("id2"))
+        .groupBy(org.apache.spark.sql.functions.expr("id % 7")).count().count()
+    } catch { case _: Throwable => }
     val calibStart = calibrate(spark)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -259,8 +259,11 @@ object ExtQueries {
         |bkt AS (SELECT vec_id, p // ${Similarity.NPlanes} AS tbl,
         |          CAST(sum(CAST(bit AS BIGINT) << (p % ${Similarity.NPlanes})) AS BIGINT) AS bucket
         |        FROM bits GROUP BY 1, 2),
+        |okb AS (SELECT tbl, bucket FROM bkt GROUP BY 1, 2
+        |        HAVING count(*) BETWEEN 2 AND ${Similarity.EmbBucketCap}),
+        |bktok AS (SELECT b.* FROM bkt b JOIN okb o ON o.tbl = b.tbl AND o.bucket = b.bucket),
         |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
-        |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |         FROM bktok a JOIN bktok b ON a.tbl = b.tbl AND a.bucket = b.bucket
         |           AND a.vec_id < b.vec_id),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
         |dots AS (SELECT c.vid_a, c.vid_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot

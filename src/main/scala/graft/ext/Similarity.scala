@@ -34,6 +34,12 @@ object Similarity {
     * the harness's near-random synthetic embeddings (their max pairwise
     * cosine is ~0.49); a real dedup corpus runs this at 0.9+. */
   val NearDupCosE6 = 350000L
+  /** Near-dup candidate buckets holding more than this many vectors are
+    * dropped (same quadratic-blowup guard as [[Dedup.BucketCap]]): an
+    * all-identical embedding cluster puts every copy in one bucket and
+    * emits k^2/2 pairs from one task; such clusters are exact-duplicate
+    * territory, recovered by J1. */
+  val EmbBucketCap = 1000
   /** IVF defaults: coarse cells, probed cells per query. */
   val IvfCells = 16
   val IvfProbes = 4
@@ -140,10 +146,17 @@ object Similarity {
     * quantized cosine clears the threshold. Candidate generation is
     * bucket-join (never all-pairs); at 100 TB the recall/cost dial is
     * (tables, planes) and per-bucket caps as in the text LSH path. */
-  def embedNearDup(emb: DataFrame, thresholdE6: Long = NearDupCosE6): DataFrame = {
+  def embedNearDup(emb: DataFrame, thresholdE6: Long = NearDupCosE6,
+                   bucketCap: Int = EmbBucketCap): DataFrame = {
     import emb.sparkSession.implicits._
     val b = base(emb)
-    val bkt = lshBuckets(emb)
+    val bkt0 = lshBuckets(emb)
+    // keep buckets with 2..cap vectors: <2 yields no pairs, >cap is the
+    // identical-cluster mega-bucket (quadratic guard, as in the text path)
+    val ok = bkt0.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
+      .select($"tbl", $"bucket")
+    val bkt = bkt0.join(ok, Seq("tbl", "bucket"), "left_semi")
     val cand = bkt.select($"vec_id".as("vid_a"), $"tbl", $"bucket")
       .join(bkt.select($"vec_id".as("vid_b"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
       .filter($"vid_a" < $"vid_b")
