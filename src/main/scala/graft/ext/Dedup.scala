@@ -70,12 +70,19 @@ object Dedup {
     * until the final explode. */
   def winnow(docs: DataFrame, window: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    shingleArrays(docs)
+    // hs MUST be materialized (tracked persist) before the window-min
+    // projection: a computed array alias referenced inside a per-ELEMENT
+    // lambda gets inlined by CollapseProject, re-evaluating the whole md5
+    // transform for every outer index — O(n^2) digests per document
+    // (observed: 525 s for 5000 hundred-token docs; linear form: ~1 s).
+    // An InMemoryRelation is a collapse barrier, so downstream lambdas see
+    // hs as a scan attribute.
+    val hsF = graft.Pinned.track(shingleArrays(docs)
       .filter(size($"shings") > 0)
-      .select($"doc_id", transform($"shings", s => md5Hash32(9, s)).as("hs"))
-      .select($"doc_id", explode(array_distinct(
-        transform(sequence(lit(1), size($"hs")),
-          i => array_min(slice($"hs", i, lit(window)))))).as("fp"))
+      .select($"doc_id", transform($"shings", s => md5Hash32(9, s)).as("hs")))
+    hsF.select($"doc_id", explode(array_distinct(
+      transform(sequence(lit(1), size($"hs")),
+        i => array_min(slice($"hs", i, lit(window)))))).as("fp"))
   }
 
   /** LSH signature layout: bands x rowsPerBand independent minhashes.
