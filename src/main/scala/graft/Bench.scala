@@ -42,6 +42,17 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative JIT compilation milliseconds. Janino generates fresh classes
+    * per plan, so a long session queues large async C2 compiles whose CPU
+    * lands in LATER queries' windows (observed: a untouched scan query
+    * charged 70 CPU-s while the compiler churned through the preceding
+    * discovery plan's generated code). A per-query delta attributes that
+    * CPU to the JIT instead of the query's own operators. */
+  private def jitMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+  }
+
   /** Fixed-work calibration: hash-reduce 200M longs across all cores. The
     * work is constant across rounds, so its wall time is a pure
     * machine-contention signal a judge can normalize artifacts with. */
@@ -76,9 +87,13 @@ object Bench {
     val calibStart = calibrate(spark)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // progress marker on stderr (stdout stays reserved for the JSON line):
+      // lets a live observer attribute a grinding JVM to the query it's in
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val c0 = cpuNs
       val g0 = gcMs
+      val j0 = jitMs
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed ::= name
@@ -90,19 +105,20 @@ object Bench {
       // per-query 1-min load average + GC delta: pinpoints WHICH queries a
       // transient external-load window hit (round-3's artifact recorded a
       // uniform ~8x inflation with no way to localize it)
-      name -> (wall, cpu, loadAvg, (gcMs - g0) / 1e3)
+      name -> (wall, cpu, loadAvg, (gcMs - g0) / 1e3, (jitMs - j0) / 1e3)
     }.toMap
     val calibEnd = calibrate(spark)
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    def jmap(f: ((Double, Double, Double, Double)) => Double): String =
+    def jmap(f: ((Double, Double, Double, Double, Double)) => Double): String =
       ok.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val cpuTotal = if (ok.nonEmpty) ok.values.map(_._2).sum else 0.0
+    val jitTotal = if (ok.nonEmpty) ok.values.map(_._5).sum else 0.0
     val calib =
       s"""{"fixed_work_start_sec":$calibStart,"fixed_work_end_sec":$calibEnd,"load_avg":$loadAvg}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"cpu":${jmap(_._2)},"load":${jmap(_._3)},"gc":${jmap(_._4)},"cpu_total":$cpuTotal,"calibration":$calib,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"cpu":${jmap(_._2)},"load":${jmap(_._3)},"gc":${jmap(_._4)},"jit":${jmap(_._5)},"cpu_total":$cpuTotal,"jit_total":$jitTotal,"calibration":$calib,"failed":$failedJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "graft_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

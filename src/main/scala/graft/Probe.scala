@@ -34,6 +34,9 @@ object Probe {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val results = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
+        // start marker on stderr (same convention as Bench): lets a live
+        // observer attribute a grinding JVM to the query it's in
+        System.err.println(s"[probe] start $n")
         val t0 = System.nanoTime()
         val c0 = cpuNs
         val c = fn(spark, sfDir).count()
