@@ -63,4 +63,28 @@ class PlanSpec extends AnyFunSuite {
       "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double>"),
       s"events scan not pruned:\n$p")
   }
+
+  test("whole surface: product joins only where the broadcast side is bounded") {
+    // A BroadcastNestedLoopJoin / CartesianProduct is a 100 TB scale-killer
+    // UNLESS its broadcast side has bounded cardinality by construction.
+    // Full-surface audit (round 4): exactly these queries carry one, each
+    // with a bounded side —
+    //   d4_interval    31 daily instants (the interval-join probe grid)
+    //   j3_knn_cosine  the bounded query sample (brute-force baseline by design)
+    //   j3_ivf_ann     16 coarse-quantizer centroids
+    //   w13_ntile      the ntile boundary table (numChunks rows)
+    //   pm_sp_batches  1-row max-task-id fold (the plan-build .first() fix)
+    // Anything new joining without keys must either broadcast a provably
+    // bounded frame and be added here with its bound, or be rewritten.
+    val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
+      "w13_ntile", "pm_sp_batches")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          && !allowed(n)) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"unreviewed product join in: ${offenders.mkString(", ")} — broadcast side must be bounded")
+    graft.Pinned.release(spark)
+  }
 }
