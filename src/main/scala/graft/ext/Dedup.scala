@@ -145,23 +145,32 @@ object Dedup {
     val sigCols = (0 until bands * rows).map(s =>
       array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
     val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
-    // one equi-join per band, unioned — an OR-of-bands condition would force
-    // a BroadcastNestedLoopJoin (O(N^2) pairs; measured 10x slower at sf0.1
-    // and unusable at fleet scale), while per-band hash joins shuffle on the
-    // band signature only
-    def bandPairs(band: Int): DataFrame = {
-      val keys = (0 until rows).map(r => s"h${band * rows + r}")
-      // keep only buckets with 2..bucketCap docs: <2 yields no pairs,
-      // >cap is the boilerplate mega-bucket (quadratic blowup guard)
-      val ok = mh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
-        .select(keys.map(col): _*)
-      val pruned = mh.join(ok, keys, "left_semi")
-      val a = pruned.select(($"doc_id".as("doc_a") +: keys.map(col)): _*)
-      val b = pruned.select(($"doc_id".as("doc_b") +: keys.map(col)): _*)
-      a.join(b, keys).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
-    }
-    val cand = (0 until bands).map(bandPairs).reduce(_ unionByName _).distinct()
+    // ONE equi-join on the exploded (band, signature-tuple) grain — an
+    // OR-of-bands condition would force a BroadcastNestedLoopJoin (O(N^2)
+    // pairs; measured 10x slower at sf0.1 and unusable at fleet scale),
+    // and the earlier one-join-PER-band form ran bands x (groupBy + semi +
+    // self-join) shuffles (~48 exchanges for 16 bands). Exploded, the
+    // bucket count, the cap prune, and the pair self-join all hash on the
+    // same (band, sig) key, so they share one shuffle partitioning; total
+    // bytes moved are the same (each doc contributes `bands` small rows).
+    // The sig is the struct of the band's raw minhash values — tuple
+    // EQUALITY, not a re-hash, so the candidate set is bit-identical to
+    // the per-band form.
+    val bandSig = mh.select($"doc_id", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    // keep only buckets with 2..bucketCap docs: <2 yields no pairs,
+    // >cap is the boilerplate mega-bucket (quadratic blowup guard)
+    val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
+      .select($"band", $"sig")
+    val pruned = bandSig.join(ok, Seq("band", "sig"), "left_semi")
+    val cand = pruned.select($"doc_id".as("doc_a"), $"band", $"sig")
+      .join(pruned.select($"doc_id".as("doc_b"), $"band", $"sig"), Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
     // distinct shingle sets come straight off the per-row arrays — the
     // exploded .distinct() + groupBy-count this replaces shuffled the full
     // shingle grain twice
