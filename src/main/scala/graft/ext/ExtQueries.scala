@@ -99,6 +99,16 @@ object ExtQueries {
     "st_tumbling" -> ((s, d) => graft.streaming.StreamOps.tumbling(Tables.events(s, d))),
     "st_sliding" -> ((s, d) => graft.streaming.StreamOps.sliding(Tables.events(s, d))),
     "st_session" -> ((s, d) => graft.streaming.StreamOps.sessions(Tables.events(s, d))),
+    // same sessions through the flatMapGroupsWithState custom-state path
+    // (cents back to the 2-decimal double the session oracle emits)
+    "st_session_fmg" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.StreamOps.sessionsViaFlatMapGroups(Tables.events(s, d))
+        .select($"user_id",
+          graft.Det.tsNtz($"sess_start_us").as("sess_start"),
+          graft.Det.tsNtz($"sess_end_us").as("sess_end"),
+          $"n", ($"sum_value_e2".cast("double") / 100d).as("sum_value"))
+    }),
     "st_dedup" -> ((s, d) => graft.streaming.StreamOps.dedup(Tables.events(s, d)))
   )
 
@@ -360,6 +370,18 @@ object ExtQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "st_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS flag
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+        |SELECT user_id, make_timestamp(min(t)) AS sess_start, make_timestamp(max(t) + 600000000) AS sess_end,
+        |  count(*) AS n, CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    // identical sessionization semantics, different engine path (typed
+    // custom state) — the oracle is the same island-detection SQL
+    "st_session_fmg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events),
         |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS flag
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),

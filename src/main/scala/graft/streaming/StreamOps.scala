@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 /** Per-user running state for the stateful-streaming example. */
 case class UserCount(user_id: Long, n: Long, sum_value_e2: Long)
 
+/** Closed session emitted by [[StreamOps.sessionsViaFlatMapGroups]]. */
+case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
+                      n: Long, sum_value_e2: Long)
+
+/** Open-session state for [[StreamOps.sessionsViaFlatMapGroups]]. */
+case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
 /** Structured-Streaming-shaped aggregations (SURVEY §2 I). Each transform
   * works identically on a batch DataFrame and on a readStream source; the
   * streaming path adds a watermark. Batch mode is what the correctness gate
@@ -91,6 +98,72 @@ object StreamOps {
           val next = UserCount(uid, prev.n + dn, prev.sum_value_e2 + dsum)
           state.update(next)
           next
+      }
+  }
+
+  /** Per-user 10-minute-gap sessions via flatMapGroupsWithState — the
+    * multi-output custom-state API ([[runningUserCounts]] covers the
+    * single-output mapGroupsWithState form). Append-mode: a session row is
+    * emitted exactly once, when it CLOSES — within a call when the next
+    * event's gap reaches 10min, or via EVENT-TIME TIMEOUT once the
+    * watermark passes (last event + gap), so state size is bounded by the
+    * number of users with an open session inside the lateness horizon, not
+    * by stream length. Semantics equal [[sessions]] (same gap, session end
+    * = last event + gap; sums in exact cents). On a batch frame timeouts
+    * never fire and state is discarded after the single call per key, so
+    * the trailing open session is emitted in-call instead — batch output
+    * is exactly [[sessions]]. */
+  def sessionsViaFlatMapGroups(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 600000000L
+    val isStreaming = events.isStreaming
+    // the WATERMARKED column itself must reach the stateful operator —
+    // deriving epoch micros before the groupByKey strips the event-time
+    // metadata and event-time timeout is rejected; convert in the lambda
+    val withTs = events.withColumn("ts", $"ts".cast("timestamp"))
+    val prepared =
+      if (isStreaming) withTs.withWatermark("ts", "2 hours") else withTs
+    prepared
+      .select($"user_id", $"ts",
+        round($"value" * 100d).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rowsTs: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          val rows = rowsTs.map { case (u, ts, c) =>
+            val i = ts.toInstant
+            (u, i.getEpochSecond * 1000000L + i.getNano / 1000L, c)
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.startUs, s.lastUs + gapUs, s.n, s.cents))
+          } else {
+            // rows arrive unordered; sessionization needs time order
+            val sorted = rows.toArray.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            for ((_, t, c) <- sorted) open match {
+              case Some(s) if t - s.lastUs < gapUs =>
+                open = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1, s.cents + c))
+              case Some(s) =>
+                out += SessionOut(uid, s.startUs, s.lastUs + gapUs, s.n, s.cents)
+                open = Some(OpenSession(t, t, 1, c))
+              case None =>
+                open = Some(OpenSession(t, t, 1, c))
+            }
+            open.foreach { s =>
+              if (isStreaming) {
+                state.update(s)
+                // fire once the watermark passes the session close time
+                state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+              } else out += SessionOut(uid, s.startUs, s.lastUs + gapUs, s.n, s.cents)
+            }
+            out.iterator
+          }
       }
   }
 

@@ -105,4 +105,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessions equal batch island-detection sessions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    // batch sessions() emits sum_value as an exact 2-decimal double —
+    // compare in cents, the typed operator's exact representation
+    val expected = StreamOps.sessions(batch)
+      .select($"user_id", graft.Det.us($"sess_start").as("s"),
+        graft.Det.us($"sess_end").as("e"), $"n",
+        round($"sum_value" * 100d).cast("long").as("cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = StreamOps.sessionsViaFlatMapGroups(batch)
+      .toDF("user_id", "s", "e", "n", "cents")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("flatMapGroupsWithState sessions on a stream emit only closed, consistent sessions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchSessions = StreamOps.sessionsViaFlatMapGroups(Tables.events(spark, dir))
+      .collect().map(s => (s.user_id, s.sess_start_us) -> s).toMap
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Files.createTempDirectory("graft_fmg").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val q = StreamOps.sessionsViaFlatMapGroups(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_fmg_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a single microbatch closes sessions whose successor event is in the
+      // same batch; open sessions wait on the event-time timeout (watermark
+      // driven) — everything emitted must match the batch result exactly
+      val got = spark.table("graft_fmg_test").as[graft.streaming.SessionOut].collect()
+      assert(got.nonEmpty, "stream emitted no closed sessions")
+      got.foreach { s =>
+        val b = batchSessions.get((s.user_id, s.sess_start_us))
+        assert(b.contains(s), s"stream session $s disagrees with batch ${b.orNull}")
+      }
+    } finally q.stop()
+  }
 }
