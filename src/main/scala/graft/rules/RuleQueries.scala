@@ -63,16 +63,36 @@ object RuleQueries {
   )
 
   /** Distributed rule induction: one mapGroups task per group, fit runs on
-    * the executor holding the group (groups are provably tiny — one row per
-    * instance x ~3 instants — but there can be MANY groups; the round-1
-    * driver-side sequential loop was the bench's #2 cost center). fit is
-    * row-order-insensitive, so results are deterministic. */
-  private def rulesDf(s: SparkSession, features: DataFrame, groupCol: String): DataFrame = {
+    * the executor holding the group (groups are proportional to batch
+    * instances, far below event grain — but there can be MANY groups; the
+    * round-1 driver-side sequential loop was the bench's #2 cost center).
+    * fit is row-order-insensitive, so results are deterministic.
+    *
+    * `maxFitRows` is the 100-TB guard for the one unbounded per-group
+    * materialization in the engine: a group larger than the cap is
+    * downsampled to exactly `maxFitRows` rows by a per-row deterministic
+    * rank (Det.pseudoRand over the feature tuple — seeded, so the same
+    * input always keeps the same rows, and the DuckDB oracle could apply
+    * the identical predicate). Default keeps every row — the reference fits
+    * on the full group, and the gate queries must hash-match it. */
+  private[graft] def rulesDf(s: SparkSession, features: DataFrame, groupCol: String,
+                             maxFitRows: Int = Int.MaxValue): DataFrame = {
     import s.implicits._
     val featCols = Ripper.featCols
-    features
+    val keyed = features
       .select(col(groupCol) +: col("outcome").cast("int") +:
         featCols.map(c => col(c).cast("double")): _*)
+    val capped =
+      if (maxFitRows == Int.MaxValue) keyed
+      else {
+        val rk = graft.Det.pseudoRand(
+          abs(hash(featCols.map(col) :+ col("outcome"): _*)).cast("long"))
+        keyed.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(groupCol)).orderBy(rk +: featCols.map(col): _*)))
+          .filter(col("rn") <= maxFitRows).drop("rn")
+      }
+    capped
       .groupByKey(_.getString(0))
       .mapGroups { (key, it) =>
         val data = it.map { r =>

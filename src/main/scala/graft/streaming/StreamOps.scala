@@ -112,7 +112,13 @@ object StreamOps {
     * = last event + gap; sums in exact cents). On a batch frame timeouts
     * never fire and state is discarded after the single call per key, so
     * the trailing open session is emitted in-call instead — batch output
-    * is exactly [[sessions]]. */
+    * is exactly [[sessions]].
+    *
+    * Memory bound: the lambda materializes one KEY x TRIGGER of rows (the
+    * sort needs them) — bounded by ingest-per-trigger in streaming; in
+    * batch a pathological single-user log materializes that user's events,
+    * the same bound as any mapGroups (use [[sessions]], the window form,
+    * for batch workloads at scale). */
   def sessionsViaFlatMapGroups(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -67,6 +67,26 @@ class RulesSpec extends AnyFunSuite {
     assert(scored.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
   }
 
+  test("maxFitRows cap: oversized groups downsample deterministically, fit still runs") {
+    lazy val spark = SparkSuite.spark
+    import spark.implicits._
+    val featNames = Ripper.featCols
+    // 200-row learnable group: outcome == 1 iff num_queue >= 8
+    val rows = (0 until 200).map { i =>
+      ("G", if (i % 10 >= 8) 1 else 0, 0d, (i % 10).toDouble, 0d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)
+    }
+    val df = rows.toDF(("activities" +: "outcome" +: featNames.toSeq): _*)
+    def run() = graft.rules.RuleQueries
+      .rulesDf(spark, df, "activities", maxFitRows = 100)
+      .collect().map(_.toSeq).toSeq
+    val a = run()
+    assert(a.nonEmpty && a.head(1) == 100L, s"capped num_obs should be 100: $a")
+    assert(a == run(), "capped fit must be deterministic across runs")
+    // uncapped control still sees all 200 rows
+    val full = graft.rules.RuleQueries.rulesDf(spark, df, "activities").collect()
+    assert(full.head.getLong(1) == 200L)
+  }
+
   test("negative-event knobs: kReady spaced instants and kEnabled samples (config.py:80-81)") {
     lazy val spark = SparkSuite.spark
     import spark.implicits._
