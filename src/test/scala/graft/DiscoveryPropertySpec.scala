@@ -85,4 +85,26 @@ class DiscoveryPropertySpec extends AnyFunSuite {
       Pinned.release(spark)
     }
   }
+
+  test("K3 waiting-time decomposition invariants hold on random discovered logs") {
+    val rnd = new scala.util.Random(8132026L)
+    for (sample <- 1 to 6) {
+      val rows = randomLog(rnd)
+      def clue(msg: String) = s"[sample $sample] $msg (log: $rows)"
+      val d = pm.BatchDiscovery.discover(toDf(rows))
+      val wt = pm.WaitingTimes.batchCaseWT(d).collect()
+      wt.foreach { r =>
+        val total = r.getAs[Long]("total_wt_us")
+        val parts = Seq("creation_wt_us", "ready_wt_us", "other_wt_us")
+          .map(r.getAs[Long])
+        // the decomposition is exact and each component non-negative
+        assert(parts.forall(_ >= 0L), clue(s"negative WT component: $r"))
+        assert(total == parts.sum, clue(s"WT decomposition not exact: $r"))
+      }
+      // one WT row per (batch, case): no duplicates, only batched cases
+      val keys = wt.map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("case_id")))
+      assert(keys.distinct.length == keys.length, clue("duplicate (batch, case) WT rows"))
+      Pinned.release(spark)
+    }
+  }
 }
