@@ -202,6 +202,24 @@ class GoldenReplaySpec extends AnyFunSuite {
       s"batched occurrences $batched drifted from the golden 5264")
     assert(block.contains("Batch size distribution: Counter({14: "),
       "golden batches are all size 14")
+
+    // EP3 ActivationRules structure vs Loan_Application_ActivationRules.txt:
+    // same 2 skip notices and 3 gated rule blocks, and all three
+    // observation counts land EXACTLY on the golden (258/1092/233) — the
+    // instant generation is fully deterministic. One pinned delta:
+    // 'Approve Loan Offer' skips at size 9 vs the golden's 6 (the golden
+    // log is a different injected instance; both are far under the 30 gate).
+    val rulesTxt = graft.rules.ActivationRulesText.render(
+      graft.rules.Features.featuresTable(d))
+    assert(rulesTxt.contains(
+      "Not extracting rules from batch ('Appraise property',) due to low size: 6"))
+    assert(rulesTxt.contains(
+      "Not extracting rules from batch ('Approve Loan Offer',) due to low size: 9"))
+    assert("Batch: \\(".r.findAllIn(rulesTxt).length == 3, "3 gated rule blocks (golden)")
+    for ((grp, n) <- Seq(("Approve application", 258), ("Assess loan risk", 1092),
+        ("Cancel application", 233)))
+      assert(rulesTxt.contains(s"Batch: ('$grp',):\n\t# Observations: $n"),
+        s"$grp observation count drifted from golden $n")
     graft.Pinned.releaseFrame(d); graft.Pinned.release(spark)
   }
 }
