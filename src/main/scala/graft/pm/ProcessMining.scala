@@ -346,8 +346,13 @@ object BatchDiscovery {
       .groupBy("resource", "activity", "seg_no", "sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
       .filter($"n_cases" >= minSize)
-    val bid = bkeys.withColumn("batch_id",
-      dense_rank().over(Window.orderBy("b_start", "resource", "activity", "seg_no", "sub")).cast("long"))
+    // W8 canonical renumbering, distributed: the grain is one row per batch
+    // key and the order includes the full key, so the global row rank IS
+    // dense_rank — computed range-partitioned (graft.Dist) instead of
+    // through one single-partition window, removing the last documented
+    // all-rows-to-one-task exception in the discovery path.
+    val bid = graft.Dist.withGlobalRank(bkeys, "batch_id",
+      Seq($"b_start", $"resource", $"activity", $"seg_no", $"sub"))
     // Pre-combine the three small frames (case grain <= batched cases) so
     // the event-grain seg shuffles through ONE join-back, not three.
     val perCase = withSub.select($"resource", $"activity", $"seg_no", $"case_id", $"sub")
@@ -434,18 +439,18 @@ object BatchDiscovery {
       .groupBy("resource", "activity", "seg_no", "sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
       .filter($"n_cases" >= minSize)
-    val bid = bkeys.withColumn("batch_id",
-      dense_rank().over(Window.orderBy("b_start", "resource", "activity", "seg_no", "sub")).cast("long"))
+    // distributed W8 renumbering (unique key grain: rank == dense_rank),
+    // same as discover's — no single-partition window
+    val bid = graft.Dist.withGlobalRank(bkeys, "batch_id",
+      Seq($"b_start", $"resource", $"activity", $"seg_no", $"sub"))
     // subprocess ids continue after the task ids (unify order,
-    // discovery.py:161-181); single-partition window on the tiny key grain.
+    // discovery.py:161-181).
     // The task-side max id is a 1-row aggregate folded INTO the plan as a
     // broadcast cross join — a driver-side .first() here evaluated the whole
     // task chain at plan-build time (round-3 verdict What's-wrong #3).
     val maxTaskId = bid.agg(coalesce(max($"batch_id"), lit(0L)).as("max_task_id"))
-    val spBid = spValidKeys
-      .withColumn("sp_rank",
-        dense_rank().over(Window.orderBy("b_start", "resource", "subseq", "sp_seg", "sub"))
-          .cast("long"))
+    val spBid = graft.Dist.withGlobalRank(spValidKeys, "sp_rank",
+        Seq($"b_start", $"resource", $"subseq", $"sp_seg", $"sub"))
       .crossJoin(broadcast(maxTaskId))
       .withColumn("batch_id", $"sp_rank" + $"max_task_id")
       .drop("sp_rank", "max_task_id")
