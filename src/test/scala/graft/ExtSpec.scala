@@ -106,4 +106,22 @@ class ExtSpec extends AnyFunSuite {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
+
+  test("lshBuckets: embeddings shorter/longer than PlaneDim still spread") {
+    // Round-3 ADVICE trap: the zip_with projection null-padded any
+    // non-64-dim embedding into a null dot -> every bit 0 -> all vectors
+    // in bucket 0. LongDot's overlap semantics fix it; this locks the fix
+    // for both the short (32-dim) and long (96-dim) public-API cases.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vecs(dim: Int) = spark.createDataFrame(
+      (0L until 64L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    for (dim <- Seq(32, 96)) {
+      val buckets = Similarity.lshBuckets(vecs(dim))
+        .groupBy("tbl").agg(countDistinct("bucket").as("nb")).collect()
+      assert(buckets.forall(_.getLong(1) > 1),
+        s"dim=$dim collapsed to one bucket per table: ${buckets.mkString(",")}")
+    }
+  }
 }

@@ -80,4 +80,31 @@ class HarnessSpec extends AnyFunSuite {
     // empty edge cases mirror the reference's semantics
     assert(Rule(Nil).toSql == "TRUE" && RuleSet(Nil, 0, 0, 0).toSql == "FALSE")
   }
+
+  test("Oracle.materialize: structural recursion detection, not a name list") {
+    // Round-3 ADVICE: the hard-coded {thr, uthr, spthr} skip set broke two
+    // ways — a NEW recursive CTE name got an invalid MATERIALIZED hint, and
+    // a non-recursive CTE reusing a listed name silently lost its hint.
+    // Detection is now structural (body references its own name).
+    val recursive =
+      """WITH RECURSIVE walk AS (
+        |  SELECT 1 AS n
+        |  UNION ALL
+        |  SELECT n + 1 FROM walk WHERE n < 5
+        |), agg AS (
+        |  SELECT sum(n) AS s FROM walk
+        |)
+        |SELECT * FROM agg""".stripMargin
+    val out = Oracle.materialize(recursive)
+    assert(out.contains("walk AS (") && !out.contains("walk AS MATERIALIZED ("),
+      s"recursive member must stay unhinted:\n$out")
+    assert(out.contains("agg AS MATERIALIZED ("),
+      s"non-recursive CTE must still get the hint:\n$out")
+    // a non-recursive CTE named like a historical recursive one is hinted
+    val reuse = "WITH thr AS (\n  SELECT 1 AS x\n)\nSELECT * FROM thr"
+    assert(Oracle.materialize(reuse).contains("thr AS MATERIALIZED ("))
+    // self-reference inside a string literal is NOT recursion
+    val literal = "WITH t AS (\n  SELECT 't' AS s\n)\nSELECT * FROM t"
+    assert(Oracle.materialize(literal).contains("t AS MATERIALIZED ("))
+  }
 }
