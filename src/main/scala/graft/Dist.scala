@@ -42,15 +42,20 @@ object Dist {
               numParts: Int = 32): DataFrame = {
     val ranked = withGlobalRank(df, "__rank", order, numParts)
     val total = ranked.groupBy().agg(count(lit(1)).as("__n"))
+    // Spark's `/` is ALWAYS double division, even on integral columns —
+    // every quotient here must go through `idiv` or tile boundaries drift
+    // whenever k does not divide n (caught by DistSpec; the oracle query's
+    // n happens to divide evenly).
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val n = col("__n"); val r0 = col("__rank") - 1
-    val small = n / k                      // floor tile size
+    val small = idiv(n, lit(k))            // floor tile size
     val bigger = n % k                     // first `bigger` tiles get small+1
     val cut = bigger * (small + 1)         // rows covered by the big tiles
     ranked.crossJoin(broadcast(total))
       .withColumn(tileCol,
         when(lit(k) >= n, col("__rank"))   // degenerate: every row its own tile
-          .when(r0 < cut, r0 / (small + 1) + 1)
-          .otherwise(bigger + (r0 - cut) / small + 1))
+          .when(r0 < cut, idiv(r0, small + 1) + 1)
+          .otherwise(bigger + idiv(r0 - cut, small) + 1))
       .drop("__rank", "__n")
   }
 }

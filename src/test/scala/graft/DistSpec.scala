@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Direct unit coverage for [[Dist]] — the distributed replacements for
+  * single-partition global windows. These now carry W8 (batch renumbering)
+  * and W13 (ntile chunking) correctness, so they're checked here against
+  * the single-partition window forms they replace, on inputs the oracle
+  * queries don't exercise: heavy key skew (range partitioner collapses to
+  * few partitions), tiny frames (n < numParts), empty input, and every
+  * ntile degeneracy (k = 1, k = n, k > n, k not dividing n).
+  */
+class DistSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  /** (key, tie) rows: `key` optionally heavily skewed, `tie` unique. */
+  private def frame(n: Int, skew: Boolean, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (1 to n).map { i =>
+      val key = if (skew) (if (rnd.nextDouble() < 0.9) 7L else rnd.nextInt(5).toLong)
+                else rnd.nextInt(1000).toLong
+      (key, i.toLong)
+    }
+    // deliberately many input partitions relative to n
+    spark.createDataFrame(rnd.shuffle(rows)).toDF("key", "tie").repartition(13)
+  }
+
+  test("withGlobalRank equals the single-partition row_number window") {
+    import spark.implicits._
+    for ((n, skew) <- Seq((0, false), (1, false), (5, false), (400, false), (400, true))) {
+      val df = frame(n, skew, seed = n + (if (skew) 1 else 0))
+      val got = Dist.withGlobalRank(df, "rk", Seq($"key", $"tie"))
+        .select($"tie", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("rk", row_number().over(Window.orderBy($"key", $"tie")).cast("long"))
+        .select($"tie", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n skew=$skew")
+    }
+  }
+
+  test("ntileBy equals the single-partition ntile window for every k shape") {
+    import spark.implicits._
+    val df = frame(100, skew = true, seed = 42)
+    for (k <- Seq(1, 3, 7, 32, 100, 250)) {
+      val got = Dist.ntileBy(df, k, "tile", Seq($"key", $"tie"))
+        .select($"tie", $"tile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("tile", ntile(k).over(Window.orderBy($"key", $"tie")).cast("long"))
+        .select($"tie", $"tile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("withGlobalRank ids are dense 1..n regardless of partition count") {
+    import spark.implicits._
+    for (parts <- Seq(1, 8, 64)) {
+      val df = frame(50, skew = false, seed = 7)
+      val rks = Dist.withGlobalRank(df, "rk", Seq($"key", $"tie"), numParts = parts)
+        .select($"rk").collect().map(_.getLong(0)).sorted
+      assert(rks.toSeq == (1L to 50L), s"numParts=$parts")
+    }
+  }
+}
