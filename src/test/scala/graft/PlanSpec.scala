@@ -87,4 +87,24 @@ class PlanSpec extends AnyFunSuite {
       s"unreviewed product join in: ${offenders.mkString(", ")} — broadcast side must be bounded")
     graft.Pinned.release(spark)
   }
+
+  test("whole surface: no single-partition window over unbounded grains") {
+    // A Window with no partitionSpec moves its whole input through ONE task
+    // — the classic 100 TB scale-killer (round-1's W8/W13 shape). Since the
+    // Dist rewrite, the ONLY legitimate global windows are the prefix-sum
+    // offset tables inside Dist itself, whose input is the bounded
+    // numParts-row (__pid, count) aggregate. Lock exactly that: every
+    // partition-less WindowExec in every query plan must sit over a __pid
+    // aggregation.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      fn(spark, sfDir).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.child.toString.contains("__pid") => n
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"single-partition window over a non-__pid grain in: ${offenders.mkString(", ")}")
+    graft.Pinned.release(spark)
+  }
 }
