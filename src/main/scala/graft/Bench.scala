@@ -173,7 +173,12 @@ object Bench {
       s"""{"fixed_work_start_sec":$calibStart,"fixed_work_end_sec":$calibEnd,"load_avg":$loadAvg}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.wall)},"cpu":${jmap(_.cpu)},"load":${jmap(_.load)},"gc":${jmap(_.gc)},"jit":${jmap(_.jit)},"cpu_total":$cpuTotal,"jit_total":$jitTotal,"passes":$passes,"pass_totals":$passTotals,"calibration":$calib,"failed":${jlist(failed)},"flaky":${jlist(flaky)},"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "graft_bench.json")
+    // a filtered (SPARK_GRAFT_BENCH_ONLY) run is an iteration aid — never
+    // let it clobber the full graded artifact
+    val defaultFile =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "graft_bench_partial.json"
+      else "graft_bench.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", defaultFile)
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // flush logs first so the JSON line is the last thing on stdout
