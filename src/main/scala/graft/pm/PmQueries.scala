@@ -199,10 +199,13 @@ object PmQueries {
 
     // W13 — ntile chunking over a total order, computed distributed
     // (Dist.ntileBy: range partition + per-partition offsets) instead of a
-    // single-task global WindowExec; identical tiles to ntile(10) OVER.
+    // single-task global WindowExec; identical tiles to ntile(7) OVER.
+    // k=7 deliberately does NOT divide the orders row count at any SF —
+    // the uneven first-tiles-get-one-extra path stays oracle-checked
+    // (k=10 divided evenly and masked a double-division drift, DistSpec).
     "w13_ntile" -> ((s, d) => {
       import s.implicits._
-      Dist.ntileBy(Tables.orders(s, d), 10, "tile", Seq($"o_totalprice", $"o_orderkey"))
+      Dist.ntileBy(Tables.orders(s, d), 7, "tile", Seq($"o_totalprice", $"o_orderkey"))
         .withColumn("tile", $"tile".cast("long"))
         .groupBy($"tile")
         .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
@@ -602,7 +605,7 @@ object PmQueries {
     "w13_ntile" ->
       """SELECT tile, count(*) AS n,
         |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
-        |FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders) z
+        |FROM (SELECT o_totalprice, ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders) z
         |GROUP BY tile""".stripMargin
   )
 }
