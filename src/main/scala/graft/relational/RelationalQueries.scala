@@ -319,8 +319,11 @@ object RelationalQueries {
       val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       val ord = Tables.orders(s, d).filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+      // no broadcast() hint on customer: it grows with SF (1.5B rows at
+      // TPC-H SF10k), so a forced broadcast is an executor OOM at scale —
+      // the static 10MB threshold / AQE picks broadcast when actually small
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
         .agg(round(sum(dec($"l_extendedprice") * (lit(1.0).cast(Det.Money) - dec($"l_discount"))), 2)
           .cast("double").as("revenue"))
@@ -343,10 +346,12 @@ object RelationalQueries {
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
                 $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
         .select($"o_orderkey", $"o_custkey")
+      // supplier/customer scale with SF — no forced broadcast (see q3);
+      // nation filtered by region is <= 25 rows, genuinely bounded
       Tables.lineitem(s, d)
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(round(sum(dec($"l_extendedprice") * (lit(1.0).cast(Det.Money) - dec($"l_discount"))), 2)
