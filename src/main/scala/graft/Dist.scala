@@ -20,8 +20,22 @@ object Dist {
     val parted = df.repartitionByRange(numParts, order: _*)
       .withColumn("__pid", spark_partition_id())
     // local rank within each range partition (parallel window on __pid)
-    val local = parted.withColumn("__lrn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long"))
+    //
+    // PERSISTED — correctness, not speed. `local` feeds two plan branches
+    // (the offsets aggregate below and the final join), and nothing
+    // guarantees Spark evaluates the shared subtree once: when the
+    // upstream's partition layout is not stable across evaluations (e.g. an
+    // anti-join over a frame being cached concurrently), the branches can
+    // see DIFFERENT spark_partition_id assignments — offsets computed for
+    // one layout, local ranks joined from another, yielding duplicate and
+    // shifted global ranks (caught at sf0.1 in discoverFull's task-side
+    // renumbering: 12443 keys -> 12265 distinct ranks). The cache pins ONE
+    // materialization; any single consistent (pid, lrn) assignment gives
+    // the exact total-order rank. Partition-level recompute after eviction
+    // is safe: InMemoryRelation holds one child RDD, so recomputed blocks
+    // reuse the same shuffle output.
+    val local = Pinned.track(parted.withColumn("__lrn",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long")))
     // per-partition row counts -> prefix-sum offsets (numParts rows: the
     // single-partition window here is bounded and deliberate)
     val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
