@@ -52,6 +52,33 @@ class DistSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRank is exact when the upstream's in-partition order is unstable") {
+    // The sf0.1 discoverFull failure mode: the offsets branch and the join
+    // branch each evaluate the local-rank subtree, and an upstream whose
+    // in-partition row ORDER differs between evaluations (here: an explicit
+    // fresh shuffle per iterator pull; in production, an anti-join over a
+    // concurrently-cached frame) can flip the range-sampling boundaries so
+    // the branches disagree on spark_partition_id -> duplicate/shifted
+    // ranks. At unit scale exchange reuse usually hides this (the pre-fix
+    // code passes here too), so this test only locks the stable-set/
+    // unstable-order contract — the AUTHORITATIVE regression gate for the
+    // cross-branch race is the full sf0.1 oracle run mandated by the
+    // verify skill.
+    import spark.implicits._
+    val base = (1 to 500).map(i => (i.toLong, (i * 2654435761L) % 1009))
+    val rdd = spark.sparkContext.parallelize(base, 7).mapPartitions { it =>
+      scala.util.Random.shuffle(it.toVector).iterator // new order every evaluation
+    }
+    val df = spark.createDataFrame(rdd).toDF("tie", "key")
+    val got = Dist.withGlobalRank(df, "rk", Seq($"key", $"tie"))
+      .select($"tie", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.createDataFrame(base).toDF("tie", "key")
+      .withColumn("rk", row_number().over(Window.orderBy($"key", $"tie")).cast("long"))
+      .select($"tie", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    Pinned.release(spark)
+  }
+
   test("withGlobalRank ids are dense 1..n regardless of partition count") {
     import spark.implicits._
     for (parts <- Seq(1, 8, 64)) {
