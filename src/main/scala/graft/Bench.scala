@@ -86,12 +86,12 @@ object Bench {
     // clearing both references forces a genuinely fresh context
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
+    val spark = Harness.tmpfsLocalDir(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm the session (parquet footers, exchange + codegen paths) so the

@@ -9,6 +9,11 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 # amplified cache contention ~8x in the round-3 driver bench.
 # 512m code cache: the 240m default fills with JIT output over a long
 # janino-heavy session, silently disabling the JIT (10x slowdowns).
+# spark.local.dir on tmpfs: jstack sampling showed executor threads spending
+# most RUNNABLE time in FileOutputStream.open0 — shuffle-file creation on the
+# overlay disk dominated the staged pm pipeline. A cluster provisions NVMe
+# local dirs; /dev/shm is this box's analogue.
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir=/dev/shm/spark-local \
   -cp "$CP" "$@"
