@@ -11,9 +11,34 @@ object Harness {
     * from this alone). A cluster provisions NVMe local dirs; /dev/shm is
     * the single-box analogue. No-op when /dev/shm is absent or the caller
     * already set spark.local.dir. */
-  def tmpfsLocalDir(b: SparkSession.Builder): SparkSession.Builder =
-    if (new java.io.File("/dev/shm").isDirectory &&
-        !sys.props.contains("spark.local.dir"))
-      b.config("spark.local.dir", "/dev/shm/spark-local")
-    else b
+  def tmpfsLocalDir(b: SparkSession.Builder): SparkSession.Builder = {
+    // run.sh may have set -Dspark.local.dir already; prune whichever
+    // tmpfs-resident dir is in effect either way
+    sys.props.get("spark.local.dir") match {
+      case Some(d) if d.startsWith("/dev/shm/") =>
+        pruneStale(new java.io.File(d)); b
+      case Some(_) => b
+      case None if new java.io.File("/dev/shm").isDirectory =>
+        pruneStale(new java.io.File("/dev/shm/spark-local"))
+        b.config("spark.local.dir", "/dev/shm/spark-local")
+      case None => b
+    }
+  }
+
+  /** Shuffle dirs on tmpfs cost RAM, and a SIGKILL'd JVM never removes
+    * its spark-<uuid> subdir. Graceful exits clean after themselves, so
+    * anything old here is orphaned; the age guard keeps concurrently
+    * running sessions' dirs safe. */
+  private def pruneStale(root: java.io.File, maxAgeMs: Long = 6L * 3600 * 1000): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.lastModified() < cutoff)
+        .foreach(deleteRec)
+    } catch { case _: Throwable => () }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
 }
