@@ -252,7 +252,7 @@ object PmQueries {
     s"""seg0 AS (
       |  SELECT *, lag(start_us) OVER w AS prev_s, lag(end_us) OVER w AS prev_e,
       |    row_number() OVER w AS rn
-      |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, event_id)),
+      |  FROM en WINDOW w AS (PARTITION BY resource, activity ORDER BY start_us, end_us, event_id)),
       |seg1 AS (
       |  SELECT *, CASE WHEN prev_s IS NULL THEN NULL
       |                 WHEN start_us = prev_s AND end_us = prev_e THEN 'P'
@@ -261,11 +261,11 @@ object PmQueries {
       |                 ELSE NULL END AS lnk
       |  FROM seg0),
       |seg2 AS (SELECT *, lag(lnk) OVER w2 AS prev_lnk
-      |  FROM seg1 WINDOW w2 AS (PARTITION BY resource, activity ORDER BY start_us, event_id)),
+      |  FROM seg1 WINDOW w2 AS (PARTITION BY resource, activity ORDER BY start_us, end_us, event_id)),
       |seg3 AS (
       |  SELECT *, max(CASE WHEN lnk IS NULL THEN rn * 2 + 1
       |                     WHEN prev_lnk IS NOT NULL AND lnk = prev_lnk THEN rn * 2 END)
-      |    OVER (PARTITION BY resource, activity ORDER BY start_us, event_id
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
       |  FROM seg2),
       |seg4 AS (
@@ -274,7 +274,7 @@ object PmQueries {
       |  FROM seg3),
       |seg AS (
       |  SELECT *, sum(CASE WHEN bnd THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY resource, activity ORDER BY start_us, event_id
+      |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no
       |  FROM seg4)""".stripMargin
 

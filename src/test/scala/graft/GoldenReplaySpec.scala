@@ -37,7 +37,8 @@ class GoldenReplaySpec extends AnyFunSuite {
       .select(col("case_id").as("g_case"), col("Activity").as("g_act"),
         graft.Det.us(to_timestamp(col("start_time"))).as("g_start"),
         graft.Det.us(to_timestamp(col("end_time"))).as("g_end"),
-        graft.Det.us(to_timestamp(col("enabled_time"))).as("g_enabled"))
+        graft.Det.us(to_timestamp(col("enabled_time"))).as("g_enabled"),
+        col("batch_instance_id").as("g_bid"))
     val enMismatch = en
       .join(log.select($"event_id", $"case_str"), Seq("event_id"))
       .join(golden, $"case_str" === $"g_case" && $"activity" === $"g_act" &&
@@ -50,19 +51,40 @@ class GoldenReplaySpec extends AnyFunSuite {
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     val batchedEvents = d.filter($"batch_id".isNotNull).count()
     info(s"Production: $nBatches batch instances, $batchedEvents/4503 batched events (golden: 485 / 1244)")
-    // Round 4: deterministic 487 instances / 1245 batched events vs golden
-    // 485 / 1244. Instance-level diff: 483 of 485 golden instances match
-    // EXACTLY; the three residuals (one extra 2-case pair, golden 314
-    // missing its equal-end third member, golden 334 split across an
-    // equal-end link) are each pairwise-indistinguishable from batched
-    // twins elsewhere in the golden and trace to BAMA's model-based
-    // candidate filter (log_and_model_based=TRUE, batch_detection.R:72) —
-    // see the C-link Scaladoc in ProcessMining.typedLinkSegments.
-    assert(nBatches == 487L,
-      s"batch instance count $nBatches drifted (round-4 pinned: 487 = golden 485 + documented residuals)")
-    assert(batchedEvents == 1245L,
-      s"batched event count $batchedEvents drifted (round-4 pinned: 1245 vs golden 1244)")
+    // Round 5 (same-start ties ordered by end_us, see BatchDiscovery
+    // .segment): EVERY golden instance is reproduced exactly — the
+    // instance-set diff against Production_WTs is asserted empty below —
+    // plus ONE engine-only extra (the Case28/Case87 same-start pair,
+    // 2012-02-19 21:25, locally indistinguishable from 352 golden-batched
+    // C links; see the C-link Scaladoc in ProcessMining.typedLinkSegments).
+    // Hence 486 = 485 + 1 instances, 1246 = 1244 + 2 events.
+    assert(nBatches == 486L,
+      s"batch instance count $nBatches drifted (round-5 pinned: 486 = golden 485 + 1 documented residual)")
+    assert(batchedEvents == 1246L,
+      s"batched event count $batchedEvents drifted (round-5 pinned: 1246 vs golden 1244)")
     assert(d.count() == 4503L)
+
+    // Instance-level EXACT golden coverage: group both sides' batched
+    // events into instance member-sets keyed by (case, activity, start,
+    // end) and diff — every golden instance must appear verbatim.
+    val engInst = d.filter($"batch_id".isNotNull)
+      .join(log.select($"event_id", $"case_str"), Seq("event_id"))
+      .groupBy($"batch_id")
+      .agg(sort_array(collect_set(concat_ws("",
+        $"case_str", $"activity", $"start_us", $"end_us"))).as("members"))
+      .select($"members")
+    val goldInst = golden
+      .filter(col("g_bid").isNotNull)
+      .groupBy(col("g_bid"))
+      .agg(sort_array(collect_set(concat_ws("",
+        $"g_case", $"g_act", $"g_start", $"g_end"))).as("members"))
+      .select($"members")
+    val missing = goldInst.except(engInst).count()
+    assert(missing == 0L,
+      s"$missing golden Production batch instances not reproduced verbatim")
+    val extra = engInst.except(goldInst).count()
+    assert(extra == 1L,
+      s"engine-only instance count $extra drifted (pinned: exactly the Case28/Case87 pair)")
 
     // per-batch invariants
     val sizes = d.filter($"batch_id".isNotNull)
@@ -169,23 +191,29 @@ class GoldenReplaySpec extends AnyFunSuite {
 
     // The Loan golden was produced with min_batch_instance_size=10 (the
     // commented config in preprocessing/main.py; every golden instance has
-    // >= 10 cases). The reference recomputes enabled times with its oracle
-    // (the input column differs from the golden's on ~90% of rows), so we
-    // do the same with K2 and allow a small band around the golden 587.
+    // >= 10 cases). The reference recomputes enabled times with its oracle;
+    // round 5 established the Loan golden's enabled column matches the
+    // l2l-gated HeuristicsConcurrencyOracle EXACTLY (70162/70162 — the
+    // Design-loan-offer ⇄ Approve-Loan-Offer rework loop must be excluded
+    // from the concurrency set; see EnabledTime.L2lThreshold), so this
+    // replay runs K2 with the l2l gate on. (The Production golden predates
+    // the gate and is byte-exact WITHOUT it — asserted in the tests above.)
     // stage the enabled frame to a leaf: discoverFull references it many
     // times, and Catalyst re-analyzes each reference's full subtree per
     // action — over a leaf the expansion is trivial (same pattern as
     // PmQueries.enabledStage in the production path)
     val en = graft.Pinned.stage(EnabledTime.withEnabled(
-      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us")))
+      log.select($"event_id", $"case_id", $"activity", $"resource", $"start_us", $"end_us"),
+      l2lThreshold = Some(EnabledTime.L2lThreshold)))
     val d = graft.Pinned.stage(BatchDiscovery.discoverFull(en, minSize = 10))
     val nBatches = d.filter($"batch_id".isNotNull).select("batch_id").distinct().count()
     info(s"Loan: $nBatches batch instances at minSize=10 (golden: 587)")
-    // Round 4 pinned: 588 (golden 587; the goldens were generated from a
-    // different injected instance of this log — dates/resources differ —
-    // so only the aggregate count is comparable).
-    assert(nBatches == 588L,
-      s"batch instance count $nBatches drifted (round-4 pinned: 588, golden 587)")
+    // Round 5: exactly the golden count. (Without the l2l gate the engine
+    // found 588 — the extra was a 10-case Approve-Loan-Offer concurrent
+    // instance on 2015-05-05 that the golden's enabled times split 5+5 in
+    // the W4 wrong-enabled pass, both halves under min size.)
+    assert(nBatches == 587L,
+      s"batch instance count $nBatches drifted (round-5 pinned: 587 = golden, l2l-gated oracle)")
 
     // EP2 report anchors for 'Assess loan risk' (Loan_Application_Report.txt
     // lines 1-5): 7000 occurrences, ~5264 batched (75.20%), all sizes 14.
@@ -206,15 +234,15 @@ class GoldenReplaySpec extends AnyFunSuite {
     // EP3 ActivationRules structure vs Loan_Application_ActivationRules.txt:
     // same 2 skip notices and 3 gated rule blocks, and all three
     // observation counts land EXACTLY on the golden (258/1092/233) — the
-    // instant generation is fully deterministic. One pinned delta:
-    // 'Approve Loan Offer' skips at size 9 vs the golden's 6 (the golden
-    // log is a different injected instance; both are far under the 30 gate).
+    // instant generation is fully deterministic. Round 5: with the l2l
+    // oracle the 'Approve Loan Offer' skip size lands on the golden 6 too
+    // (round 4's pinned 9 was the extra since-removed ALO instance).
     val rulesTxt = graft.rules.ActivationRulesText.render(
       graft.rules.Features.featuresTable(d))
     assert(rulesTxt.contains(
       "Not extracting rules from batch ('Appraise property',) due to low size: 6"))
     assert(rulesTxt.contains(
-      "Not extracting rules from batch ('Approve Loan Offer',) due to low size: 9"))
+      "Not extracting rules from batch ('Approve Loan Offer',) due to low size: 6"))
     assert("Batch: \\(".r.findAllIn(rulesTxt).length == 3, "3 gated rule blocks (golden)")
     for ((grp, n) <- Seq(("Approve application", 258), ("Assess loan risk", 1092),
         ("Cancel application", 233)))
