@@ -22,20 +22,41 @@ object RuleQueries {
     featCache.computeIfAbsent((s, d), _ => graft.Pinned.stage(Features.featuresTable(disc(s, d))))
   }
 
-  /** Fitted rulesets per (session, sfDir) — memoized so the scoring query
-    * and the dynamically generated oracle SQL (dumped by Verify AFTER the
-    * queries ran) see the same fit. Gate-passed groups whose fit found no
-    * surviving ruleset stay in the map as None (reference: empty rules
+  /** The three ActivationRulesMode groupings (reference config.py:7-10),
+    * as (mode name, Spark group column, DuckDB group expression). `grp` for
+    * by_type is materialized on the feature frame by [[scoreFrame]]. */
+  private val Modes: Seq[(String, String, String)] = Seq(
+    ("", "activities", "activities"),
+    ("_by_activity", "firing_activity", "firing_activity"),
+    ("_by_type", "grp", "activities || '|' || batch_type"))
+
+  /** Fitted rulesets per (session, sfDir, mode) — memoized so the scoring
+    * query and the dynamically generated oracle SQL (dumped by Verify AFTER
+    * the queries ran) see the same fit. Gate-passed groups whose fit found
+    * no surviving ruleset stay in the map as None (reference: empty rules
     * dict, activation_rules.py:240) — their predicate scores as FALSE, so
     * the scoring surface exists at every scale, not only when a rule
     * happens to clear min-support. */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, Option[RuleSet]]]()
-  @volatile private var lastFit: Map[String, Option[RuleSet]] = Map.empty
-  private def fitted(s: SparkSession, d: String): Map[String, Option[RuleSet]] = {
-    val f = fitCache.computeIfAbsent((s, d), _ => Ripper.fitPerGroupAll(feats(s, d)))
-    lastFit = f
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Map[String, Option[RuleSet]]]()
+  // per-mode last fit — concurrent map, NOT a read-modify-write on a plain
+  // Map: Verify runs the three scoring queries concurrently and a lost
+  // update silently downgrades a mode's gate row to rows-only.
+  private val lastFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Option[RuleSet]]]()
+  private def fitted(s: SparkSession, d: String, groupCol: String): Map[String, Option[RuleSet]] = {
+    val f = fitCache.computeIfAbsent((s, d, groupCol),
+      _ => Ripper.fitPerGroupAll(scoreFrame(s, d, groupCol), groupCol))
+    lastFits.put(groupCol, f)
     f
+  }
+
+  /** Feature frame with the mode's group column present. */
+  private def scoreFrame(s: SparkSession, d: String, groupCol: String): DataFrame = {
+    import s.implicits._
+    if (groupCol == "grp")
+      feats(s, d).withColumn("grp", concat_ws("|", $"activities", $"batch_type"))
+    else feats(s, d)
   }
 
   val queries: Map[String, Q] = Map(
@@ -49,17 +70,16 @@ object RuleQueries {
     // rebuilds the feature pipeline independently and evaluates the SAME
     // predicates (RuleSet.toSql) — so a fit or scoring defect breaks the
     // hash match (reference scoring semantics: activation_rules.py:203-238).
-    "ar_rule_scores" -> ((s, d) => ruleScores(s, d)),
+    // One scoring query per ActivationRulesMode (round 5: the by_activity
+    // and by_type fits get the same score-level DuckDB coverage).
+    "ar_rule_scores" -> ((s, d) => ruleScores(s, d, "activities")),
+    "ar_rule_scores_by_activity" -> ((s, d) => ruleScores(s, d, "firing_activity")),
+    "ar_rule_scores_by_type" -> ((s, d) => ruleScores(s, d, "grp")),
 
     // H3 — the reference's other ActivationRulesMode groupings
     // (config.py:7-10): per firing activity / per (activities, type).
     "ar_rules_by_activity" -> ((s, d) => rulesDf(s, feats(s, d), "firing_activity")),
-    "ar_rules_by_type" -> ((s, d) => {
-      import s.implicits._
-      val f = feats(s, d).withColumn("grp",
-        concat_ws("|", $"activities", $"batch_type"))
-      rulesDf(s, f, "grp")
-    })
+    "ar_rules_by_type" -> ((s, d) => rulesDf(s, scoreFrame(s, d, "grp"), "grp"))
   )
 
   /** Distributed rule induction: one mapGroups task per group, fit runs on
@@ -115,21 +135,22 @@ object RuleQueries {
   /** Distributed re-scoring of the fitted rulesets: one pass over the
     * feature table, per-group predicate via a chained `when`, exact counts,
     * integer-division e6 ratios (identical in DuckDB's `//`). */
-  private def ruleScores(s: SparkSession, d: String): DataFrame = {
+  private def ruleScores(s: SparkSession, d: String, groupCol: String): DataFrame = {
     import s.implicits._
-    val f = fitted(s, d)
+    val f = fitted(s, d, groupCol)
+    val g = col(groupCol)
     val pred = f.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
-      case (acc, (g, rs)) =>
-        when($"activities" === g, rs.map(_.toColumn).getOrElse(lit(false))).otherwise(acc)
+      case (acc, (k, rs)) =>
+        when(g === k, rs.map(_.toColumn).getOrElse(lit(false))).otherwise(acc)
     }
-    feats(s, d)
-      .filter($"activities".isin(f.keys.toSeq: _*))
+    scoreFrame(s, d, groupCol)
+      .filter(g.isin(f.keys.toSeq: _*))
       .withColumn("m", pred)
-      .groupBy($"activities")
+      .groupBy(g)
       .agg(count(lit(1)).as("num_obs"),
         sum(when($"m" && $"outcome" === 1, 1L).otherwise(0L)).as("tp"),
         sum(when($"m", 1L).otherwise(0L)).as("pp"))
-      .select($"activities".as("group_key"), $"num_obs",
+      .select(g.as("group_key"), $"num_obs",
         expr("(tp * 1000000) div nullif(pp, 0)").as("confidence_e6"),
         expr("(tp * 1000000) div nullif(num_obs, 0)").as("support_e6"))
   }
@@ -206,12 +227,13 @@ object RuleQueries {
 
   /** The rule-scores oracle embeds the induced predicates (data-dependent):
     * generated from the memoized fit, which Verify populates by RUNNING
-    * ar_rule_scores before it dumps oracle_sql.json. Omitted (rows-only
-    * check) when no fit ran or nothing survived the gates. */
-  private def ruleScoresOracle(f: Map[String, Option[RuleSet]]): String = {
+    * the ar_rule_scores* queries before it dumps oracle_sql.json. Omitted
+    * (rows-only check) when no fit ran or nothing survived the gates.
+    * `groupSql` is the mode's DuckDB group expression over `feat`. */
+  private def ruleScoresOracle(f: Map[String, Option[RuleSet]], groupSql: String): String = {
     def esc(s: String) = s.replace("'", "''")
     val groups = f.toSeq.sortBy(_._1)
-    val predSql = "CASE activities " +
+    val predSql = s"CASE $groupSql " +
       groups.map { case (g, rs) =>
         s"WHEN '${esc(g)}' THEN ${rs.map(_.toSql).getOrElse("FALSE")}"
       }.mkString(" ") +
@@ -223,17 +245,21 @@ object RuleQueries {
            |  (tp * 1000000) // NULLIF(pp, 0) AS confidence_e6,
            |  (tp * 1000000) // NULLIF(num_obs, 0) AS support_e6
            |FROM (
-           |  SELECT activities AS group_key, CAST(count(*) AS BIGINT) AS num_obs,
+           |  SELECT $groupSql AS group_key, CAST(count(*) AS BIGINT) AS num_obs,
            |    CAST(sum(CASE WHEN m AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
            |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS pp
-           |  FROM (SELECT *, $predSql AS m FROM feat WHERE activities IN ($inList)) z
+           |  FROM (SELECT *, $predSql AS m FROM feat WHERE $groupSql IN ($inList)) z
            |  GROUP BY 1) y""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = {
     val base = Map(
       "ar_features" -> graft.pm.PmQueries.withFeaturePrefix(featuresOracleSelect))
-    if (lastFit.isEmpty) base
-    else base + ("ar_rule_scores" -> ruleScoresOracle(lastFit))
+    Modes.foldLeft(base) { case (acc, (suffix, groupCol, groupSql)) =>
+      Option(lastFits.get(groupCol)).filter(_.nonEmpty) match {
+        case Some(f) => acc + (s"ar_rule_scores$suffix" -> ruleScoresOracle(f, groupSql))
+        case None => acc
+      }
+    }
   }
 }
