@@ -81,6 +81,14 @@ object ExtQueries {
     // J5 — aspect-preserving resize bookkeeping in exact integer math.
     "j5_resize" -> ((s, d) => Multimodal.resizeMeta(Tables.documents(s, d))),
 
+    // J5 — REAL image decode: synthesize genuine PNG payloads (pixel
+    // content a closed form of doc_id), decode them with javax.imageio in
+    // the batched per-partition path, and emit width/height/channels/exact
+    // pixel sums. The DuckDB oracle recomputes the stats from the closed
+    // form — a codec, byte-plumbing, or color-mapping defect breaks it.
+    "j5_decode" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d)))),
+
     // J6 — sketches (approx; no DuckDB-equivalent oracle → rows-only check).
     // Quantiles come out as SCALAR columns, not an array: the driver's
     // pandas comparator sorts column values and crashes on unhashable
@@ -356,6 +364,19 @@ object ExtQueries {
         |  CAST(CASE WHEN src_w >= src_h THEN 224 ELSE src_w * 224 // src_h END AS BIGINT) AS out_w,
         |  CAST(CASE WHEN src_w >= src_h THEN src_h * 224 // src_w ELSE 224 END AS BIGINT) AS out_h
         |FROM s""".stripMargin,
+
+    "j5_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS width, doc_id % 7 + 2 AS height FROM documents)
+        |SELECT d.doc_id, CAST(d.width AS BIGINT) AS width, CAST(d.height AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum((d.doc_id + 7 * gx.x + 13 * gy.y + 29 * gc.c) % 256) AS BIGINT) AS pixel_sum,
+        |  'imageio' AS decoder
+        |FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
+        |  LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy,
+        |  LATERAL (SELECT unnest(generate_series(0, 2)) AS c) gc
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY J5): media payloads as opaque
-  * BinaryType columns with typed metadata alongside. The decode step is a
-  * STUB (image/audio codecs are not in this container): `decodeStub`
-  * computes a deterministic fake feature from the bytes, but the schema,
-  * batched per-partition execution shape (the Scala analog of
-  * mapInPandas), and partitioning are the real thing.
+  * BinaryType columns with typed metadata alongside.
+  *
+  * Round 5: the decode kernel is REAL for the formats the JDK ships codecs
+  * for — [[decodeImages]] runs `javax.imageio` (headless, pure-JDK) over
+  * PNG/JPEG/BMP/GIF payloads in the batched per-partition path, falling
+  * back to the deterministic stub only for byte streams no JDK codec
+  * recognizes (the container has no native codec libs for video/audio).
+  * [[pngFixture]] synthesizes real PNG payloads whose pixel content is a
+  * closed-form function of doc_id, so the decoded width/height/channel/
+  * pixel-sum stats are DuckDB-oracle-checkable end to end (PNG is
+  * lossless: encode → decode must reproduce every pixel exactly).
   */
 object Multimodal {
   /** Attach a binary payload + metadata columns (expression form, codegen). */
@@ -82,5 +88,80 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, featSchema)
+  }
+
+  /** Synthetic PNG payloads: per doc, a (doc_id%13+3) × (doc_id%7+2) RGB
+    * image whose channel-c pixel at (x, y) is (doc_id + 7x + 13y + 29c) mod
+    * 256, encoded with the JDK PNG writer per partition. The formula is the
+    * oracle contract for [[decodeImages]] — DuckDB recomputes the expected
+    * stats from doc_id alone (see ExtQueries `j5_decode`). */
+  def pngFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 13 + 3).toInt
+        val h = (id % 7 + 2).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def v(c: Int): Int = (((id + 7L * x + 13L * y + 29L * c) % 256).toInt + 256) % 256
+            img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** True when a pure-JDK ImageIO codec exists for the payload's magic
+    * bytes (PNG / JPEG / BMP / GIF). */
+  private def jdkDecodable(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      (b0 == 0x89 && b1 == 'P' && bytes(2) == 'N' && bytes(3) == 'G') || // PNG
+        (b0 == 0xff && b1 == 0xd8) ||                                    // JPEG
+        (b0 == 'B' && b1 == 'M') ||                                      // BMP
+        (b0 == 'G' && b1 == 'I' && bytes(2) == 'F' && bytes(3) == '8')   // GIF
+    }
+
+  /** REAL batched per-partition decode: `javax.imageio` over every payload
+    * a JDK codec recognizes (one decoder instance pipeline per partition —
+    * the Scala analog of a mapInPandas batch), deterministic stub metadata
+    * otherwise. Emits width / height / band count / exact per-pixel RGB sum
+    * per document. */
+  def decodeImages(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select($"doc_id", $"payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        if (jdkDecodable(bytes)) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, img.getRaster.getNumBands.toLong, sum, "imageio")
+        } else {
+          val w = (bytes.length % 64) + 1
+          (id, w.toLong, (bytes.length / w + 1).toLong, 1L, bytes.length.toLong, "stub")
+        }
+      }
+    }.toDF("doc_id", "width", "height", "channels", "pixel_sum", "decoder")
   }
 }

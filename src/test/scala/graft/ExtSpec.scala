@@ -80,6 +80,38 @@ class ExtSpec extends AnyFunSuite {
     assert(feats.keySet == Set(1L, 2L))
   }
 
+  test("imageio decode: PNG round-trips pixels exactly, JPEG dims survive, stub for non-image") {
+    import spark.implicits._
+    // PNG fixture path: decode must reproduce the closed-form stats exactly
+    val docs = spark.range(0L, 40L).select($"id".as("doc_id"))
+    val decoded = Multimodal.decodeImages(Multimodal.pngFixture(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    for (id <- 0L until 40L) {
+      val (w, h) = (id % 13 + 3, id % 7 + 2)
+      val expected = (for { x <- 0L until w; y <- 0L until h; c <- 0 to 2 }
+        yield (id + 7 * x + 13 * y + 29 * c) % 256).sum
+      assert(decoded(id) == ((w, h, 3L, expected, "imageio")), s"doc $id")
+    }
+
+    // JPEG path: lossy, so pixel sums are codec-dependent — but the decode
+    // must engage (decoder=imageio) and dims/bands must be exact
+    val jpegBytes = {
+      val img = new java.awt.image.BufferedImage(
+        17, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until 17; y <- 0 until 9) img.setRGB(x, y, (x * 15) << 16 | (y * 28))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mixed = Seq((100L, jpegBytes), (101L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.decodeImages(mixed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(m(100L) == ((17L, 9L, 3L, "imageio")))
+    assert(m(101L)._4 == "stub")
+  }
+
   test("near-dup bucket cap drops boilerplate mega-buckets (no quadratic pairs)") {
     import spark.implicits._
     // 2000 identical docs would fill one band bucket and emit ~2M pairs;
