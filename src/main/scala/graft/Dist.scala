@@ -12,12 +12,21 @@ import org.apache.spark.sql.functions._
   * per-partition offsets computed from a tiny (numPartitions-row) count
   * table. Two extra exchanges, no single-task stage. */
 object Dist {
+  /** Default range-partition count: the session's shuffle parallelism
+    * (bounded below by 1), so a cluster-sized `spark.sql.shuffle.partitions`
+    * scales the rank stage with it instead of pinning a magic 32. */
+  private def defaultParts(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact global dense row rank (1-based) by `order`, computed without a
     * single-partition window. `order` must be a total order (include a
-    * unique tiebreak column) for deterministic ids. */
+    * unique tiebreak column) for deterministic ids. `numParts <= 0` (the
+    * default) derives the partition count from the session's
+    * `spark.sql.shuffle.partitions`. */
   def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column],
-                     numParts: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(numParts, order: _*)
+                     numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts else defaultParts(df)
+    val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
     // local rank within each range partition (parallel window on __pid)
     //
@@ -53,7 +62,7 @@ object Dist {
     * result to `ntile(k) over (order by ...)` (first n%k tiles get
     * ceil(n/k) rows), without the all-rows-to-one-task WindowExec. */
   def ntileBy(df: DataFrame, k: Int, tileCol: String, order: Seq[Column],
-              numParts: Int = 32): DataFrame = {
+              numParts: Int = 0): DataFrame = {
     val ranked = withGlobalRank(df, "__rank", order, numParts)
     val total = ranked.groupBy().agg(count(lit(1)).as("__n"))
     // Spark's `/` is ALWAYS double division, even on integral columns —

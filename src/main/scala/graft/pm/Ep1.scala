@@ -93,10 +93,13 @@ object Ep1 {
 
   /** Run EP1 on a reference-format CSV log and write the WTs artifact
     * (gzip CSV, reference layout) plus a numeric parquet twin. Usage:
-    * Ep1Main <input csv[.gz]> <outDir> [enabledColumnName] */
+    * Ep1Main <input csv[.gz]> <outDir> [enabledColumnName]
+    * SPARK_GRAFT_NUM_FILES shards both sinks (default 1 = the reference's
+    * single-file artifacts; 0 = keep plan partitioning, the 100-TB mode). */
   def main(args: Array[String]): Unit = {
     val input = args(0)
     val outDir = args(1)
+    val numFiles = sys.env.getOrElse("SPARK_GRAFT_NUM_FILES", "1").toInt
     val schema = if (args.length > 2) LogSchema(enabled = Some(args(2))) else LogSchema()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -108,8 +111,9 @@ object Ep1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val analyzed = graft.Pinned.stage(analyze(EventLogCsv.read(spark, input, schema)))
-    analyzed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wts.parquet")
-    EventLogCsv.writeCsvGz(wtLogView(analyzed), s"$outDir/wts_csv")
+    val pq = if (numFiles <= 0) analyzed else analyzed.coalesce(numFiles)
+    pq.write.mode("overwrite").parquet(s"$outDir/wts.parquet")
+    EventLogCsv.writeCsvGz(wtLogView(analyzed), s"$outDir/wts_csv", numFiles)
     graft.Pinned.releaseFrame(analyzed)
     graft.Pinned.release(spark)
     spark.stop()

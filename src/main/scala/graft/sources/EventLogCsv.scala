@@ -57,9 +57,18 @@ object EventLogCsv {
       .select(cols.map(col): _*)
   }
 
-  /** Gzip CSV sink with the reference's timestamp format (A3). */
-  def writeCsvGz(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite")
+  /** Gzip CSV sink with the reference's timestamp format (A3).
+    *
+    * `numFiles = 1` (default) coalesces to a single part file for parity
+    * with the reference's one-file artifacts — fine at reference scale but
+    * a single-writer bottleneck at 100 TB. Pass `numFiles > 1` to shard
+    * the write across that many tasks, or `numFiles = 0` to keep the
+    * frame's existing partitioning (no coalesce at all — the right call
+    * when the upstream plan already has cluster-scale parallelism). */
+  def writeCsvGz(df: DataFrame, path: String, numFiles: Int = 1): Unit = {
+    val out = if (numFiles <= 0) df else df.coalesce(numFiles)
+    out.write.mode("overwrite")
       .option("header", "true").option("compression", "gzip")
       .csv(path)
+  }
 }

@@ -88,4 +88,23 @@ class DistSpec extends AnyFunSuite {
       assert(rks.toSeq == (1L to 50L), s"numParts=$parts")
     }
   }
+
+  test("default partition count follows spark.sql.shuffle.partitions") {
+    // A cloned session with a non-default shuffle parallelism: the rank
+    // stage's range exchange must pick it up (no pinned magic constant),
+    // and results stay exact.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    import s2.implicits._
+    val df = s2.createDataFrame((1 to 200).map(i => ((i * 37) % 1000L, i.toLong)))
+      .toDF("key", "tie").repartition(11)
+    val ranked = Dist.withGlobalRank(df, "rk", Seq($"key", $"tie"))
+    val plan = ranked.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("rangepartitioning") && plan.contains(" 5\n") ||
+      plan.matches("(?s).*rangepartitioning\\([^)]*, 5\\).*"),
+      s"range exchange did not inherit shuffle.partitions=5:\n$plan")
+    val rks = ranked.select($"rk").collect().map(_.getLong(0)).sorted
+    assert(rks.toSeq == (1L to 200L))
+    Pinned.release(s2)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.sources.{EventLogCsv, LogSchema}
 
 class SourcesSpec extends AnyFunSuite {
@@ -23,5 +24,20 @@ class SourcesSpec extends AnyFunSuite {
     // and increasing with row position; values are partition-encoded)
     val ids = back.select("event_id").as[Long].collect().toSeq
     assert(ids.distinct.length == 2)
+  }
+
+  test("sharded sink: numFiles > 1 writes that many part files, same rows back") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_sharded").toString + "/log"
+    val df = spark.range(0L, 100L).select(
+      concat(lit("Case"), $"id").as("case_id"), lit("A").as("Activity"),
+      lit("2024-01-01 10:00:00").as("start_time"),
+      lit("2024-01-01 11:00:00").as("end_time"), lit("r1").as("Resource"))
+    EventLogCsv.writeCsvGz(df, out, numFiles = 4)
+    val parts = new java.io.File(out).listFiles().count(_.getName.endsWith(".csv.gz"))
+    assert(parts == 4, s"expected 4 shards, found $parts")
+    val back = EventLogCsv.read(spark, out, LogSchema())
+    assert(back.count() == 100L)
+    assert(back.select("case_str").distinct().count() == 100L)
   }
 }
