@@ -28,14 +28,25 @@ object Harness {
   /** Shuffle dirs on tmpfs cost RAM, and a SIGKILL'd JVM never removes
     * its spark-<uuid> subdir. Graceful exits clean after themselves, so
     * anything old here is orphaned; the age guard keeps concurrently
-    * running sessions' dirs safe. */
+    * running sessions' dirs safe. Liveness is the NEWEST mtime found
+    * anywhere under the dir, not the root's: a long-running session's
+    * spark-<uuid> root keeps its startup mtime while its shuffle files
+    * stay fresh — pruning on the root mtime alone would delete a live
+    * session's shuffle data out from under it (fetch failures). */
   private def pruneStale(root: java.io.File, maxAgeMs: Long = 6L * 3600 * 1000): Unit =
     try {
       val cutoff = System.currentTimeMillis() - maxAgeMs
       Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.lastModified() < cutoff)
+        .filter(d => d.isDirectory && newestMtime(d) < cutoff)
         .foreach(deleteRec)
     } catch { case _: Throwable => () }
+
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    if (!f.isDirectory) own
+    else Option(f.listFiles()).getOrElse(Array.empty)
+      .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)

@@ -11,6 +11,13 @@ import org.apache.spark.sql.graftbridge.{LongDotExpr, Md5Head32Expr}
   *   - `long_dot(array<long>, array<long>) -> long` ([[LongDot]])
   *   - `md5_head32(string) -> long` ([[Md5Head32]])
   *
+  * OVERFLOW NOTE: `long_dot` multiplies/accumulates with raw 64-bit
+  * arithmetic and silently WRAPS on overflow, even under ANSI mode — unlike
+  * the `aggregate(zip_with(...))` form it replaces, which ANSI mode would
+  * fail. Its internal callers (quantized embedding dot products, values
+  * bounded well inside 2^31) cannot overflow; arbitrary SQL inputs near
+  * Long range get two's-complement wrap, not an error.
+  *
   * Two entry points, both idiomatic:
   *   - `GraftExtensions` for session construction
   *     (`SparkSession.builder.withExtensions(new GraftExtensions)` or

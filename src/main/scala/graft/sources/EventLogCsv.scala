@@ -51,6 +51,15 @@ object EventLogCsv {
     // rank mis-orders e.g. Case61's Stress Relief / T&M Q.C. pair and
     // flips their concurrency). Cheaper than a global rank too: no shuffle,
     // no sort — ids are non-dense across partitions, which nothing needs.
+    //
+    // ORDERING CONTRACT: "file order" holds only when the input is ONE
+    // non-splittable file (a single .csv.gz — every reference log is).
+    // With multiple files or splittable inputs Spark orders scan partitions
+    // by split size DESCENDING, so ids stay UNIQUE but no longer follow
+    // input order — fine for every query semantics here (ids are only a
+    // tie-break salt), but golden byte-parity replays must feed a single
+    // .csv.gz. (A sharded read that needed input order would zip a per-file
+    // row number with input_file_name order instead.)
     val cols = Seq("event_id", "case_id", "case_str", "activity", "resource", "start_us", "end_us") ++
       (if (schema.enabled.isDefined) Seq("enabled_us") else Nil)
     base.withColumn("event_id", monotonically_increasing_id())

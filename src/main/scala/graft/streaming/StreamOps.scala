@@ -132,7 +132,10 @@ object StreamOps {
       if (isStreaming) withTs.withWatermark("ts", "2 hours") else withTs
     prepared
       .select($"user_id", $"ts",
-        round($"value" * 100d).cast("long").as("cents"))
+        // decimal(18,2) first, like the oracle's CAST: double multiply +
+        // round disagrees with decimal rounding on >2-decimal inputs
+        // (0.615 as a double is 0.6149999... -> 61, decimal -> 62)
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionOut](

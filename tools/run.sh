@@ -12,8 +12,16 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 # spark.local.dir on tmpfs: jstack sampling showed executor threads spending
 # most RUNNABLE time in FileOutputStream.open0 — shuffle-file creation on the
 # overlay disk dominated the staged pm pipeline. A cluster provisions NVMe
-# local dirs; /dev/shm is this box's analogue.
+# local dirs; /dev/shm is this box's analogue. Only when the host has one
+# (and the caller didn't pick a dir): shuffle/spill on tmpfs is RAM, so on a
+# small-memory host the disk default is the safe choice.
+LOCAL_DIR_FLAG=""
+if [ -z "$SPARK_LOCAL_DIR" ] && [ -d /dev/shm ] && [ -w /dev/shm ]; then
+  LOCAL_DIR_FLAG="-Dspark.local.dir=/dev/shm/spark-local"
+elif [ -n "$SPARK_LOCAL_DIR" ]; then
+  LOCAL_DIR_FLAG="-Dspark.local.dir=$SPARK_LOCAL_DIR"
+fi
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Dspark.local.dir=/dev/shm/spark-local \
+  $LOCAL_DIR_FLAG \
   -cp "$CP" "$@"
