@@ -22,15 +22,59 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark does not
-    * read natively: read it as a long and truncate to microseconds (matching
-    * DuckDB's ns->us truncation, so oracle comparisons line up). Emitted as
-    * TIMESTAMP_NTZ like every other harness timestamp column. */
+  /** `events.ts` has shipped under three different Parquet physical encodings
+    * across harness generations, so the loader dispatches on the dtype Spark
+    * actually infers rather than assuming one:
+    *
+    *   - `TIMESTAMP(NANOS)`: Spark refuses the footer outright; we retry the
+    *     read with `spark.sql.legacy.parquet.nanosAsLong` (set only on that
+    *     retry path, never as an unconditional session side effect), then
+    *     truncate ns->us — matching DuckDB's own ns->us truncation so oracle
+    *     comparisons line up.
+    *   - `TIMESTAMP(MICROS, isAdjustedToUTC=false)`: loads natively as
+    *     TIMESTAMP_NTZ; pass through unchanged.
+    *   - `TIMESTAMP(MICROS, isAdjustedToUTC=true)`: loads as TIMESTAMP
+    *     (instant). A bare cast to NTZ would shift by the session timezone, so
+    *     convert timezone-invariantly: `cast(ts as timestamp_ntz)` yields the
+    *     session-tz wall clock, and the 2-arg `convert_timezone('UTC', ...)`
+    *     re-interprets that wall clock in the session tz and re-renders it in
+    *     UTC — net effect is the UTC wall clock of the instant regardless of
+    *     `spark.sql.session.timeZone`.
+    *
+    * All three normalize to TIMESTAMP_NTZ carrying UTC wall-clock micros, like
+    * every other harness timestamp column. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$d/events.parquet"
+    val raw =
+      try s.read.parquet(path)
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(path)
+      }
+    normalizeTs(raw)
+  }
+
+  /** Normalize an events frame's `ts` column to TIMESTAMP_NTZ (UTC wall
+    * clock) from whichever dtype the scan inferred — see [[events]] for the
+    * per-encoding rationale. Shared by the batch loader and the streaming
+    * readers (which stage their own file source but need identical ts
+    * semantics). */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType =>
+        raw
+      case TimestampType =>
+        raw.withColumn("ts", expr("convert_timezone('UTC', cast(ts as timestamp_ntz))"))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

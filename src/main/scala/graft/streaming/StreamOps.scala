@@ -133,8 +133,10 @@ object StreamOps {
     prepared
       .select($"user_id", $"ts",
         // decimal(18,2) first, like the oracle's CAST: double multiply +
-        // round disagrees with decimal rounding on >2-decimal inputs
-        // (0.615 as a double is 0.6149999... -> 61, decimal -> 62)
+        // round disagrees with decimal rounding on >2-decimal inputs whose
+        // double*100 lands below the .5 boundary (1.005*100 = 100.4999...
+        // -> double-round 100, decimal HALF_UP on "1.005" -> 101); pinned
+        // by FunctionsSpec "cents conversion"
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)

@@ -68,6 +68,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cents conversion: decimal(18,2) cast rounds like the oracle where double round does not") {
+    import spark.implicits._
+    // st_session_fmg's cents derivation (StreamOps.sessionsViaFlatMapGroups)
+    // must use cast(decimal(18,2)) * 100, matching DuckDB's CAST semantics.
+    // Discriminating inputs are those whose double*100 lands strictly BELOW
+    // the .5 boundary (1.005*100 = 100.4999... -> double-round 100) while
+    // the decimal cast re-renders the shortest decimal repr ("1.005") and
+    // rounds HALF_UP to 1.01 -> 101. (0.615*100 is exactly 61.5 in binary,
+    // so both paths agree there — it is NOT a discriminator.)
+    val df = Seq(1.005, 1.015, 8.165, 0.615, 2.675, 0.1).toDF("value")
+    val got = df.select(
+        $"value",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("dec_cents"),
+        round($"value" * 100d).cast("long").as("dbl_cents"))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1.005) == ((101L, 100L)), "1.005: decimal and double must disagree")
+    assert(got(1.015) == ((102L, 101L)), "1.015: decimal and double must disagree")
+    assert(got(8.165) == ((817L, 816L)), "8.165: decimal and double must disagree")
+    assert(got(0.615) == ((62L, 62L)))
+    assert(got(2.675) == ((268L, 268L)))
+    assert(got(0.1) == ((10L, 10L)))
+    // and the operator itself carries the decimal form: a 1-event session on
+    // value=1.005 must surface 101 cents (the double path would emit 100)
+    val e = Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0), 1.005))
+      .toDF("user_id", "ts", "value")
+    val s = graft.streaming.StreamOps.sessionsViaFlatMapGroups(e).collect()
+    assert(s.length == 1 && s(0).sum_value_e2 == 101L,
+      s"fmg session cents must be decimal-derived, got ${s.toSeq}")
+  }
+
   test("LongDot stays inside whole-stage codegen") {
     import spark.implicits._
     // range source so the project isn't constant-folded into a LocalTableScan

@@ -26,6 +26,109 @@ class SourcesSpec extends AnyFunSuite {
     assert(ids.distinct.length == 2)
   }
 
+  test("events loader: all three historical ts encodings yield identical micros") {
+    import spark.implicits._
+    // the harness has already changed the events.ts physical encoding once
+    // (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS) between rounds 4 and 5); this
+    // pins the loader contract across every encoding it may ship under
+    val microsUtc = Seq(
+      1704103200123456L, // 2024-01-01T10:00:00.123456Z
+      1704189600999999L, // 2024-01-02T10:00:00.999999Z
+      0L)                // epoch
+    def mkDir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_enc_$tag").toString
+
+    // (a) legacy TIMESTAMP(NANOS): Spark cannot write it — craft the file with
+    // parquet-mr directly, adding sub-microsecond noise the loader must truncate
+    val nanosDir = mkDir("nanos")
+    locally {
+      import org.apache.parquet.schema.MessageTypeParser
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+      val schema = MessageTypeParser.parseMessageType(
+        "message events { optional int64 event_id; optional int64 ts (TIMESTAMP(NANOS,false)); }")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val w = ExampleParquetWriter.builder(
+          new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet"))
+        .withConf(conf).withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      microsUtc.zipWithIndex.foreach { case (us, i) =>
+        val g = gf.newGroup()
+        g.add("event_id", i.toLong)
+        g.add("ts", us * 1000L + 789L) // ns, with sub-us residue to truncate
+        w.write(g)
+      }
+      w.close()
+    }
+
+    // (b) MICROS isAdjustedToUTC=false: what Spark writes for TIMESTAMP_NTZ
+    // (the current harness generation)
+    val ntzDir = mkDir("ntz")
+    microsUtc.zipWithIndex.toDF("us", "event_id")
+      .select($"event_id".cast("long"),
+        expr("convert_timezone('UTC', cast(timestamp_micros(us) as timestamp_ntz))").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    // (c) MICROS isAdjustedToUTC=true: what Spark writes for TIMESTAMP when
+    // outputTimestampType=TIMESTAMP_MICROS (instant semantics)
+    val utcDir = mkDir("utc")
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try microsUtc.zipWithIndex.toDF("us", "event_id")
+      .select($"event_id".cast("long"), timestamp_micros($"us").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$utcDir/events.parquet")
+    finally prevOut.foreach(spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+
+    // collect the NTZ values as LocalDateTime and reduce to epoch micros in
+    // the test itself — session-timezone-proof on the assertion side too
+    def loadedMicros(dir: String): Map[Long, Long] =
+      Tables.events(spark, dir)
+        .select($"event_id", $"ts")
+        .collect().map { r =>
+          val t = r.getAs[java.time.LocalDateTime]("ts")
+          r.getLong(0) ->
+            (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+        }.toMap
+
+    val expected = microsUtc.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    assert(loadedMicros(nanosDir) == expected, "nanos-as-long encoding")
+    assert(loadedMicros(ntzDir) == expected, "MICROS-NTZ encoding")
+    assert(loadedMicros(utcDir) == expected, "MICROS-UTC encoding")
+
+    // the instant (isAdjustedToUTC=true) path must be session-timezone
+    // invariant — a bare NTZ cast would shift by the session tz
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(loadedMicros(utcDir) == expected, "MICROS-UTC under non-UTC session tz")
+    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("EP1 sharded sink (numFiles=0, the 100-TB mode) re-reads identical to the single-file artifact") {
+    // SPARK_GRAFT_NUM_FILES=0 keeps the plan's partitioning — no coalesce, so
+    // every upstream task writes its own shard. The artifact must be
+    // content-identical (as a row multiset; shard order is not a contract)
+    // to the default single-file write.
+    val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
+    val view = graft.pm.Ep1.wtLogView(graft.pm.Ep1.analyze(log)).persist()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_ep1_shard").toString
+      EventLogCsv.writeCsvGz(view, s"$base/one", numFiles = 1)
+      EventLogCsv.writeCsvGz(view.repartition(4), s"$base/sharded", numFiles = 0)
+      val parts = new java.io.File(s"$base/sharded").listFiles()
+        .count(_.getName.endsWith(".csv.gz"))
+      assert(parts >= 2, s"numFiles=0 should keep multiple shards, found $parts")
+      def rows(dir: String): Seq[String] = {
+        val df = spark.read.option("header", "true").csv(dir)
+        df.collect().map(_.toString).sorted.toSeq
+      }
+      val a = rows(s"$base/one")
+      val b = rows(s"$base/sharded")
+      assert(a.size == b.size, s"row count drift: ${a.size} vs ${b.size}")
+      assert(a == b, "sharded artifact content differs from single-file artifact")
+    } finally view.unpersist()
+  }
+
   test("sharded sink: numFiles > 1 writes that many part files, same rows back") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_csv_sharded").toString + "/log"

@@ -26,7 +26,6 @@ class StreamingSpec extends AnyFunSuite {
         sum(round($"value" * 100d).cast("long")).as("s"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_state").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -57,7 +56,6 @@ class StreamingSpec extends AnyFunSuite {
       .select($"win_start", $"event_type", $"n")
       .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // readStream needs a directory source: stage the single parquet file
     val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
     java.nio.file.Files.copy(
@@ -66,7 +64,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(staged)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .transform(Tables.normalizeTs)
     val q = StreamOps.tumblingStream(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("graft_stream_test")
@@ -85,7 +83,6 @@ class StreamingSpec extends AnyFunSuite {
     val expected = StreamOps.dedup(Tables.events(spark, dir))
       .collect().map(_.toString).sorted.toSeq
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -93,7 +90,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(staged)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .transform(Tables.normalizeTs)
     val q = StreamOps.dedupStream(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_dedup_test")
@@ -129,7 +126,6 @@ class StreamingSpec extends AnyFunSuite {
     val batchSessions = StreamOps.sessionsViaFlatMapGroups(Tables.events(spark, dir))
       .collect().map(s => (s.user_id, s.sess_start_us) -> s).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_fmg").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -137,7 +133,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(staged)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .transform(Tables.normalizeTs)
     val q = StreamOps.sessionsViaFlatMapGroups(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_fmg_test")
