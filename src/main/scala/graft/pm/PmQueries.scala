@@ -73,6 +73,13 @@ object PmQueries {
     "pm_pairs" -> ((s, d) =>
       EnabledTime.concurrencyPairs(EventLogOps.fromEvents(s, d))),
 
+    // D7 variant — the l2l-gated (1.0.0-package) concurrency semantics:
+    // length-2-loop trigram evidence vetoes pairs whose bidirectional df
+    // counts come from an a⇄b rework loop (the Loan-golden generation).
+    "pm_pairs_l2l" -> ((s, d) =>
+      EnabledTime.concurrencyPairs(EventLogOps.fromEvents(s, d),
+        l2lThreshold = Some(EnabledTime.L2lThreshold))),
+
     // K2 — enabled-time estimation (per-case sweep kernel). Slices the
     // shared discovery cache (enabled_us is computed on its way in).
     "pm_enabled" -> ((s, d) => {
@@ -493,6 +500,23 @@ object PmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pm_pairs" -> withPrefix(logCte, enCtes)("SELECT a, b FROM conc"),
+
+    // Mirrors EnabledTime.concurrencyPairs(l2lThreshold=Some(t)): trigram
+    // a,b,a counts per ordered pair, symmetric-sum gate, anti-join against
+    // conc. Note the gate only covers ordered pairs with >=1 forward
+    // trigram — the Scala full-outer coalesces to the same key set.
+    "pm_pairs_l2l" -> withPrefix(logCte, enCtes,
+      s"""seq3 AS (SELECT case_id, activity,
+        |    lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, event_id) AS p1,
+        |    lag(activity, 2) OVER (PARTITION BY case_id ORDER BY start_us, event_id) AS p2
+        |  FROM log),
+        |l2p AS (SELECT p2 AS a, p1 AS b, count(*) AS nl FROM seq3
+        |  WHERE p2 = activity AND p1 <> activity GROUP BY 1, 2),
+        |loops AS (SELECT x.a, x.b FROM l2p x LEFT JOIN l2p y ON y.a = x.b AND y.b = x.a
+        |  WHERE (x.nl + coalesce(y.nl, 0)) / (x.nl + coalesce(y.nl, 0) + 1.0)
+        |        >= ${EnabledTime.L2lThreshold})""".stripMargin)(
+      """SELECT c.a, c.b FROM conc c
+        |WHERE NOT EXISTS (SELECT 1 FROM loops l WHERE l.a = c.a AND l.b = c.b)""".stripMargin),
 
     "pm_enabled" -> withPrefix(logCte, enCtes)(
       "SELECT event_id, case_id, activity, resource, start_us, end_us, enabled_us FROM en"),

@@ -210,6 +210,28 @@ class PmKernelSpec extends AnyFunSuite {
     assert(en(2L) == 0L) // A||B: A's end is not an enabler -> case start
   }
 
+  test("K2 l2-loop gate vetoes rework loops but keeps true concurrency") {
+    // A/B: observed in both orders across cases, zero a,b,a trigrams ->
+    // genuine concurrency, survives the gate. C/D: an 11-event alternating
+    // rework loop in one case -> df(C,D)=df(D,C)=5 fakes bidirectional
+    // evidence, but l2(C,D)+l2(D,C) = 5+4 = 9 trips 9/10 >= 0.9 -> vetoed.
+    val ab = Seq(
+      (1L, 1L, "A", "r0", 0L, 100L, 0L),
+      (2L, 1L, "B", "r0", 150L, 250L, 0L),
+      (3L, 2L, "B", "r0", 0L, 100L, 0L),
+      (4L, 2L, "A", "r0", 150L, 250L, 0L))
+    val cd = (0 until 11).map { i =>
+      (10L + i, 3L, if (i % 2 == 0) "C" else "D", "r0",
+        i * 100L, i * 100L + 50L, 0L)
+    }
+    val l = log((ab ++ cd): _*).drop("enabled_us")
+    val ungated = EnabledTime.concurrencyPairs(l).as[(String, String)].collect().toSet
+    assert(ungated == Set(("A", "B"), ("B", "A"), ("C", "D"), ("D", "C")))
+    val gated = EnabledTime.concurrencyPairs(l, l2lThreshold = Some(0.9))
+      .as[(String, String)].collect().toSet
+    assert(gated == Set(("A", "B"), ("B", "A")))
+  }
+
   test("K3 sweep line matches hand computation") {
     val d = Seq(
       (1L, 1L, java.lang.Long.valueOf(1L), 0L, 10L, 20L),
