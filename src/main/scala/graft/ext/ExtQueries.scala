@@ -242,12 +242,35 @@ object ExtQueries {
         |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride FROM embeddings),
         |cents AS (SELECT vec_id AS cid FROM embeddings, nn
         |          WHERE vec_id % stride = 0 AND vec_id < stride * ${Similarity.IvfCells}),
-        |cdots AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * x.q) AS BIGINT) AS dot
-        |          FROM qe e JOIN cents c ON TRUE JOIN qe x ON x.vec_id = c.cid AND x.i = e.i
-        |          GROUP BY 1, 2),
+        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
+        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec0 c ON c.i = e.i GROUP BY 1, 2),
+        |vc1 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
+        |as1 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
+        |  WHERE rn = 1),
+        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc2 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
+        |as2 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
+        |  WHERE rn = 1),
+        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
         |vcos AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(nc2.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id JOIN norms nc2 ON nc2.vec_id = d.cid),
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
         |cells AS (SELECT vec_id AS vid, cid FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
         |  WHERE rn = 1),

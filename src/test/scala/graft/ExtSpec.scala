@@ -63,11 +63,20 @@ class ExtSpec extends AnyFunSuite {
         .as("embedding"))
     val exact = Similarity.knnCosine(emb, nQueries = 10, k = 3)
       .select($"qid", $"vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.annIvf(emb, nQueries = 10, k = 3)
-      .select($"qid", $"vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & ivf).size.toDouble / exact.size
-    info(f"IVF recall@3 over 10 queries: $recall%.2f")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select($"qid", $"vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val seedRecall = recallOf(Similarity.annIvf(emb, nQueries = 10, k = 3, iters = 0))
+    val recall = recallOf(Similarity.annIvf(emb, nQueries = 10, k = 3))
+    val lshRecall = recallOf(Similarity.annLsh(emb, nQueries = 10, k = 3))
+    info(f"IVF recall@3 over 10 queries: seed=$seedRecall%.2f lloyd=$recall%.2f lsh=$lshRecall%.2f")
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // the Lloyd rounds are the point (round-5 verdict stretch): refined
+    // centroids must not trail the un-refined seed, and must at least match
+    // the LSH path's recall on the same corpus and query set
+    assert(recall >= seedRecall, s"Lloyd refinement lost recall: $recall < $seedRecall")
+    assert(recall >= lshRecall, s"refined IVF trails LSH: $recall < $lshRecall")
   }
 
   test("multimodal decode stub runs batched per partition with real schema") {
