@@ -239,13 +239,17 @@ object ExtQueries {
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
-        |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride FROM embeddings),
+        |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride,
+        |          greatest(1, count(*) // ${Similarity.IvfCells * Similarity.IvfTrainPerCell}) AS tstride
+        |       FROM embeddings),
         |cents AS (SELECT vec_id AS cid FROM embeddings, nn
         |          WHERE vec_id % stride = 0 AND vec_id < stride * ${Similarity.IvfCells}),
+        |train AS (SELECT e.vec_id FROM embeddings e, nn WHERE e.vec_id % tstride = 0),
         |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
         |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
         |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN cvec0 c ON c.i = e.i GROUP BY 1, 2),
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec0 c ON c.i = e.i GROUP BY 1, 2),
         |vc1 AS (SELECT d.vec_id, d.cid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
         |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
@@ -256,7 +260,8 @@ object ExtQueries {
         |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
         |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
         |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
         |vc2 AS (SELECT d.vec_id, d.cid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
         |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),

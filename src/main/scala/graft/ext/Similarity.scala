@@ -48,6 +48,12 @@ object Similarity {
     * refinement rounds make the probe dial meaningful while keeping the
     * oracle SQL an unrolled, finite CTE chain. */
   val IvfIters = 2
+  /** Lloyd training subsample target, vectors per cell: the quantizer is
+    * trained on a deterministic stride subsample of ~nCells*this vectors
+    * (the standard IVF practice — centroid quality saturates at tens-to-
+    * hundreds of examples per centroid), so refinement cost is independent
+    * of corpus size; only the final cell assignment scans everything. */
+  val IvfTrainPerCell = 64
 
   /** q = round(x * 1e6) per element — exact integer embedding view. */
   private def qvec(e: Column): Column =
@@ -238,12 +244,27 @@ object Similarity {
     // a driver-side emb.count() here forced a full corpus scan at plan-build
     // time, mis-attributed in Bench/Verify timing (round-3 verdict)
     val strideF = emb.agg(
-      greatest(lit(1L), (count(lit(1)) / nCells).cast("long")).as("stride"))
+      greatest(lit(1L), (count(lit(1)) / nCells).cast("long")).as("stride"),
+      greatest(lit(1L), (count(lit(1)) / (nCells * IvfTrainPerCell)).cast("long"))
+        .as("tstride"))
     val seed = b.crossJoin(broadcast(strideF))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * nCells)
       .select($"vec_id".as("cid"), $"qv".as("cv"), $"nq".as("nc"))
       .filter($"nc" > 0L) // mirror the oracle's HAVING: no zero-norm seeds
-    val cents = (1 to iters).foldLeft(seed)((c, _) => refineCents(b, c))
+    // Lloyd rounds see only the deterministic training subsample
+    // (~nCells*IvfTrainPerCell vectors) — quantizer build cost stays flat
+    // as the corpus grows; only the final assignment below scans it all
+    val trainB = b.crossJoin(broadcast(strideF))
+      .filter($"vec_id" % $"tstride" === 0)
+      .select($"vec_id", $"qv", $"nq")
+    // the trained quantizer (<= nCells rows behind 2 shuffled rounds) is
+    // referenced by the assignment AND probe branches — persist it so one
+    // action trains once (the cluster analogue: train the IVF index once,
+    // store it, reuse). Pinned.track keeps the persist lazy (no plan-build
+    // jobs) and the harness releases it after each query action.
+    val cents =
+      if (iters <= 0) seed
+      else graft.Pinned.track((1 to iters).foldLeft(seed)((c, _) => refineCents(trainB, c)))
     val vcos = centCos(b, cents)
     val cells = assignCells(vcos)
     // probe lists: top-nProbes cells per query
