@@ -202,6 +202,20 @@ object StreamOps {
       .select($"user_id", $"event_type", graft.Det.us($"ts").as("t_us"))
   }
 
+  /** Streaming variant of [[sliding]] with a watermark, for a readStream
+    * source (tested via the memory sink): overlapping 1h windows every 30
+    * minutes, exact decimal value sums — one input row feeds two window
+    * groups, the overlap bookkeeping the state store must get right. */
+  def slidingStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.Det.dsum($"value").as("sum_value"))
+      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"event_type", $"n", $"sum_value")
+  }
+
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream
     * source (tested via the memory sink). */
   def tumblingStream(events: DataFrame): DataFrame = {

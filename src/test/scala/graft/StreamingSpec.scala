@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts+sums equal batch sliding (overlapping windows)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    val expected = StreamOps.sliding(batch)
+      .collect().map(_.toString).sorted.toSeq
+
+    val staged = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+      .transform(Tables.normalizeTs)
+    val q = StreamOps.slidingStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_slide_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_slide_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming watermarked dedup equals batch distinct") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
