@@ -26,6 +26,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(ids.distinct.length == 2)
   }
 
+  test("harness interface contract: every table carries the columns/types the engine consumes") {
+    // The round-5 events.ts encoding change broke 36 queries with cryptic
+    // per-query analysis errors. This pins the whole harness interface in
+    // ONE place: when the driver regenerates testdata with a different
+    // shape, this test names the drift directly. Types are the POST-LOADER
+    // dtypes (Tables.events normalizes ts), so any accepted physical
+    // encoding passes; genuinely new encodings fail here first.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val required: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+        "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
+      "part" -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+        "p_retailprice" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderdate" -> TimestampNTZType, "o_totalprice" -> DoubleType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        "l_shipdate" -> TimestampNTZType, "l_returnflag" -> StringType),
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampNTZType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType)))
+    val drift = required.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      val loaded = (if (t == "events") Tables.events(spark, dir)
+                    else Tables.load(spark, dir, t)).schema
+      val have = loaded.fields.map(f => f.name -> f.dataType).toMap
+      cols.flatMap { case (c, dt) =>
+        have.get(c) match {
+          case None => Some(s"$t.$c MISSING (have: ${have.keys.toSeq.sorted.mkString(",")})")
+          case Some(got) if got != dt => Some(s"$t.$c is $got, engine expects $dt")
+          case _ => None
+        }
+      }
+    }
+    assert(drift.isEmpty,
+      s"harness interface drift — fix the loaders/queries for:\n  ${drift.mkString("\n  ")}")
+  }
+
   test("events loader: all three historical ts encodings yield identical micros") {
     import spark.implicits._
     // the harness has already changed the events.ts physical encoding once
