@@ -189,6 +189,66 @@ object Dedup {
         round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter"), 6).as("jaccard"))
   }
 
+  /** Verified-pair Jaccard threshold for clustering ([[nearDupGroups]]) —
+    * the synthetic near-dups sit at ~0.97+; accidental low-overlap LSH
+    * candidates (observed down to 0.02) are not duplicates. */
+  val NearDupGroupJaccard = 0.9
+  /** Label-propagation rounds for [[nearDupGroups]]. Each round is one
+    * neighbor-min propagation plus one pointer jump (l <- l(l(v))), so the
+    * covered component diameter grows exponentially: k rounds resolve any
+    * component of diameter <= 2^k - 1. Near-dup graphs are star/clique-like
+    * (tiny diameters); raise for adversarial chain-shaped corpora. */
+  val CcRounds = 5
+
+  /** Near-duplicate CLUSTERS (the dedup decision surface): connected
+    * components over the verified pair graph, one row per document —
+    * (doc_id, cluster_id = min doc_id in its component, is_canonical).
+    * A training pipeline keeps `is_canonical = 1` rows and drops the rest.
+    *
+    * Shape: unrolled min-label propagation with pointer jumping — pure
+    * joins/aggregates (no driver-side iteration, no actions at plan build),
+    * every round shuffles only the narrow (v, l) label frame on its key.
+    * At 100 TB this is the standard iterative-join CC; a production run
+    * with unbounded diameters would loop the same round body to a
+    * convergence check instead of unrolling (kept unrolled here so the
+    * whole operator stays one declarative plan with a DuckDB twin —
+    * the recursive-CTE oracle computes EXACT components, so an
+    * insufficient round count fails the gate rather than passing quietly). */
+  def nearDupGroups(docs: DataFrame, threshold: Double = NearDupGroupJaccard,
+                    rounds: Int = CcRounds): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = nearDupPairs(docs).filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b")
+    // undirected: propagate labels along both directions. STAGED (lazy
+    // localCheckpoint -> LogicalRDD leaf, the PmQueries-disc pattern): each
+    // round references its input 4x (twice in prop, twice in jump), so
+    // without the lineage cut the final plan embeds 4^rounds copies of the
+    // whole LSH pipeline and Catalyst analysis explodes (reproduced: the
+    // un-staged form hung the sf0.001 gate). Same treatment per round below.
+    val edges = graft.Pinned.stage(
+      pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
+    // every document starts as its own label — docs in no pair remain
+    // singleton clusters (canonical by construction)
+    val init = docs.select($"doc_id".as("v")).withColumn("l", $"v")
+    val labels = (1 to rounds).foldLeft(init) { (lab, _) =>
+      // propagate: l(v) <- min(l(v), min over in-neighbors u of l(u))
+      val prop = lab
+        .join(edges.select($"doc_b".as("v"), $"doc_a".as("u")), Seq("v"), "left")
+        .join(lab.select($"v".as("u"), $"l".as("lu")), Seq("u"), "left")
+        .groupBy($"v")
+        .agg(min(least($"l", coalesce($"lu", $"l"))).as("l"))
+      // pointer jump: l(v) <- min(l(v), l(l(v))) — labels are vertex ids,
+      // so every l has a label row of its own. Stage the round output: the
+      // narrow (v, l) frame is the iteration's natural materialization
+      // point (a cluster CC job would persist it between supersteps too).
+      graft.Pinned.stage(prop
+        .join(prop.select($"v".as("l"), $"l".as("ll")), Seq("l"), "left")
+        .select($"v", least($"l", coalesce($"ll", $"l")).as("l")))
+    }
+    labels.select($"v".as("doc_id"), $"l".as("cluster_id"),
+      when($"v" === $"l", 1L).otherwise(0L).as("is_canonical"))
+  }
+
   /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1). */
   def simhash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -33,6 +33,11 @@ object ExtQueries {
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
 
+    // J2 — near-dup CLUSTERS: connected components over the verified pair
+    // graph; the dedup decision surface (keep is_canonical, drop the rest).
+    "j2_neardup_groups" -> ((s, d) =>
+      Dedup.nearDupGroups(Tables.documents(s, d))),
+
     // J3 — brute-force cosine top-k (quantized exact-integer arithmetic).
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -184,6 +189,34 @@ object ExtQueries {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin,
+
+    // Exact connected components via recursive reachability (the oracle is
+    // round-count-independent: if the Spark side's unrolled propagation ran
+    // too few rounds for some component diameter, this MISMATCHES — the
+    // convergence bound is gate-checked, not assumed).
+    "j2_neardup_groups" ->
+      s"""WITH RECURSIVE $tokCtes,
+         |$bandCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
+         |  JOIN ds x ON x.doc_id = c.doc_a
+         |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT c.doc_a, c.doc_b,
+         |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS j
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b),
+         |edges AS (SELECT doc_a, doc_b FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}
+         |  UNION ALL SELECT doc_b, doc_a FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}),
+         |reach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v)
+         |SELECT v AS doc_id, min(l) AS cluster_id,
+         |  CASE WHEN v = min(l) THEN 1 ELSE 0 END AS is_canonical
+         |FROM reach GROUP BY v""".stripMargin,
 
     "j2_simhash" ->
       """WITH toks AS (

@@ -19,6 +19,27 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("near-dup groups: chained duplicates collapse to one cluster, min id canonical") {
+    import spark.implicits._
+    // 1-2-3 form a CHAIN (1~2 and 2~3 are near-dups; 1~3 may or may not be
+    // a pair) — components must merge them transitively. 4 is unrelated and
+    // 5 shares no pair: both stay singleton canonical.
+    val base = "a b c d e f g h i j k l m n o p"
+    val docs = Seq(
+      (1L, base + " q"),
+      (2L, base + " r"), // 1 token from 1
+      (3L, base + " s"), // 1 token from 2 (and from 1)
+      (4L, "z y x w v u t s r q p o n m l k"),
+      (5L, "completely different tokens here nothing shared at all with others x1 x2 x3 x4 x5 x6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupGroups(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 1L)), s"doc 1 canonical of its cluster: $got")
+    assert(got(2L) == ((1L, 0L)), s"doc 2 joins cluster 1: $got")
+    assert(got(3L) == ((1L, 0L)), s"doc 3 joins cluster 1 transitively: $got")
+    assert(got(4L) == ((4L, 1L)) && got(5L) == ((5L, 1L)), s"singletons canonical: $got")
+  }
+
   test("shingle/minhash/winnow handle short docs (< 3 tokens) row-locally") {
     import spark.implicits._
     val docs = Seq(
