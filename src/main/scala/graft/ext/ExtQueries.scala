@@ -38,6 +38,13 @@ object ExtQueries {
     "j2_neardup_groups" -> ((s, d) =>
       Dedup.nearDupGroups(Tables.documents(s, d))),
 
+    // J7 — the curation capstones: keep/drop/split manifest and benchmark
+    // decontamination, composed from the graded J1-J4 kernels.
+    "j7_trainset" -> ((s, d) =>
+      Pipeline.trainsetManifest(Tables.documents(s, d))),
+    "j7_decontam" -> ((s, d) =>
+      Pipeline.decontam(Tables.documents(s, d))),
+
     // J3 — brute-force cosine top-k (quantized exact-integer arithmetic).
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -163,6 +170,30 @@ object ExtQueries {
   private val candUnion =
     (0 until Dedup.Bands).map(b => s"SELECT * FROM cand$b").mkString(" UNION ALL ")
 
+  /** Verified near-dup pair graph + exact connected-component reachability
+    * (shared by the j2_neardup_groups and j7_trainset oracles). Ends with
+    * `reach(v, l)`: v reaches label l — min(l) per v is its component id. */
+  private val ccCtes =
+    s"""$tokCtes,
+       |$bandCtes,
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
+       |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
+       |  JOIN ds x ON x.doc_id = c.doc_a
+       |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS j
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b),
+       |edges AS (SELECT doc_a, doc_b FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}
+       |  UNION ALL SELECT doc_b, doc_a FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}),
+       |reach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+       |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -195,28 +226,63 @@ object ExtQueries {
     // too few rounds for some component diameter, this MISMATCHES — the
     // convergence bound is gate-checked, not assumed).
     "j2_neardup_groups" ->
-      s"""WITH RECURSIVE $tokCtes,
-         |$bandCtes,
-         |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
-         |  JOIN ds x ON x.doc_id = c.doc_a
-         |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-         |  GROUP BY 1, 2),
-         |jac AS (SELECT c.doc_a, c.doc_b,
-         |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS j
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b),
-         |edges AS (SELECT doc_a, doc_b FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}
-         |  UNION ALL SELECT doc_b, doc_a FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}),
-         |reach AS (SELECT doc_id AS v, doc_id AS l FROM documents
-         |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v)
+      s"""WITH RECURSIVE $ccCtes
          |SELECT v AS doc_id, min(l) AS cluster_id,
          |  CASE WHEN v = min(l) THEN 1 ELSE 0 END AS is_canonical
          |FROM reach GROUP BY v""".stripMargin,
+
+    // The full curation manifest: mirrors Pipeline.trainsetManifest gate by
+    // gate (CC canonical, lang, token band, stop-ratio floor, md5 split).
+    "j7_trainset" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |q AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')), 6) AS stop_ratio
+         |  FROM documents),
+         |g AS (SELECT d.doc_id,
+         |    CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS dup_ok,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN q.n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
+         |      THEN 1 ELSE 0 END AS len_ok,
+         |    CASE WHEN q.stop_ratio >= ${Pipeline.MinStopRatio} THEN 1 ELSE 0 END AS quality_ok,
+         |    ('0x' || substr(md5('${Pipeline.SplitSeed}:' || d.doc_id), 1, 8))::BIGINT
+         |      % ${Pipeline.SplitBuckets} AS b
+         |  FROM documents d
+         |  JOIN comp c ON c.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id)
+         |SELECT doc_id, CAST(dup_ok AS BIGINT) AS dup_ok, CAST(lang_ok AS BIGINT) AS lang_ok,
+         |  CAST(len_ok AS BIGINT) AS len_ok, CAST(quality_ok AS BIGINT) AS quality_ok,
+         |  CAST(CASE WHEN dup_ok = 1 AND lang_ok = 1 AND len_ok = 1 AND quality_ok = 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  CASE WHEN b = ${Pipeline.SplitBuckets - 1} THEN 'test'
+         |       WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM g""".stripMargin,
+
+    // Decontamination: winnow-fingerprint overlap between the eval slice
+    // and the rest of the corpus (mirrors Pipeline.decontam).
+    "j7_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+         |sh AS (
+         |  SELECT doc_id, i, shingle FROM (
+         |    SELECT doc_id, i, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)) z
+         |  WHERE shingle IS NOT NULL),
+         |h AS (SELECT doc_id, i, ('0x' || substr(md5('9:' || shingle), 1, 8))::BIGINT AS h FROM sh),
+         |fpt AS (SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h),
+         |ev AS (SELECT DISTINCT fp, doc_id AS eval_doc FROM fpt WHERE doc_id < ${Pipeline.EvalDocs})
+         |SELECT f.doc_id, count(DISTINCT f.fp) AS n_shared_fp,
+         |  count(DISTINCT e.eval_doc) AS n_eval_docs
+         |FROM (SELECT DISTINCT doc_id, fp FROM fpt WHERE doc_id >= ${Pipeline.EvalDocs}) f
+         |JOIN ev e ON e.fp = f.fp
+         |GROUP BY 1""".stripMargin,
 
     "j2_simhash" ->
       """WITH toks AS (

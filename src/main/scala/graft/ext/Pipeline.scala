@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline decisions (SURVEY J-surface capstones):
+  * the keep/drop/split manifest a 100 TB curation run actually emits, and
+  * benchmark decontamination. Both COMPOSE the graded kernels (near-dup
+  * clustering, quality stats, winnowing fingerprints) — no new primitives,
+  * just the decision joins a production pipeline runs on top of them.
+  *
+  * Scale posture: every stage is a per-doc projection or a key-grain join
+  * on frames the underlying kernels already bound (cluster labels, doc
+  * stats, fingerprint grain); nothing here adds a shuffle beyond those.
+  */
+object Pipeline {
+  /** Token-count acceptance band (harness docs span 10..99 tokens — the
+    * band drops both tails, like a real length filter). */
+  val MinTokens = 20L
+  val MaxTokens = 90L
+  /** Minimum stopword ratio — an English-likeness floor (docs below read
+    * as keyword soup; harness 25th percentile is ~0.04). */
+  val MinStopRatio = 0.02
+  /** Split hashing: md5-derived bucket in [0, SplitBuckets); the last two
+    * buckets are val and test (90/5/5 at 20 buckets). Seed 7 keeps the
+    * stream independent of the minhash (0..N) and winnow (9) seeds. */
+  val SplitBuckets = 20L
+  val SplitSeed = 7
+  /** Decontamination eval set: doc_id < this are the "benchmark" docs. */
+  val EvalDocs = 20L
+
+  /** The training-set manifest: one row per document with each gate's
+    * verdict, the composed keep flag, and the deterministic split.
+    *   - dup_ok: the doc is its near-dup cluster's canonical survivor
+    *     ([[Dedup.nearDupGroups]] — non-canonical members are dropped);
+    *   - lang_ok: metadata language is English (the curation target);
+    *   - len_ok / quality_ok: token-count band and stopword-ratio floor
+    *     over [[TextOps.qualityStats]]'s columns;
+    *   - split: md5-bucket of doc_id — stable under corpus growth (a doc's
+    *     split never depends on other rows). */
+  def trainsetManifest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val groups = Dedup.nearDupGroups(docs)
+      .select($"doc_id", $"is_canonical")
+    val quality = TextOps.qualityStats(docs)
+      .select($"doc_id", $"n_tokens", $"stop_ratio")
+    val bucket = pmod(Dedup.md5Hash32(SplitSeed, $"doc_id".cast("string")),
+      lit(SplitBuckets))
+    docs.select($"doc_id", $"lang")
+      .join(groups, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        ($"is_canonical" === 1L).cast("long").as("dup_ok"),
+        ($"lang" === "en").cast("long").as("lang_ok"),
+        ($"n_tokens" >= MinTokens && $"n_tokens" <= MaxTokens)
+          .cast("long").as("len_ok"),
+        ($"stop_ratio" >= MinStopRatio).cast("long").as("quality_ok"),
+        bucket.as("b"))
+      .select(
+        $"doc_id", $"dup_ok", $"lang_ok", $"len_ok", $"quality_ok",
+        ($"dup_ok" === 1L && $"lang_ok" === 1L && $"len_ok" === 1L &&
+          $"quality_ok" === 1L).cast("long").as("keep"),
+        when($"b" === SplitBuckets - 1, "test")
+          .when($"b" === SplitBuckets - 2, "val")
+          .otherwise("train").as("split"))
+  }
+
+  /** Benchmark decontamination: corpus documents (doc_id >= evalDocs)
+    * sharing winnowing fingerprints with any eval document (doc_id <
+    * evalDocs). One row per contaminated corpus doc: how many distinct
+    * fingerprints overlap and with how many eval docs. At 100 TB the
+    * eval fingerprint side is tiny and broadcast; the corpus side is the
+    * winnow grain the J4 kernel already produces. */
+  def decontam(docs: DataFrame, evalDocs: Long = EvalDocs): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fps = Dedup.winnow(docs)
+    val evalFp = fps.filter($"doc_id" < evalDocs)
+      .select($"fp", $"doc_id".as("eval_doc")).distinct()
+    fps.filter($"doc_id" >= evalDocs).distinct()
+      .join(broadcast(evalFp), Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"fp").as("n_shared_fp"),
+        countDistinct($"eval_doc").as("n_eval_docs"))
+  }
+}
