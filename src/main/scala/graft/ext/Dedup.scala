@@ -196,9 +196,13 @@ object Dedup {
   /** Label-propagation rounds for [[nearDupGroups]]. Each round is one
     * neighbor-min propagation plus one pointer jump (l <- l(l(v))), so the
     * covered component diameter grows exponentially: k rounds resolve any
-    * component of diameter <= 2^k - 1. Near-dup graphs are star/clique-like
-    * (tiny diameters); raise for adversarial chain-shaped corpora. */
-  val CcRounds = 5
+    * component of diameter <= ~2^(k+1)-1. Near-dup graphs are star/clique-
+    * like (observed diameters <= 2 on the harness corpora; 3 rounds cover
+    * ~15) and every round costs a staged materialization, so the default
+    * stays small; the EXACT recursive-CTE oracle mismatches — not silently
+    * passes — if a corpus ever needs more, and adversarial chain-shaped
+    * graphs should raise this. */
+  val CcRounds = 3
 
   /** Near-duplicate CLUSTERS (the dedup decision surface): connected
     * components over the verified pair graph, one row per document —
