@@ -57,6 +57,16 @@ object Pinned {
     * eviction lifecycle — evict with `releaseFrame` when done. */
   def stage(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** EAGER stage: like [[stage]] but the checkpoint's blocks are fully
+    * materialized before the call returns (localCheckpoint(eager = true)).
+    * Use at the END of a multi-stage constructor whose INTERMEDIATE staged
+    * frames should be released immediately: once the final frame's blocks
+    * exist, the intermediates' blocks are dead weight and can be
+    * `releaseFrame`d right away instead of leaking for the session
+    * lifetime. (A lazy stage cannot do this — its blocks are computed at
+    * the first downstream ACTION, which still reads the intermediates.) */
+  def stageEager(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Unpersist every tracked intermediate of `s` (non-blocking) and any
     * entries of already-stopped sessions. */
   def release(s: SparkSession): Unit = {

@@ -16,7 +16,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ pm.PmQueries.queries ++
-      ext.ExtQueries.queries ++ rules.RuleQueries.queries
+      ext.ExtQueries.queries ++ rules.RuleQueries.queries ++
+      sources.CsvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -24,6 +25,7 @@ object SparkEntry {
     * DuckDB pass stays inside its time budget. */
   def oracleSql: Map[String, String] =
     (relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++
-      ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql)
+      ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql ++
+      sources.CsvQueries.oracleSql)
       .map { case (k, v) => k -> Oracle.materialize(v) }
 }

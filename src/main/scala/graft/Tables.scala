@@ -51,8 +51,25 @@ object Tables {
       try s.read.parquet(path)
       catch {
         case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          s.read.parquet(path)
+          // The conf is session-global, so set it only for the duration of
+          // the retry's SCHEMA RESOLUTION and restore the prior value after:
+          // left set, every later parquet read in the session would silently
+          // load any TIMESTAMP(NANOS) column as long (a normalizeTs-unaware
+          // call site would misread it). The analyzed schema is resolved
+          // before the finally runs, and the scan re-reads footers per job
+          // with the conf captured in its read options via the analyzed
+          // relation, so restoring does not break later actions on `df`.
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          try {
+            val df = s.read.parquet(path)
+            df.schema // force footer/schema resolution under the conf
+            df
+          } finally prior match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
       }
     normalizeTs(raw)
   }

@@ -223,34 +223,122 @@ object Dedup {
     import docs.sparkSession.implicits._
     val pairs = nearDupPairs(docs).filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
-    // undirected: propagate labels along both directions. STAGED (lazy
-    // localCheckpoint -> LogicalRDD leaf, the PmQueries-disc pattern): each
-    // round references its input 4x (twice in prop, twice in jump), so
-    // without the lineage cut the final plan embeds 4^rounds copies of the
-    // whole LSH pipeline and Catalyst analysis explodes (reproduced: the
-    // un-staged form hung the sf0.001 gate). Same treatment per round below.
-    val edges = graft.Pinned.stage(
+    ccGroups(docs.select($"doc_id".as("v")), pairs, rounds)
+  }
+
+  /** [[nearDupGroups]] with the round count replaced by a CONVERGENCE
+    * check — the form for corpora whose component diameters are unknown
+    * (adversarial chain-shaped duplicate graphs). Costs one tiny aggregate
+    * action on the narrow label frame per round; see [[ccGroupsConverged]].
+    */
+  def nearDupGroupsConverged(docs: DataFrame,
+                             threshold: Double = NearDupGroupJaccard,
+                             maxRounds: Int = 30): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = nearDupPairs(docs).filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b")
+    ccGroupsConverged(docs.select($"doc_id".as("v")), pairs, maxRounds)
+  }
+
+  /** One min-label propagation + pointer-jump superstep. `lab` and `edges`
+    * must both be staged leaves (each is referenced more than once). */
+  private def ccRound(lab: DataFrame, edges: DataFrame): DataFrame = {
+    import lab.sparkSession.implicits._
+    // propagate: l(v) <- min(l(v), min over in-neighbors u of l(u))
+    val prop = lab
+      .join(edges.select($"doc_b".as("v"), $"doc_a".as("u")), Seq("v"), "left")
+      .join(lab.select($"v".as("u"), $"l".as("lu")), Seq("u"), "left")
+      .groupBy($"v")
+      .agg(min(least($"l", coalesce($"lu", $"l"))).as("l"))
+    // pointer jump: l(v) <- min(l(v), l(l(v))) — labels are vertex ids,
+    // so every l has a label row of its own.
+    prop
+      .join(prop.select($"v".as("l"), $"l".as("ll")), Seq("l"), "left")
+      .select($"v", least($"l", coalesce($"ll", $"l")).as("l"))
+  }
+
+  private def ccOut(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    labels.select($"v".as("doc_id"), $"l".as("cluster_id"),
+      when($"v" === $"l", 1L).otherwise(0L).as("is_canonical"))
+  }
+
+  /** Connected components over an explicit undirected pair list, unrolled
+    * to a fixed round count: (doc_id, cluster_id = component-min id,
+    * is_canonical). The kernel behind [[nearDupGroups]], exposed so its
+    * convergence behavior is testable on crafted graphs (a chain beyond
+    * the covered diameter must MISMATCH exact CC — ExtSpec proves the
+    * oracle tripwire actually fires).
+    *
+    * Every round's (v, l) frame is STAGED (lazy localCheckpoint →
+    * LogicalRDD leaf): each round references its input 4x (twice in prop,
+    * twice in jump), so without the lineage cut the final plan embeds
+    * 4^rounds copies of the upstream pipeline and Catalyst analysis
+    * explodes (reproduced: the un-staged form hung the sf0.001 gate).
+    * Intermediate staged frames are released before returning, once the
+    * final frame is EAGERLY materialized — a bare Pinned.stage per round
+    * leaked 4 checkpoint frames per invocation for the session lifetime
+    * (round-6 advisor finding). Callers that run this repeatedly in one
+    * session should still memoize the RESULT (ExtQueries.neardupGroups
+    * does, per (session, dataset) with eviction on dataset switch). */
+  def ccGroups(vertices: DataFrame, pairs: DataFrame, rounds: Int = CcRounds): DataFrame = {
+    import vertices.sparkSession.implicits._
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
+    // undirected: propagate labels along both directions
+    val edges = staged(
       pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
     // every document starts as its own label — docs in no pair remain
     // singleton clusters (canonical by construction)
-    val init = docs.select($"doc_id".as("v")).withColumn("l", $"v")
+    val init = vertices.withColumn("l", $"v")
     val labels = (1 to rounds).foldLeft(init) { (lab, _) =>
-      // propagate: l(v) <- min(l(v), min over in-neighbors u of l(u))
-      val prop = lab
-        .join(edges.select($"doc_b".as("v"), $"doc_a".as("u")), Seq("v"), "left")
-        .join(lab.select($"v".as("u"), $"l".as("lu")), Seq("u"), "left")
-        .groupBy($"v")
-        .agg(min(least($"l", coalesce($"lu", $"l"))).as("l"))
-      // pointer jump: l(v) <- min(l(v), l(l(v))) — labels are vertex ids,
-      // so every l has a label row of its own. Stage the round output: the
-      // narrow (v, l) frame is the iteration's natural materialization
-      // point (a cluster CC job would persist it between supersteps too).
-      graft.Pinned.stage(prop
-        .join(prop.select($"v".as("l"), $"l".as("ll")), Seq("l"), "left")
-        .select($"v", least($"l", coalesce($"ll", $"l")).as("l")))
+      staged(ccRound(lab, edges))
     }
-    labels.select($"v".as("doc_id"), $"l".as("cluster_id"),
-      when($"v" === $"l", 1L).otherwise(0L).as("is_canonical"))
+    val out = graft.Pinned.stageEager(ccOut(labels))
+    tmp.foreach(graft.Pinned.releaseFrame)
+    out
+  }
+
+  /** [[ccGroups]] iterated to CONVERGENCE instead of a fixed unroll — the
+    * production form for unbounded component diameters. Min-label
+    * propagation is monotone (labels only ever decrease), so the loop is
+    * converged exactly when sum(l) is unchanged — one tiny aggregate on
+    * the narrow staged label frame per round, the same superstep-
+    * convergence check a cluster CC job (GraphX/Pregel style) runs. Each
+    * round's frame is eagerly staged and the previous round's blocks are
+    * released immediately, so peak footprint is two label frames
+    * regardless of round count. Throws if `maxRounds` supersteps don't
+    * converge (pointer jumping doubles coverage per round, so 30 covers
+    * diameters beyond any physical corpus). */
+  def ccGroupsConverged(vertices: DataFrame, pairs: DataFrame,
+                        maxRounds: Int = 30): DataFrame = {
+    import vertices.sparkSession.implicits._
+    val edges = graft.Pinned.stage(
+      pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
+    def labelSum(lab: DataFrame): java.math.BigDecimal =
+      lab.agg(sum($"l".cast("decimal(38,0)"))).head.getDecimal(0)
+    var lab = graft.Pinned.stageEager(vertices.withColumn("l", $"v"))
+    var prevSum = labelSum(lab)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = graft.Pinned.stageEager(ccRound(lab, edges))
+      graft.Pinned.releaseFrame(lab)
+      lab = next
+      val s = labelSum(lab)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      r += 1
+    }
+    graft.Pinned.releaseFrame(edges)
+    if (!converged) {
+      graft.Pinned.releaseFrame(lab)
+      throw new IllegalStateException(
+        s"ccGroupsConverged: no fixed point after $maxRounds rounds")
+    }
+    val out = graft.Pinned.stageEager(ccOut(lab))
+    graft.Pinned.releaseFrame(lab)
+    out
   }
 
   /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1). */

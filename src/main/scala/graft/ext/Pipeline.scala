@@ -38,9 +38,12 @@ object Pipeline {
     *     over [[TextOps.qualityStats]]'s columns;
     *   - split: md5-bucket of doc_id — stable under corpus growth (a doc's
     *     split never depends on other rows). */
-  def trainsetManifest(docs: DataFrame): DataFrame = {
+  /** @param groups0 precomputed [[Dedup.nearDupGroups]] output to reuse (the
+    *                 query layer passes its memoized per-dataset frame so one
+    *                 session never runs the clustering twice). */
+  def trainsetManifest(docs: DataFrame, groups0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val groups = Dedup.nearDupGroups(docs)
+    val groups = groups0.getOrElse(Dedup.nearDupGroups(docs))
       .select($"doc_id", $"is_canonical")
     val quality = TextOps.qualityStats(docs)
       .select($"doc_id", $"n_tokens", $"stop_ratio")

@@ -76,9 +76,11 @@ object PmQueries {
     // D7 variant — the l2l-gated (1.0.0-package) concurrency semantics:
     // length-2-loop trigram evidence vetoes pairs whose bidirectional df
     // counts come from an a⇄b rework loop (the Loan-golden generation).
+    // Graded as the ANNOTATED relation (base pair + symmetric trigram count
+    // + veto verdict): the survivor set is empty on the harness events, so
+    // its hash couldn't discriminate (round-6 advisor finding).
     "pm_pairs_l2l" -> ((s, d) =>
-      EnabledTime.concurrencyPairs(EventLogOps.fromEvents(s, d),
-        l2lThreshold = Some(EnabledTime.L2lThreshold))),
+      EnabledTime.concurrencyPairsL2lAnnotated(EventLogOps.fromEvents(s, d))),
 
     // K2 — enabled-time estimation (per-case sweep kernel). Slices the
     // shared discovery cache (enabled_us is computed on its way in).
@@ -501,10 +503,10 @@ object PmQueries {
   val oracleSql: Map[String, String] = Map(
     "pm_pairs" -> withPrefix(logCte, enCtes)("SELECT a, b FROM conc"),
 
-    // Mirrors EnabledTime.concurrencyPairs(l2lThreshold=Some(t)): trigram
-    // a,b,a counts per ordered pair, symmetric-sum gate, anti-join against
-    // conc. Note the gate only covers ordered pairs with >=1 forward
-    // trigram — the Scala full-outer coalesces to the same key set.
+    // Mirrors EnabledTime.concurrencyPairsL2lAnnotated: trigram a,b,a
+    // counts per ordered pair, SYMMETRIC sum over both directions (a
+    // one-directional count covers both orders — same key set as the
+    // driver-side concurrencySet gate), annotated onto the base relation.
     "pm_pairs_l2l" -> withPrefix(logCte, enCtes,
       s"""seq3 AS (SELECT case_id, activity,
         |    lag(activity) OVER (PARTITION BY case_id ORDER BY start_us, event_id) AS p1,
@@ -512,11 +514,13 @@ object PmQueries {
         |  FROM log),
         |l2p AS (SELECT p2 AS a, p1 AS b, count(*) AS nl FROM seq3
         |  WHERE p2 = activity AND p1 <> activity GROUP BY 1, 2),
-        |loops AS (SELECT x.a, x.b FROM l2p x LEFT JOIN l2p y ON y.a = x.b AND y.b = x.a
-        |  WHERE (x.nl + coalesce(y.nl, 0)) / (x.nl + coalesce(y.nl, 0) + 1.0)
-        |        >= ${EnabledTime.L2lThreshold})""".stripMargin)(
-      """SELECT c.a, c.b FROM conc c
-        |WHERE NOT EXISTS (SELECT 1 FROM loops l WHERE l.a = c.a AND l.b = c.b)""".stripMargin),
+        |l2sym AS (SELECT coalesce(x.a, y.b) AS a, coalesce(x.b, y.a) AS b,
+        |    coalesce(x.nl, 0) + coalesce(y.nl, 0) AS ll
+        |  FROM l2p x FULL JOIN l2p y ON y.a = x.b AND y.b = x.a)""".stripMargin)(
+      s"""SELECT c.a, c.b, CAST(coalesce(l.ll, 0) AS BIGINT) AS l2l_count,
+        |  CAST(CASE WHEN coalesce(l.ll, 0) / (coalesce(l.ll, 0) + 1.0)
+        |    >= ${EnabledTime.L2lThreshold} THEN 1 ELSE 0 END AS BIGINT) AS l2l_vetoed
+        |FROM conc c LEFT JOIN l2sym l ON l.a = c.a AND l.b = c.b""".stripMargin),
 
     "pm_enabled" -> withPrefix(logCte, enCtes)(
       "SELECT event_id, case_id, activity, resource, start_us, end_us, enabled_us FROM en"),

@@ -134,6 +134,28 @@ object EnabledTime {
       .agg(count(lit(1)).as("nl"))
   }
 
+  /** Symmetric length-2-loop evidence per ordered pair: (a, b, ll) with
+    * ll = l2(a,b) + l2(b,a), emitted for BOTH orders of any pair that has
+    * evidence in EITHER direction. The symmetry matters: a one-directional
+    * trigram count must veto (a,b) and (b,a) alike — [[concurrencySet]]
+    * (the driver-side gate behind every golden-validated enabled time) has
+    * always summed both directions per unordered pair, and an asymmetric
+    * DataFrame twin would keep (b,a) concurrent while withEnabled treats it
+    * as vetoed (round-6 advisor finding). */
+  def l2Loops(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    val l2 = l2Pairs(log)
+    l2.select($"a".as("la"), $"b".as("lb"), $"nl")
+      .join(l2.select($"a".as("lb2"), $"b".as("la2"), $"nl".as("nl2")),
+        $"la" === $"la2" && $"lb" === $"lb2", "full")
+      // matched rows: la is set, key (la, lb). Right-only rows (the reverse
+      // direction has no trigrams): key (la2, lb2) = the REVERSED ordered
+      // pair of the right row's own (a, b) — that emission is exactly what
+      // makes the relation symmetric.
+      .select(coalesce($"la", $"la2").as("a"), coalesce($"lb", $"lb2").as("b"),
+        (coalesce($"nl", lit(0L)) + coalesce($"nl2", lit(0L))).as("ll"))
+  }
+
   def concurrencyPairs(log: DataFrame,
                        depThreshold: Double = DependencyThreshold,
                        l2lThreshold: Option[Double] = None): DataFrame = {
@@ -147,16 +169,29 @@ object EnabledTime {
     l2lThreshold match {
       case None => base
       case Some(t) =>
-        val l2 = l2Pairs(log)
-        val loops = l2.select($"a".as("la"), $"b".as("lb"), $"nl")
-          .join(l2.select($"a".as("lb2"), $"b".as("la2"), $"nl".as("nl2")),
-            $"la" === $"la2" && $"lb" === $"lb2", "full")
-          .select(coalesce($"la", $"lb2").as("a"), coalesce($"lb", $"la2").as("b"),
-            (coalesce($"nl", lit(0L)) + coalesce($"nl2", lit(0L))).as("ll"))
+        val loops = l2Loops(log)
           .filter($"ll" / ($"ll" + lit(1d)) >= t)
           .select($"a", $"b")
         base.join(loops, Seq("a", "b"), "left_anti")
     }
+  }
+
+  /** The l2l gate as an ANNOTATION over the base concurrency relation:
+    * every base pair with its symmetric trigram count and veto verdict,
+    * instead of the post-veto survivor set. This is the graded
+    * `pm_pairs_l2l` surface — on corpora where the gate vetoes everything
+    * (the harness events at every SF), the survivor-set form is the empty
+    * frame and its oracle can't discriminate a broken gate from a correct
+    * one; the annotated form hashes the per-pair counts and verdicts. */
+  def concurrencyPairsL2lAnnotated(log: DataFrame,
+                                   depThreshold: Double = DependencyThreshold,
+                                   t: Double = L2lThreshold): DataFrame = {
+    import log.sparkSession.implicits._
+    concurrencyPairs(log, depThreshold, None)
+      .join(l2Loops(log), Seq("a", "b"), "left")
+      .select($"a", $"b", coalesce($"ll", lit(0L)).as("l2l_count"),
+        when(coalesce($"ll", lit(0L)) / (coalesce($"ll", lit(0L)) + lit(1d)) >= t, 1L)
+          .otherwise(0L).as("l2l_vetoed"))
   }
 
   /** Driver-side concurrency set from ONE directly-follows pass (plus one

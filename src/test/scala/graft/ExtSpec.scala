@@ -40,6 +40,60 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 1L)) && got(5L) == ((5L, 1L)), s"singletons canonical: $got")
   }
 
+  test("CC unroll tripwire: a chain beyond the covered diameter MISMATCHES exact CC") {
+    import spark.implicits._
+    // 40-vertex path graph, diameter 39. CcRounds = 3 covers diameters
+    // <= ~2^(rounds+1)-1 = 15, so the unrolled kernel CANNOT fully collapse
+    // this chain — the point of this fixture is to prove the documented
+    // tripwire is real: an insufficient round count produces labels that
+    // DIFFER from exact CC (and would therefore fail the recursive-CTE
+    // oracle loudly), rather than passing quietly.
+    val n = 40
+    val verts = (0 until n).map(_.toLong).toDF("v")
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val unrolled = Dedup.ccGroups(verts, chain, rounds = Dedup.CcRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unrolled.exists { case (_, l) => l != 0L },
+      "40-chain must NOT fully collapse in 3 rounds — if it does, the " +
+        "diameter-coverage analysis in Dedup.CcRounds' doc is wrong")
+    // the convergence-checked form gets it right: every vertex labels 0
+    val converged = Dedup.ccGroupsConverged(verts, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(converged.forall(t => t._2 == 0L), s"converged CC must collapse the chain")
+    assert(converged.count(_._3 == 1L) == 1, "exactly one canonical survivor")
+    // and on a graph within the covered diameter, unrolled == converged
+    val shortChain = (0 until 5).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val sVerts = (0 until 6).map(_.toLong).toDF("v")
+    val a = Dedup.ccGroups(sVerts, shortChain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Dedup.ccGroupsConverged(sVerts, shortChain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a == b && a.forall(_._2 == 0L))
+  }
+
+  test("converged near-dup groups match the unrolled form on harness-shaped data") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l m n o p"
+    val docs = Seq(
+      (1L, base + " q"), (2L, base + " r"), (3L, base + " s"),
+      (4L, "z y x w v u t s r q p o n m l k"),
+      (5L, "completely different tokens here nothing shared at all with others x1 x2 x3 x4 x5 x6")
+    ).toDF("doc_id", "text")
+    val u = Dedup.nearDupGroups(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c = Dedup.nearDupGroupsConverged(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(u == c)
+  }
+
+  test("j6 sketch self-checks hold: HLL and quantile bounds all pass") {
+    val r = ext.ExtQueries.queries("j6_sketch")(spark, "/root/testdata/sf0.001").head
+    assert(r.getAs[Long]("cd_ok") == 1L,
+      s"HLL estimate ${r.getAs[Long]("approx_orders")} vs exact ${r.getAs[Long]("exact_orders")}")
+    assert(r.getAs[Long]("q50_rank_ok") == 1L)
+    assert(r.getAs[Long]("q95_rank_ok") == 1L)
+  }
+
   test("shingle/minhash/winnow handle short docs (< 3 tokens) row-locally") {
     import spark.implicits._
     val docs = Seq(

@@ -232,6 +232,32 @@ class PmKernelSpec extends AnyFunSuite {
     assert(gated == Set(("A", "B"), ("B", "A")))
   }
 
+  test("K2 l2-loop gate is symmetric under one-directional trigram evidence") {
+    // Nine cases each reading E,F,E: l2(E,F) = 9, l2(F,E) = 0 — trigram
+    // evidence exists in ONE direction only, yet df sees E->F and F->E nine
+    // times each, so (E,F) AND (F,E) both enter the base relation. The gate
+    // must veto BOTH orders (ll = 9 -> 9/10 >= 0.9), like the driver-side
+    // concurrencySet always did — the asymmetric DataFrame form kept (F,E)
+    // (round-6 advisor finding).
+    val ef = (0 until 9).flatMap { c =>
+      Seq(
+        (100L + 3 * c, 10L + c, "E", "r0", 0L, 50L, 0L),
+        (101L + 3 * c, 10L + c, "F", "r0", 100L, 150L, 0L),
+        (102L + 3 * c, 10L + c, "E", "r0", 200L, 250L, 0L))
+    }
+    val l = log(ef: _*).drop("enabled_us")
+    val ungated = EnabledTime.concurrencyPairs(l).as[(String, String)].collect().toSet
+    assert(ungated == Set(("E", "F"), ("F", "E")))
+    val gated = EnabledTime.concurrencyPairs(l, l2lThreshold = Some(0.9))
+      .as[(String, String)].collect().toSet
+    assert(gated == Set.empty, s"one-directional l2l evidence must veto both orders, got $gated")
+    // annotated (graded pm_pairs_l2l) surface: both orders carry the same
+    // symmetric count and verdict
+    val ann = EnabledTime.concurrencyPairsL2lAnnotated(l)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(ann == Set(("E", "F", 9L, 1L), ("F", "E", 9L, 1L)))
+  }
+
   test("K3 sweep line matches hand computation") {
     val d = Seq(
       (1L, 1L, java.lang.Long.valueOf(1L), 0L, 10L, 20L),
