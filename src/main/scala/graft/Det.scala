@@ -55,6 +55,33 @@ object Det {
   def tsNtz(usCol: Column): Column =
     timestamp_micros(usCol).cast(TimestampNTZType)
 
+  private val NtzEpoch = lit("1970-01-01 00:00:00").cast(TimestampNTZType)
+
+  /** TIMEZONE-INVARIANT wall-clock micros of a TIMESTAMP_NTZ column (the
+    * naive value read as UTC no matter what the session timezone is).
+    * [[us]] is the right call under the engine's pinned-UTC sessions, but
+    * it routes through a session-tz cast — operators that must behave
+    * identically in ANY session tz (the streaming windows; see
+    * StreamOps) use this instead: a pure NTZ difference from the NTZ
+    * epoch never consults a timezone. */
+  def ntzUs(c: Column): Column = timestamp_diff("MICROSECOND", NtzEpoch, c)
+
+  /** Inverse of [[ntzUs]]: micros -> TIMESTAMP_NTZ, timezone-invariant
+    * (pure NTZ addition; [[tsNtz]]'s instant cast is equivalent only under
+    * a UTC session). */
+  def ntzFromUs(usCol: Column): Column = timestamp_add("MICROSECOND", usCol, NtzEpoch)
+
+  /** TIMESTAMP_NTZ -> TIMESTAMP carrying the SAME wall clock as UTC
+    * instant, timezone-invariantly (a bare cast would shift by the session
+    * offset). This is how the streaming operators obtain the
+    * TimestampType event-time column Spark's watermark machinery requires
+    * without inheriting session-tz window boundaries. */
+  def ntzAsUtcInstant(c: Column): Column = timestamp_micros(ntzUs(c))
+
+  /** TIMESTAMP (instant) -> TIMESTAMP_NTZ showing its UTC wall clock,
+    * timezone-invariantly — the inverse of [[ntzAsUtcInstant]]. */
+  def instantAsUtcNtz(c: Column): Column = ntzFromUs(unix_micros(c))
+
   /** Deterministic pseudo-random key from a long id (Knuth multiplicative
     * hash mod a prime) — replaces unseeded sampling so results oracle-match.
     * The id is reduced mod the prime BEFORE multiplying: the product then

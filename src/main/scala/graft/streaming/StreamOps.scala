@@ -126,8 +126,14 @@ object StreamOps {
     val isStreaming = events.isStreaming
     // the WATERMARKED column itself must reach the stateful operator —
     // deriving epoch micros before the groupByKey strips the event-time
-    // metadata and event-time timeout is rejected; convert in the lambda
-    val withTs = events.withColumn("ts", $"ts".cast("timestamp"))
+    // metadata and event-time timeout is rejected; convert in the lambda.
+    // Spark's watermark machinery requires TimestampType, so the NTZ wall
+    // clock is converted TIMEZONE-INVARIANTLY to its UTC instant
+    // (Det.ntzAsUtcInstant) — the earlier session-tz cast shifted every
+    // emitted bound by the tz offset relative to the batch form for
+    // non-UTC sessions (round-6 advisor finding).
+    val withTs = graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
     val prepared =
       if (isStreaming) withTs.withWatermark("ts", "2 hours") else withTs
     prepared
@@ -138,15 +144,14 @@ object StreamOps {
         // -> double-round 100, decimal HALF_UP on "1.005" -> 101); pinned
         // by FunctionsSpec "cents conversion"
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .as[(Long, java.sql.Timestamp, Long)]
+      .as[(Long, java.time.Instant, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rowsTs: Iterator[(Long, java.sql.Timestamp, Long)],
+        (uid: Long, rowsTs: Iterator[(Long, java.time.Instant, Long)],
          state: GroupState[OpenSession]) =>
           val rows = rowsTs.map { case (u, ts, c) =>
-            val i = ts.toInstant
-            (u, i.getEpochSecond * 1000000L + i.getNano / 1000L, c)
+            (u, ts.getEpochSecond * 1000000L + ts.getNano / 1000L, c)
           }
           if (state.hasTimedOut) {
             val s = state.get
@@ -192,39 +197,51 @@ object StreamOps {
   /** Streaming [[dedup]]: watermarked dropDuplicates — per-key state is
     * dropped once the watermark passes the event time, so state is bounded
     * by the lateness horizon, not the stream length (the only shape that
-    * survives an unbounded 100 TB/day ingest). */
+    * survives an unbounded 100 TB/day ingest). A row arriving later than
+    * the watermark is DROPPED outright (never re-emitted even if its state
+    * expired) — asserted in StreamingSpec's late-data case.
+    *
+    * Watermark + state run directly on the TIMESTAMP_NTZ event time: the
+    * earlier session-tz cast shifted window/watermark boundaries for
+    * session timezones whose offset is not a slide multiple (e.g. +5:45) —
+    * NTZ keeps every boundary a pure function of the stored wall clock,
+    * identical to the batch form in any timezone (round-6 advisor
+    * finding; StreamingSpec pins a non-UTC session tz). */
   def dedupStream(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .withColumn("ts", $"ts".cast("timestamp"))
+    graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type", "ts")
-      .select($"user_id", $"event_type", graft.Det.us($"ts").as("t_us"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
   }
 
   /** Streaming variant of [[sliding]] with a watermark, for a readStream
     * source (tested via the memory sink): overlapping 1h windows every 30
     * minutes, exact decimal value sums — one input row feeds two window
-    * groups, the overlap bookkeeping the state store must get right. */
+    * groups, the overlap bookkeeping the state store must get right.
+    * Windows + watermark on TIMESTAMP_NTZ (see [[dedupStream]]). */
   def slidingStream(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .withColumn("ts", $"ts".cast("timestamp"))
+    graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), graft.Det.dsum($"value").as("sum_value"))
-      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"event_type", $"n", $"sum_value")
+      .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"),
+        $"event_type", $"n", $"sum_value")
   }
 
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream
-    * source (tested via the memory sink). */
+    * source (tested via the memory sink). Windows + watermark on
+    * TIMESTAMP_NTZ (see [[dedupStream]]). */
   def tumblingStream(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .withColumn("ts", $"ts".cast("timestamp"))
+    graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"))
-      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"event_type", $"n")
+      .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"), $"event_type", $"n")
   }
 }

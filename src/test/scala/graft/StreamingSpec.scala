@@ -130,6 +130,113 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windows are timezone-invariant (non-slide-multiple offset)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch sliding windows the NTZ column directly — timezone-free by
+    // construction. The streaming form must agree even when the session
+    // timezone's offset is NOT a multiple of the 30-min slide (+05:45
+    // shifted boundaries by 15 min before the ntzAsUtcInstant conversion).
+    val expected = StreamOps.sliding(Tables.events(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    val staged = java.nio.file.Files.createTempDirectory("graft_tz").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val priorTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(staged)
+        .transform(Tables.normalizeTs)
+      val q = StreamOps.slidingStream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_tz_test")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("graft_tz_test").collect().map(_.toString).sorted.toSeq
+        assert(got == expected,
+          "streaming sliding under Asia/Kathmandu must equal the timezone-free batch form")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", priorTz)
+  }
+
+  test("late-beyond-watermark events: dedup drops them, sessions never emit them") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampNTZType)))
+    def batch(rows: (Long, String, Double, String)*) =
+      rows.toDF("user_id", "event_type", "value", "s")
+        .select($"user_id", $"event_type", $"value",
+          to_timestamp_ntz($"s").as("ts"))
+    def writeBatch(dir: String, n: Int, rows: (Long, String, Double, String)*): Unit =
+      batch(rows: _*).coalesce(1).write.parquet(s"$dir/b$n")
+
+    // --- dedup: a duplicate arriving after the 2h watermark horizon is
+    // DROPPED (not re-emitted even though its dedup state has expired)
+    val dDir = java.nio.file.Files.createTempDirectory("graft_late_dedup").toString
+    writeBatch(dDir, 1,
+      (1L, "a", 1.0, "2026-01-01 00:00:00"),
+      (1L, "a", 1.0, "2026-01-01 12:00:00")) // watermark after batch: 10:00
+    val dStream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dDir/b*")
+    val dq = StreamOps.dedupStream(dStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_dedup")
+      .start()
+    try {
+      dq.processAllAvailable()
+      // late duplicate of the expired 00:00 key + one fresh row
+      writeBatch(dDir, 2,
+        (1L, "a", 1.0, "2026-01-01 00:00:00"),  // LATE: < watermark 10:00
+        (2L, "b", 1.0, "2026-01-01 12:30:00"))
+      dq.processAllAvailable()
+      val got = spark.table("graft_late_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val us = (h: Int, m: Int) =>
+        java.time.LocalDateTime.of(2026, 1, 1, h, m)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      assert(got == Set((1L, "a", us(0, 0)), (1L, "a", us(12, 0)), (2L, "b", us(12, 30))),
+        s"late duplicate must be dropped, fresh row emitted: $got")
+    } finally dq.stop()
+
+    // --- flatMapGroupsWithState sessions: a closed session is emitted via
+    // event-time timeout once the watermark passes; an event arriving
+    // beyond the watermark never produces a session
+    val sDir = java.nio.file.Files.createTempDirectory("graft_late_sess").toString
+    writeBatch(sDir, 1,
+      (1L, "a", 1.0, "2026-01-01 00:00:00"),
+      (1L, "a", 2.0, "2026-01-01 00:05:00")) // one open session [00:00, 00:15)
+    val sStream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$sDir/b*")
+    val sq = StreamOps.sessionsViaFlatMapGroups(sStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_sess")
+      .start()
+    try {
+      sq.processAllAvailable()
+      // advance the watermark to 10:00 (12:00 - 2h)
+      writeBatch(sDir, 2, (2L, "b", 1.0, "2026-01-01 12:00:00"))
+      sq.processAllAvailable()
+      // user 3's event is far below the 10:00 watermark -> filtered before
+      // the stateful operator (its session must never appear); user 1's
+      // session times out (close 00:15 < watermark) in this batch
+      writeBatch(sDir, 3, (3L, "c", 1.0, "2026-01-01 01:00:00"))
+      sq.processAllAvailable()
+      val got = spark.table("graft_late_sess")
+        .as[graft.streaming.SessionOut].collect().toSet
+      val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      assert(got == Set(graft.streaming.SessionOut(
+        1L, t0, t0 + 15L * 60 * 1000000L, 2L, 300L)),
+        s"exactly user 1's timed-out session; late user 3 dropped, user 2 still open: $got")
+    } finally sq.stop()
+  }
+
   test("flatMapGroupsWithState sessions equal batch island-detection sessions") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
