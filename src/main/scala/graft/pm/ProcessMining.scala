@@ -480,23 +480,35 @@ object BatchDiscovery {
                    seqGapUs: Long = PmConfig.SeqGapUs,
                    debugPart: String = "all"): DataFrame = {
     import en.sparkSession.implicits._
+    // STAGE boundaries (lazy localCheckpoint), not persists: the pipeline
+    // is ~12 sequential kernels layered 4+ plans deep, and with persist()
+    // boundaries every downstream stage re-analyzed/re-codegen'd the whole
+    // cached subtree — cutting lineage at each boundary dropped
+    // pm_sp_batches from 9.6s to 6.3s at sf0.1 (round-7 profile; the data
+    // is small, the TREES were the cost). Intermediates are collected and
+    // RELEASED once the final event-grain frame is eagerly materialized —
+    // same lifecycle as Dedup.ccGroups (staged frames are otherwise
+    // session-lifetime leaks). debugPart early returns skip the release:
+    // diagnostics only (StageProbe), never a long-lived session.
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
     // runsEv feeds both the task-side segmentation and the subprocess-unit
-    // side; without a persist the whole enabled-time kernel upstream (K2
-    // sweep + concurrency collect) runs twice.
-    val runsEv = SubprocessBatches.withRuns(en, seqGapUs).transform(graft.Pinned.track)
-    val seg = segment(runsEv, seqGapUs).transform(graft.Pinned.track)
+    // side; without the boundary the whole enabled-time kernel upstream
+    // (K2 sweep + concurrency collect) runs twice.
+    val runsEv = SubprocessBatches.withRuns(en, seqGapUs).transform(staged)
+    val seg = segment(runsEv, seqGapUs).transform(staged)
     val types = classify(seg)
 
     // --- subprocess side ---
     // candidate units are tiny (subsequence-unit grain) but cost a window
     // chain to build; evSp and candOk both consume them
-    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv), seqGapUs).transform(graft.Pinned.track)
+    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv), seqGapUs).transform(staged)
     // event grain of candidate units, with the event's task-level type
     // tiny (claimed-event grain) but feeds both mixed and claims
     val evSp = seg
       .join(cand.select($"case_id", $"run_no", $"subseq", $"sp_seg", $"sp_type",
         $"unit_start", $"unit_end", $"unit_enabled"), Seq("case_id", "run_no"))
-      .transform(graft.Pinned.track)
+      .transform(staged)
     // W6: >1 distinct task-level type (null counts, as pandas unique does)
     val mixed = evSp
       .join(types, Seq("resource", "activity", "seg_no"), "left")
@@ -518,7 +530,7 @@ object BatchDiscovery {
     // chain runs once
     val spSub = split(spCases)
       .withColumnRenamed("activity", "subseq").withColumnRenamed("seg_no", "sp_seg")
-      .transform(graft.Pinned.track)
+      .transform(staged)
     val spKeys = spSub.groupBy($"resource", $"subseq", $"sp_seg", $"sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
     val spValidKeys = spKeys.filter($"n_cases" >= minSize)
@@ -529,14 +541,14 @@ object BatchDiscovery {
     val claims = evSp
       .join(spSub.select($"resource", $"subseq", $"sp_seg", $"case_id", $"sub"),
         Seq("resource", "subseq", "sp_seg", "case_id"))
-      .transform(graft.Pinned.track)
+      .transform(staged)
 
     // --- task side over UNCLAIMED events only (reference W4/min-size
     // filter on isna(subprocess_type)) ---
     val unclaimed = seg.join(claims.select($"event_id"), Seq("event_id"), "left_anti")
     // batch-case grain is tiny (#cases x #segments); persisting it means the
     // maxTaskId action + the two final joins don't re-run the split kernel.
-    val withSub = split(batchCases(unclaimed)).transform(graft.Pinned.track)
+    val withSub = split(batchCases(unclaimed)).transform(staged)
     val bkeys = withSub
       .groupBy("resource", "activity", "seg_no", "sub")
       .agg(min($"case_start").as("b_start"), count(lit(1)).as("n_cases"))
@@ -588,7 +600,7 @@ object BatchDiscovery {
         Seq("resource", "activity", "seg_no", "sub"), "left")
       .join(types, Seq("resource", "activity", "seg_no"), "left")
       .select($"resource", $"activity", $"seg_no", $"case_id", $"batch_id", $"batch_type")
-    seg
+    val out = graft.Pinned.stageEager(seg
       .join(perCase, Seq("resource", "activity", "seg_no", "case_id"), "left")
       .join(spEvents, Seq("event_id"), "left")
       // a claimed event in an UNDERSIZED subprocess batch (sp_bid null)
@@ -601,7 +613,9 @@ object BatchDiscovery {
           .when($"sp_bid".isNotNull && $"sp_type" =!= "task-based", $"sp_type")
           .when($"sp_bid".isNotNull, $"tk_type")
           .otherwise($"batch_type"))
-      .drop("sp_bid", "sp_type", "tk_type")
+      .drop("sp_bid", "sp_type", "tk_type"))
+    tmp.foreach(graft.Pinned.releaseFrame)
+    out
   }
 }
 
