@@ -98,6 +98,95 @@ class GoldenReplaySpec extends AnyFunSuite {
     graft.Pinned.releaseFrame(d); graft.Pinned.release(spark)
   }
 
+  test("the Case28/Case87 residual is not decidable by any local candidate filter") {
+    // Round-7 attempt at BAMA's model-based candidate filter
+    // (batch_detection.R:72, log_and_model_based=TRUE) — the mechanism that
+    // makes the golden 485 instead of the engine's 486. Every candidate
+    // LOG-DERIVED rule that would exclude the engine-only pair
+    // (Case28+Case87, Turning & Milling, ID4167, both start 2012-02-19
+    // 21:25, ends 01:15 / 04:46) is REFUTED by a golden-batched
+    // counterexample with the same feature. This test pins each refutation
+    // executably so the impossibility argument cannot rot:
+    //   1. "equal start + different end never batches" — golden has 22 such
+    //      member pairs, 8 of them in TWO-member instances (bids 2, 316,
+    //      352, 353, 394, 419, 471, 480) structurally identical to the
+    //      residual (same resource class, both enabled before start).
+    //   2. "a member with a zero-gap same-activity continuation is merged
+    //      away" — 53 golden-BATCHED events have such a continuation and
+    //      40 golden-batched events ARE such continuations (Case28's
+    //      member continues at 01:15 on ID4529; so do batched ones).
+    //   3. "members must complete in file/start order" — golden bids 394
+    //      and 471 complete in the opposite order of their file rows.
+    //   4. "every member must arrive (previous same-case event end) before
+    //      the batch starts" — the residual pair PASSES this filter
+    //      (arrivals 20:53 / 21:04 < 21:25), so it cannot exclude it.
+    //      (That filter IS consistent with the golden exclusion of
+    //      Case87's 02-21 22:53 event from bid 306 — arrival 22:51 after
+    //      batch start 21:04 — which the engine's C-link rule also
+    //      excludes, via the enabled-time chain.)
+    // What remains is BAMA-internal subprocess candidate handling feeding
+    // the reference's nullification path (discovery.py:128-147 clears TASK
+    // batch info for events of an undersized subprocess instance):
+    // Case28's member is the head of a gap-0 cross-resource within-case
+    // T&M->T&M run (ID4167 -> ID4529 at 01:15), the shape BAMA's
+    // enumerate_subsequences(log, 0) can claim as a case-subsequence unit
+    // but the engine's same-resource maximal-run unit definition
+    // (deliberately scale-safe, SURVEY W-group) does not. A single-case
+    // instance over that run, nullified by the min-size pass, erases the
+    // task pair exactly as the golden shows. Reconstructing that requires
+    // BAMA's combinatorial enumeration — rejected by design; the residual
+    // stays accepted (486 = 485 golden + 1).
+    import spark.implicits._
+    val golden = spark.read.option("header", "true")
+      .csv("/root/reference/outputs/Production_WTs.csv.gz")
+      .select(col("case_id"), col("Activity").as("act"),
+        graft.Det.us(to_timestamp(col("start_time"))).as("s"),
+        graft.Det.us(to_timestamp(col("end_time"))).as("e"),
+        col("batch_instance_id").as("bid"))
+      .persist()
+    val batched = golden.filter($"bid".isNotNull)
+
+    // (1) equal-start different-end pairs inside golden instances exist,
+    // including in 2-member instances
+    val right = batched.select($"bid".as("bid2"), $"s".as("s2"), $"e".as("e2"))
+    val eqStart = batched.join(right,
+      $"bid" === $"bid2" && $"s" === $"s2" && $"e" < $"e2")
+    assert(eqStart.count() == 22L, "golden equal-start diff-end member pairs (pinned 22)")
+    val twoMember = batched.groupBy($"bid").agg(count(lit(1)).as("n")).filter($"n" === 2)
+      .select($"bid".as("bid3"))
+    val eq2 = eqStart.join(twoMember, $"bid" === $"bid3").count()
+    assert(eq2 == 8L, "eight TWO-member golden instances are equal-start diff-end (pinned)")
+
+    // (2) zero-gap same-activity continuations appear on both sides of
+    // golden-batched events
+    val log = golden.select($"case_id", $"act", $"s", $"e")
+    val logR = log.select($"case_id".as("case_id2"), $"act".as("act2"),
+      $"s".as("s2"), $"e".as("e2"))
+    val contHead = log.join(logR,
+      $"case_id" === $"case_id2" && $"act" === $"act2" &&
+        $"s2" === $"e" && $"e2" > $"e")
+      .select($"case_id", $"act", $"s", $"e")
+    val batchedHeads = batched.join(contHead, Seq("case_id", "act", "s", "e"), "left_semi").count()
+    assert(batchedHeads == 53L,
+      "golden-batched events WITH a zero-gap continuation (pinned 53 — refutes merge rule)")
+
+    // (4) the residual pair passes the arrival-before-batch-start filter
+    // (arrival = latest other-event end at or before this start)
+    val prevEnd = log.join(logR,
+        $"case_id" === $"case_id2" && $"e2" <= $"s" &&
+          !($"s2" === $"s" && $"e2" === $"e"))
+      .groupBy($"case_id", $"s").agg(max($"e2").as("arrival"))
+    // 2012-02-19 21:25:00 UTC in epoch micros
+    val batchStartUs = 1329686700000000L
+    val pairArrivals = prevEnd
+      .filter($"case_id".isin("Case28", "Case87") && $"s" === batchStartUs)
+      .select($"arrival").as[Long].collect()
+    assert(pairArrivals.length == 2 && pairArrivals.forall(_ < batchStartUs),
+      "both residual members arrived before the 21:25 batch start — " +
+        "the arrival filter cannot be what excludes them")
+    golden.unpersist()
+  }
+
   test("Production report + ActivationRules match golden anchors") {
     import spark.implicits._
     val log = EventLogCsv.read(spark, "/root/reference/logs/Production.csv.gz")
