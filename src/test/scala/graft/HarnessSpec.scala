@@ -18,15 +18,22 @@ class HarnessSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("Pinned.release drops every tracked intermediate after discoverFull") {
+  test("Pinned.release + releaseFrame drop every block discoverFull creates") {
     // memoized STAGE caches from other suites (untracked by design) may
     // already exist in the shared session — assert we return to that set
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val en = EnabledTime.withEnabled(graft.pm.EventLogOps.fromEvents(spark, sfDir))
-    BatchDiscovery.discoverFull(en).count()
-    assert(Pinned.trackedCount(spark) > 0, "discoverFull should track its internal persists")
+    val out = BatchDiscovery.discoverFull(en)
+    out.count()
+    // round 7: discoverFull's pipeline boundaries are stage cuts released
+    // internally; the tracked persists that remain are Dist.withGlobalRank's
+    // correctness caches, dropped by the harness release. The returned
+    // frame is an EAGER stage whose lifecycle belongs to the caller
+    // (pm_sp_batches memoizes it; here we release it directly).
+    assert(Pinned.trackedCount(spark) > 0, "discoverFull should track the Dist rank persists")
     Pinned.release(spark)
     assert(Pinned.trackedCount(spark) == 0)
+    Pinned.releaseFrame(out)
     // unpersist is async — poll briefly for the blocks to drop
     val deadline = System.nanoTime() + 30e9.toLong
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
@@ -38,7 +45,12 @@ class HarnessSpec extends AnyFunSuite {
     // the K2 concurrency oracle is a DOCUMENTED eager collect-broadcast
     // (tiny pair relation) — build `en` before counting; likewise touch
     // the embeddings table first so Spark's own parquet schema-inference
-    // job (launched by spark.read, not by our plan building) is done
+    // job (launched by spark.read, not by our plan building) is done.
+    // discoverFull and the CC/nearDupGroups kernels are since round 7
+    // DELIBERATELY eager (stage-boundary pipelines that materialize at
+    // construction and release their intermediates) — the lock guards the
+    // still-lazy constructors, where a job at plan build means an
+    // accidental driver action (the round-3 .first() bug class).
     val en = EnabledTime.withEnabled(graft.pm.EventLogOps.fromEvents(spark, sfDir))
     val emb = Tables.embeddings(spark, sfDir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -55,7 +67,7 @@ class HarnessSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      BatchDiscovery.discoverFull(en) // plan only — no action
+      BatchDiscovery.discover(en) // plan only — no action
       graft.ext.Similarity.annIvf(emb) // plan only
       // listener events are queued async; give the bus a moment to drain
       // (a job-start event would land well within this window)

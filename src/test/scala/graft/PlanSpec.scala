@@ -76,10 +76,12 @@ class PlanSpec extends AnyFunSuite {
     //   j3_ivf_ann     16 coarse-quantizer centroids
     //   w13_ntile      the ntile boundary table (numChunks rows)
     //   pm_sp_batches  1-row max-task-id fold (the plan-build .first() fix)
+    //   j6_sketch      1-row sketch aggregate broadcast back over the scan
+    //                  (the round-7 self-check rank pass)
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
-      "w13_ntile", "pm_sp_batches")
+      "w13_ntile", "pm_sp_batches", "j6_sketch")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
