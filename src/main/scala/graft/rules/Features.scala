@@ -41,22 +41,26 @@ object Features {
     // batch-case grain: C2 struct-min enabled, min start.
     // bcase/inst/meta/instants are each consumed by 2-6 downstream branches
     // (subs, subev, the negative-instant generators, the workload queries,
-    // the final join): tracked persists (graft.Pinned) so one action
-    // computes each small grain once — un-cached, every branch re-expanded
-    // the full aggregation chain with its own exchanges, and the whole
-    // feature build cost ~6x its data size (the round-4 bench's #1 cost).
-    // Grains are bounded by #batched cases / #batches — far below event
-    // grain, safe to cache at any scale.
-    val bcase = graft.Pinned.track(bev.groupBy($"batch_id", $"case_id")
+    // the final join): STAGE boundaries (round 7, the discoverFull
+    // treatment) so one action computes each small grain once AND every
+    // consumer plans against a leaf — with persist() boundaries each
+    // branch re-analyzed/re-codegen'd the cached subtree (the round-4
+    // bench's #1 cost was this build). Intermediates are released once
+    // the final frame is eagerly materialized; debugPart early returns
+    // skip the release (StageProbe diagnostics only). Grains are bounded
+    // by #batched cases / #batches — far below event grain.
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
+    val bcase = staged(bev.groupBy($"batch_id", $"case_id")
       .agg(min(struct($"start_us".as("s"), $"enabled_us".as("e"))).as("m"))
       .select($"batch_id", $"case_id", $"m.s".as("case_start"), $"m.e".as("case_enabled")))
 
     // instance grain
-    val inst = graft.Pinned.track(bcase.groupBy($"batch_id")
+    val inst = staged(bcase.groupBy($"batch_id")
       .agg(min($"case_start").as("inst_start"),
         min($"case_enabled").as("inst_first_en"),
         max($"case_enabled").as("inst_last_en")))
-    val meta = graft.Pinned.track(bev.groupBy($"batch_id")
+    val meta = staged(bev.groupBy($"batch_id")
       .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource")))
 
     // instants: src 0 = activate, 1 = ready-interval points, 2 = sampled
@@ -82,7 +86,7 @@ object Features {
         Window.partitionBy("batch_id").orderBy(sampleKey, $"case_id")))
       .filter($"rn" <= kEnabled)
       .select($"batch_id", $"case_enabled".as("instant"), lit(2).as("src"), lit(0).as("outcome"))
-    val instants = graft.Pinned.track(pos.unionByName(neg1).unionByName(neg2))
+    val instants = staged(pos.unionByName(neg1).unionByName(neg2))
 
     // subset of cases enabled at each instant + per-case first start in the FULL log
     val caseFirst = disc.groupBy($"case_id").agg(min($"start_us").as("case_first_start"))
@@ -146,7 +150,7 @@ object Features {
     if (debugPart == "actsfiring") return actsAndFiring
     if (debugPart == "workload") return wl
 
-    subs
+    val out = graft.Pinned.stageEager(subs
       .join(actsAndFiring, Seq("batch_id", "instant", "src"))
       // meta is batch grain — unbounded at 100 TB; shuffle-join, AQE
       // broadcasts at runtime when actually small
@@ -164,6 +168,8 @@ object Features {
         dayofmonth(graft.Det.tsNtz($"instant")).as("day_of_month"),
         hour(graft.Det.tsNtz($"instant")).as("hour_of_day"),
         minute(graft.Det.tsNtz($"instant")).as("minute_of_hour"),
-        $"workload", $"outcome")
+        $"workload", $"outcome"))
+    tmp.foreach(graft.Pinned.releaseFrame)
+    out
   }
 }

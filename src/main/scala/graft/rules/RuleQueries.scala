@@ -19,7 +19,8 @@ object RuleQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def feats(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(featCache, s, d)
-    featCache.computeIfAbsent((s, d), _ => graft.Pinned.stage(Features.featuresTable(disc(s, d))))
+    // featuresTable's output is already an eagerly-staged leaf (round 7)
+    featCache.computeIfAbsent((s, d), _ => Features.featuresTable(disc(s, d)))
   }
 
   /** The three ActivationRulesMode groupings (reference config.py:7-10),
