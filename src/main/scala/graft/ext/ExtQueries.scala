@@ -59,6 +59,12 @@ object ExtQueries {
     "j7_decontam" -> ((s, d) =>
       Pipeline.decontam(Tables.documents(s, d))),
 
+    // J7 — stratified per-language sampling (training-mix composition):
+    // deterministic md5-bucket verdict per doc, reproducible and stable
+    // under corpus growth.
+    "j7_sample" -> ((s, d) =>
+      Pipeline.stratifiedSample(Tables.documents(s, d))),
+
     // J3 — brute-force cosine top-k (quantized exact-integer arithmetic).
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -328,6 +334,17 @@ object ExtQueries {
          |FROM (SELECT DISTINCT doc_id, fp FROM fpt WHERE doc_id >= ${Pipeline.EvalDocs}) f
          |JOIN ev e ON e.fp = f.fp
          |GROUP BY 1""".stripMargin,
+
+    "j7_sample" -> {
+      val rateCase = "CASE " + Pipeline.SampleRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") + " ELSE 100 END"
+      val bucket =
+        s"('0x' || substr(md5('${Pipeline.SampleSeed}:' || doc_id), 1, 8))::BIGINT % 100"
+      s"""SELECT doc_id, lang, $bucket AS bucket,
+         |  CAST($rateCase AS BIGINT) AS rate_pct,
+         |  CAST(CASE WHEN $bucket < $rateCase THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents""".stripMargin
+    },
 
     "j2_simhash" ->
       """WITH toks AS (

@@ -69,6 +69,33 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
+  /** Per-language sampling rates for [[stratifiedSample]] (percent kept):
+    * the training-mix composition dial — downsample dominant languages,
+    * keep the tail. Unlisted languages fall back to 100 (keep all). */
+  val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 25, "es" -> 10)
+  val SampleSeed = 11
+
+  /** Stratified deterministic sampling — the corpus-composition operator a
+    * training mix is built with (downsample en, keep low-resource tails).
+    * Each document's verdict is a pure function of (seed, doc_id): an
+    * md5-derived bucket in [0, 100) compared to its language's rate, so
+    * the sample is REPRODUCIBLE, stable under corpus growth (adding rows
+    * never flips an existing row's verdict — the property unseeded
+    * `sample()` lacks), and embarrassingly row-local at any scale. Emits
+    * every row with its bucket and keep flag so the gate hashes the
+    * decision surface, not just the survivors. */
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Int)] = SampleRates,
+                       seed: Int = SampleSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bucket = pmod(Dedup.md5Hash32(seed, $"doc_id".cast("string")), lit(100L))
+    val rate = rates.foldLeft(lit(100)) { case (acc, (l, r)) =>
+      when($"lang" === l, r).otherwise(acc)
+    }
+    docs.select($"doc_id", $"lang", bucket.as("bucket"),
+      rate.cast("long").as("rate_pct"),
+      (bucket < rate).cast("long").as("kept"))
+  }
+
   /** Benchmark decontamination: corpus documents (doc_id >= evalDocs)
     * sharing winnowing fingerprints with any eval document (doc_id <
     * evalDocs). One row per contaminated corpus doc: how many distinct
