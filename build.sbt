@@ -24,6 +24,12 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 outputStrategy := Some(StdoutOutput)
+// ... and nothing may FOLLOW it either: sbt's "[success] Total time" trailer
+// prints to stdout AFTER the bench JSON, so a harness that parses the last
+// stdout line records parsed:null (BENCH_r06.json). showSuccess drops the
+// trailer; errors ([error]) still print, so failures stay visible.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
