@@ -341,6 +341,73 @@ object Dedup {
     out
   }
 
+  /** Jaccard threshold for the EXACT n-gram similarity join
+    * ([[jaccardNgramPairs]]). Lower than [[NearDupGroupJaccard]]: the exact
+    * join has no candidate-miss risk, so it can afford a wider net. */
+  val JaccardJoinThreshold = 0.8
+
+  /** EXACT n-gram Jaccard similarity join (AllPairs/PPJoin prefix filter —
+    * Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): all document pairs
+    * with Jaccard(distinct 3-gram shingle sets) >= `t`, with NO false
+    * negatives — the complement to [[nearDupPairs]]' probabilistic LSH
+    * candidate path.
+    *
+    * Candidate generation is the prefix filter: order every shingle by
+    * GLOBAL frequency (rarest first, shingle text as tiebreak) and index
+    * only each doc's first `n - ceil(t*n) + 1` shingles. If J(A,B) >= t
+    * then |A∩B| >= t*|A| (since J = i/(a+b-i) >= t and b >= i gives
+    * i >= t*a; symmetrically i >= t*b), and the smallest common shingle
+    * must land in BOTH prefixes — else one side's intersection would fit
+    * entirely in its ceil(t*n)-1 element suffix, contradicting i >= t*n.
+    * So the prefix-on-prefix equi-join catches every qualifying pair, and
+    * the exact Jaccard verify prunes the rest.
+    *
+    * 100 TB posture: the frequency table is one shuffle-agg on the shingle
+    * key; per-doc ranking windows on doc_id (bounded per row); the
+    * candidate join shuffles only the ~(1-t) prefix fraction of the
+    * shingle grain, and rare-first ordering keeps prefix buckets small by
+    * construction. `bucketCap` guards the adversarial all-identical-docs
+    * corpus exactly as in [[nearDupPairs]] (dropped buckets are recovered
+    * by exact dedup, J1). */
+  def jaccardNgramPairs(docs: DataFrame, t: Double = JaccardJoinThreshold,
+                        bucketCap: Int = BucketCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sa = graft.Pinned.track(
+      shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
+        .select($"doc_id", array_distinct($"shings").as("dshings")))
+    val ds = sa.select($"doc_id", explode($"dshings").as("shingle"))
+    val sizes = sa.select($"doc_id", size($"dshings").as("n"))
+    val freq = ds.groupBy($"shingle").agg(count(lit(1)).as("cnt"))
+    val pre = ds.join(freq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"cnt", $"shingle")))
+      .join(sizes, Seq("doc_id"))
+      .filter($"r" <= $"n" - ceil(lit(t) * $"n") + 1)
+      .select($"doc_id", $"shingle")
+    // prefix buckets with <2 docs pair nothing; >cap is the boilerplate
+    // mega-bucket guard (same recovery path as nearDupPairs)
+    val ok = pre.groupBy($"shingle").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2 && $"c" <= bucketCap).select($"shingle")
+    val pruned = pre.join(ok, Seq("shingle"), "left_semi")
+    val cand = pruned.select($"doc_id".as("doc_a"), $"shingle")
+      .join(pruned.select($"doc_id".as("doc_b"), $"shingle"), Seq("shingle"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val inter = cand
+      .join(ds.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(ds.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ninter"))
+    // inner (not left) join on inter: a qualifying pair always intersects
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      // threshold on the UNROUNDED ratio (bit-identical double math in the
+      // DuckDB twin); the rounded column is presentation only
+      .filter($"ninter".cast("double") / ($"na" + $"nb" - $"ninter") >= t)
+      .select($"doc_a", $"doc_b",
+        round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter"), 6).as("jaccard"))
+  }
+
   /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1). */
   def simhash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -47,6 +47,11 @@ object ExtQueries {
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
 
+    // J2 — EXACT n-gram Jaccard similarity join (prefix filter): the
+    // no-false-negative complement to the LSH candidate path.
+    "j2_jaccard_ngram" -> ((s, d) =>
+      Dedup.jaccardNgramPairs(Tables.documents(s, d))),
+
     // J2 — near-dup CLUSTERS: connected components over the verified pair
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
     "j2_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
@@ -191,7 +196,7 @@ object ExtQueries {
   private val nMinhashes = Dedup.Bands * Dedup.RowsPerBand
   private val mhSelects = (0 until nMinhashes).map(s =>
     s"    min(('0x' || substr(md5('$s:' || shingle), 1, 8))::BIGINT) AS h$s").mkString(",\n")
-  private val tokCtes =
+  private val shCtes =
     s"""toks AS (
       |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
@@ -199,7 +204,9 @@ object ExtQueries {
       |  SELECT doc_id, shingle FROM (
       |    SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)) z
-      |  WHERE shingle IS NOT NULL),
+      |  WHERE shingle IS NOT NULL)""".stripMargin
+  private val tokCtes =
+    s"""$shCtes,
       |mh AS (
       |  SELECT doc_id,
       |$mhSelects
@@ -271,6 +278,36 @@ object ExtQueries {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin,
+
+    // Exact prefix-filter similarity join: the oracle mirrors the Spark
+    // side CTE for CTE (global rare-first order, per-doc prefix, bucket
+    // gate, exact Jaccard verify on the unrounded ratio).
+    "j2_jaccard_ngram" ->
+      s"""WITH $shCtes,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |freq AS (SELECT shingle, count(*) AS cnt FROM ds GROUP BY 1),
+         |pre AS (SELECT doc_id, shingle FROM (
+         |    SELECT d.doc_id, d.shingle, s.n,
+         |      row_number() OVER (PARTITION BY d.doc_id ORDER BY f.cnt, d.shingle) AS r
+         |    FROM ds d JOIN freq f ON f.shingle = d.shingle
+         |    JOIN sizes s ON s.doc_id = d.doc_id) z
+         |  WHERE r <= n - CAST(ceil(${Dedup.JaccardJoinThreshold} * n) AS BIGINT) + 1),
+         |ok AS (SELECT shingle FROM pre GROUP BY 1 HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+         |pruned AS (SELECT p.doc_id, p.shingle FROM pre p JOIN ok o ON o.shingle = p.shingle),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pruned a JOIN pruned b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
+         |  JOIN ds x ON x.doc_id = c.doc_a
+         |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS jaccard
+         |FROM cand c
+         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= ${Dedup.JaccardJoinThreshold}""".stripMargin,
 
     // Exact connected components via recursive reachability (the oracle is
     // round-count-independent: if the Spark side's unrolled propagation ran

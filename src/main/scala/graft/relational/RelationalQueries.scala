@@ -226,6 +226,22 @@ object RelationalQueries {
         .select($"event_id", $"user_id", $"value", $"user_n", $"user_sum")
     }),
 
+    // D1 at a HOT key — the salted-join demo: event_type has a handful of
+    // values over the whole fact table, the definitional skew join. The
+    // salt is plan-side only; the result is bit-identical to the plain
+    // join (the DuckDB oracle is the unsalted form).
+    "d8_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val perType = e.groupBy($"event_type")
+        .agg((dsum($"value") / count(lit(1))).as("type_avg"))
+      SkewOps.saltedJoin(e.select($"event_id", $"event_type", $"value"),
+          perType, Seq("event_type"))
+        .filter($"value" > lit(1.9) * $"type_avg")
+        .select($"event_id", $"event_type", $"value",
+          round($"type_avg", 6).as("type_avg"))
+    }),
+
     // D2 — left-semi join. Ref: handoff_batch.py:66-74.
     "d2_semi" -> ((s, d) => {
       import s.implicits._
@@ -473,6 +489,14 @@ object RelationalQueries {
         |  SELECT user_id, count(*) AS user_n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS user_sum
         |  FROM events GROUP BY user_id) a ON e.user_id = a.user_id""".stripMargin,
+
+    "d8_salted_join" ->
+      """SELECT e.event_id, e.event_type, e.value, round(a.type_avg, 6) AS type_avg
+        |FROM events e JOIN (
+        |  SELECT event_type,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / count(*) AS type_avg
+        |  FROM events GROUP BY event_type) a ON e.event_type = a.event_type
+        |WHERE e.value > 1.9 * a.type_avg""".stripMargin,
 
     "d2_semi" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o

@@ -86,6 +86,42 @@ class ExtSpec extends AnyFunSuite {
     assert(u == c)
   }
 
+  test("jaccard ngram join: exact (no false negatives) vs brute-force all-pairs") {
+    import spark.implicits._
+    val base = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16 k17 k18 k19 k20"
+    val docs = Seq(
+      // 1-2: near-identical pair whose shingles are ALL shared with 3-6 too
+      // (globally common) — a rare-token-only index would miss it; the
+      // per-doc prefix filter must not.
+      (1L, base + " z1"),
+      (2L, base + " z2"),
+      (3L, base), (4L, base), (5L, base), (6L, base),
+      // 7-8: qualifying pair with unique vocabulary
+      (7L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+      (8L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u12"),
+      // 9: sub-threshold overlap with 7
+      (9L, "u1 u2 u3 u4 a1 a2 a3 a4 a5 a6 a7"),
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    ).toDF("doc_id", "text")
+    val t = 0.8
+    val got = Dedup.jaccardNgramPairs(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over distinct shingle sets
+    val sets = Dedup.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      if i.toDouble / (sets(a).size + sets(b).size - i) >= t
+    } yield (a, b)).toSet
+    assert(got == want, s"exact join must equal brute force: got=$got want=$want")
+    assert(want.contains((1L, 2L)) && want.contains((7L, 8L)),
+      "fixture sanity: both planted pairs qualify")
+    assert(!want.exists(p => p._1 == 9L || p._2 == 9L && p._1 == 7L),
+      "fixture sanity: sub-threshold pair excluded")
+  }
+
   test("j6 sketch self-checks hold: HLL and quantile bounds all pass") {
     val r = ext.ExtQueries.queries("j6_sketch")(spark, "/root/testdata/sf0.001").head
     assert(r.getAs[Long]("cd_ok") == 1L,

@@ -31,6 +31,34 @@ class PlanSpec extends AnyFunSuite {
       s"dim filter not pushed:\n$p")
   }
 
+  test("salted join: shuffle keys include the salt; result equals plain join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = Seq((1L, "hot", 5.0), (2L, "hot", 6.0), (3L, "hot", 7.0),
+      (4L, "cold", 1.0), (5L, "orphan", 9.0)).toDF("id", "k", "v")
+    val dim = Seq(("hot", 100L), ("cold", 200L), ("unused", 300L)).toDF("k", "attr")
+    // semantics: salt-invariant, inner and left_outer both exact
+    val inner = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n = 4)
+      .select($"id", $"attr").as[(Long, Long)].collect().toSet
+    assert(inner == fact.join(dim, Seq("k"))
+      .select($"id", $"attr").as[(Long, Long)].collect().toSet)
+    val left = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n = 4, "left_outer")
+    assert(left.count() == 5 &&
+      left.filter($"id" === 5L && $"attr".isNull).count() == 1,
+      "left_outer: unmatched fact rows null-extend exactly once")
+    // plan: with broadcast off, BOTH exchanges hash on (k, __salt) — the
+    // whole point (a hot k fans out over n sub-partitions)
+    val p = spark.sessionState.conf
+    val prev = p.getConfString("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      p.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n = 4)
+        .queryExecution.executedPlan.toString
+      assert(raw"hashpartitioning\(k#\d+, __salt#\d+".r
+        .findAllIn(plan).size >= 2, s"shuffle not salted:\n$plan")
+    } finally p.setConfString("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("similarity: long_dot runs inside a codegen span, embeddings scan pruned") {
     val p = planOf("j3_knn_cosine")
     assert(p.contains("long_dot"), s"native expression missing:\n$p")
