@@ -378,29 +378,39 @@ object Dedup {
     val ds = sa.select($"doc_id", explode($"dshings").as("shingle"))
     val sizes = sa.select($"doc_id", size($"dshings").as("n"))
     val freq = ds.groupBy($"shingle").agg(count(lit(1)).as("cnt"))
-    val pre = ds.join(freq, Seq("shingle"))
+    // prefix table: tracked persist — consumed by both sides of the
+    // candidate self-join (un-persisted, each side re-ran the freq join +
+    // ranking window over the full shingle grain)
+    val pre = graft.Pinned.track(ds.join(freq, Seq("shingle"))
       .withColumn("r", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"cnt", $"shingle")))
       .join(sizes, Seq("doc_id"))
       .filter($"r" <= $"n" - ceil(lit(t) * $"n") + 1)
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", $"shingle", $"n"))
     // prefix buckets with <2 docs pair nothing; >cap is the boilerplate
     // mega-bucket guard (same recovery path as nearDupPairs)
     val ok = pre.groupBy($"shingle").agg(count(lit(1)).as("c"))
       .filter($"c" >= 2 && $"c" <= bucketCap).select($"shingle")
     val pruned = pre.join(ok, Seq("shingle"), "left_semi")
-    val cand = pruned.select($"doc_id".as("doc_a"), $"shingle")
-      .join(pruned.select($"doc_id".as("doc_b"), $"shingle"), Seq("shingle"))
-      .filter($"doc_a" < $"doc_b")
+    // length filter (carried n, no extra join): J >= t forces
+    // min(na,nb)/max(na,nb) >= t in the reals, and correctly-rounded
+    // division is monotone, so the double-ratio comparison never drops a
+    // qualifying pair. On a common-vocabulary corpus this prunes most of
+    // what the prefix filter alone lets through.
+    val cand = pruned.select($"doc_id".as("doc_a"), $"shingle", $"n".as("na"))
+      .join(pruned.select($"doc_id".as("doc_b"), $"shingle", $"n".as("nb")), Seq("shingle"))
+      .filter($"doc_a" < $"doc_b" &&
+        least($"na", $"nb").cast("double") / greatest($"na", $"nb") >= t)
       .select($"doc_a", $"doc_b").distinct()
-    val inter = cand
-      .join(ds.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
-      .join(ds.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ninter"))
-    // inner (not left) join on inter: a qualifying pair always intersects
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+    // verify ROW-LOCALLY on the persisted shingle arrays: two hash joins
+    // pulling each side's array, intersection size via array_intersect.
+    // The exploded-join form this replaces shuffled |cand| x |doc-shingles|
+    // rows (~35M at sf0.1) just to count matches the arrays already hold.
+    cand
+      .join(sa.select($"doc_id".as("doc_a"), $"dshings".as("sha")), Seq("doc_a"))
+      .join(sa.select($"doc_id".as("doc_b"), $"dshings".as("shb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", size(array_intersect($"sha", $"shb")).as("ninter"),
+        size($"sha").as("na"), size($"shb").as("nb"))
       // threshold on the UNROUNDED ratio (bit-identical double math in the
       // DuckDB twin); the rounded column is presentation only
       .filter($"ninter".cast("double") / ($"na" + $"nb" - $"ninter") >= t)
