@@ -219,9 +219,12 @@ object Dedup {
     * the recursive-CTE oracle computes EXACT components, so an
     * insufficient round count fails the gate rather than passing quietly). */
   def nearDupGroups(docs: DataFrame, threshold: Double = NearDupGroupJaccard,
-                    rounds: Int = CcRounds): DataFrame = {
+                    rounds: Int = CcRounds,
+                    pairs0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val pairs = nearDupPairs(docs).filter($"jaccard" >= threshold)
+    // pairs0: a caller-memoized [[nearDupPairs]] result (ExtQueries shares
+    // one staged pairs frame between the pairs query and this clustering)
+    val pairs = pairs0.getOrElse(nearDupPairs(docs)).filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
     ccGroups(docs.select($"doc_id".as("v")), pairs, rounds)
   }

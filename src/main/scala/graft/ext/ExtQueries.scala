@@ -21,7 +21,21 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def neardupGroups(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(groupsCache, s, d)
-    groupsCache.computeIfAbsent((s, d), _ => Dedup.nearDupGroups(Tables.documents(s, d)))
+    groupsCache.computeIfAbsent((s, d), _ =>
+      Dedup.nearDupGroups(Tables.documents(s, d), pairs0 = Some(neardupPairs(s, d))))
+  }
+
+  /** The verified LSH pair graph feeds THREE graded queries in a session
+    * (j2_neardup_pairs itself, the clustering, and through it j7_trainset):
+    * memoize the eagerly-staged pairs frame with the same lifecycle, so
+    * the shingle/minhash/bucket pipeline runs once per (session, dataset)
+    * instead of once per consumer. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(pairsCache, s, d)
+    pairsCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Dedup.nearDupPairs(Tables.documents(s, d))))
   }
 
   val queries: Map[String, Q] = Map(
@@ -42,8 +56,7 @@ object ExtQueries {
     // J2 — MinHash signatures, LSH candidate pairs with exact Jaccard, SimHash.
     "j2_minhash_sigs" -> ((s, d) =>
       Dedup.minhash(Tables.documents(s, d))),
-    "j2_neardup_pairs" -> ((s, d) =>
-      Dedup.nearDupPairs(Tables.documents(s, d))),
+    "j2_neardup_pairs" -> ((s, d) => neardupPairs(s, d)),
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
 
