@@ -198,7 +198,13 @@ object ExtQueries {
           graft.Det.tsNtz($"sess_end_us").as("sess_end"),
           $"n", ($"sum_value_e2".cast("double") / 100d).as("sum_value"))
     }),
-    "st_dedup" -> ((s, d) => graft.streaming.StreamOps.dedup(Tables.events(s, d)))
+    "st_dedup" -> ((s, d) => graft.streaming.StreamOps.dedup(Tables.events(s, d))),
+
+    // I — stream-stream join (batch form; the watermarked two-stream twin
+    // is attributionJoinStream, equality + late-drop pinned in
+    // StreamingSpec): click -> purchase attribution within 30 minutes.
+    "st_join" -> ((s, d) =>
+      graft.streaming.StreamOps.attributionJoin(Tables.events(s, d)))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -652,6 +658,15 @@ object ExtQueries {
         |FROM g GROUP BY user_id, sess""".stripMargin,
 
     "st_dedup" ->
-      "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us FROM events"
+      "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us FROM events",
+
+    "st_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_event_id,
+         |  p.event_id AS purchase_event_id,
+         |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+         |FROM events c JOIN events p ON p.user_id = c.user_id
+         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + ${graft.streaming.StreamOps.AttributionWindowUs}""".stripMargin
   )
 }

@@ -232,6 +232,59 @@ object StreamOps {
         $"event_type", $"n", $"sum_value")
   }
 
+  /** Attribution window for [[attributionJoin]]: a purchase matches a click
+    * by the same user within this many micros AFTER the click. */
+  val AttributionWindowUs = 1800000000L // 30 minutes
+
+  /** Event-correlation (attribution) join — the batch form: every
+    * (click, purchase) pair of the same user with the purchase inside
+    * [click, click + 30min]. One equi-shuffle on user_id with the time
+    * range as a post-join filter: per-user grain is bounded, so no
+    * interval-index machinery is needed (the D4 interval join covers the
+    * no-equi-key case). Output carries both event ids + the lag. */
+  def attributionJoin(events: DataFrame,
+                      windowUs: Long = AttributionWindowUs): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.select($"event_id", $"user_id", $"event_type",
+      graft.Det.us($"ts").as("t"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_event_id"), $"t".as("ct"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_event_id"), $"t".as("pt"))
+    c.join(p, Seq("user_id"))
+      .filter($"pt" >= $"ct" && $"pt" <= $"ct" + windowUs)
+      .select($"user_id", $"click_event_id", $"purchase_event_id",
+        ($"pt" - $"ct").as("lag_us"))
+  }
+
+  /** STREAM-STREAM inner join form of [[attributionJoin]]: both legs
+    * watermarked, the join condition time-bounds each side against the
+    * other, so the state store can evict a click once the purchase-side
+    * watermark passes click + 30min (and a purchase immediately after its
+    * own instant) — the only shape in which an unbounded two-stream join
+    * runs forever in bounded state. Late rows beyond a leg's watermark are
+    * dropped, as in every watermarked op (StreamingSpec pins both the
+    * equality-with-batch and the drop). Event times stay NTZ-derived UTC
+    * instants (see [[dedupStream]]). */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame,
+                            windowUs: Long = AttributionWindowUs): DataFrame = {
+    import clicks.sparkSession.implicits._
+    val c = graft.Tables.normalizeTs(clicks)
+      .select($"event_id".as("click_event_id"), $"user_id".as("c_user_id"),
+        graft.Det.ntzAsUtcInstant($"ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    val p = graft.Tables.normalizeTs(purchases)
+      .select($"event_id".as("purchase_event_id"), $"user_id".as("p_user_id"),
+        graft.Det.ntzAsUtcInstant($"ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    c.join(p,
+        $"c_user_id" === $"p_user_id" &&
+          $"pts" >= $"cts" &&
+          $"pts" <= $"cts" + expr(s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+      .select($"c_user_id".as("user_id"), $"click_event_id", $"purchase_event_id",
+        (unix_micros($"pts") - unix_micros($"cts")).as("lag_us"))
+  }
+
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream
     * source (tested via the memory sink). Windows + watermark on
     * TIMESTAMP_NTZ (see [[dedupStream]]). */

@@ -237,6 +237,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally sq.stop()
   }
 
+  test("stream-stream attribution join equals batch; late rows are dropped") {
+    import spark.implicits._
+    // --- equality: both legs stream the same parquet, join output must
+    // equal the batch attribution join (sf0.01: 23 matched pairs)
+    val dir = "/root/testdata/sf0.01"
+    val expected = StreamOps.attributionJoin(Tables.events(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    val staged = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val schema0 = spark.read.parquet(s"$dir/events.parquet").schema
+    def leg(tpe: String) = spark.readStream.schema(schema0).parquet(staged)
+      .transform(Tables.normalizeTs).filter($"event_type" === tpe)
+    val q = StreamOps.attributionJoinStream(leg("click"), leg("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_ssj_test").collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream-stream join must equal batch join")
+    } finally q.stop()
+
+    // --- late drop: a purchase below its leg's watermark must not match
+    // an in-window click whose state is still live
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampNTZType)))
+    def writeBatch(d: String, n: Int, rows: (Long, Long, String, String)*): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "s")
+        .select($"event_id", $"user_id", $"event_type", lit(1.0).as("value"),
+          to_timestamp_ntz($"s").as("ts"))
+        .coalesce(1).write.parquet(s"$d/b$n")
+    val cDir = java.nio.file.Files.createTempDirectory("graft_ssj_c").toString
+    val pDir = java.nio.file.Files.createTempDirectory("graft_ssj_p").toString
+    writeBatch(cDir, 1, (1L, 1L, "click", "2026-01-01 00:00:00"))
+    writeBatch(pDir, 1, (2L, 1L, "purchase", "2026-01-01 00:10:00"))
+    def lateLeg(d: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/b*")
+    val lq = StreamOps.attributionJoinStream(lateLeg(cDir), lateLeg(pDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj_late")
+      .start()
+    try {
+      lq.processAllAvailable() // emits (1,2) match; watermarks at 00:00/00:10
+      // advance both watermarks to ~10:00 (12:00 - 2h)
+      writeBatch(cDir, 2, (3L, 9L, "click", "2026-01-01 12:00:00"))
+      writeBatch(pDir, 2, (4L, 9L, "purchase", "2026-01-01 12:00:00"))
+      lq.processAllAvailable()
+      // LATE purchase at 00:05 (< watermark 10:00): in-window for click 1,
+      // but must be dropped by the purchase leg
+      writeBatch(pDir, 3, (5L, 1L, "purchase", "2026-01-01 00:05:00"))
+      lq.processAllAvailable()
+      val got = spark.table("graft_ssj_late")
+        .select($"click_event_id", $"purchase_event_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (3L, 4L)),
+        s"late purchase 5 must be dropped, matches 1-2 and 3-4 kept: $got")
+    } finally lq.stop()
+  }
+
   test("flatMapGroupsWithState sessions equal batch island-detection sessions") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
