@@ -108,6 +108,11 @@ object ExtQueries {
     "j4_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "j4_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
 
+    // J4 — BM25 top-k retrieval (sparse lexical scorer for decontamination
+    // lookups / search probes; rational idf + exact-decimal term sum keep
+    // the score bit-identical across engines).
+    "j4_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d))),
+
     // J4 — BPE-ish regex token counting (words | digit-runs | punctuation),
     // alongside the whitespace tokenizer in TextOps.
     "j4_bpe_tokens" -> ((s, d) => {
@@ -579,6 +584,35 @@ object ExtQueries {
       """SELECT tok, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    // BM25: the double literals are emitted from the SAME Scala expressions
+    // the operator uses ((k1+1) is NOT the literal 2.2 in IEEE — shortest-
+    // roundtrip toString keeps the oracle's constants bit-identical).
+    "j4_bm25" -> {
+      val vals = TextOps.Bm25Queries
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $vals),
+         |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS tok FROM q),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hits AS (SELECT qt.query_id, t.tok, t.doc_id FROM toks t JOIN qt ON qt.tok = t.tok),
+         |tf AS (SELECT query_id, tok, doc_id, count(*) AS tf FROM hits GROUP BY 1, 2, 3),
+         |dft AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT tok, doc_id FROM hits) z GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS nn,
+         |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM documents),
+         |sc AS (SELECT query_id, doc_id,
+         |    CAST(round(((nn - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ${TextOps.Bm25K1 + 1}) /
+         |       (tf + ${TextOps.Bm25K1} * (${1 - TextOps.Bm25B} + ${TextOps.Bm25B} * (dl / avgdl)))), 6)
+         |      AS DECIMAL(18,6)) AS s6
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |agg AS (SELECT query_id, doc_id, sum(s6) AS score6 FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score6,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS rank FROM agg)
+         |SELECT query_id, rank, doc_id, CAST(score6 AS DOUBLE) AS score
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "j4_bpe_tokens" ->
       """SELECT doc_id,

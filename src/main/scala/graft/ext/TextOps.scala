@@ -45,4 +45,65 @@ object TextOps {
       .orderBy($"n".desc, $"tok")
       .limit(k)
   }
+
+  /** BM25 parameters (Robertson/Spärck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed retrieval queries for the graded j4_bm25 surface. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash table scan"), (2L, "sort merge batch"), (3L, "spark window value"))
+
+  /** BM25 top-k retrieval — the sparse lexical scorer a training pipeline
+    * runs for decontamination lookups and search-quality probes. One
+    * inverted-index grain (doc, term, tf), document-frequency and
+    * length statistics, then per-(query, doc) scoring and a deterministic
+    * per-query top-k.
+    *
+    * Engine-exactness: the per-term score is one fixed-shape double
+    * expression (all chained IEEE ops are correctly rounded, so any engine
+    * evaluating the same tree gets the same bits); the idf is the RATIONAL
+    * variant (N - df + 0.5)/(df + 0.5) — no transcendental, whose libm
+    * rounding varies by engine. The per-doc SUM over query terms is made
+    * order-free by rounding each term score to DECIMAL(18,6) and summing
+    * exactly, the same trick as [[graft.Det.dsum]]. Tie-break (score desc,
+    * doc_id) is total.
+    *
+    * 100 TB posture: tf is one shuffle on (doc, term); df one on term; the
+    * corpus-wide (N, avgdl) is a 1-row broadcast; scoring touches only the
+    * postings of QUERY terms (semi-joined before the tf grain shuffles
+    * anywhere), so cost scales with the query terms' posting lists, not
+    * the corpus. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)] = Bm25Queries,
+               k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select($"query_id", explode(split($"qtext", " ")).as("tok")).distinct()
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    // only query-term postings ever reach the aggregations
+    val hits = toks.join(broadcast(qterms), Seq("tok"))
+    val tf = hits.groupBy($"query_id", $"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+    val df = hits.select($"tok", $"doc_id").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nn"),
+      (sum(size(split($"text", " ")).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val idf = ($"nn" - $"df" + lit(0.5)) / ($"df" + lit(0.5))
+    val termScore = idf * (($"tf" * lit(Bm25K1 + 1)) /
+      ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * ($"dl" / $"avgdl"))))
+    val scored = tf
+      .join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        round(termScore, 6).cast("decimal(18,6)").as("s6"))
+      .groupBy($"query_id", $"doc_id").agg(sum($"s6").as("score6"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"score6".desc, $"doc_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score6".cast("double").as("score"))
+  }
 }

@@ -36,6 +36,8 @@ object SkewOps {
                  n: Int = DefaultSalt, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"saltedJoin supports inner/left_outer, got $joinType")
+    require(!(fact.columns ++ dim.columns).contains("__salt"),
+      "saltedJoin: input already has a __salt column")
     // hash(all fact columns) spreads rows of a single hot key; pmod keeps
     // the salt in [0, n) for negative hashes
     val salted = fact.withColumn("__salt",

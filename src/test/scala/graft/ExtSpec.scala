@@ -122,6 +122,23 @@ class ExtSpec extends AnyFunSuite {
       "fixture sanity: sub-threshold pair excluded")
   }
 
+  test("bm25: term-dense short doc outranks term-sparse long doc; rare terms weigh more") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    val filler = Seq.fill(40)("x").mkString(" ")
+    val docs = Seq(
+      (1L, "hash table hash table hash scan"),      // dense in q1 terms, short
+      (2L, s"hash table scan $filler"),             // all terms, but diluted
+      (3L, s"hash $filler"),                        // one common term
+      (4L, filler)                                  // no terms
+    ).toDF("doc_id", "text")
+    val r = TextOps.bm25TopK(docs, Seq((1L, "hash table scan")), k = 4)
+      .orderBy($"rank").collect()
+      .map(x => (x.getInt(1), x.getLong(2)))
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"expected dense doc first, diluted second, single-term third, no-term absent: ${r.toSeq}")
+  }
+
   test("j6 sketch self-checks hold: HLL and quantile bounds all pass") {
     val r = ext.ExtQueries.queries("j6_sketch")(spark, "/root/testdata/sf0.001").head
     assert(r.getAs[Long]("cd_ok") == 1L,
