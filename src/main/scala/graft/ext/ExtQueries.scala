@@ -99,6 +99,12 @@ object ExtQueries {
     "j3_ivf_ann" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d))),
 
+    // J3 scale path #3 — product quantization + asymmetric distance (the
+    // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
+    // tables, exact integer arithmetic end-to-end).
+    "j3_pq_adc" -> ((s, d) =>
+      Similarity.annPq(Tables.embeddings(s, d))),
+
     // J4 — winnowing document fingerprints (rolling-hash minima).
     "j4_winnow" -> ((s, d) =>
       Dedup.winnow(Tables.documents(s, d))),
@@ -455,6 +461,52 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
+
+    // PQ/ADC mirror: positional sub-space view, stride seeds, one integer
+    // Lloyd round (floor-mean), encode, per-query lookup tables, code-join
+    // distance sum. Spark computes d2 as ns + ncv - 2*dot (three LongDots);
+    // the oracle sums (q-c)^2 — algebraically identical over exact ints.
+    "j3_pq_adc" -> {
+      import Similarity._
+      s"""WITH qe AS (
+         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |sube AS (SELECT vec_id, (i - 1) // $PqSubDim AS sub, (i - 1) % $PqSubDim AS j0, q FROM qe),
+         |nn AS (SELECT greatest(1, count(*) // $PqCents) AS stride,
+         |          greatest(1, count(*) // ${PqCents * PqTrainPerCell}) AS tstride FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid FROM embeddings, nn
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * $PqCents),
+         |c0 AS (SELECT s.cid, e.sub, e.j0, e.q FROM seeds s JOIN sube e ON e.vec_id = s.cid),
+         |train AS (SELECT e.vec_id FROM embeddings e, nn WHERE e.vec_id % tstride = 0),
+         |d0 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.q) * (e.q - c.q)) AS BIGINT) AS d2
+         |       FROM sube e JOIN train t ON t.vec_id = e.vec_id
+         |       JOIN c0 c ON c.sub = e.sub AND c.j0 = e.j0 GROUP BY 1, 2, 3),
+         |a0 AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d0) z
+         |  WHERE rn = 1),
+         |c1 AS (SELECT a.sub, a.cid, e.j0,
+         |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+         |  FROM a0 a JOIN sube e ON e.vec_id = a.vec_id AND e.sub = a.sub GROUP BY 1, 2, 3),
+         |dv AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.q) * (e.q - c.q)) AS BIGINT) AS d2
+         |       FROM sube e JOIN c1 c ON c.sub = e.sub AND c.j0 = e.j0 GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id AS vid, sub, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM dv) z
+         |  WHERE rn = 1),
+         |qd AS (SELECT vec_id AS qid, sub, cid, d2 FROM dv WHERE vec_id < $AnnQueries),
+         |dist AS (SELECT q.qid, c.vid, CAST(sum(q.d2) AS BIGINT) AS adc_d2
+         |         FROM codes c JOIN qd q ON q.sub = c.sub AND q.cid = c.cid
+         |         WHERE q.qid != c.vid GROUP BY 1, 2),
+         |short AS (SELECT qid, vid, adc_d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vid) AS srn FROM dist) z
+         |  WHERE srn <= $PqShortlist),
+         |ex AS (SELECT s.qid, s.vid, s.adc_d2, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+         |       FROM short s JOIN qe a ON a.vec_id = s.qid
+         |       JOIN qe b ON b.vec_id = s.vid AND b.i = a.i
+         |       GROUP BY 1, 2, 3)
+         |SELECT qid, vid, adc_d2, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS rank FROM ex) z
+         |WHERE rank <= $AnnK""".stripMargin
+    },
 
     "j3_ivf_ann" ->
       s"""WITH qe AS (

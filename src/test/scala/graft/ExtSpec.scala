@@ -207,6 +207,33 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= lshRecall, s"refined IVF trails LSH: $recall < $lshRecall")
   }
 
+  test("PQ/ADC: shortlist re-rank recovers usable exact-L2 recall; ranks by exact d2") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exact integer-L2 ground truth over the quantized grid
+    val q = emb.select($"vec_id",
+      expr("transform(embedding, x -> cast(round(x * 1e6) as long))").as("qv"))
+    val qs = q.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"qv".as("qa"))
+    val exact = q.crossJoin(broadcast(qs)).filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id".as("vid"),
+        expr("aggregate(zip_with(qa, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)").as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy($"d2", $"vid")))
+      .filter($"rn" <= 3).select($"qid", $"vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.annPq(emb).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@3 over 10 queries: $recall%.2f (measured 0.77/0.93/0.70 at sf0.001/0.01/0.1)")
+    assert(recall >= 0.5, s"PQ shortlist+re-rank recall collapsed: $recall")
+    // within each query, output must be ordered by EXACT d2 (the re-rank
+    // contract), not by the approximate ADC distance
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(4)).map(_.getLong(3))
+      assert(byRank.sameElements(byRank.sorted), s"re-rank order broken: ${byRank.toSeq}")
+    }
+  }
+
   test("multimodal decode stub runs batched per partition with real schema") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")
