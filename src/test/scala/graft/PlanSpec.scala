@@ -106,10 +106,13 @@ class PlanSpec extends AnyFunSuite {
     //   pm_sp_batches  1-row max-task-id fold (the plan-build .first() fix)
     //   j6_sketch      1-row sketch aggregate broadcast back over the scan
     //                  (the round-7 self-check rank pass)
+    //   j3_pq_adc      1-row stride fold (the IVF pattern) + 64-centroid
+    //                  sub-codebooks broadcast per sub-space
+    //   j4_bm25        1-row corpus stats (N, avgdl) broadcast
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
-      "w13_ntile", "pm_sp_batches", "j6_sketch")
+      "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
