@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants of the extension operators over random
+  * inputs — the adversarial complement to ExtSpec's hand-built fixtures.
+  *
+  *   1. jaccardNgramPairs is EXACT: for every random corpus and threshold,
+  *      its output equals brute-force all-pairs Jaccard — the prefix
+  *      filter + length filter + bucket path may prune candidates, never
+  *      results. Small vocabularies force heavily-shared shingles (the
+  *      regime where a rare-token-only index would miss pairs).
+  *   2. saltedJoin is salt-invariant: inner and left_outer results equal
+  *      the plain join for every random fact/dim and every fan-out n.
+  *   3. bm25TopK is input-order invariant (at cluster scale partition
+  *      order is arbitrary — scores and ranks must be total functions of
+  *      the SET of documents).
+  *
+  * Seeded: a failure reproduces by its printed sample index.
+  */
+class ExtPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("jaccard ngram join equals brute force for random corpora and thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    for (sample <- 1 to 6) {
+      val t = Seq(0.5, 0.7, 0.8, 0.9)(rnd.nextInt(4))
+      val docs = (1 to (6 + rnd.nextInt(6))).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = ext.Dedup.jaccardNgramPairs(df, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = ext.Dedup.shingles(df).collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) & sets(b)).size
+        if i.toDouble / (sets(a).size + sets(b).size - i) >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"[sample $sample t=$t] exact join diverged: got=$got want=$want docs=$docs")
+      graft.Pinned.release(spark)
+    }
+  }
+
+  test("salted join equals plain join for random inputs, both join types") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (sample <- 1 to 6) {
+      val keys = Array("k0", "k1", "k2", "hot")
+      val fact = (1 to (5 + rnd.nextInt(20))).map { id =>
+        // bias toward the hot key — the case salting exists for
+        (id.toLong, if (rnd.nextInt(3) > 0) "hot" else keys(rnd.nextInt(3)), rnd.nextInt(100))
+      }.toDF("id", "k", "v")
+      val dim = keys.take(2 + rnd.nextInt(3)).map(k => (k, rnd.nextInt(1000).toLong))
+        .toSeq.toDF("k", "attr")
+      val n = 2 + rnd.nextInt(15)
+      for (jt <- Seq("inner", "left_outer")) {
+        val got = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n, jt)
+          .select($"id", $"attr").collect()
+          .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+        val want = fact.join(dim, Seq("k"), jt)
+          .select($"id", $"attr").collect()
+          .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+        assert(got == want, s"[sample $sample n=$n $jt] salted != plain")
+      }
+    }
+  }
+
+  test("bm25 is input-order invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("hash", "table", "scan", "sort", "merge", "batch", "x", "y")
+    val docs = (1 to 12).map { id =>
+      (id.toLong, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val qs = Seq((1L, "hash table scan"), (2L, "sort merge batch"))
+    val a = ext.TextOps.bm25TopK(docs.toDF("doc_id", "text"), qs, k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val b = ext.TextOps.bm25TopK(
+        rnd.shuffle(docs).toDF("doc_id", "text").repartition(7), qs, k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"bm25 depends on input order:\n$a\nvs\n$b")
+  }
+}
