@@ -150,6 +150,11 @@ object ExtQueries {
     "j5_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d)))),
 
+    // J5 — REAL pixel feature extraction: adaptive 2x2 mean-pool over the
+    // decoded PNGs, exact integer means vs the closed-form pixel oracle.
+    "j5_pool" -> ((s, d) =>
+      Multimodal.poolImages(Multimodal.pngFixture(Tables.documents(s, d)))),
+
     // J6 — sketches. No DuckDB-equivalent oracle exists (HLL registers and
     // quantile sketches are engine-specific), so the row is SELF-CHECKING
     // instead: the same query computes the exact twins and emits bound
@@ -708,6 +713,26 @@ object ExtQueries {
         |  LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy,
         |  LATERAL (SELECT unnest(generate_series(0, 2)) AS c) gc
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // 2x2 adaptive mean-pool over the same closed-form pixel field: cell
+    // (py, px) covers rows [py*h//2, (py+1)*h//2), floor-mean of the
+    // channel-summed values — integer-exact on both sides.
+    "j5_pool" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h FROM documents),
+        |cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS py) gy,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS px) gx),
+        |pxv AS (SELECT c.doc_id, c.py, c.px,
+        |    (c.doc_id + 7 * gx.x + 13 * gy.y) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 29) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 58) % 256 AS v
+        |  FROM cells c,
+        |  LATERAL (SELECT unnest(generate_series(c.px * c.w // 2, (c.px + 1) * c.w // 2 - 1)) AS x) gx,
+        |  LATERAL (SELECT unnest(generate_series(c.py * c.h // 2, (c.py + 1) * c.h // 2 - 1)) AS y) gy)
+        |SELECT doc_id, CAST(py AS BIGINT) AS pool_y, CAST(px AS BIGINT) AS pool_x,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS pooled
+        |FROM pxv GROUP BY 1, 2, 3""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

@@ -164,4 +164,48 @@ object Multimodal {
       }
     }.toDF("doc_id", "width", "height", "channels", "pixel_sum", "decoder")
   }
+
+  /** REAL feature extraction over the decoded pixels: adaptive mean-pooling
+    * to a p x p grid (the downsample/embedding-stem step of an image
+    * pipeline). Cell (py, px) covers rows [py*h/p, (py+1)*h/p) and columns
+    * [px*w/p, (px+1)*w/p) (integer bounds — the torch AdaptiveAvgPool
+    * convention), and pools the channel-SUMMED value of each pixel; the
+    * emitted mean is floored to an exact integer so the closed-form DuckDB
+    * oracle reproduces it bit-for-bit. Same per-partition batched decode
+    * as [[decodeImages]]; payloads without a JDK codec emit no rows (the
+    * stub path has no pixels to pool). */
+  def poolImages(payloads: DataFrame, p: Int = 2): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select($"doc_id", $"payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (!jdkDecodable(bytes)) Iterator.empty
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          for {
+            py <- (0 until p).iterator
+            px <- 0 until p
+          } yield {
+            val y0 = py * h / p; val y1 = (py + 1) * h / p
+            val x0 = px * w / p; val x1 = (px + 1) * w / p
+            var sum = 0L
+            var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val q = img.getRGB(x, y)
+                sum += ((q >> 16) & 0xff) + ((q >> 8) & 0xff) + (q & 0xff)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            (id, py.toLong, px.toLong, if (n == 0) 0L else sum / n)
+          }
+        }
+      }
+    }.toDF("doc_id", "pool_y", "pool_x", "pooled")
+  }
 }
