@@ -242,6 +242,20 @@ object RelationalQueries {
           round($"type_avg", 6).as("type_avg"))
     }),
 
+    // Layout — Morton (Z-order) clustering key over two bounded dims; the
+    // sort-before-write key that buys parquet min/max pruning on BOTH
+    // columns (see Layout.zorder2). Graded as the deterministic top-20 by
+    // key (the clustering order itself — what a writer would sort by).
+    "g9_zorder" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+          Layout.zorder2(pmod($"l_orderkey", lit(1024)).cast("long"),
+            pmod($"l_partkey", lit(1024)).cast("long")).as("zkey"))
+        .orderBy($"zkey", $"l_orderkey", $"l_partkey", $"l_linenumber")
+        .limit(20)
+    }),
+
     // D2 — left-semi join. Ref: handoff_batch.py:66-74.
     "d2_semi" -> ((s, d) => {
       import s.implicits._
@@ -489,6 +503,13 @@ object RelationalQueries {
         |  SELECT user_id, count(*) AS user_n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS user_sum
         |  FROM events GROUP BY user_id) a ON e.user_id = a.user_id""".stripMargin,
+
+    "g9_zorder" ->
+      s"""WITH z AS (SELECT l_orderkey, l_partkey, l_linenumber,
+         |  ${Layout.zorder2Sql("(l_orderkey % 1024)", "(l_partkey % 1024)")} AS zkey
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_partkey, l_linenumber, CAST(zkey AS BIGINT) AS zkey
+         |FROM z ORDER BY zkey, l_orderkey, l_partkey, l_linenumber LIMIT 20""".stripMargin,
 
     "d8_salted_join" ->
       """SELECT e.event_id, e.event_type, e.value, round(a.type_avg, 6) AS type_avg

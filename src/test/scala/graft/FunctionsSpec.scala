@@ -110,4 +110,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.agg(sum($"d")).collect()(0).getLong(0) ==
       (0L until 10L).map(i => i * i * 2 + (i + 1) * i).sum)
   }
+
+  test("zorder2 interleaves exactly: de-interleaving recovers both inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val rows = (1 to 64).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = rows.toDF("x", "y")
+      .select($"x", $"y", relational.Layout.zorder2($"x", $"y").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      var dx = 0L; var dy = 0L
+      for (b <- 0 until 10) {
+        dx |= ((z >> (2 * b)) & 1L) << b
+        dy |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(dx == x && dy == y, s"de-interleave($z) = ($dx, $dy) != ($x, $y)")
+    }
+    // locality sanity: the all-zero point maps to 0, the all-ones to 2^20-1
+    val edge = Seq((0L, 0L), (1023L, 1023L)).toDF("x", "y")
+      .select(relational.Layout.zorder2($"x", $"y")).as[Long].collect().toSeq
+    assert(edge == Seq(0L, (1L << 20) - 1))
+  }
 }
