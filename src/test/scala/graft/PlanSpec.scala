@@ -94,6 +94,32 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned, s"events scan not pruned:\n$p")
   }
 
+  test("late-round ext queries: every scan pruned to its consumed columns") {
+    // greedy to the line's last '>' so nested types (array<float>) survive;
+    // ReadSchema is the final field of a FileScan line
+    def readSchemas(name: String): Seq[String] =
+      raw"ReadSchema: struct<(.*)>".r.findAllMatchIn(planOf(name)).map(_.group(1)).toSeq
+    // documents has 5 columns; the text ops read at most (doc_id, text) —
+    // bm25's corpus-stats branch prunes further, to text alone
+    for (q <- Seq("j2_jaccard_ngram", "j4_bm25")) {
+      val rs = readSchemas(q)
+      assert(rs.nonEmpty && rs.toSet.subsetOf(
+        Set("doc_id:bigint,text:string", "text:string")),
+        s"$q scan not pruned to (doc_id, text): $rs")
+    }
+    // PQ reads (vec_id, embedding) everywhere, vec_id alone on the
+    // query-filter branch, nothing at all for the 1-row stride count
+    val pq = readSchemas("j3_pq_adc").toSet
+    assert(pq.nonEmpty && pq.subsetOf(Set(
+      "", "vec_id:bigint", "vec_id:bigint,embedding:array<float>")),
+      s"j3_pq_adc scan not pruned: $pq")
+    // the zorder key reads only the three projected lineitem columns
+    val zo = readSchemas("g9_zorder")
+    assert(zo.nonEmpty &&
+      zo.forall(_ == "l_orderkey:bigint,l_partkey:bigint,l_linenumber:int"),
+      s"g9_zorder scan not pruned: $zo")
+  }
+
   test("whole surface: product joins only where the broadcast side is bounded") {
     // A BroadcastNestedLoopJoin / CartesianProduct is a 100 TB scale-killer
     // UNLESS its broadcast side has bounded cardinality by construction.
