@@ -351,9 +351,18 @@ object Dedup {
 
   /** EXACT n-gram Jaccard similarity join (AllPairs/PPJoin prefix filter —
     * Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): all document pairs
-    * with Jaccard(distinct 3-gram shingle sets) >= `t`, with NO false
-    * negatives — the complement to [[nearDupPairs]]' probabilistic LSH
-    * candidate path.
+    * with Jaccard(distinct 3-gram shingle sets) >= `t`. The candidate
+    * machinery (prefix filter, length filter) introduces NO false
+    * negatives — unlike [[nearDupPairs]]' probabilistic LSH path — with
+    * ONE documented exception: the `bucketCap` guard. A prefix-shingle
+    * bucket holding more than `bucketCap` docs is dropped (the quadratic-
+    * blowup guard), and pairs whose EVERY shared prefix shingle sits in a
+    * dropped bucket are lost. J1 exact dedup recovers only the identical-
+    * text subset of such a cluster; >cap mutually-near-but-unequal docs
+    * sharing all their rare shingles genuinely lose pairs. A run that
+    * needs the full exact guarantee on such a corpus raises `bucketCap`
+    * (paying the quadratic candidates) — the same dial, with the same
+    * semantics, as every bucketed candidate generator here.
     *
     * Candidate generation is the prefix filter: order every shingle by
     * GLOBAL frequency (rarest first, shingle text as tiebreak) and index

@@ -642,12 +642,16 @@ object ExtQueries {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
-    // BM25: the double literals are emitted from the SAME Scala expressions
-    // the operator uses ((k1+1) is NOT the literal 2.2 in IEEE — shortest-
-    // roundtrip toString keeps the oracle's constants bit-identical).
+    // BM25: the constants are emitted from the SAME Scala doubles the
+    // operator uses, and each is wrapped CAST(... AS DOUBLE) — DuckDB
+    // types a bare numeric literal as DECIMAL (typeof(2.2) =
+    // DECIMAL(2,1)) and would evaluate tf*2.2 decimal-exact, a different
+    // tree than Spark's fl(tf * fl(2.2)); the cast pins the identical
+    // IEEE evaluation.
     "j4_bm25" -> {
       val vals = TextOps.Bm25Queries
         .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      def dbl(x: Double) = s"CAST($x AS DOUBLE)"
       s"""WITH q(query_id, qtext) AS (VALUES $vals),
          |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS tok FROM q),
          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -659,9 +663,9 @@ object ExtQueries {
          |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
          |  FROM documents),
          |sc AS (SELECT query_id, doc_id,
-         |    CAST(round(((nn - df + 0.5) / (df + 0.5)) *
-         |      ((tf * ${TextOps.Bm25K1 + 1}) /
-         |       (tf + ${TextOps.Bm25K1} * (${1 - TextOps.Bm25B} + ${TextOps.Bm25B} * (dl / avgdl)))), 6)
+         |    CAST(round(((nn - df + ${dbl(0.5)}) / (df + ${dbl(0.5)})) *
+         |      ((tf * ${dbl(TextOps.Bm25K1 + 1)}) /
+         |       (tf + ${dbl(TextOps.Bm25K1)} * (${dbl(1 - TextOps.Bm25B)} + ${dbl(TextOps.Bm25B)} * (dl / avgdl)))), 6)
          |      AS DECIMAL(18,6)) AS s6
          |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
          |agg AS (SELECT query_id, doc_id, sum(s6) AS score6 FROM sc GROUP BY 1, 2),

@@ -66,7 +66,9 @@ object TextOps {
     * rounding varies by engine. The per-doc SUM over query terms is made
     * order-free by rounding each term score to DECIMAL(18,6) and summing
     * exactly, the same trick as [[graft.Det.dsum]]. Tie-break (score desc,
-    * doc_id) is total.
+    * doc_id) is total. The oracle wraps every numeric constant in
+    * CAST(... AS DOUBLE): DuckDB types bare literals as DECIMAL and would
+    * otherwise evaluate a decimal-exact tree instead of Spark's IEEE one.
     *
     * 100 TB posture: tf is one shuffle on (doc, term); df one on term; the
     * corpus-wide (N, avgdl) is a 1-row broadcast; scoring touches only the

@@ -42,8 +42,12 @@ object SkewOps {
     // the salt in [0, n) for negative hashes
     val salted = fact.withColumn("__salt",
       pmod(hash(fact.columns.map(col): _*), lit(n)))
+    // shuffle_hash hint: salting and broadcasting are ALTERNATIVES — if
+    // the dim were broadcastable you would not salt, and a planner that
+    // auto-broadcasts the replicated dim would silently skip the salted
+    // shuffle this operator exists to produce (pure n-fold overhead).
     val replicated = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(n - 1))))
+      explode(sequence(lit(0), lit(n - 1)))).hint("shuffle_hash")
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

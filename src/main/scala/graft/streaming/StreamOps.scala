@@ -280,7 +280,10 @@ object StreamOps {
     c.join(p,
         $"c_user_id" === $"p_user_id" &&
           $"pts" >= $"cts" &&
-          $"pts" <= $"cts" + expr(s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+          // MICROSECOND interval: a seconds-truncated form silently
+          // shrank the stream window vs the batch twin for windows that
+          // are not whole seconds
+          $"pts" <= $"cts" + expr(s"INTERVAL $windowUs MICROSECOND"))
       .select($"c_user_id".as("user_id"), $"click_event_id", $"purchase_event_id",
         (unix_micros($"pts") - unix_micros($"cts")).as("lag_us"))
   }

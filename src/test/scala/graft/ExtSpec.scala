@@ -118,8 +118,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want, s"exact join must equal brute force: got=$got want=$want")
     assert(want.contains((1L, 2L)) && want.contains((7L, 8L)),
       "fixture sanity: both planted pairs qualify")
-    assert(!want.exists(p => p._1 == 9L || p._2 == 9L && p._1 == 7L),
-      "fixture sanity: sub-threshold pair excluded")
+    assert(!want.exists(p => p._1 == 9L || p._2 == 9L),
+      "fixture sanity: no pair involving the sub-threshold doc 9")
+  }
+
+  test("jaccard ngram bucket cap: oversized prefix buckets drop pairs, raising the cap recovers them") {
+    import spark.implicits._
+    // 6 near-identical (but unequal) docs sharing every shingle except a
+    // unique suffix: all prefix buckets hold >= 5 docs
+    val base = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 p13 p14 p15 p16 p17 p18 p19 p20"
+    val docs = (1 to 6).map(i => (i.toLong, s"$base u$i")).toDF("doc_id", "text")
+    val capped = ext.Dedup.jaccardNgramPairs(docs, t = 0.8, bucketCap = 4).count()
+    val full = ext.Dedup.jaccardNgramPairs(docs, t = 0.8, bucketCap = 1000).count()
+    assert(capped == 0L, s"cap=4 must drop the 5+-doc buckets' pairs, got $capped")
+    assert(full == 15L, s"uncapped must find all C(6,2) near-dup pairs, got $full")
   }
 
   test("bm25: term-dense short doc outranks term-sparse long doc; rare terms weigh more") {

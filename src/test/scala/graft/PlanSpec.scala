@@ -46,17 +46,16 @@ class PlanSpec extends AnyFunSuite {
     assert(left.count() == 5 &&
       left.filter($"id" === 5L && $"attr".isNull).count() == 1,
       "left_outer: unmatched fact rows null-extend exactly once")
-    // plan: with broadcast off, BOTH exchanges hash on (k, __salt) — the
-    // whole point (a hot k fans out over n sub-partitions)
-    val p = spark.sessionState.conf
-    val prev = p.getConfString("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      p.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n = 4)
-        .queryExecution.executedPlan.toString
-      assert(raw"hashpartitioning\(k#\d+, __salt#\d+".r
-        .findAllIn(plan).size >= 2, s"shuffle not salted:\n$plan")
-    } finally p.setConfString("spark.sql.autoBroadcastJoinThreshold", prev)
+    // plan: BOTH exchanges hash on (k, __salt) — the whole point (a hot k
+    // fans out over n sub-partitions). No conf juggling needed: the
+    // operator's shuffle_hash hint keeps the planner from auto-
+    // broadcasting the tiny replicated dim (salting and broadcasting are
+    // alternatives; a broadcast would skip the salted shuffle entirely).
+    val plan = relational.SkewOps.saltedJoin(fact, dim, Seq("k"), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(raw"hashpartitioning\(k#\d+, __salt#\d+".r
+      .findAllIn(plan).size >= 2, s"shuffle not salted:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim was broadcast:\n$plan")
   }
 
   test("similarity: long_dot runs inside a codegen span, embeddings scan pruned") {
@@ -146,6 +145,21 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unreviewed product join in: ${offenders.mkString(", ")} — broadcast side must be bounded")
+    // memoized queries (j2_neardup_pairs and everything over discCache)
+    // present a checkpoint-RDD leaf to the audit above, hiding their real
+    // join tree — audit the RAW lazy constructors behind them too
+    val rawPlans = Seq(
+      "raw:nearDupPairs" ->
+        ext.Dedup.nearDupPairs(Tables.documents(spark, sfDir)),
+      "raw:jaccardNgramPairs" ->
+        ext.Dedup.jaccardNgramPairs(Tables.documents(spark, sfDir)))
+    val rawOffenders = rawPlans.flatMap { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+        Some(n) else None
+    }
+    assert(rawOffenders.isEmpty,
+      s"product join hidden behind a memo: ${rawOffenders.mkString(", ")}")
     graft.Pinned.release(spark)
   }
 
