@@ -59,6 +59,10 @@ object ExtQueries {
     "j2_neardup_pairs" -> ((s, d) => neardupPairs(s, d)),
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
+    // Manku-style simhash near-dup pairs (byte-block pigeonhole, exact
+    // hamming verify).
+    "j2_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
 
     // J2 — EXACT n-gram Jaccard similarity join (prefix filter): the
     // no-false-negative complement to the LSH candidate path.
@@ -427,6 +431,29 @@ object ExtQueries {
         |  FROM th, generate_series(0, 31) t(b) GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1""".stripMargin,
+
+    // Manku-style simhash pairs: byte-block pigeonhole candidates with a
+    // bucket gate, exact bit_count(xor) hamming verify.
+    "j2_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+         |th AS (SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT AS h FROM toks),
+         |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, generate_series(0, 31) t(b) GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |bands AS (SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS byte
+         |  FROM sh, generate_series(0, 3) z(blk)),
+         |ok AS (SELECT blk, byte FROM bands GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+         |pruned AS (SELECT b.doc_id, b.simhash, b.blk, b.byte
+         |  FROM bands b JOIN ok o ON o.blk = b.blk AND o.byte = b.byte)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.byte = a.byte
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}""".stripMargin,
 
     "j3_knn_cosine" ->
       s"""WITH qe AS (

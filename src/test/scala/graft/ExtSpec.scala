@@ -122,6 +122,27 @@ class ExtSpec extends AnyFunSuite {
       "fixture sanity: no pair involving the sub-threshold doc 9")
   }
 
+  test("simhash pairs: byte-block pigeonhole equals brute-force hamming") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta"),  // identical to 1 (hamming 0)
+      (4L, "one two three four five six seven"),
+      (5L, "totally different words here again now")
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = ext.Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= ext.Dedup.SimhashMaxHamming
+    } yield (a, b)).toSet
+    assert(got == want, s"pigeonhole must equal brute force: got=$got want=$want")
+    assert(want.contains((1L, 3L)), "identical docs must pair (hamming 0)")
+  }
+
   test("jaccard ngram bucket cap: oversized prefix buckets drop pairs, raising the cap recovers them") {
     import spark.implicits._
     // 6 near-identical (but unequal) docs sharing every shingle except a
