@@ -109,6 +109,11 @@ object ExtQueries {
     "j3_pq_adc" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d))),
 
+    // J3 — RANGE similarity search (all neighbors within a cosine radius;
+    // the unknown-count retrieval mode — no sort, no top-k window).
+    "j3_range" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d))),
+
     // J4 — winnowing document fingerprints (rolling-hash minima).
     "j4_winnow" -> ((s, d) =>
       Dedup.winnow(Tables.documents(s, d))),
@@ -122,6 +127,21 @@ object ExtQueries {
     // lookups / search probes; rational idf + exact-decimal term sum keep
     // the score bit-identical across engines).
     "j4_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d))),
+
+    // J4 — Gopher-style repetition signals (duplicate-word fraction,
+    // top-bigram token share): the boilerplate/degenerate-text filter.
+    "j4_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d))),
+
+    // J7 — sequence PACKING (concat-then-chunk): each doc's training
+    // sequence id and offset, packed per source in (source, doc_id) order.
+    "j7_pack" -> ((s, d) =>
+      Pipeline.packSequences(Tables.documents(s, d))),
+
+    // J7 — token-budget-weighted mix: per-source keep rates computed FROM
+    // the data (budget / total source tokens), md5-bucket verdicts.
+    "j7_mix" -> ((s, d) =>
+      Pipeline.tokenBudgetMix(Tables.documents(s, d))),
 
     // J4 — BPE-ish regex token counting (words | digit-runs | punctuation),
     // alongside the whitespace tokenizer in TextOps.
@@ -469,6 +489,21 @@ object ExtQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
 
+    // Range search: the knn kernel with the radius predicate in place of
+    // the per-query top-k window.
+    "j3_range" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < ${Similarity.KnnQueries} AND a.vec_id <> b.vec_id GROUP BY 1, 2)
+        |SELECT qid, vid, cos_sim_e6 FROM (
+        |  SELECT qid, vid,
+        |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid) z
+        |WHERE cos_sim_e6 >= ${Similarity.RangeCosE6}""".stripMargin,
+
     "j3_lsh_ann" ->
       s"""WITH qe AS (
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
@@ -701,6 +736,52 @@ object ExtQueries {
          |SELECT query_id, rank, doc_id, CAST(score6 AS DOUBLE) AS score
          |FROM r WHERE rank <= 5""".stripMargin
     },
+
+    // Gopher repetition signals: integer-millionth fractions via floor
+    // division (`//` here, double-div + long cast on the Spark side —
+    // identical for positive operands at these magnitudes); argmax ties
+    // break to the lexicographically smallest bigram in both engines.
+    "j4_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct FROM toks GROUP BY 1),
+        |bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bg FROM toks),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT doc_id, bg, CAST(c AS BIGINT) AS c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn FROM bc) z
+        |  WHERE rn = 1)
+        |SELECT s.doc_id, s.n_tokens, s.n_distinct,
+        |  ((s.n_tokens - s.n_distinct) * 1000000) // s.n_tokens AS dup_word_frac_e6,
+        |  coalesce(t.bg, '') AS top_bigram,
+        |  coalesce(t.c, 0) AS top_bigram_n,
+        |  (coalesce(t.c, 0) * 2000000) // s.n_tokens AS top_bigram_frac_e6
+        |FROM st s LEFT JOIN top t USING (doc_id)""".stripMargin,
+
+    "j7_pack" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM t)
+         |SELECT source, doc_id, n_tokens, tok_offset,
+         |  tok_offset // ${Pipeline.PackSeqLen} AS seq_id,
+         |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
+         |FROM c""".stripMargin,
+
+    "j7_mix" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
+         |r AS (SELECT source, total_tokens,
+         |  CAST(CASE WHEN total_tokens <= ${Pipeline.MixBudgetTokens} THEN 1000000
+         |    ELSE (${Pipeline.MixBudgetTokens} * 1000000) // total_tokens END AS BIGINT) AS rate_e6 FROM tot),
+         |b AS (SELECT t.source, t.doc_id, t.n_tokens,
+         |  ('0x' || substr(md5('${Pipeline.MixSeed}:' || t.doc_id), 1, 8))::BIGINT % 1000000 AS bucket
+         |  FROM t)
+         |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.rate_e6, b.bucket,
+         |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM b JOIN r USING (source)""".stripMargin,
 
     "j4_bpe_tokens" ->
       """SELECT doc_id,

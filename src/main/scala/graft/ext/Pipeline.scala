@@ -96,6 +96,70 @@ object Pipeline {
       (bucket < rate).cast("long").as("kept"))
   }
 
+  /** Training-sequence length for [[packSequences]] (tokens). */
+  val PackSeqLen = 512L
+
+  /** Sequence PACKING — the concat-then-chunk layout step that turns a
+    * filtered corpus into fixed-length training sequences: documents are
+    * concatenated in (source, doc_id) order and cut every [[PackSeqLen]]
+    * tokens; each doc reports the sequence its first token lands in and
+    * its offset within that sequence.
+    *
+    * Packing is per SOURCE (the natural shard of a curation run): the
+    * running token offset is a window cumsum partitioned by source, so no
+    * global total order is ever needed — at 100 TB each source packs
+    * independently and the window never sees more than one source's
+    * manifest grain (doc ids + lengths, not text). Deterministic: the
+    * order key (source, doc_id) is total. */
+  def packSequences(docs: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_tokens", $"tok_offset",
+        floor($"tok_offset" / seqLen).cast("long").as("seq_id"),
+        pmod($"tok_offset", lit(seqLen)).as("seq_offset"))
+  }
+
+  /** Per-source token budget for [[tokenBudgetMix]]. 1000 sits below every
+    * harness source total (min 1136 at sf0.01), so every source gets a
+    * fractional data-dependent rate — the non-vacuous regime; the
+    * `total <= budget` keep-all branch is unit-tested on a fixture. */
+  val MixBudgetTokens = 1000L
+  val MixSeed = 13
+
+  /** Token-budget-weighted training MIX: where [[stratifiedSample]] applies
+    * FIXED per-language rates, this computes each source's rate FROM THE
+    * DATA — rate = budget / total_source_tokens (capped at 1) — so every
+    * source contributes ~the same token mass, the "uniform mix" a training
+    * run starts from. Keep decisions are the same md5-bucket scheme
+    * (row-stable under corpus growth GIVEN the rate; re-aggregating moves
+    * rates, as any data-dependent mix must). Rates are integer millionths
+    * (floor division, oracle-exact). 100 TB posture: one per-source
+    * aggregate (broadcast back — sources number in the thousands, not
+    * billions), then a row-local verdict. */
+  def tokenBudgetMix(docs: DataFrame, budget: Long = MixBudgetTokens,
+                     seed: Int = MixSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val totals = tok.groupBy($"source")
+      .agg(sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"total_tokens",
+        when($"total_tokens" <= budget, 1000000L)
+          .otherwise(floor(lit(budget * 1000000d) / $"total_tokens"))
+          .cast("long").as("rate_e6"))
+    val bucket = pmod(Dedup.md5Hash32(seed, $"doc_id".cast("string")),
+      lit(1000000L))
+    tok.join(broadcast(totals), Seq("source"))
+      .select($"source", $"doc_id", $"n_tokens", $"total_tokens", $"rate_e6",
+        bucket.as("bucket"),
+        (bucket < $"rate_e6").cast("long").as("kept"))
+  }
+
   /** Benchmark decontamination: corpus documents (doc_id >= evalDocs)
     * sharing winnowing fingerprints with any eval document (doc_id <
     * evalDocs). One row per contaminated corpus doc: how many distinct

@@ -407,6 +407,38 @@ object Similarity {
   /** Brute-force cosine top-k of every vec_id < nQueries against the
     * corpus: broadcast the queries, scan the corpus once — the exact
     * re-rank baseline, shardable by corpus partition at 100 TB. */
+  /** Cosine threshold for [[rangeSearch]] (integer millionths). 0.20 keeps
+    * the result non-vacuous yet bounded at every harness SF (265 / 286 /
+    * 1108 pairs at sf0.001/0.01/0.1 over the 10 query vectors). */
+  val RangeCosE6 = 200000L
+
+  /** RANGE similarity search (FAISS `range_search`): every corpus vector
+    * within a cosine radius of each query vector — the retrieval mode a
+    * curation pipeline uses when the neighbor COUNT is unknown (dedup
+    * sweeps, contamination radii) and top-k would truncate or pad.
+    *
+    * Same exact integer kernel as [[knnCosine]] (e6-quantized [[LongDot]],
+    * so the oracle matches bit-for-bit), but the radius predicate replaces
+    * the per-query window: no sort, no row_number — the scan filters and
+    * emits. 100 TB posture: queries broadcast, ONE pass over the corpus,
+    * output bounded by the radius (the caller's dial), and the plan is
+    * embarrassingly parallel — strictly cheaper than top-k at the same
+    * scale. */
+  def rangeSearch(emb: DataFrame, nQueries: Int = KnnQueries,
+                  minCosE6: Long = RangeCosE6): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"qv".as("qa"), $"nq".as("na")))
+    b.select($"vec_id".as("vid"), $"qv".as("va"), $"nq".as("nb"))
+      .join(queries, $"qid" =!= $"vid")
+      .select($"qid", $"vid",
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .filter($"cos_sim_e6" >= minCosE6)
+  }
+
   def knnCosine(emb: DataFrame, nQueries: Int = KnnQueries, k: Int = KnnK): DataFrame = {
     import emb.sparkSession.implicits._
     val b = base(emb)

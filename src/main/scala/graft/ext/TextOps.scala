@@ -46,6 +46,43 @@ object TextOps {
       .limit(k)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    * duplicate-word fraction and the most-frequent word-bigram's token
+    * share — the standard filters for boilerplate / degenerate-repetition
+    * documents in a training-data pipeline.
+    *
+    * Fractions are exact integer millionths (floor division — identical in
+    * DuckDB's `//`), so no float order-dependence. The n_distinct side is
+    * row-local (`array_distinct`); the top-bigram side is the canonical
+    * wordcount shape: bigrams generated row-locally (aligned-slice
+    * `zip_with`, no window over the token grain), exploded once, one
+    * (doc, bigram) shuffle, then an order-free argmax via `min(struct(-n,
+    * bigram))` (ties break to the lexicographically smallest bigram).
+    * Docs with < 2 tokens have no bigram: top_bigram = '' / n = 0. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n1 = greatest(size($"toks") - 1, lit(0))
+    val base = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        zip_with(slice($"toks", lit(1), n1), slice($"toks", lit(2), n1),
+          (a, b) => concat(a, lit(" "), b)).as("bigrams"))
+    val top = base.select($"doc_id", explode($"bigrams").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(min(struct((-$"c").as("negc"), $"bg")).as("m"))
+      .select($"doc_id", (-$"m.negc").as("top_bigram_n"), $"m.bg".as("top_bigram"))
+    base.drop("bigrams")
+      .join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        (($"n_tokens" - $"n_distinct") * 1000000L / $"n_tokens")
+          .cast("long").as("dup_word_frac_e6"),
+        coalesce($"top_bigram", lit("")).as("top_bigram"),
+        coalesce($"top_bigram_n", lit(0L)).as("top_bigram_n"),
+        (coalesce($"top_bigram_n", lit(0L)) * 2000000L / $"n_tokens")
+          .cast("long").as("top_bigram_frac_e6"))
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75

@@ -204,6 +204,33 @@ object RelationalQueries {
           $"m.event_type".as("first_type"))
     }),
 
+    // C14 — EXACT per-group quantiles (rank-based / SQL type-1: the value at
+    // rank ceil(p*n)), the exact-path complement of j6_sketch's
+    // percentile_approx. Values are e6-quantized longs so the rank order is
+    // total and engine-identical; the target rank is computed in INTEGER
+    // arithmetic ((pct*n + 99) div 100) — ceil(0.99*n) in doubles is off by
+    // one whenever 0.99*n lands epsilon above an integer. One sort per
+    // group (windows partition on event_type); exact quantiles fundamentally
+    // order the group — at extreme scale the approx sketch (j6) is the
+    // cheap path, this is the exact one. Ref: reporting.py:171-198 (summary
+    // statistics surface).
+    "c14_quantiles" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, d)
+        .select($"event_type", round($"value" * 1000000d).cast("long").as("v6"))
+      val ranked = v.withColumn("rn",
+        row_number().over(Window.partitionBy($"event_type").orderBy($"v6")).cast("long"))
+      val counts = v.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val pcts = s.range(1).select(explode(typedLit(Seq(50L, 90L, 99L))).as("p_pct"))
+      // 3-row broadcast product join (allowlisted bounded side), then the
+      // integer rank predicate selects one row per (group, pct).
+      ranked.join(counts, Seq("event_type"))
+        .crossJoin(broadcast(pcts))
+        .filter($"rn" === expr("(p_pct * n + 99) div 100"))
+        .select($"event_type", $"p_pct", $"n", $"v6".as("quantile_e6"))
+    }),
+
     // C-gs — GROUPING SETS (report two-level output). Ref: reporting.py:142-198.
     "cx_grouping_sets" -> viaSql(
       """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -489,6 +516,15 @@ object RelationalQueries {
       """SELECT user_id, ts AS first_ts, event_id AS first_event_id, event_type AS first_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "c14_quantiles" ->
+      """WITH v AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |r AS (SELECT event_type, v6,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY v6) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM v)
+        |SELECT event_type, p_pct, n, v6 AS quantile_e6
+        |FROM r, (VALUES (CAST(50 AS BIGINT)), (90), (99)) t(p_pct)
+        |WHERE rn = (p_pct * n + 99) // 100""".stripMargin,
 
     "cx_grouping_sets" ->
       """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -336,6 +336,70 @@ class ExtSpec extends AnyFunSuite {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("repetition stats: known dup/top-bigram fractions; short docs degrade to zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),       // 4 tokens, 2 distinct; top bigram "a a" x2
+      (2L, "x y z w"),       // all distinct, every bigram unique
+      (3L, "solo")           // 1 token: no bigram
+    ).toDF("doc_id", "text")
+    val got = ext.TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 4 && got(1L).getLong(2) == 2)
+    assert(got(1L).getLong(3) == 500000, "dup fraction (4-2)/4 = 0.5")
+    assert(got(1L).getString(4) == "a a" && got(1L).getLong(5) == 2)
+    assert(got(1L).getLong(6) == 1000000, "top bigram covers 2*2/4 tokens")
+    assert(got(2L).getLong(3) == 0 && got(2L).getLong(5) == 1,
+      "all-distinct doc: zero dup fraction, tie broken to smallest bigram")
+    assert(got(2L).getString(4) == "x y", "lexicographically smallest of the tied bigrams")
+    assert(got(3L).getString(4) == "" && got(3L).getLong(5) == 0 && got(3L).getLong(6) == 0)
+  }
+
+  test("pack sequences: per-source running offsets cut at the sequence length") {
+    import spark.implicits._
+    // 3 docs of 300 tokens in one source: offsets 0/300/600 -> seq ids 0/0/1
+    // at seqLen 512; a second source restarts at offset 0.
+    val text300 = Array.fill(300)("t").mkString(" ")
+    val docs = Seq(
+      ("s1", 1L, text300), ("s1", 2L, text300), ("s1", 3L, text300),
+      ("s2", 9L, text300)
+    ).toDF("source", "doc_id", "text")
+    val got = ext.Pipeline.packSequences(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("s1", 1L)) == ((0L, 0L, 0L)))
+    assert(got(("s1", 2L)) == ((300L, 0L, 300L)))
+    assert(got(("s1", 3L)) == ((600L, 1L, 88L)))
+    assert(got(("s2", 9L)) == ((0L, 0L, 0L)), "sources pack independently")
+  }
+
+  test("token-budget mix: under-budget source keeps all; over-budget rate is budget/total") {
+    import spark.implicits._
+    val text100 = Array.fill(100)("t").mkString(" ")
+    val docs = ((1L to 50L).map(i => ("big", i, text100)) :+ ("small", 99L, text100))
+      .toDF("source", "doc_id", "text")
+    val got = ext.Pipeline.tokenBudgetMix(docs, budget = 1000L).collect()
+    val small = got.filter(_.getString(0) == "small")
+    assert(small.forall(r => r.getLong(4) == 1000000L && r.getLong(6) == 1L),
+      "under-budget source: rate 1, everything kept")
+    val big = got.filter(_.getString(0) == "big")
+    assert(big.forall(_.getLong(4) == 200000L), "5000 tokens vs budget 1000 -> rate 0.2")
+    val kept = big.count(_.getLong(6) == 1L)
+    assert(kept > 0 && kept < big.length, s"fractional rate keeps a strict subset ($kept/50)")
+  }
+
+  test("range search: exactly the pairs at/above the radius, kernel-consistent with knn") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = ext.Similarity.rangeSearch(emb).collect()
+    assert(got.nonEmpty, "radius chosen non-vacuous on harness data")
+    assert(got.forall(_.getLong(2) >= ext.Similarity.RangeCosE6))
+    // kernel consistency: every knn hit above the radius appears in range output
+    val knnAbove = ext.Similarity.knnCosine(emb).collect()
+      .filter(_.getLong(2) >= ext.Similarity.RangeCosE6)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rangeSet = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(knnAbove.subsetOf(rangeSet))
+  }
+
   test("lshBuckets: embeddings shorter/longer than PlaneDim still spread") {
     // Round-3 ADVICE trap: the zip_with projection null-padded any
     // non-64-dim embedding into a null dot -> every bit 0 -> all vectors

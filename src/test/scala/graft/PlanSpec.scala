@@ -117,6 +117,28 @@ class PlanSpec extends AnyFunSuite {
     assert(zo.nonEmpty &&
       zo.forall(_ == "l_orderkey:bigint,l_partkey:bigint,l_linenumber:int"),
       s"g9_zorder scan not pruned: $zo")
+    // round-7 additions — repetition reads (doc_id, text); pack/mix add
+    // source; range search reads (vec_id, embedding); exact quantiles read
+    // only (event_type, value) — the unused ts column must NOT survive
+    // Tables.events' normalization projection into the scan
+    for (q <- Seq("j4_repetition")) {
+      val rs = readSchemas(q)
+      assert(rs.nonEmpty && rs.forall(_ == "doc_id:bigint,text:string"),
+        s"$q scan not pruned: $rs")
+    }
+    for (q <- Seq("j7_pack", "j7_mix")) {
+      val rs = readSchemas(q)
+      assert(rs.nonEmpty && rs.toSet.subsetOf(
+        Set("doc_id:bigint,text:string,source:string", "text:string,source:string")),
+        s"$q scan not pruned: $rs")
+    }
+    val rg = readSchemas("j3_range")
+    assert(rg.nonEmpty && rg.forall(_ == "vec_id:bigint,embedding:array<float>"),
+      s"j3_range scan not pruned: $rg")
+    val qx = readSchemas("c14_quantiles")
+    assert(qx.nonEmpty && qx.toSet.subsetOf(
+      Set("event_type:string,value:double", "event_type:string")),
+      s"c14_quantiles scan not pruned: $qx")
   }
 
   test("whole surface: product joins only where the broadcast side is bounded") {
@@ -134,10 +156,13 @@ class PlanSpec extends AnyFunSuite {
     //   j3_pq_adc      1-row stride fold (the IVF pattern) + 64-centroid
     //                  sub-codebooks broadcast per sub-space
     //   j4_bm25        1-row corpus stats (N, avgdl) broadcast
+    //   j3_range       the bounded query sample (knn's kernel, radius gate)
+    //   c14_quantiles  3-row percentile-literal table broadcast
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
-      "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25")
+      "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
+      "j3_range", "c14_quantiles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
