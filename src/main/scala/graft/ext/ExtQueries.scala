@@ -189,6 +189,14 @@ object ExtQueries {
     // Both sketches are deterministic for fixed data, so the flags are
     // stable, and scalar columns keep the driver's pandas comparator happy
     // (arrays crashed it in round 3).
+    // J6 — DETERMINISTIC sketches: md5-based count-min and HyperLogLog
+    // whose cells/registers/estimates hash-match a full DuckDB oracle
+    // (unlike Spark's engine-internal approx aggregates in j6_sketch).
+    "j6_cms" -> ((s, d) =>
+      Sketches.cmsTopTokens(Tables.documents(s, d))),
+    "j6_hll" -> ((s, d) =>
+      Sketches.hllDistinctPairs(Tables.documents(s, d))),
+
     "j6_sketch" -> ((s, d) => {
       import s.implicits._
       val acc = 10000
@@ -782,6 +790,57 @@ object ExtQueries {
          |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.rate_e6, b.bucket,
          |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b JOIN r USING (source)""".stripMargin,
+
+    // Deterministic count-min: the full sketch grid and the top-k point
+    // queries reproduce bit-for-bit (md5 cells, exact integer counts).
+    "j6_cms" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |grid AS (SELECT tok, r,
+         |  ('0x' || substr(md5(CAST(${Sketches.CmsSeed0} + r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % ${Sketches.CmsWidth} AS cell
+         |  FROM toks, generate_series(0, ${Sketches.CmsDepth - 1}) g(r)),
+         |sketch AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS n FROM grid GROUP BY 1, 2),
+         |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks
+         |  GROUP BY 1 ORDER BY exact_n DESC, tok LIMIT 20),
+         |probes AS (SELECT t.tok, t.exact_n, r,
+         |  ('0x' || substr(md5(CAST(${Sketches.CmsSeed0} + r AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % ${Sketches.CmsWidth} AS cell
+         |  FROM top t, generate_series(0, ${Sketches.CmsDepth - 1}) g(r))
+         |SELECT p.tok, p.exact_n, min(s.n) AS cms_n,
+         |  CAST(CASE WHEN min(s.n) >= p.exact_n THEN 1 ELSE 0 END AS BIGINT) AS no_undercount
+         |FROM probes p JOIN sketch s ON s.r = p.r AND s.cell = p.cell
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Deterministic HLL: registers via integer-smear rho, scaled indicator
+    // sum as exact BIGINT, raw estimate as ONE IEEE division of exact
+    // integers — the constant is emitted from the same Scala double.
+    "j6_hll" -> {
+      val c = Sketches.HllAlphaM2 * Sketches.HllScale.toDouble
+      val payloadBits = 32 - Sketches.HllB
+      val mask = (1L << payloadBits) - 1L
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |items AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) || ':' || tok AS item FROM toks),
+         |h AS (SELECT ('0x' || substr(md5('${Sketches.HllSeed}:' || item), 1, 8))::BIGINT AS h FROM items),
+         |bp AS (SELECT h >> $payloadBits AS bucket, h & $mask AS v FROM h),
+         |s1 AS (SELECT bucket, v | (v >> 1) AS v FROM bp),
+         |s2 AS (SELECT bucket, v | (v >> 2) AS v FROM s1),
+         |s3 AS (SELECT bucket, v | (v >> 4) AS v FROM s2),
+         |s4 AS (SELECT bucket, v | (v >> 8) AS v FROM s3),
+         |s5 AS (SELECT bucket, v | (v >> 16) AS v FROM s4),
+         |regs AS (SELECT bucket, CAST(max(${Sketches.HllRhoMax} - bit_count(v)) AS BIGINT) AS max_rho
+         |  FROM s5 GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_present,
+         |  CAST(sum(CAST(1 AS BIGINT) << CAST(${Sketches.HllRhoMax} - max_rho AS INTEGER)) AS BIGINT) AS sum_present
+         |  FROM regs),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM items),
+         |fin AS (SELECT CAST(${Sketches.HllM} AS BIGINT) AS m, n_buckets_present,
+         |  sum_present + (${Sketches.HllM} - n_buckets_present) * ${Sketches.HllScale} AS sum_scaled,
+         |  exact_distinct
+         |  FROM agg CROSS JOIN ex),
+         |est AS (SELECT *, CAST(round(CAST($c AS DOUBLE) / CAST(sum_scaled AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS hll_est_e6 FROM fin)
+         |SELECT m, n_buckets_present, sum_scaled, exact_distinct, hll_est_e6,
+         |  CAST(CASE WHEN abs(hll_est_e6 - exact_distinct * 1000000) <= exact_distinct * 390000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS within_3se
+         |FROM est""".stripMargin
+    },
 
     "j4_bpe_tokens" ->
       """SELECT doc_id,

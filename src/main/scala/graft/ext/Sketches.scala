@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DETERMINISTIC sketches (SURVEY J6): count-min and HyperLogLog built on
+  * md5 hashing so the ENTIRE sketch — cells, registers, and estimate — is
+  * bit-reproducible in DuckDB. Spark's own sketch aggregates
+  * (approx_count_distinct, percentile_approx) are engine-specific
+  * internals the oracle can only bound (j6_sketch's self-check columns);
+  * these two carry full hash-compared oracles.
+  *
+  * 100 TB posture: both sketches are the textbook bounded-state shapes —
+  * the count-min grid is depth x width cells and the HLL register file is
+  * m rows NO MATTER the corpus size, both partial-aggregable (map-side
+  * combine does the heavy lifting; the final shuffle moves only the
+  * sketch). Queries against the sketch broadcast it.
+  */
+object Sketches {
+  // ---------------------------------------------------------------- count-min
+  /** Count-min depth (independent hash rows; seeds CmsSeed0 + r). */
+  val CmsDepth = 4
+  /** Count-min width (cells per row). Error bound: est - exact <= e*N/width
+    * with probability 1 - (1/2)^depth (Cormode & Muthukrishnan 2005). */
+  val CmsWidth = 256
+  val CmsSeed0 = 21
+
+  /** Sketch cells for a token multiset: one row per (r, cell) with the
+    * summed count of all tokens hashing there — at most depth*width rows
+    * total, regardless of corpus size. */
+  def cmsSketch(toks: DataFrame, tokCol: String = "tok"): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.select(posexplode(array((0 until CmsDepth).map { r =>
+      pmod(Dedup.md5Hash32(CmsSeed0 + r, col(tokCol)), lit(CmsWidth.toLong))
+    }: _*)).as(Seq("r", "cell")))
+      .groupBy($"r".cast("long").as("r"), $"cell")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch for the corpus's top-k tokens: the count-min
+    * estimate (min over the depth rows' cells) beside the exact count —
+    * est >= exact always (one-sided error), the self-check the spec pins.
+    * The sketch side is depth*width rows, broadcast into the lookup. */
+  def cmsTopTokens(docs: DataFrame, k: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = Dedup.tokens(docs).select($"tok")
+    val sketch = cmsSketch(toks)
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(k)
+    val probes = top.select($"tok", $"exact_n",
+      posexplode(array((0 until CmsDepth).map { r =>
+        pmod(Dedup.md5Hash32(CmsSeed0 + r, $"tok"), lit(CmsWidth.toLong))
+      }: _*)).as(Seq("r", "cell")))
+      .select($"tok", $"exact_n", $"r".cast("long").as("r"), $"cell")
+    probes.join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy($"tok", $"exact_n")
+      .agg(min($"n").as("cms_n"))
+      .select($"tok", $"exact_n", $"cms_n",
+        ($"cms_n" >= $"exact_n").cast("long").as("no_undercount"))
+  }
+
+  // ---------------------------------------------------------------- HLL
+  /** Register-count exponent: m = 2^HllB registers. */
+  val HllB = 6
+  val HllM = 1 << HllB // 64
+  val HllSeed = 31
+  /** alpha_64 * m^2 (Flajolet et al. 2007, m >= 64). */
+  val HllAlphaM2: Double = (0.709 * HllM * HllM)
+  /** Registers hold rho in [1, 27] (26 payload bits); the indicator sum is
+    * scaled by 2^27 so every term 2^(27-rho) is an exact BIGINT. */
+  val HllRhoMax = 27
+  val HllScale: Long = 1L << HllRhoMax
+
+  /** rho = leading-zero count of the 26-bit payload + 1, computed in PURE
+    * INTEGER bit arithmetic (smear the MSB downward, then bit_count) —
+    * floor(log2(v)) in doubles is exactly the off-by-one trap the engines
+    * would disagree on. v = 0 (all payload bits zero) gives rho = 27. */
+  private def rho(v: Column): Column = {
+    val s1 = v.bitwiseOR(shiftright(v, 1))
+    val s2 = s1.bitwiseOR(shiftright(s1, 2))
+    val s3 = s2.bitwiseOR(shiftright(s2, 4))
+    val s4 = s3.bitwiseOR(shiftright(s3, 8))
+    val s5 = s4.bitwiseOR(shiftright(s4, 16))
+    lit(HllRhoMax.toLong) - bit_count(s5).cast("long")
+  }
+
+  /** Register file over arbitrary string items: (bucket, max_rho), at most
+    * m rows. Bucket = top HllB bits of the 32-bit md5 head; payload = the
+    * remaining 26 bits. */
+  def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
+    import items.sparkSession.implicits._
+    val h = Dedup.md5Hash32(HllSeed, col(itemCol))
+    items.select(
+      shiftright(h, 32 - HllB).as("bucket"),
+      h.bitwiseAND(lit((1L << (32 - HllB)) - 1L)).as("payload"))
+      .select($"bucket", rho($"payload").as("rho"))
+      .groupBy($"bucket").agg(max($"rho").as("max_rho"))
+  }
+
+  /** One-row deterministic-HLL summary over the distinct (doc_id, token)
+    * pairs of a corpus: register stats, the scaled indicator sum (exact
+    * BIGINT — absent registers contribute 2^27 each), the raw HLL estimate
+    * in integer millionths (one IEEE division of exact integers — same
+    * bits in any engine), the exact distinct count, and the in-query
+    * error self-check (|est - exact| <= 3 standard errors; se = 1.04/8).
+    *
+    * The item stream sits far above the 2.5m linear-counting cutoff at
+    * every harness SF (27k+ vs 160), so the RAW estimator is the correct
+    * regime — the small-range correction needs ln(), whose libm rounding
+    * is engine-specific, and is deliberately out of scope. */
+  def hllDistinctPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val items = Dedup.tokens(docs)
+      .select(concat($"doc_id".cast("string"), lit(":"), $"tok").as("item"))
+      .distinct()
+    val regs = hllRegisters(items)
+    val exact = items.agg(count(lit(1)).as("exact_distinct"))
+    regs.agg(
+      count(lit(1)).as("n_buckets_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRhoMax - max_rho AS INT))"))
+        .as("sum_present"))
+      .crossJoin(broadcast(exact))
+      .select(
+        lit(HllM.toLong).as("m"),
+        $"n_buckets_present",
+        ($"sum_present" + (lit(HllM.toLong) - $"n_buckets_present") * HllScale)
+          .as("sum_scaled"),
+        $"exact_distinct")
+      .select($"m", $"n_buckets_present", $"sum_scaled", $"exact_distinct",
+        round(lit(HllAlphaM2 * HllScale.toDouble) / $"sum_scaled".cast("double") * 1000000d)
+          .cast("long").as("hll_est_e6"))
+      .select($"m", $"n_buckets_present", $"sum_scaled", $"exact_distinct", $"hll_est_e6",
+        // |est - exact| <= 3 * (1.04/sqrt(64)) * exact, all in exact e6
+        // BIGINTs (3 * 0.13 * 1e6 = 390000)
+        (abs($"hll_est_e6" - $"exact_distinct" * 1000000L) <=
+          $"exact_distinct" * 390000L).cast("long").as("within_3se"))
+  }
+}

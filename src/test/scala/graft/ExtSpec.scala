@@ -400,6 +400,38 @@ class ExtSpec extends AnyFunSuite {
     assert(knnAbove.subsetOf(rangeSet))
   }
 
+  test("count-min: one-sided error (never undercounts), exact on a collision-free fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array.fill(50)("hot").mkString(" ") + " cold1 cold2 cold3"),
+      (2L, "hot hot cold4 cold5")
+    ).toDF("doc_id", "text")
+    val got = ext.Sketches.cmsTopTokens(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("hot")._1 == 52L, "exact count of the heavy hitter")
+    assert(got.values.forall(_._3 == 1L), s"count-min must never undercount: $got")
+    // 7 distinct tokens in 4x256 cells: collisions are absent, so the
+    // estimate is EXACT for every token
+    assert(got.values.forall(v => v._1 == v._2), s"collision-free fixture must be exact: $got")
+  }
+
+  test("deterministic HLL: register file bounded by m, estimate within 3se of exact") {
+    import spark.implicits._
+    // 200 docs x ~20 distinct tokens each -> thousands of distinct items,
+    // far above the 2.5m linear-counting cutoff
+    val docs = (1L to 200L).map(i =>
+      (i, (0 until 20).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val regs = ext.Sketches.hllRegisters(
+      docs.select(concat($"doc_id", lit(":"), $"text").as("item")))
+    val rows = regs.collect()
+    assert(rows.length <= ext.Sketches.HllM)
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= ext.Sketches.HllRhoMax))
+    val summary = ext.Sketches.hllDistinctPairs(docs).head
+    assert(summary.getLong(3) == 4000L, "exact distinct (doc, token) pairs")
+    assert(summary.getLong(5) == 1L,
+      s"estimate ${summary.getLong(4) / 1e6} should be within 3se of 4000")
+  }
+
   test("lshBuckets: embeddings shorter/longer than PlaneDim still spread") {
     // Round-3 ADVICE trap: the zip_with projection null-padded any
     // non-64-dim embedding into a null dot -> every bit 0 -> all vectors
