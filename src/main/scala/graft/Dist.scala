@@ -58,6 +58,37 @@ object Dist {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Exact global running (prefix-inclusive) sums of `sumCols` by `order`,
+    * computed with the same two-phase shape as [[withGlobalRank]]: local
+    * cumsum per range partition, plus per-partition offsets from a tiny
+    * (numPartitions-row) aggregate — no single-task window over the data
+    * grain. `order` must be a total order for deterministic output. */
+  def withGlobalCumSums(df: DataFrame, sumCols: Seq[String], order: Seq[Column],
+                        numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts else defaultParts(df)
+    val parted = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // same persistence rationale as withGlobalRank: both branches must see
+    // ONE spark_partition_id assignment
+    val local = Pinned.track(sumCols.foldLeft(parted) { (acc, c) =>
+      acc.withColumn(s"__l_$c", sum(col(c)).over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    })
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+      .select(col("__pid") +: sumCols.map(c => col(s"sum($c)").as(s"__s_$c")): _*)
+      .select(col("__pid") +: sumCols.map { c =>
+        coalesce(sum(col(s"__s_$c")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as(s"__o_$c")
+      }: _*)
+    sumCols.foldLeft(local.join(broadcast(offsets), Seq("__pid"))) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"__o_$c") + col(s"__l_$c"))
+        .drop(s"__o_$c", s"__l_$c")
+    }.drop("__pid")
+  }
+
   /** Exact ntile(k) by `order` from the distributed global rank — identical
     * result to `ntile(k) over (order by ...)` (first n%k tiles get
     * ceil(n/k) rows), without the all-rows-to-one-task WindowExec. */

@@ -467,19 +467,31 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
         bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: candidates failing the radius never reach the
+      // distinct's shuffle (a pair can arrive from up to 4 shared blocks)
       .filter($"hamming" <= maxHamming)
+      .distinct()
   }
 
-  /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1). */
+  /** 32-bit SimHash over token occurrences: per bit, sign of Σ(±1) —
+    * equivalently, bit b is set iff 2·|{h : bit b of h}| > n. Computed
+    * ROW-LOCALLY: the token-hash array is materialized once behind a
+    * collapse barrier (the [[winnow]] rule — an inlined transform would
+    * re-hash the whole array inside each of the 32 filter lambdas), then
+    * 32 codegen'd filter-counts per row. Zero shuffles — the exploded
+    * (doc, token, bit) form this replaces pushed 32× the token grain
+    * through two exchanges (measured 3.2 s → sub-second for the pairs
+    * query at sf0.1). */
   def simhash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    tokens(docs)
-      .withColumn("h", md5Hash32(0, $"tok"))
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("b"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum(when(expr("(shiftright(h, b) & 1)") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    val hsF = graft.Pinned.track(
+      docs.select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id", size($"toks").as("n"),
+          transform($"toks", t => md5Hash32(0, t)).as("hs")))
+    hsF.select($"doc_id",
+      (0 until 32).map { b =>
+        when(size(expr(s"filter(hs, h -> (shiftright(h, $b) & 1) = 1)")) * 2 > $"n",
+          1L << b).otherwise(0L): Column
+      }.reduce(_ + _).as("simhash"))
   }
 }

@@ -189,6 +189,11 @@ object ExtQueries {
     // Both sketches are deterministic for fixed data, so the flags are
     // stable, and scalar columns keep the driver's pandas comparator happy
     // (arrays crashed it in round 3).
+    // J8 — distribution drift: binned two-sample KS statistic in exact
+    // integer arithmetic, distributed prefix sum over the bounded bin grain.
+    "j8_drift" -> ((s, d) =>
+      Drift.ksDrift(Tables.events(s, d))),
+
     // J6 — DETERMINISTIC sketches: md5-based count-min and HyperLogLog
     // whose cells/registers/estimates hash-match a full DuckDB oracle
     // (unlike Spark's engine-internal approx aggregates in j6_sketch).
@@ -790,6 +795,27 @@ object ExtQueries {
          |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.rate_e6, b.bucket,
          |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b JOIN r USING (source)""".stripMargin,
+
+    // Binned two-sample KS: integer cross-multiplied ecdf difference, the
+    // final ratio floor-divided at e6.
+    "j8_drift" ->
+      s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events
+         |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),
+         |b AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupA}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupB}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT bucket, ca, cb,
+         |  CAST(sum(ca) OVER w AS BIGINT) AS cum_ca,
+         |  CAST(sum(cb) OVER w AS BIGINT) AS cum_cb
+         |  FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM b),
+         |d AS (SELECT bucket, na, nb, abs(cum_ca * nb - cum_cb * na) AS diff FROM c CROSS JOIN t)
+         |SELECT na AS n_a, nb AS n_b,
+         |  (diff * 1000000) // (na * nb) AS ks_d_e6,
+         |  bucket AS at_bucket
+         |FROM (SELECT *, row_number() OVER (ORDER BY diff DESC, bucket) AS rn FROM d) z
+         |WHERE rn = 1""".stripMargin,
 
     // Deterministic count-min: the full sketch grid and the top-k point
     // queries reproduce bit-for-bit (md5 cells, exact integer counts).

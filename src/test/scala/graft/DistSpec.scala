@@ -107,4 +107,23 @@ class DistSpec extends AnyFunSuite {
     assert(rks.toSeq == (1L to 200L))
     Pinned.release(s2)
   }
+
+  test("withGlobalCumSums equals the single-partition running-sum window") {
+    import spark.implicits._
+    for (n <- Seq(0, 1, 5, 400)) {
+      val df = frame(n, skew = false, seed = 90 + n)
+        .withColumn("a", $"tie" % 7).withColumn("b", $"tie" % 3)
+      val got = Dist.withGlobalCumSums(df, Seq("a", "b"), Seq($"key", $"tie"))
+        .select($"tie", $"cum_a", $"cum_b").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val w = Window.orderBy($"key", $"tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("cum_a", sum($"a").over(w)).withColumn("cum_b", sum($"b").over(w))
+        .select($"tie", $"cum_a", $"cum_b").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"n=$n")
+    }
+    Pinned.release(spark)
+  }
 }

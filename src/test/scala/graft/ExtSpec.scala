@@ -432,6 +432,25 @@ class ExtSpec extends AnyFunSuite {
       s"estimate ${summary.getLong(4) / 1e6} should be within 3se of 4000")
   }
 
+  test("KS drift: identical distributions give 0, disjoint give 1, known shift exact") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // identical: D = 0
+    val same = ev(Seq("click" -> 1.0, "click" -> 2.0, "purchase" -> 1.0, "purchase" -> 2.0))
+    assert(ext.Drift.ksDrift(same).head.getLong(2) == 0L)
+    // disjoint supports: D = 1
+    val disj = ev(Seq("click" -> 1.0, "click" -> 2.0, "purchase" -> 10.0, "purchase" -> 11.0))
+    assert(ext.Drift.ksDrift(disj).head.getLong(2) == 1000000L)
+    // hand-computed: A = {1,1,2}, B = {1,2,2}; max |F_A - F_B| at bucket 1:
+    // |2/3 - 1/3| = 1/3 -> floor e6 = 333333
+    val mix = ev(Seq("click" -> 1.0, "click" -> 1.0, "click" -> 2.0,
+      "purchase" -> 1.0, "purchase" -> 2.0, "purchase" -> 2.0))
+    val r = ext.Drift.ksDrift(mix).head
+    assert(r.getLong(2) == 333333L && r.getLong(3) == 1L, s"got $r")
+  }
+
   test("lshBuckets: embeddings shorter/longer than PlaneDim still spread") {
     // Round-3 ADVICE trap: the zip_with projection null-padded any
     // non-64-dim embedding into a null dot -> every bit 0 -> all vectors
