@@ -253,6 +253,11 @@ object ExtQueries {
     }),
     "st_dedup" -> ((s, d) => graft.streaming.StreamOps.dedup(Tables.events(s, d))),
 
+    // I/J6 — windowed deterministic-HLL registers: per-hour distinct-user
+    // sketch whose state is 64 registers per window (streaming cardinality).
+    "st_hll" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedHll(Tables.events(s, d))),
+
     // I — stream-stream join (batch form; the watermarked two-stream twin
     // is attributionJoinStream, equality + late-drop pinned in
     // StreamingSpec): click -> purchase attribution within 30 minutes.
@@ -967,6 +972,20 @@ object ExtQueries {
 
     "st_dedup" ->
       "SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us FROM events",
+
+    "st_hll" ->
+      s"""WITH h AS (SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start,
+         |  ('0x' || substr(md5('${Sketches.HllSeed}:' || user_id), 1, 8))::BIGINT AS h FROM events),
+         |bp AS (SELECT win_start, h >> ${32 - Sketches.HllB} AS bucket,
+         |  h & ${(1L << (32 - Sketches.HllB)) - 1L} AS v FROM h),
+         |s1 AS (SELECT win_start, bucket, v | (v >> 1) AS v FROM bp),
+         |s2 AS (SELECT win_start, bucket, v | (v >> 2) AS v FROM s1),
+         |s3 AS (SELECT win_start, bucket, v | (v >> 4) AS v FROM s2),
+         |s4 AS (SELECT win_start, bucket, v | (v >> 8) AS v FROM s3),
+         |s5 AS (SELECT win_start, bucket, v | (v >> 16) AS v FROM s4)
+         |SELECT win_start, bucket,
+         |  CAST(max(${Sketches.HllRhoMax} - bit_count(v)) AS BIGINT) AS max_rho
+         |FROM s5 GROUP BY 1, 2""".stripMargin,
 
     "st_join" ->
       s"""SELECT c.user_id, c.event_id AS click_event_id,

