@@ -283,6 +283,12 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // D9 — bucket-co-located fact-fact join: both sides written bucketed +
+    // sorted by the join key, so the join itself plans with no Exchange
+    // and no Sort (PlanSpec locks it); the only shuffle is the final
+    // small aggregate. See relational.Bucketing.
+    "d9_bucket_join" -> ((s, d) => Bucketing.bucketJoinAgg(s, d)),
+
     // D2 — left-semi join. Ref: handoff_batch.py:66-74.
     "d2_semi" -> ((s, d) => {
       import s.implicits._
@@ -554,6 +560,12 @@ object RelationalQueries {
         |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / count(*) AS type_avg
         |  FROM events GROUP BY event_type) a ON e.event_type = a.event_type
         |WHERE e.value > 1.9 * a.type_avg""".stripMargin,
+
+    "d9_bucket_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "d2_semi" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o

@@ -141,6 +141,20 @@ class PlanSpec extends AnyFunSuite {
       s"c14_quantiles scan not pruned: $qx")
   }
 
+  test("bucket join: co-located scans, the only exchange is the final aggregate") {
+    // Both sides written bucketed by the join key: the SortMergeJoin reads
+    // co-located buckets — NO Exchange on either join side (the per-bucket
+    // local Sorts remain: Spark 3+ trusts bucket-file sort order only
+    // behind the legacy bucketedTableScan.outputOrdering flag). The single
+    // allowed exchange belongs to the 5-row priority aggregate.
+    val p = planOf("d9_bucket_join")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must be bucketed:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the final aggregate may exchange:\n$p")
+  }
+
   test("whole surface: product joins only where the broadcast side is bounded") {
     // A BroadcastNestedLoopJoin / CartesianProduct is a 100 TB scale-killer
     // UNLESS its broadcast side has bounded cardinality by construction.
