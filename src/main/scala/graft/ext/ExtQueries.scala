@@ -201,6 +201,10 @@ object ExtQueries {
       Sketches.cmsTopTokens(Tables.documents(s, d))),
     "j6_hll" -> ((s, d) =>
       Sketches.hllDistinctPairs(Tables.documents(s, d))),
+    // KMV set-operation sketch: cross-corpus shingle-vocabulary overlap
+    // (distinct/union/INTERSECTION estimates — the set algebra HLL lacks).
+    "j6_kmv" -> ((s, d) =>
+      Sketches.kmvIntersect(Tables.documents(s, d))),
 
     "j6_sketch" -> ((s, d) => {
       import s.implicits._
@@ -800,6 +804,46 @@ object ExtQueries {
          |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.rate_e6, b.bucket,
          |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b JOIN r USING (source)""".stripMargin,
+
+    // KMV sketches: k smallest distinct md5 hashes per set, merge for the
+    // union, floor-division estimators — sketch contents and every
+    // estimate reproduce exactly.
+    "j6_kmv" -> {
+      val k = Sketches.KmvK
+      val est = (cnt: String, kth: String) =>
+        s"CASE WHEN $cnt < $k THEN $cnt ELSE (${k - 1} * ${Sketches.KmvSpace}) // $kth END"
+      s"""WITH toks AS (
+         |  SELECT lang, doc_id, i, string_split(text, ' ')[i] AS tok
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+         |sh AS (SELECT lang, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |ha AS (SELECT DISTINCT ('0x' || substr(md5('${Sketches.KmvSeed}:' || s), 1, 8))::BIGINT AS h
+         |  FROM sh WHERE s IS NOT NULL AND lang = 'en'),
+         |hb AS (SELECT DISTINCT ('0x' || substr(md5('${Sketches.KmvSeed}:' || s), 1, 8))::BIGINT AS h
+         |  FROM sh WHERE s IS NOT NULL AND lang = 'de'),
+         |ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+         |skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+         |sku AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) z) y
+         |  ORDER BY h LIMIT $k),
+         |m AS (SELECT
+         |  CAST((SELECT max(h) FROM ska) AS BIGINT) AS kth_a,
+         |  CAST((SELECT count(*) FROM ska) AS BIGINT) AS ka,
+         |  CAST((SELECT max(h) FROM skb) AS BIGINT) AS kth_b,
+         |  CAST((SELECT count(*) FROM skb) AS BIGINT) AS kb,
+         |  CAST((SELECT max(h) FROM sku) AS BIGINT) AS kth_u,
+         |  CAST((SELECT count(*) FROM sku) AS BIGINT) AS ku,
+         |  CAST((SELECT count(*) FROM sku WHERE h IN (SELECT h FROM ska)
+         |    AND h IN (SELECT h FROM skb)) AS BIGINT) AS inter_k,
+         |  CAST((SELECT count(*) FROM ha) AS BIGINT) AS n_a_exact,
+         |  CAST((SELECT count(*) FROM hb) AS BIGINT) AS n_b_exact),
+         |e AS (SELECT *, ${est("ka", "kth_a")} AS est_a, ${est("kb", "kth_b")} AS est_b,
+         |  ${est("ku", "kth_u")} AS est_union FROM m)
+         |SELECT CAST($k AS BIGINT) AS k, n_a_exact, n_b_exact, inter_k,
+         |  est_a, est_b, est_union,
+         |  CASE WHEN ku = 0 THEN 0 ELSE (inter_k * 1000000) // ku END AS jaccard_e6,
+         |  CASE WHEN ku = 0 THEN 0 ELSE (inter_k * est_union) // ku END AS est_inter
+         |FROM e""".stripMargin
+    },
 
     // Binned two-sample KS: integer cross-multiplied ecdf difference, the
     // final ratio floor-divided at e6.

@@ -59,6 +59,80 @@ object Sketches {
         ($"cms_n" >= $"exact_n").cast("long").as("no_undercount"))
   }
 
+  // ---------------------------------------------------------------- KMV
+  /** KMV sketch size (minimum hash values kept per set). */
+  val KmvK = 64
+  val KmvSeed = 41
+  /** Hash space size for the KMV estimator ((k-1)·2^32 / h_k). */
+  val KmvSpace: Long = 1L << 32
+
+  /** K-minimum-values set sketches + the KMV set-operation estimators
+    * (Beyer et al., SIGMOD 2007): distinct cardinality, union, and
+    * INTERSECTION between two sets — the set-expression sketch HLL alone
+    * can't provide (HLL unions; it cannot intersect). Sets here: the
+    * distinct shingle (word 3-gram) vocabularies of two languages' docs —
+    * "how much does corpus B's phrasing overlap corpus A's?", the
+    * cross-corpus contamination / redundancy probe.
+    *
+    * Everything is deterministic and integral: sketches are the k smallest
+    * distinct md5 hashes (total order, no ties), estimates are single
+    * floor divisions of exact longs — (k−1)·2^32 // h_k for cardinality,
+    * |sketch_∩| · est_union // k for the intersection — so the DuckDB
+    * oracle reproduces sketch contents and every estimate bit-for-bit.
+    * Exact |A| and |B| ride along as the self-check columns (cheap at
+    * harness scale; at 100 TB a caller would drop them — the sketches are
+    * the product).
+    *
+    * 100 TB posture: a KMV sketch is an order-statistic — per-partition
+    * top-k then global top-k (TakeOrdered, no full sort); every estimator
+    * input is a k-row frame. */
+  def kmvIntersect(docs: DataFrame, langA: String = "en", langB: String = "de",
+                   k: Int = KmvK): DataFrame = {
+    import docs.sparkSession.implicits._
+    def hashSet(lang: String): DataFrame =
+      Dedup.shingleArrays(docs.filter($"lang" === lang))
+        .select(explode($"shings").as("s"))
+        .select(Dedup.md5Hash32(KmvSeed, $"s").as("h"))
+        .distinct()
+    val hsA = hashSet(langA)
+    val hsB = hashSet(langB)
+    val ska = hsA.orderBy($"h").limit(k)
+    val skb = hsB.orderBy($"h").limit(k)
+    // k-min of the union: merge the two sketches, dedup, re-take k — the
+    // standard KMV merge (identical to sketching A ∪ B directly)
+    val unionK = ska.union(skb).distinct().orderBy($"h").limit(k)
+    val kthA = ska.agg(max($"h").as("kth_a"), count(lit(1)).as("ka"))
+    val kthB = skb.agg(max($"h").as("kth_b"), count(lit(1)).as("kb"))
+    val kthU = unionK.agg(max($"h").as("kth_u"), count(lit(1)).as("ku"))
+    // hashes of the union k-min present in BOTH sketches
+    val interInSketch = unionK
+      .join(ska.select($"h".as("h1")), $"h" === $"h1", "left_semi")
+      .join(skb.select($"h".as("h2")), $"h" === $"h2", "left_semi")
+      .agg(count(lit(1)).as("inter_k"))
+    // (k−1)·2^32 // h_k; a sketch smaller than k IS its whole set
+    def est(cnt: String, kth: String): Column =
+      when(col(cnt) < k, col(cnt))
+        .otherwise(expr(s"((${k - 1} * ${KmvSpace}L) div $kth)"))
+    kthA.crossJoin(broadcast(kthB)).crossJoin(broadcast(kthU))
+      .crossJoin(broadcast(interInSketch))
+      .crossJoin(broadcast(hsA.agg(count(lit(1)).as("n_a_exact"))))
+      .crossJoin(broadcast(hsB.agg(count(lit(1)).as("n_b_exact"))))
+      .select(
+        lit(k.toLong).as("k"),
+        $"n_a_exact", $"n_b_exact", $"inter_k", $"ku",
+        est("ka", "kth_a").as("est_a"),
+        est("kb", "kth_b").as("est_b"),
+        est("ku", "kth_u").as("est_union"))
+      .select($"k", $"n_a_exact", $"n_b_exact", $"inter_k",
+        $"est_a", $"est_b", $"est_union",
+        // denominators are the UNION sketch's actual size (= min(k, |A∪B|):
+        // below k the sketch is the whole union and the ratio is exact)
+        when($"ku" === 0L, 0L)
+          .otherwise(expr("(inter_k * 1000000) div ku")).as("jaccard_e6"),
+        when($"ku" === 0L, 0L)
+          .otherwise(expr("(inter_k * est_union) div ku")).as("est_inter"))
+  }
+
   // ---------------------------------------------------------------- HLL
   /** Register-count exponent: m = 2^HllB registers. */
   val HllB = 6

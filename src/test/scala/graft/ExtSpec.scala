@@ -432,6 +432,30 @@ class ExtSpec extends AnyFunSuite {
       s"estimate ${summary.getLong(4) / 1e6} should be within 3se of 4000")
   }
 
+  test("KMV: sets smaller than k are measured exactly; disjoint and identical sets") {
+    import spark.implicits._
+    // each lang's shingle set is far below k = 64, so sketches ARE the
+    // sets: estimates exact, jaccard exact
+    def doc(id: Long, lang: String, text: String) = (id, lang, text)
+    val disjoint = Seq(
+      doc(1, "en", "a b c d e f"),   // shingles: abc bcd cde def
+      doc(2, "de", "p q r s t u")
+    ).toDF("doc_id", "lang", "text")
+    val r1 = ext.Sketches.kmvIntersect(disjoint).head
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 4, s"exact set sizes: $r1")
+    assert(r1.getLong(4) == 4 && r1.getLong(5) == 4 && r1.getLong(6) == 8,
+      s"sub-k sketches estimate exactly: $r1")
+    assert(r1.getLong(3) == 0 && r1.getLong(7) == 0 && r1.getLong(8) == 0,
+      s"disjoint sets: zero intersection: $r1")
+    val ident = Seq(
+      doc(1, "en", "a b c d e f"),
+      doc(2, "de", "a b c d e f")
+    ).toDF("doc_id", "lang", "text")
+    val r2 = ext.Sketches.kmvIntersect(ident).head
+    assert(r2.getLong(7) == 1000000L && r2.getLong(8) == 4,
+      s"identical sets: jaccard 1, intersection = set size: $r2")
+  }
+
   test("KS drift: identical distributions give 0, disjoint give 1, known shift exact") {
     import spark.implicits._
     def ev(rows: Seq[(String, Double)]) =
