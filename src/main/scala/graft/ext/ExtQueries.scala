@@ -87,6 +87,16 @@ object ExtQueries {
     "j7_sample" -> ((s, d) =>
       Pipeline.stratifiedSample(Tables.documents(s, d))),
 
+    // J7 — deterministic k-per-group sampling (hash-order top-k: the
+    // reproducible replacement for per-group reservoir sampling).
+    "j7_sample_k" -> ((s, d) =>
+      Pipeline.sampleKPerGroup(Tables.documents(s, d))),
+
+    // J4 — vocabulary building: token -> dense id by global frequency rank
+    // (distributed rank, no single-partition window).
+    "j4_vocab" -> ((s, d) =>
+      TextOps.vocab(Tables.documents(s, d))),
+
     // J3 — brute-force cosine top-k (quantized exact-integer arithmetic).
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -452,6 +462,21 @@ object ExtQueries {
          |FROM (SELECT DISTINCT doc_id, fp FROM fpt WHERE doc_id >= ${Pipeline.EvalDocs}) f
          |JOIN ev e ON e.fp = f.fp
          |GROUP BY 1""".stripMargin,
+
+    "j7_sample_k" ->
+      s"""SELECT source, doc_id, h, rn FROM (
+         |  SELECT source, doc_id, h,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+         |  FROM (SELECT source, doc_id,
+         |    ('0x' || substr(md5('${Pipeline.SampleKSeed}:' || doc_id), 1, 8))::BIGINT AS h
+         |    FROM documents) z) y
+         |WHERE rn <= ${Pipeline.SampleK}""".stripMargin,
+
+    "j4_vocab" ->
+      """SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id
+        |FROM (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) z
+        |  GROUP BY 1) y""".stripMargin,
 
     "j7_sample" -> {
       val rateCase = "CASE " + Pipeline.SampleRates

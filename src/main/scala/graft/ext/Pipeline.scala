@@ -160,6 +160,30 @@ object Pipeline {
         (bucket < $"rate_e6").cast("long").as("kept"))
   }
 
+  /** Per-group sample size for [[sampleKPerGroup]]. */
+  val SampleK = 5
+  val SampleKSeed = 17
+
+  /** Deterministic k-per-group sampling: the fixed-size per-source subset
+    * (eval slices, spot-check panels) a pipeline draws reproducibly. The
+    * order key is the md5 hash of the doc id — uniform, seed-stable, and
+    * independent of ingestion order — so the chosen k are a uniform draw
+    * that never changes across runs; the rank is a per-SOURCE window
+    * (groups shard naturally, no global order). Where reservoir sampling
+    * gives a random irreproducible subset, hash-order top-k gives the
+    * same statistical guarantee WITH reproducibility. */
+  def sampleKPerGroup(docs: DataFrame, k: Int = SampleK,
+                      seed: Int = SampleKSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    docs.select($"source", $"doc_id",
+      Dedup.md5Hash32(seed, $"doc_id".cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"source", $"doc_id", $"h", $"rn")
+  }
+
   /** Benchmark decontamination: corpus documents (doc_id >= evalDocs)
     * sharing winnowing fingerprints with any eval document (doc_id <
     * evalDocs). One row per contaminated corpus doc: how many distinct

@@ -83,6 +83,20 @@ object TextOps {
           .cast("long").as("top_bigram_frac_e6"))
   }
 
+  /** Vocabulary building: token → dense id by global frequency rank (ties
+    * broken lexicographically) — the id-assignment step before training
+    * (BPE merges, embedding tables index by exactly this). The global
+    * order runs through [[graft.Dist.withGlobalRank]] (range-partition +
+    * bounded offsets): at 100 TB a vocabulary is millions of rows and a
+    * single-partition row_number window is the classic scale-killer this
+    * engine locks against. */
+  def vocab(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val freq = Dedup.tokens(docs).groupBy($"tok").agg(count(lit(1)).as("n"))
+    graft.Dist.withGlobalRank(freq, "token_id", Seq($"n".desc, $"tok"))
+      .select($"tok", $"n", $"token_id")
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75

@@ -231,6 +231,30 @@ object RelationalQueries {
         .select($"event_type", $"p_pct", $"n", $"v6".as("quantile_e6"))
     }),
 
+    // C16 — per-group z-score normalization (feature standardization): the
+    // group stats come from EXACT decimal sums (sum, sum of squares,
+    // count), cast to double once, then one fixed-shape IEEE expression —
+    // (v − s/n) / sqrt((q − s²/n)/(n−1)) — evaluates to the same bits in
+    // any engine (+,−,×,÷,sqrt are all correctly rounded). The stats grain
+    // is |event_type| rows: broadcast back, row-local verdicts — one
+    // aggregate shuffle total at any scale.
+    "c16_zscore" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+      val stats = e.groupBy($"event_type").agg(
+        sum(dec($"value")).as("sd"),
+        sum(dec($"value") * dec($"value")).as("sq"),
+        count(lit(1)).as("n"))
+      val s1 = $"sd".cast("double"); val q = $"sq".cast("double")
+      val nd = $"n".cast("double")
+      val mean = s1 / nd
+      val variance = (q - (s1 * s1) / nd) / (nd - 1d)
+      e.join(broadcast(stats), Seq("event_type"))
+        .select($"event_id", $"event_type", $"value",
+          when($"n" > 1L && variance > 0d,
+            round(($"value" - mean) / sqrt(variance), 6)).otherwise(0d).as("z"))
+    }),
+
     // C-gs — GROUPING SETS (report two-level output). Ref: reporting.py:142-198.
     "cx_grouping_sets" -> viaSql(
       """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -531,6 +555,21 @@ object RelationalQueries {
         |SELECT event_type, p_pct, n, v6 AS quantile_e6
         |FROM r, (VALUES (CAST(50 AS BIGINT)), (90), (99)) t(p_pct)
         |WHERE rn = (p_pct * n + 99) // 100""".stripMargin,
+
+    "c16_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN st.n > 1 AND (st.q - (st.s1 * st.s1) / st.nd) / (st.nd - 1) > 0
+        |    THEN round((e.value - st.s1 / st.nd) /
+        |      sqrt((st.q - (st.s1 * st.s1) / st.nd) / (st.nd - 1)), 6)
+        |    ELSE 0 END AS z
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
 
     "cx_grouping_sets" ->
       """SELECT l_returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
