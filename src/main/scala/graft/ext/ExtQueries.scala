@@ -143,6 +143,11 @@ object ExtQueries {
     "j4_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d))),
 
+    // J4 — bigram-LM cross-entropy scoring (CCNet/KenLM-style perplexity
+    // quality gate): add-one-smoothed bigram model trained ON the corpus,
+    // per-doc bits per transition.
+    "j4_lm_bits" -> ((s, d) => TextOps.lmBits(Tables.documents(s, d))),
+
     // J7 — sequence PACKING (concat-then-chunk): each doc's training
     // sequence id and offset, packed per source in (source, doc_id) order.
     "j7_pack" -> ((s, d) =>
@@ -805,6 +810,30 @@ object ExtQueries {
         |  coalesce(t.c, 0) AS top_bigram_n,
         |  (coalesce(t.c, 0) * 2000000) // s.n_tokens AS top_bigram_frac_e6
         |FROM st s LEFT JOIN top t USING (doc_id)""".stripMargin,
+
+    // ln (DuckDB log() is log10); the ln(2) divisor is the SAME Scala
+    // double the operator bakes in, emitted shortest-round-trip
+    "j4_lm_bits" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+         |bgall AS (SELECT doc_id, w1, w2 FROM (
+         |    SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+         |    FROM toks) z WHERE w2 IS NOT NULL),
+         |docbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bgall GROUP BY 1, 2, 3),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM bgall GROUP BY 1, 2),
+         |cl AS (SELECT w1, count(*) AS c1 FROM bgall GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         |sc AS (SELECT doc_id, m,
+         |    CAST(-round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      / CAST(${TextOps.Ln2} AS DOUBLE), 6) AS DECIMAL(18,6)) * m AS bits6
+         |  FROM docbg JOIN cb USING (w1, w2) JOIN cl USING (w1) CROSS JOIN voc),
+         |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, sum(bits6) AS bits6
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "j7_pack" ->
       s"""WITH t AS (SELECT source, doc_id,

@@ -126,6 +126,72 @@ object TextOps {
     * postings of QUERY terms (semi-joined before the tf grain shuffles
     * anywhere), so cost scales with the query terms' posting lists, not
     * the corpus. */
+  /** ln(2) emitted as the SAME double constant on both engine sides (the
+    * shortest-round-trip repr re-parses to identical bits in DuckDB). */
+  val Ln2: Double = math.log(2.0)
+
+  /** Bigram language-model cross-entropy scoring (the CCNet/KenLM-style
+    * quality gate: rank documents by how surprising they are under a model
+    * trained on the corpus itself — boilerplate scores low bits, noise
+    * scores high). Model: add-one-smoothed bigram MLE over the whole
+    * corpus, p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), with c(w1·) the count
+    * of w1 as a LEFT context and V the corpus vocabulary size. Score:
+    * bits per transition, -(1/n)·Σ log2 p over the doc's n word bigrams.
+    *
+    * Engine-exactness: every probability is a ratio of exact integer
+    * counts (both sides cast to double before ONE division — correctly
+    * rounded IEEE); the only transcendental is ln, whose per-engine libm
+    * can differ in the last ulp, so each DISTINCT (doc,bigram) term is
+    * rounded to DECIMAL(18,6) first and the per-doc sum runs exact over
+    * (term6 × multiplicity) — the [[bm25TopK]] / [[graft.Det.dsum]]
+    * order-free-sum shape. ln(x)/[[Ln2]] (not log2(x)) on BOTH sides so
+    * the evaluated tree is identical.
+    *
+    * 100 TB posture: bigrams are generated ROW-LOCALLY (aligned-slice
+    * zip_with — no token-grain window); the model is two shuffle-counts on
+    * (w1,w2)/(w1) — vocabulary-sized, not corpus-sized; V is a 1-row
+    * broadcast; scoring joins the doc's bigram grain against the model on
+    * its natural keys. This is the standard distributed n-gram-LM shape
+    * (Brants et al., EMNLP'07 "Large Language Models in Machine
+    * Translation" — count-based distributed training); a production run
+    * swaps add-one for Kneser-Ney backoff, which adds two more count
+    * tables but no new plan shape. */
+  def lmBits(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n1 = greatest(size($"toks") - 1, lit(0))
+    // (doc_id, w1, w2) bigram occurrences, built row-locally
+    val bg = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        explode(zip_with(slice($"toks", lit(1), n1), slice($"toks", lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // per-doc multiplicity: the ln of each distinct bigram is computed
+    // (and rounded) once, then multiplied exactly — fewer libm calls AND
+    // an order-free sum
+    val docBg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("m"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
+      .agg(count_distinct($"tok").as("v"))
+    val p = ($"c2" + 1L).cast("double") / ($"c1" + $"v").cast("double")
+    val term6 = (-round(log(p) / lit(Ln2), 6)).cast("decimal(18,6)")
+    val scored = docBg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"m", (term6 * $"m").as("bits6"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"), sum($"bits6").as("bits6"))
+    // docs with < 2 tokens have no bigram: n_bigrams 0, bits 0
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce(round($"bits6".cast("double") / $"n_bigrams", 6), lit(0.0))
+          .as("bits_per_token"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)] = Bm25Queries,
                k: Int = 5): DataFrame = {
     val spark = docs.sparkSession

@@ -19,6 +19,23 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("lm bits: add-one bigram cross-entropy matches hand computation") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a b c", doc3 "x" (no bigram).
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; left contexts a=3, b=2;
+    // V=4 (a,b,c,x). p(b|a)=(3+1)/(3+4)=4/7, p(a|b)=p(c|b)=(1+1)/(2+4)=1/3.
+    // bits: -log2(4/7)=0.807355, -log2(1/3)=1.584963 (rounded 6dp).
+    // doc1: (2*0.807355 + 1.584963)/3 = 1.066558; doc2:
+    // (0.807355+1.584963)/2 = 1.196159; doc3: no bigram -> 0.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.lmBits(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 1.066558)))
+    assert(out(2L) == ((2L, 1.196159)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
   test("near-dup groups: chained duplicates collapse to one cluster, min id canonical") {
     import spark.implicits._
     // 1-2-3 form a CHAIN (1~2 and 2~3 are near-dups; 1~3 may or may not be

@@ -175,11 +175,14 @@ class PlanSpec extends AnyFunSuite {
     //   j6_hll         1-row exact-distinct aggregate beside the registers
     //   j8_drift       1-row population-totals aggregate over the bin grain
     //   j6_kmv         1-row sketch statistics (k-th hash, counts) folds
+    //   j4_lm_bits     1-row vocabulary-size aggregate broadcast (the
+    //                  smoothing denominator V)
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
-      "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv")
+      "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
+      "j4_lm_bits")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
