@@ -344,6 +344,78 @@ object Dedup {
     out
   }
 
+  /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
+    * same 0.9 decision point as [[NearDupGroupJaccard]]. */
+  val IncrementalDropE6 = 900000L
+
+  /** INCREMENTAL near-dup lookup: match a NEW batch of documents against
+    * the EXISTING corpus — the production ingestion path (a crawl snapshot
+    * lands daily; re-clustering the whole corpus per batch is a non-
+    * starter at 100 TB, so new docs probe the standing LSH index instead).
+    * Emits one row per incoming doc: its best corpus match (highest
+    * verified Jaccard, ties to the smallest corpus doc_id), the match
+    * score in exact millionths, and the keep/drop verdict.
+    *
+    * The incoming set is carved deterministically (doc_id % `mod` == 0)
+    * so the oracle reproduces the split; a production caller passes two
+    * real frames and skips the carve.
+    *
+    * 100 TB posture: the corpus side's band signatures are exactly the
+    * standing index a fleet maintains as a bucketed table — the probe is
+    * ONE equi-join of the (small) incoming batch's band rows against it,
+    * so per-batch cost scales with the batch, not the corpus. The bucket
+    * cap prunes boilerplate mega-buckets on the CORPUS side only (an
+    * incoming doc probing a dropped bucket falls back to exact dedup,
+    * J1, as everywhere else); no >=2 gate — a single corpus occupant is
+    * a valid match. */
+  def incrementalNearDup(docs: DataFrame, mod: Int = 10,
+                         bands: Int = Bands, rows: Int = RowsPerBand,
+                         bucketCap: Int = BucketCap,
+                         dropE6: Long = IncrementalDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sa = graft.Pinned.track(
+      shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
+        .select($"doc_id", array_distinct($"shings").as("dshings")))
+    val sigCols = (0 until bands * rows).map(s =>
+      array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
+    val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
+    val bandSig = mh.select($"doc_id", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val incB = bandSig.filter($"doc_id" % mod === 0)
+    val corpB = bandSig.filter($"doc_id" % mod =!= 0)
+    val ok = corpB.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= bucketCap).select($"band", $"sig")
+    val cand = incB.select($"doc_id".as("doc_n"), $"band", $"sig")
+      .join(corpB.join(ok, Seq("band", "sig"), "left_semi")
+        .select($"doc_id".as("doc_c"), $"band", $"sig"), Seq("band", "sig"))
+      .select($"doc_n", $"doc_c").distinct()
+    // verify row-locally on the persisted shingle arrays (the
+    // jaccardNgramPairs shape — no exploded-grain shuffle)
+    val verified = cand
+      .join(sa.select($"doc_id".as("doc_n"), $"dshings".as("sha")), Seq("doc_n"))
+      .join(sa.select($"doc_id".as("doc_c"), $"dshings".as("shb")), Seq("doc_c"))
+      .select($"doc_n", $"doc_c",
+        size(array_intersect($"sha", $"shb")).as("ninter"),
+        size($"sha").as("na"), size($"shb").as("nb"))
+      .select($"doc_n", $"doc_c",
+        round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter") * 1000000.0)
+          .cast("long").as("j_e6"))
+    val best = verified
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"doc_n").orderBy($"j_e6".desc, $"doc_c")))
+      .filter($"rn" === 1)
+    docs.filter($"doc_id" % mod === 0).select($"doc_id")
+      .join(best.select($"doc_n".as("doc_id"), $"doc_c", $"j_e6"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"doc_c", lit(-1L)).as("match_doc_id"),
+        coalesce($"j_e6", lit(0L)).as("jaccard_e6"),
+        when(coalesce($"j_e6", lit(0L)) >= dropE6, "drop").otherwise("keep")
+          .as("verdict"))
+  }
+
   /** Jaccard threshold for the EXACT n-gram similarity join
     * ([[jaccardNgramPairs]]). Lower than [[NearDupGroupJaccard]]: the exact
     * join has no candidate-miss risk, so it can afford a wider net. */

@@ -73,6 +73,12 @@ object ExtQueries {
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
     "j2_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
 
+    // J2 — INCREMENTAL near-dup lookup: a new batch (doc_id % 10 == 0)
+    // probes the standing corpus LSH index; per-batch cost scales with
+    // the batch, not the corpus.
+    "j2_incremental" -> ((s, d) =>
+      Dedup.incrementalNearDup(Tables.documents(s, d))),
+
     // J7 — the curation capstones: keep/drop/split manifest and benchmark
     // decontamination, composed from the graded J1-J4 kernels.
     "j7_trainset" -> ((s, d) =>
@@ -374,6 +380,53 @@ object ExtQueries {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin,
+
+    // Incremental lookup: incoming (doc_id % 10 = 0) probes corpus band
+    // buckets (cap-gated on the corpus side only, no >=2 requirement);
+    // best verified match per incoming doc, ties to smallest corpus id.
+    "j2_incremental" -> {
+      val bandCands = (0 until Dedup.Bands).map { b =>
+        val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
+        val pos = (1 to keys.size).mkString(", ")
+        val gOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+        val cOn = keys.map(k => s"c.$k = i.$k").mkString(" AND ")
+        s"""iok$b AS (SELECT ${keys.mkString(", ")} FROM corp GROUP BY $pos
+           |  HAVING count(*) <= ${Dedup.BucketCap}),
+           |icand$b AS (SELECT i.doc_id AS doc_n, c.doc_id AS doc_c FROM inc i
+           |  JOIN iok$b g ON $gOn
+           |  JOIN corp c ON $cOn)""".stripMargin
+      }.mkString(",\n")
+      val candUnion = (0 until Dedup.Bands)
+        .map(b => s"SELECT * FROM icand$b").mkString(" UNION ALL ")
+      s"""WITH $tokCtes,
+         |inc AS (SELECT * FROM mh WHERE doc_id % 10 = 0),
+         |corp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
+         |$bandCands,
+         |cand AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |inter AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM cand c
+         |  JOIN ds x ON x.doc_id = c.doc_n
+         |  JOIN ds y ON y.doc_id = c.doc_c AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT c.doc_n, c.doc_c,
+         |  CAST(round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.ninter, 0)) * 1000000.0) AS BIGINT) AS j_e6
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
+         |  JOIN sizes sa ON sa.doc_id = c.doc_n
+         |  JOIN sizes sb ON sb.doc_id = c.doc_c),
+         |best AS (SELECT doc_n, doc_c, j_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+         |    FROM jac) z WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(b.doc_c, -1) AS match_doc_id,
+         |  coalesce(b.j_e6, 0) AS jaccard_e6,
+         |  CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
+         |    THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin
+    },
 
     // Exact prefix-filter similarity join: the oracle mirrors the Spark
     // side CTE for CTE (global rare-first order, per-doc prefix, bucket

@@ -19,6 +19,25 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("incremental near-dup: new batch probes the corpus index") {
+    import spark.implicits._
+    // mod=10: docs 10 and 20 are "incoming"; 10 is a near-dup of corpus
+    // doc 1, 20 matches nothing. 25-token base: one differing tail token
+    // gives J = 23/25 = 0.92 >= the 0.9 drop threshold.
+    val base = ('a' to 'y').map(_.toString).mkString(" ")
+    val docs = Seq(
+      (1L, base + " q1"),
+      (2L, "z y x w v u t s r q p o n m l k j"),
+      (10L, base + " r1"), // near-dup of 1
+      (20L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out.keySet == Set(10L, 20L)) // corpus docs never re-judged
+    assert(out(10L)._1 == 1L && out(10L)._2 == "drop")
+    assert(out(20L) == ((-1L, "keep")))
+  }
+
   test("lm bits: add-one bigram cross-entropy matches hand computation") {
     import spark.implicits._
     // corpus: doc1 "a b a b", doc2 "a b c", doc3 "x" (no bigram).
