@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ pm.PmQueries.queries ++
       ext.ExtQueries.queries ++ rules.RuleQueries.queries ++
-      sources.CsvQueries.queries ++ sources.JsonlQueries.queries
+      sources.CsvQueries.queries ++ sources.JsonlQueries.queries ++
+      sources.SchemaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,6 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (relational.RelationalQueries.oracleSql ++ pm.PmQueries.oracleSql ++
       ext.ExtQueries.oracleSql ++ rules.RuleQueries.oracleSql ++
-      sources.CsvQueries.oracleSql ++ sources.JsonlQueries.oracleSql)
+      sources.CsvQueries.oracleSql ++ sources.JsonlQueries.oracleSql ++
+      sources.SchemaQueries.oracleSql)
       .map { case (k, v) => k -> Oracle.materialize(v) }
 }

@@ -87,6 +87,11 @@ object ExtQueries {
     "j7_decontam" -> ((s, d) =>
       Pipeline.decontam(Tables.documents(s, d))),
 
+    // J7 — snapshot delta detection (CDC merge): added/deleted/changed/
+    // unchanged across two crawl snapshots; the re-process-the-delta op.
+    "j7_delta" -> ((s, d) =>
+      Pipeline.snapshotDelta(Tables.documents(s, d))),
+
     // J7 — stratified per-language sampling (training-mix composition):
     // deterministic md5-bucket verdict per doc, reproducible and stable
     // under corpus growth.
@@ -264,6 +269,8 @@ object ExtQueries {
     // I — tumbling / sliding / session windows (batch form of the
     // Structured Streaming transforms in graft.streaming.StreamOps).
     "st_tumbling" -> ((s, d) => graft.streaming.StreamOps.tumbling(Tables.events(s, d))),
+    // windowed top-k heavy hitters (aggregate-in-stream, rank-at-serve)
+    "st_topk" -> ((s, d) => graft.streaming.StreamOps.topkPerWindow(Tables.events(s, d))),
     "st_sliding" -> ((s, d) => graft.streaming.StreamOps.sliding(Tables.events(s, d))),
     "st_session" -> ((s, d) => graft.streaming.StreamOps.sessions(Tables.events(s, d))),
     // same sessions through the flatMapGroupsWithState custom-state path
@@ -520,6 +527,20 @@ object ExtQueries {
          |FROM (SELECT DISTINCT doc_id, fp FROM fpt WHERE doc_id >= ${Pipeline.EvalDocs}) f
          |JOIN ev e ON e.fp = f.fp
          |GROUP BY 1""".stripMargin,
+
+    "j7_delta" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 10 <> 0),
+        |neu AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 10 <> 9)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'deleted'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS verdict,
+        |  coalesce(o.old_hash, '') AS old_hash,
+        |  coalesce(n.new_hash, '') AS new_hash
+        |FROM old o FULL OUTER JOIN neu n ON n.doc_id = o.doc_id""".stripMargin,
 
     "j7_sample_k" ->
       s"""SELECT source, doc_id, h, rn FROM (
@@ -1091,6 +1112,13 @@ object ExtQueries {
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st_topk" ->
+      """WITH wc AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rank
+        |  FROM wc)
+        |SELECT win_start, rank, event_type, n FROM r WHERE rank <= 3""".stripMargin,
 
     "st_sliding" ->
       """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS win_start,

@@ -201,4 +201,38 @@ object Pipeline {
       .agg(countDistinct($"fp").as("n_shared_fp"),
         countDistinct($"eval_doc").as("n_eval_docs"))
   }
+
+  /** Snapshot DELTA detection (CDC merge): classify every document across
+    * two crawl snapshots as added / deleted / changed / unchanged — the
+    * step that turns "re-process 100 TB nightly" into "re-process the
+    * delta". One full-outer equi-join on doc_id comparing content hashes;
+    * everything else is row-local. In production the md5 is computed once
+    * at ingest and stored beside the row (the standard content-hash
+    * column), so the nightly merge touches no text at all — it joins two
+    * (doc_id, hash) manifests whose size is the doc COUNT, not the corpus
+    * bytes.
+    *
+    * The two snapshots are carved deterministically from the harness
+    * table so the oracle reproduces them: OLD = doc_id % 10 != 0 (the
+    * %10==0 docs are "newly crawled"), NEW = doc_id % 10 != 9 (the %10==9
+    * docs "disappeared"), and NEW text for doc_id % 7 == 0 gains a
+    * revision marker ("content drifted"). A production caller passes two
+    * real snapshot frames. */
+  def snapshotDelta(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val old = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", md5($"text").as("old_hash"))
+    val neu = docs.filter($"doc_id" % 10 =!= 9)
+      .select($"doc_id",
+        md5(when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text")).as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"old_hash".isNull, "added")
+          .when($"new_hash".isNull, "deleted")
+          .when($"old_hash" === $"new_hash", "unchanged")
+          .otherwise("changed").as("verdict"),
+        coalesce($"old_hash", lit("")).as("old_hash"),
+        coalesce($"new_hash", lit("")).as("new_hash"))
+  }
 }

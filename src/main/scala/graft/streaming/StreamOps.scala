@@ -321,6 +321,40 @@ object StreamOps {
         (unix_micros($"pts") - unix_micros($"cts")).as("lag_us"))
   }
 
+  /** Windowed TOP-K heavy hitters (batch twin): per tumbling 1h window,
+    * the k most frequent event types, total rank order (n desc,
+    * event_type) — the continuous-dashboard staple. The rank window is
+    * PARTITIONED by window start (never a global sort); at 100 TB the
+    * per-window key cardinality is the schema-bounded event-type set, so
+    * each rank partition is tiny regardless of row count. */
+  def topkPerWindow(events: DataFrame, k: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    rankWindows(events
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"event_type", $"n"),
+      k)
+  }
+
+  /** Rank stage of the streaming top-k: applied at READ time over the
+    * windowed-count table [[tumblingStream]] maintains — counts stream in
+    * append mode as the watermark closes each window; the cross-key rank
+    * is a query over the sink. That split is the production layout for
+    * continuous top-k (aggregate in the stream, rank at serve time): a
+    * rank INSIDE the stream would force complete output mode, re-emitting
+    * and re-sorting every window ever seen on each trigger — unbounded
+    * state and output at fleet scale. StreamingSpec pins
+    * stream-then-rank == [[topkPerWindow]]. */
+  def rankWindows(counts: DataFrame, k: Int = 3): DataFrame = {
+    import counts.sparkSession.implicits._
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"win_start").orderBy($"n".desc, $"event_type")))
+      .filter($"rank" <= k)
+      .select($"win_start", $"rank", $"event_type", $"n")
+  }
+
   /** Streaming variant of [[tumbling]] with a watermark, for a readStream
     * source (tested via the memory sink). Windows + watermark on
     * TIMESTAMP_NTZ (see [[dedupStream]]). */

@@ -77,6 +77,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-then-rank top-k equals batch windowed top-k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = StreamOps.topkPerWindow(Tables.events(spark, dir))
+      .collect().map(r => (r.get(0).toString, r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+
+    val staged = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+      .transform(Tables.normalizeTs)
+    // aggregate in the stream, rank over the sink at serve time — the
+    // production continuous-top-k split (rankWindows scaladoc)
+    val q = StreamOps.tumblingStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_topk_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = StreamOps.rankWindows(spark.table("graft_topk_test"))
+        .collect().map(r => (r.get(0).toString, r.getInt(1)) ->
+          (r.getString(2), r.getLong(3))).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming windowed HLL registers equal batch registers (sketch state merge)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
