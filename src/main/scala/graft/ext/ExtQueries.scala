@@ -159,6 +159,10 @@ object ExtQueries {
     // per-doc bits per transition.
     "j4_lm_bits" -> ((s, d) => TextOps.lmBits(Tables.documents(s, d))),
 
+    // J4 — PII redaction: email/id scrub with audit counts (deterministic
+    // plant fixture; the scrub is the graded op).
+    "j4_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
+
     // J7 — sequence PACKING (concat-then-chunk): each doc's training
     // sequence id and offset, packed per source in (source, doc_id) order.
     "j7_pack" -> ((s, d) =>
@@ -908,6 +912,25 @@ object ExtQueries {
          |  coalesce(a.n_bigrams, 0) AS n_bigrams,
          |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by
+    // default); id pass runs on the email-redacted text, as in the op
+    "j4_redact" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    text
+         |      || CASE WHEN doc_id % 5 = 0
+         |           THEN ' contact user' || doc_id || '@example.com asap' ELSE '' END
+         |      || CASE WHEN doc_id % 3 = 0
+         |           THEN ' ref ' || format('{:07d}', doc_id) ELSE '' END AS t0
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t0, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |    regexp_replace(t0, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM planted)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${TextOps.IdRe}')) AS BIGINT) AS n_ids,
+         |  regexp_replace(t1, '${TextOps.IdRe}', '<ID>', 'g') AS redacted
+         |FROM e""".stripMargin,
 
     "j7_pack" ->
       s"""WITH t AS (SELECT source, doc_id,

@@ -126,6 +126,45 @@ object TextOps {
     * postings of QUERY terms (semi-joined before the tf grain shuffles
     * anywhere), so cost scales with the query terms' posting lists, not
     * the corpus. */
+  /** Email / long-digit-run patterns for [[redact]]. POSIX-class-only
+    * syntax (no lookarounds, no backrefs) — Java, RE2, and PCRE agree on
+    * both the match set and the non-overlapping left-to-right scan, so
+    * counts and replacements are engine-portable. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdRe = "[0-9]{6,}"
+
+  /** PII redaction (the mandatory scrub before a corpus ships): replace
+    * email addresses and long digit runs (account/phone-like ids) with
+    * typed placeholders, with per-doc match counts for the audit trail.
+    * Fully row-local (regexp projection — zero shuffle, whole-stage
+    * codegen).
+    *
+    * The harness corpus carries no natural PII, so a deterministic
+    * fixture stage PLANTS a contact line on doc_id % 5 == 0 and an id
+    * on doc_id % 3 == 0 before scrubbing — the op under test is the
+    * scrub (counts + replaced text are hash-compared), the plant is the
+    * fixture. Id counting runs on the email-redacted text so an id
+    * inside an address is never double-counted; the oracle mirrors the
+    * same composition order. */
+  def redact(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val planted = docs.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com asap")))
+          .otherwise(lit("")),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" ref "), format_string("%07d", $"doc_id")))
+          .otherwise(lit(""))).as("t0"))
+    planted
+      .select($"doc_id", $"t0",
+        regexp_count($"t0", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_replace($"t0", EmailRe, "<EMAIL>").as("t1"))
+      .select($"doc_id", $"n_emails",
+        regexp_count($"t1", lit(IdRe)).cast("long").as("n_ids"),
+        regexp_replace($"t1", IdRe, "<ID>").as("redacted"))
+  }
+
   /** ln(2) emitted as the SAME double constant on both engine sides (the
     * shortest-round-trip repr re-parses to identical bits in DuckDB). */
   val Ln2: Double = math.log(2.0)

@@ -263,6 +263,24 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin),
 
+    // Cx — PIVOT (long -> wide reshape): per-user event-type counts as
+    // columns. Values are passed EXPLICITLY — an implicit pivot runs an
+    // extra distinct JOB over the full table at plan time just to learn
+    // the column set; at 100 TB the schema (not the data) should define
+    // it. Compiles to one ordinary hash aggregate with pivot-first
+    // combine — no extra shuffle vs the long groupBy.
+    "cx_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"user_id", $"click".as("n_click"), $"error".as("n_error"),
+          $"purchase".as("n_purchase"), $"signup".as("n_signup"),
+          $"view".as("n_view"))
+    }),
+
     // D1 — aggregate write-back as shuffle equi-join (the per-user aggregate
     // grain grows with the data — a forced broadcast OOMs at 100 TB; AQE
     // still broadcasts at runtime when the side is small). Ref:
@@ -577,6 +595,15 @@ object RelationalQueries {
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "cx_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "d1_writeback" ->
       """SELECT e.event_id, e.user_id, e.value, a.user_n, a.user_sum

@@ -24,6 +24,25 @@ object SchemaQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // A9 — PARTITIONED sink + pruned read-back: write events
+    // hive-partitioned by day, read one day through the partition
+    // directory layout. The scan must prune at PLANNING time
+    // (PartitionFilters on the directory values — zero data files of the
+    // other 29 days opened); PlanSpec locks that property. This is THE
+    // layout decision that makes a 100 TB event table queryable: a date
+    // predicate touches 1/30th of the data by construction.
+    "a9_partitioned_sink" -> ((s, d) => {
+      import s.implicits._
+      val outDir = sys.props("java.io.tmpdir") + "/graft_a9_part_" +
+        new java.io.File(d).getName
+      val ev = graft.Tables.events(s, d).withColumn("day", to_date($"ts"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(outDir)
+      s.read.parquet(outDir)
+        .filter($"day" === lit("2024-01-15").cast("date"))
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          graft.Det.us($"ts").as("t_us"))
+    }),
+
     "a8_schema_merge" -> ((s, d) => {
       import s.implicits._
       val outDir = sys.props("java.io.tmpdir") + "/graft_a8_merge_" +
@@ -39,6 +58,10 @@ object SchemaQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a9_partitioned_sink" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
+
     "a8_schema_merge" ->
       """SELECT doc_id, text,
         |  CASE WHEN doc_id % 2 = 0 THEN '' ELSE lang END AS lang

@@ -155,6 +155,17 @@ class PlanSpec extends AnyFunSuite {
       s"only the final aggregate may exchange:\n$p")
   }
 
+  test("a9: day predicate prunes partition DIRECTORIES at planning time") {
+    val p = planOf("a9_partitioned_sink")
+    // the filter must land in PartitionFilters (directory pruning — zero
+    // files of the other days opened), not in the data-filter set
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      s"expected a partition filter on day:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*= 19737".r.findFirstIn(p).isDefined ||
+      "PartitionFilters: \\[[^\\]]*2024-01-15".r.findFirstIn(p).isDefined,
+      s"expected the day literal in PartitionFilters:\n$p")
+  }
+
   test("whole surface: product joins only where the broadcast side is bounded") {
     // A BroadcastNestedLoopJoin / CartesianProduct is a 100 TB scale-killer
     // UNLESS its broadcast side has bounded cardinality by construction.
