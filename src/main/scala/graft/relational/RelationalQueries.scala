@@ -263,6 +263,29 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin),
 
+    // Cx — ROLLING window frame (RANGE BETWEEN on a day key): 7-day
+    // rolling totals per event type over the daily aggregate grain. The
+    // RANGE frame is value-based — a day with no events still closes the
+    // frame correctly (a ROWS frame would silently span gaps). Partitioned
+    // by event_type; the frame walks the (tiny) per-type day series, not
+    // the event grain, so the window input is |types| x |days| regardless
+    // of corpus size.
+    "cx_rolling" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day_i")
+        .rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .select($"event_type", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_i"), $"value")
+        .groupBy($"event_type", $"day_i")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,2)")), 2).as("sd"))
+        .select($"event_type", $"day_i", $"n",
+          sum($"n").over(w).as("roll_n"),
+          sum($"sd").over(w).cast("double").as("roll_sum"))
+    }),
+
     // Cx — PIVOT (long -> wide reshape): per-user event-type counts as
     // columns. Values are passed EXPLICITLY — an implicit pivot runs an
     // extra distinct JOB over the full table at plan time just to learn
@@ -595,6 +618,19 @@ object RelationalQueries {
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "cx_rolling" ->
+      """WITH dtot AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+        |    count(*) AS n,
+        |    round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_i, n,
+        |  sum(n) OVER w AS roll_n,
+        |  CAST(sum(sd) OVER w AS DOUBLE) AS roll_sum
+        |FROM dtot
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_i
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "cx_pivot" ->
       """SELECT user_id,
