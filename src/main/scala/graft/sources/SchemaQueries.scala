@@ -43,6 +43,35 @@ object SchemaQueries {
           graft.Det.us($"ts").as("t_us"))
     }),
 
+    // A10 — DYNAMIC partition pruning: the probe day is not a literal but
+    // computed FROM the data (the busiest signup day), so static pruning
+    // is impossible — the optimizer must inject a dynamicpruning subquery
+    // that evaluates the broadcast dim side first and prunes fact
+    // partition directories at RUNTIME (PlanSpec locks the plan shape).
+    // This is the mechanism that makes star-schema drill-downs touch one
+    // partition of a 100 TB fact table when the predicate lives on the
+    // dim side.
+    "a10_dpp" -> ((s, d) => {
+      import s.implicits._
+      val outDir = sys.props("java.io.tmpdir") + "/graft_a10_part_" +
+        new java.io.File(d).getName
+      val ev = graft.Tables.events(s, d).withColumn("day", to_date($"ts"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(outDir)
+      val fact = s.read.parquet(outDir)
+      // busiest signup day: order-free argmax (min over (-n, day) structs)
+      val peak = graft.Tables.events(s, d)
+        .filter($"event_type" === "signup")
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+        .filter($"n" > 0)
+        .agg(min(struct((-$"n").as("negn"), $"day".as("day"))).as("m"))
+        .select($"m.day".as("day"))
+      fact.join(broadcast(peak), Seq("day"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_events"), graft.Det.dsum($"value").as("sum_value"))
+        .select(datediff($"day", lit("1970-01-01").cast("date")).cast("long")
+          .as("day_i"), $"n_events", $"sum_value")
+    }),
+
     "a8_schema_merge" -> ((s, d) => {
       import s.implicits._
       val outDir = sys.props("java.io.tmpdir") + "/graft_a8_merge_" +
@@ -61,6 +90,16 @@ object SchemaQueries {
     "a9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
+
+    "a10_dpp" ->
+      """WITH sd AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |peak AS (SELECT day FROM sd ORDER BY n DESC, day LIMIT 1)
+        |SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events e JOIN peak p ON CAST(e.ts AS DATE) = p.day
+        |GROUP BY 1""".stripMargin,
 
     "a8_schema_merge" ->
       """SELECT doc_id, text,

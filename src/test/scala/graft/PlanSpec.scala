@@ -166,6 +166,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected the day literal in PartitionFilters:\n$p")
   }
 
+  test("a10: data-derived day predicate prunes partitions DYNAMICALLY") {
+    val p = planOf("a10_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact partition column:\n$p")
+  }
+
   test("whole surface: product joins only where the broadcast side is bounded") {
     // A BroadcastNestedLoopJoin / CartesianProduct is a 100 TB scale-killer
     // UNLESS its broadcast side has bounded cardinality by construction.
