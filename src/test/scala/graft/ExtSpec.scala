@@ -38,6 +38,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(20L) == ((-1L, "keep")))
   }
 
+  test("snapshot delta: all four verdicts, hashes carried") {
+    import spark.implicits._
+    // 8: in both, unchanged; 21: %7 -> changed; 30: %10==0 -> added;
+    // 9: %10==9 -> deleted
+    val docs = Seq((8L, "alpha"), (21L, "beta"), (30L, "gamma"), (9L, "delta"))
+      .toDF("doc_id", "text")
+    val out = ext.Pipeline.snapshotDelta(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(8L -> "unchanged", 21L -> "changed",
+      30L -> "added", 9L -> "deleted"))
+  }
+
+  test("redact: planted email and id are scrubbed and counted") {
+    import spark.implicits._
+    val docs = Seq((15L, "plain words here"), (7L, "nothing to see"))
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.redact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 15: %5 plants an email (digits inside it are consumed by the email
+    // redaction, not double-counted as an id); %3 plants ref 0000015
+    assert(out(15L) == ((1L, 1L, "plain words here contact <EMAIL> asap ref <ID>")))
+    assert(out(7L) == ((0L, 0L, "nothing to see")))
+  }
+
   test("lm bits: add-one bigram cross-entropy matches hand computation") {
     import spark.implicits._
     // corpus: doc1 "a b a b", doc2 "a b c", doc3 "x" (no bigram).
