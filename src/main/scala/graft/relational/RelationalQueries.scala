@@ -263,6 +263,54 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin),
 
+    // E4 — ORDERED FUNNEL: how far does each user progress through
+    // click -> view -> purchase, where each stage must occur AT OR AFTER
+    // the previous stage's first instant (the product-analytics
+    // conversion query). Three stage-aggregates, each a shuffle on
+    // user_id reusing the same partitioning; no window over the event
+    // grain. Output is the 4-row stage histogram.
+    "e4_funnel" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_type", graft.Det.us($"ts").as("t"))
+      val c = e.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"t").as("tc"))
+      val v = e.filter($"event_type" === "view").join(c, Seq("user_id"))
+        .filter($"t" >= $"tc")
+        .groupBy($"user_id").agg(min($"t").as("tv"))
+      val p = e.filter($"event_type" === "purchase").join(v, Seq("user_id"))
+        .filter($"t" >= $"tv")
+        .groupBy($"user_id").agg(min($"t").as("tp"))
+      e.select($"user_id").distinct()
+        .join(c, Seq("user_id"), "left")
+        .join(v, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(when($"tp".isNotNull, 3L).when($"tv".isNotNull, 2L)
+          .when($"tc".isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+        .groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // E5 — COHORT RETENTION: users grouped by first-seen day; how many
+    // return exactly 1 / 7 days later. Two user-grain aggregates joined
+    // on user_id, then conditional counts per cohort day — the layout
+    // that keeps the retention matrix a |days|^2-bounded output no
+    // matter the event count.
+    "e5_cohort" -> ((s, d) => {
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_i")).distinct()
+      val cohort = days.groupBy($"user_id").agg(min($"day_i").as("c0"))
+      cohort
+        .join(days.select($"user_id", $"day_i".as("d1i")), Seq("user_id"), "left")
+        .groupBy($"user_id", $"c0")
+        .agg(max(when($"d1i" === $"c0" + 1, 1L).otherwise(0L)).as("r1"),
+          max(when($"d1i" === $"c0" + 7, 1L).otherwise(0L)).as("r7"))
+        .groupBy($"c0".as("cohort_day_i"))
+        .agg(count(lit(1)).as("n_users"), sum($"r1").as("n_day1"),
+          sum($"r7").as("n_day7"))
+    }),
+
     // Cx — ROLLING window frame (RANGE BETWEEN on a day key): 7-day
     // rolling totals per event type over the daily aggregate grain. The
     // RANGE frame is value-based — a day with no events still closes the
@@ -618,6 +666,34 @@ object RelationalQueries {
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "e4_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT user_id, min(t) AS tc FROM e WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(t) AS tv FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'view' AND t >= tc GROUP BY 1),
+        |p AS (SELECT e.user_id, min(t) AS tp FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND t >= tv GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT CASE WHEN tp IS NOT NULL THEN 3 WHEN tv IS NOT NULL THEN 2
+        |    WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN v USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "e5_cohort" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i FROM events),
+        |cohort AS (SELECT user_id, min(day_i) AS c0 FROM days GROUP BY 1),
+        |flags AS (SELECT c.user_id, c.c0,
+        |    max(CASE WHEN d.day_i = c.c0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN d.day_i = c.c0 + 7 THEN 1 ELSE 0 END) AS r7
+        |  FROM cohort c LEFT JOIN days d ON d.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT c0 AS cohort_day_i, count(*) AS n_users,
+        |  sum(r1) AS n_day1, sum(r7) AS n_day7
+        |FROM flags GROUP BY 1""".stripMargin,
 
     "cx_rolling" ->
       """WITH dtot AS (SELECT event_type,
