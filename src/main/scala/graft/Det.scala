@@ -31,6 +31,12 @@ object Det {
   def dsumProd(a: Column, b: Column): Column =
     round(sum(dec(a) * dec(b)), 2).cast(DoubleType)
 
+  /** Epoch-day key of a timestamp column (integer days since 1970-01-01) —
+    * the portable day grain for cohort/rolling/partition queries.
+    * DuckDB: CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) */
+  def dayI(ts: Column): Column =
+    datediff(to_date(ts), lit("1970-01-01").cast(DateType)).cast(LongType)
+
   /** Deterministic AVG: exact decimal sum -> double, divided by exact count,
     * rounded to 6 decimals.
     * DuckDB: round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(x), 6) */

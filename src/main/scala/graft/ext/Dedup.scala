@@ -129,38 +129,53 @@ object Dedup {
       .select(($"doc_id" +: cols): _*)
   }
 
-  /** LSH candidate pairs (docs sharing any band bucket) verified with exact
-    * Jaccard over distinct shingle sets. */
-  def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,
-                   bucketCap: Int = BucketCap): DataFrame = {
+  /** Distinct shingle sets + exploded (band, sig) signature rows — the
+    * shared candidate-generation grain of [[nearDupPairs]] and
+    * [[incrementalNearDup]]. ONE definition keeps both ops (and the one
+    * shared oracle mh/band CTE) bit-identical; a drift between two copies
+    * would silently desynchronize an op from the gate.
+    *
+    * Both returned frames sit on tracked persists (graft.Pinned): sa
+    * (row-local distinct shingle sets) feeds the signature build + the
+    * exact Jaccard verify; the mh signature frame feeds the band
+    * explode. Harness code releases them after the consuming action — a
+    * bare .cache() here leaked both for the session lifetime (round-3
+    * verdict What's-wrong #1).
+    *
+    * The band grain is ONE exploded (band, signature-tuple) stream — an
+    * OR-of-bands join condition would force a BroadcastNestedLoopJoin
+    * (O(N^2) pairs; measured 10x slower at sf0.1 and unusable at fleet
+    * scale), and the earlier one-join-PER-band form ran bands x (groupBy
+    * + semi + self-join) shuffles (~48 exchanges for 16 bands). Exploded,
+    * the bucket count, the cap prune, and the pair/probe joins all hash
+    * on the same (band, sig) key, so they share one shuffle partitioning;
+    * total bytes moved are the same (each doc contributes `bands` small
+    * rows). The sig is the struct of the band's raw minhash values —
+    * tuple EQUALITY, not a re-hash, so the candidate set is bit-identical
+    * to the per-band form. */
+  private def shingleBands(docs: DataFrame, bands: Int,
+                           rows: Int): (DataFrame, DataFrame) = {
     import docs.sparkSession.implicits._
-    // tracked persists (graft.Pinned): sa (distinct shingle sets, row-local)
-    // feeds the signature build + the exact Jaccard verify; mh feeds one
-    // join per band. Harness code releases them after the consuming action
-    // — a bare .cache() here leaked both for the session lifetime (round-3
-    // verdict What's-wrong #1).
     val sa = graft.Pinned.track(
       shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
         .select($"doc_id", array_distinct($"shings").as("dshings")))
     val sigCols = (0 until bands * rows).map(s =>
       array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
     val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
-    // ONE equi-join on the exploded (band, signature-tuple) grain — an
-    // OR-of-bands condition would force a BroadcastNestedLoopJoin (O(N^2)
-    // pairs; measured 10x slower at sf0.1 and unusable at fleet scale),
-    // and the earlier one-join-PER-band form ran bands x (groupBy + semi +
-    // self-join) shuffles (~48 exchanges for 16 bands). Exploded, the
-    // bucket count, the cap prune, and the pair self-join all hash on the
-    // same (band, sig) key, so they share one shuffle partitioning; total
-    // bytes moved are the same (each doc contributes `bands` small rows).
-    // The sig is the struct of the band's raw minhash values — tuple
-    // EQUALITY, not a re-hash, so the candidate set is bit-identical to
-    // the per-band form.
     val bandSig = mh.select($"doc_id", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
       }: _*)).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    (sa, bandSig)
+  }
+
+  /** LSH candidate pairs (docs sharing any band bucket) verified with exact
+    * Jaccard over distinct shingle sets. */
+  def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,
+                   bucketCap: Int = BucketCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (sa, bandSig) = shingleBands(docs, bands, rows)
     // keep only buckets with 2..bucketCap docs: <2 yields no pairs,
     // >cap is the boilerplate mega-bucket (quadratic blowup guard)
     val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
@@ -373,17 +388,7 @@ object Dedup {
                          bucketCap: Int = BucketCap,
                          dropE6: Long = IncrementalDropE6): DataFrame = {
     import docs.sparkSession.implicits._
-    val sa = graft.Pinned.track(
-      shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
-        .select($"doc_id", array_distinct($"shings").as("dshings")))
-    val sigCols = (0 until bands * rows).map(s =>
-      array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
-    val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
-    val bandSig = mh.select($"doc_id", explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
-      }: _*)).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val (sa, bandSig) = shingleBands(docs, bands, rows)
     val incB = bandSig.filter($"doc_id" % mod === 0)
     val corpB = bandSig.filter($"doc_id" % mod =!= 0)
     val ok = corpB.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))

@@ -532,15 +532,19 @@ object ExtQueries {
          |JOIN ev e ON e.fp = f.fp
          |GROUP BY 1""".stripMargin,
 
+    // presence via side flags + null-safe hash compare, mirroring the op
+    // (hash nullness must not read as row absence)
     "j7_delta" ->
-      """WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 10 <> 0),
+      """WITH old AS (SELECT doc_id, md5(text) AS old_hash, true AS in_old
+        |  FROM documents WHERE doc_id % 10 <> 0),
         |neu AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS new_hash
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS new_hash,
+        |    true AS in_new
         |  FROM documents WHERE doc_id % 10 <> 9)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.old_hash IS NULL THEN 'added'
-        |       WHEN n.new_hash IS NULL THEN 'deleted'
-        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |  CASE WHEN o.in_old IS NULL THEN 'added'
+        |       WHEN n.in_new IS NULL THEN 'deleted'
+        |       WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
         |       ELSE 'changed' END AS verdict,
         |  coalesce(o.old_hash, '') AS old_hash,
         |  coalesce(n.new_hash, '') AS new_hash

@@ -220,17 +220,21 @@ object Pipeline {
     * real snapshot frames. */
   def snapshotDelta(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // presence is tracked with explicit side flags, NOT hash nullness —
+    // a NULL-text row hashes to NULL and would otherwise read as "absent"
+    // (misclassifying real rows in production snapshots, where nullable
+    // text is plausible); hashes compare null-safely for the same reason
     val old = docs.filter($"doc_id" % 10 =!= 0)
-      .select($"doc_id", md5($"text").as("old_hash"))
+      .select($"doc_id", md5($"text").as("old_hash"), lit(true).as("in_old"))
     val neu = docs.filter($"doc_id" % 10 =!= 9)
       .select($"doc_id",
         md5(when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
-          .otherwise($"text")).as("new_hash"))
+          .otherwise($"text")).as("new_hash"), lit(true).as("in_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .select($"doc_id",
-        when($"old_hash".isNull, "added")
-          .when($"new_hash".isNull, "deleted")
-          .when($"old_hash" === $"new_hash", "unchanged")
+        when($"in_old".isNull, "added")
+          .when($"in_new".isNull, "deleted")
+          .when($"old_hash" <=> $"new_hash", "unchanged")
           .otherwise("changed").as("verdict"),
         coalesce($"old_hash", lit("")).as("old_hash"),
         coalesce($"new_hash", lit("")).as("new_hash"))

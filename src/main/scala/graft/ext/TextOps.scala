@@ -199,12 +199,16 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val n1 = greatest(size($"toks") - 1, lit(0))
-    // (doc_id, w1, w2) bigram occurrences, built row-locally
-    val bg = docs.select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id",
-        explode(zip_with(slice($"toks", lit(1), n1), slice($"toks", lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // (doc_id, w1, w2) bigram occurrences, built row-locally. Tracked
+    // persist: three aggregations (per-doc multiplicities, bigram counts,
+    // left-context counts) consume this frame — un-tracked, each re-ran
+    // the full tokenize+zip+explode over the corpus.
+    val bg = graft.Pinned.track(
+      docs.select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id",
+          explode(zip_with(slice($"toks", lit(1), n1), slice($"toks", lit(2), n1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
     // per-doc multiplicity: the ln of each distinct bigram is computed
     // (and rounded) once, then multiplied exactly — fewer libm calls AND
     // an order-free sum

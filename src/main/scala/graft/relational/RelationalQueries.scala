@@ -298,8 +298,7 @@ object RelationalQueries {
     "e5_cohort" -> ((s, d) => {
       import s.implicits._
       val days = Tables.events(s, d)
-        .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
-          .cast("long").as("day_i")).distinct()
+        .select($"user_id", graft.Det.dayI($"ts").as("day_i")).distinct()
       val cohort = days.groupBy($"user_id").agg(min($"day_i").as("c0"))
       cohort
         .join(days.select($"user_id", $"day_i".as("d1i")), Seq("user_id"), "left")
@@ -324,8 +323,7 @@ object RelationalQueries {
         .partitionBy($"event_type").orderBy($"day_i")
         .rangeBetween(-6, 0)
       Tables.events(s, d)
-        .select($"event_type", datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
-          .cast("long").as("day_i"), $"value")
+        .select($"event_type", graft.Det.dayI($"ts").as("day_i"), $"value")
         .groupBy($"event_type", $"day_i")
         .agg(count(lit(1)).as("n"),
           round(sum($"value".cast("decimal(18,2)")), 2).as("sd"))
