@@ -159,6 +159,11 @@ object ExtQueries {
     // per-doc bits per transition.
     "j4_lm_bits" -> ((s, d) => TextOps.lmBits(Tables.documents(s, d))),
 
+    // J4 — corpus TF-IDF: top-3 characteristic terms per doc (keyword
+    // extraction / topic labeling); ln rounded per DISTINCT term then
+    // multiplied by the exact integer tf (lm_bits discipline).
+    "j4_tfidf" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d))),
+
     // J4 — PII redaction: email/id scrub with audit counts (deterministic
     // plant fixture; the scrub is the graded op).
     "j4_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
@@ -916,6 +921,24 @@ object ExtQueries {
          |  coalesce(a.n_bigrams, 0) AS n_bigrams,
          |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // ln (not DuckDB's log10 log()); idf rounded to DECIMAL(18,6) per
+    // distinct term before the exact integer-tf multiply, as in the op
+    "j4_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) z
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |    CAST(round(ln(CAST(nn AS DOUBLE) / df), 6) AS DECIMAL(18,6)) * tf AS s6
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, s6,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, term) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, CAST(s6 AS DOUBLE) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by
     // default); id pass runs on the email-redacted text, as in the op

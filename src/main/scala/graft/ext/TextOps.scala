@@ -268,4 +268,36 @@ object TextOps {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id", $"score6".cast("double").as("score"))
   }
+
+  /** Corpus TF-IDF: top-k characteristic terms per document
+    * (tf × ln(N/df), ties broken by term for determinism).
+    *
+    * Engine-exactness: the only transcendental is ln(N/df) — computed
+    * once per DISTINCT term, rounded to DECIMAL(18,6), then multiplied
+    * by the exact integer tf (the [[lmBits]] order-free-sum discipline;
+    * no per-posting float accumulation exists to diverge).
+    *
+    * 100 TB posture: tf is one shuffle on (doc_id, term); df aggregates
+    * the ALREADY-distinct (doc,term) grain — vocabulary-sized output, so
+    * the idf side of the scoring join is small and AQE broadcasts it;
+    * N is a 1-row broadcast. The top-k window partitions by doc_id
+    * (corpus-parallel). This is the textbook distributed TF-IDF shape —
+    * no corpus-sized frame is ever collected or re-tokenized. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val idf6 = round(log($"nn".cast("double") / $"df"), 6).cast("decimal(18,6)")
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term", (idf6 * $"tf").as("s6"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"s6".desc, $"term")))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank", $"term", $"s6".cast("double").as("score"))
+  }
 }

@@ -552,4 +552,26 @@ class ExtSpec extends AnyFunSuite {
         s"dim=$dim collapsed to one bucket per table: ${buckets.mkString(",")}")
     }
   }
+
+  test("tfidf: corpus-wide terms score 0, rare terms rank first, hand-checked score") {
+    import spark.implicits._
+    // "common" is in every doc (idf = ln(4/4) = 0); each doc's unique
+    // term appears twice -> score 2*ln(4). Ties break by term asc.
+    val docs = Seq(
+      (1L, "common aa aa bb"),
+      (2L, "common cc cc bb"),
+      (3L, "common dd dd zz"),
+      (4L, "common ee ee zz")).toDF("doc_id", "text")
+    val got = ext.TextOps.tfidfTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq("aa", "bb", "common"),
+      s"doc 1 expected rare-first order, got ${d1.mkString(",")}")
+    val twoLn4 = BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 2
+    assert(math.abs(d1.head._4 - twoLn4.toDouble) < 1e-9,
+      s"aa score ${d1.head._4} != 2*round(ln 4, 6)")
+    assert(got.filter(_._3 == "common").forall(_._4 == 0.0),
+      "corpus-wide term must carry zero tf-idf")
+    assert(got.groupBy(_._1).forall(_._2.length == 3), "top-3 per doc")
+  }
 }

@@ -121,9 +121,11 @@ class PlanSpec extends AnyFunSuite {
     // source; range search reads (vec_id, embedding); exact quantiles read
     // only (event_type, value) — the unused ts column must NOT survive
     // Tables.events' normalization projection into the scan
-    for (q <- Seq("j4_repetition")) {
+    // tfidf's 1-row N-count branch prunes to doc_id alone (or nothing)
+    for (q <- Seq("j4_repetition", "j4_tfidf")) {
       val rs = readSchemas(q)
-      assert(rs.nonEmpty && rs.forall(_ == "doc_id:bigint,text:string"),
+      assert(rs.nonEmpty && rs.toSet.subsetOf(
+        Set("doc_id:bigint,text:string", "doc_id:bigint", "")),
         s"$q scan not pruned: $rs")
     }
     for (q <- Seq("j7_pack", "j7_mix")) {
@@ -194,12 +196,14 @@ class PlanSpec extends AnyFunSuite {
     //   j6_kmv         1-row sketch statistics (k-th hash, counts) folds
     //   j4_lm_bits     1-row vocabulary-size aggregate broadcast (the
     //                  smoothing denominator V)
+    //   j4_tfidf       1-row corpus-count aggregate broadcast (the idf
+    //                  numerator N)
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
-      "j4_lm_bits")
+      "j4_lm_bits", "j4_tfidf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
