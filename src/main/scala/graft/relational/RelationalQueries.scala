@@ -332,6 +332,26 @@ object RelationalQueries {
           sum($"sd").over(w).cast("double").as("roll_sum"))
     }),
 
+    // Cx — the analytic-window bundle (lag/lead/first_value/percent_rank/
+    // cume_dist): per-user ordered event context in ONE window pass (all
+    // five functions share a frame, so one shuffle + one sort). Total
+    // order (ts, event_id) makes every output deterministic; the
+    // rank-family doubles are single divisions of exact integers, rounded
+    // identically on both engines. Partitioned by user_id — corpus-
+    // parallel, no single-partition window.
+    "cx_analytics" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          lag($"event_type", 1).over(w).as("prev_type"),
+          lead($"event_type", 1).over(w).as("next_type"),
+          first($"event_type").over(w).as("first_type"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // Cx — PIVOT (long -> wide reshape): per-user event-type counts as
     // columns. Values are passed EXPLICITLY — an implicit pivot runs an
     // extra distinct JOB over the full table at plan time just to learn
@@ -705,6 +725,16 @@ object RelationalQueries {
         |FROM dtot
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_i
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "cx_analytics" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  first_value(event_type) OVER w AS first_type,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "cx_pivot" ->
       """SELECT user_id,
