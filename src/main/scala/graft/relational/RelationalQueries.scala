@@ -710,7 +710,7 @@ object RelationalQueries {
         |  FROM cohort c LEFT JOIN days d ON d.user_id = c.user_id
         |  GROUP BY 1, 2)
         |SELECT c0 AS cohort_day_i, count(*) AS n_users,
-        |  sum(r1) AS n_day1, sum(r7) AS n_day7
+        |  CAST(sum(r1) AS BIGINT) AS n_day1, CAST(sum(r7) AS BIGINT) AS n_day7
         |FROM flags GROUP BY 1""".stripMargin,
 
     "cx_rolling" ->
@@ -720,7 +720,7 @@ object RelationalQueries {
         |    round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sd
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day_i, n,
-        |  sum(n) OVER w AS roll_n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS roll_n,
         |  CAST(sum(sd) OVER w AS DOUBLE) AS roll_sum
         |FROM dtot
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_i

@@ -3,6 +3,15 @@
 compare every query's parquet output against its DuckDB oracle SQL.
 
 Usage: python3 tools/check.py [sfdir] [--only q1,q2] [--keep]
+
+Fidelity notes (round-8 regression): the driver hashes TYPED values, so this
+gate is dtype-STRICT after normalize() — int64 vs float64 must FAIL here,
+exactly as the driver's hash does. Round 7 shipped two queries (cx_rolling,
+e5_cohort) whose oracle SQL summed uncast BIGINTs; DuckDB typed the sums
+HUGEINT (materialized float64) while Spark emitted int64, and the old
+check_dtype=False compare hid it. Additionally, any oracle OUTPUT column
+that DuckDB types as HUGEINT is rejected outright (sweep) — wrap integer
+sums in CAST(... AS BIGINT) in the oracle SQL.
 """
 import json, os, shutil, subprocess, sys
 
@@ -83,7 +92,16 @@ def main():
             nweak += 1
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # Type-discipline sweep: a HUGEINT output column means an uncast
+            # integer sum in the oracle — pandas materializes it float64
+            # while Spark emits int64, and the driver's typed hash fails.
+            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"  FAIL  {name}: oracle output column(s) {huge} typed HUGEINT — wrap in CAST(... AS BIGINT)")
+                nfail += 1
+                continue
+            exp = rel.df()
         except Exception as e:
             print(f"  FAIL  {name}: oracle SQL error: {str(e)[:200]}")
             nfail += 1
@@ -97,8 +115,15 @@ def main():
             print(f"  FAIL  {name}: rows spark={len(g)} oracle={len(e)}")
             nfail += 1
             continue
+        dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                       if str(g[c].dtype) != str(e[c].dtype)]
+        if dt_mismatch:
+            # The driver hashes typed values: int64 vs float64 is a real FAIL.
+            print(f"  FAIL  {name}: dtype mismatch (spark,oracle): {dt_mismatch}")
+            nfail += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
             print(f"  PASS  {name}: rows={len(g)}")
             npass += 1
         except AssertionError as ex:
