@@ -159,6 +159,23 @@ object PmQueries {
         .select($"user_id", $"event_id", $"rn")
     }),
 
+    // W15 — calendar-unavailability displacement (handoff_batch.py:101-140):
+    // conditionally advance out-of-calendar starts to the next working
+    // window. Applied to the events grain with event_type standing in for
+    // the resource match: "purchase" events starting Thu-Sun roll toward
+    // Sunday (net: next Monday 09:00 for working-hours starts), "signup"
+    // events starting Mon-Wed roll toward Wednesday. Row-local codegen'd
+    // integer arithmetic — one map pass, no shuffle.
+    "w15_calendar" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .select($"event_id", $"event_type", Det.us($"ts").as("us"))
+      // the two rules match disjoint row sets, so chaining is exact
+      val afterLoan = Calendar.displacedUs($"us", $"event_type" === "purchase", _ > 2, 6)
+      val afterBoth = Calendar.displacedUs(afterLoan, $"event_type" === "signup", _ < 3, 2)
+      base.select($"event_id", $"event_type", $"us", afterBoth.as("new_us"))
+    }),
+
     // Full discovery INCLUDING case-based (subprocess) batches — the
     // reference's complete pass order with the nullification path.
     // discoverFull returns an EAGERLY staged frame (round-7: stage
@@ -639,6 +656,25 @@ object PmQueries {
         |    ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000007, event_id) AS rn
         |  FROM events) z
         |WHERE rn <= 5""".stripMargin,
+
+    "w15_calendar" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT event_id, event_type, us,
+        |    ((us // 86400000000) + 3) % 7 AS dow,
+        |    us % 86400000000 AS rem FROM e),
+        |s AS (SELECT event_id, event_type, us, dow,
+        |    (((8 - rem // 3600000000) % 24 + 24) % 24) * 3600000000
+        |    + (59 - (rem % 3600000000) // 60000000) * 60000000
+        |    + (59 - (rem % 60000000) // 1000000) * 1000000
+        |    + (1000000 - rem % 1000000) AS clock_shift FROM x)
+        |SELECT event_id, event_type, us,
+        |  CASE
+        |    WHEN event_type = 'purchase' AND dow > 2
+        |      THEN us + (6 - dow) * 86400000000 + clock_shift
+        |    WHEN event_type = 'signup' AND dow < 3
+        |      THEN us + (2 - dow) * 86400000000 + clock_shift
+        |    ELSE us END AS new_us
+        |FROM s""".stripMargin,
 
     "w13_ntile" ->
       """SELECT tile, count(*) AS n,

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pm.Calendar
+
+/** Hand-computed fixtures for the calendar-unavailability displacement op
+  * (reference `preprocessing/handoff_batch.py:101-140`). The reference's
+  * timedelta arithmetic nets out to: land on the target weekday, then roll
+  * the clock to the NEXT exact 09:00:00.000000 (crossing midnight when the
+  * start hour is >= 9). Every expected value below is derived by hand from
+  * the pandas arithmetic, component by component.
+  */
+class CalendarSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  private val SEC = 1000000L
+  private val MIN = 60 * SEC
+  private val HOUR = 60 * MIN
+  private val DAY = 24 * HOUR
+  // 2024-01-01 (a Monday) 00:00:00 UTC
+  private val mon0 = 1704067200000000L
+
+  private def log(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "resource", "start_us")
+      .withColumn("end_us", org.apache.spark.sql.functions.col("start_us"))
+  }
+
+  test("loan-officer rule: Fri 10:30:15.250 -> Mon 09:00:00.000000 exactly") {
+    // days=(6-4)=2 -> Sun 10:30:15.25; hours=(8-10)%24=22 -> Mon 08:30:15.25;
+    // minutes=29 -> 08:59:15.25; seconds=44 -> 08:59:59.25; micros=750000 ->
+    // Mon 09:00:00.000000
+    val fri = mon0 + 4 * DAY + 10 * HOUR + 30 * MIN + 15 * SEC + 250000L
+    val out = Calendar.displaceLoanCalendars(
+      log((1L, "Loan Officer-007", fri))).collect().head
+    assert(out.getAs[Long]("start_us") == mon0 + 7 * DAY + 9 * HOUR)
+    assert(out.getAs[Long]("end_us") == fri) // end times untouched
+  }
+
+  test("loan-officer rule: hour < 8 wraps within the same day (Sun 07:30 -> Sun 09:00)") {
+    // days=(6-6)=0; hours=(8-7)%24=1 -> 08:30:00; minutes=29 -> 08:59:00;
+    // seconds=59 -> 08:59:59; micros=1000000 -> Sun 09:00:00
+    val sun = mon0 + 6 * DAY + 7 * HOUR + 30 * MIN
+    val out = Calendar.displaceLoanCalendars(
+      log((1L, "Loan Officer-001", sun))).collect().head
+    assert(out.getAs[Long]("start_us") == mon0 + 6 * DAY + 9 * HOUR)
+  }
+
+  test("senior-officer rule: Mon 14:05:06.000007 -> Thu 09:00:00.000000") {
+    // days=(2-0)=2 -> Wed; hours=(8-14)%24=18 -> Thu 08:05:06.000007;
+    // minutes=54, seconds=53, micros=999993 -> Thu 09:00:00.000000
+    val mon = mon0 + 14 * HOUR + 5 * MIN + 6 * SEC + 7L
+    val out = Calendar.displaceLoanCalendars(
+      log((1L, "Senior Officer-002", mon))).collect().head
+    assert(out.getAs[Long]("start_us") == mon0 + 3 * DAY + 9 * HOUR)
+  }
+
+  test("non-matching weekday and non-matching resource pass through unchanged") {
+    val tue = mon0 + 1 * DAY + 10 * HOUR // Loan Officer works Mon-Wed
+    val sat = mon0 + 5 * DAY + 10 * HOUR // Senior Officer works Thu-Sun
+    val fri = mon0 + 4 * DAY + 10 * HOUR
+    val out = Calendar.displaceLoanCalendars(log(
+      (1L, "Loan Officer-003", tue),
+      (2L, "Senior Officer-004", sat),
+      (3L, "Clerk-1", fri))).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("start_us")).toMap
+    assert(out == Map(1L -> tue, 2L -> sat, 3L -> fri))
+  }
+
+  test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq(0L, mon0).toDF("us")
+      .select(Calendar.dowMon0(col("us"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 0L)) // 1970-01-01 = Thu(3), 2024-01-01 = Mon(0)
+  }
+}
