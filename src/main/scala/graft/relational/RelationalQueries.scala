@@ -451,7 +451,13 @@ object RelationalQueries {
       val p = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
       val c = e.filter($"event_type" === "click")
         .select($"user_id".as("cu"), $"ts".as("cts"))
-      p.join(c, $"user_id" === $"cu" && $"cts" <= $"ts", "left")
+      // Bounded lookback (30 days): an unbanded `cts <= ts` join is correct
+      // but accumulates unbounded per-key state at 100 TB — the band caps
+      // the per-purchase candidate set the same way st_join's attribution
+      // twin bounds its stream state. prev/count semantics are "within the
+      // band", mirrored exactly in the oracle.
+      p.join(c, $"user_id" === $"cu" && $"cts" <= $"ts" &&
+          $"cts" >= $"ts" - expr("INTERVAL 30 DAYS"), "left")
         .groupBy($"event_id")
         .agg(max($"cts").as("prev_click_ts"), count($"cts").as("n_prior_clicks"))
     }),
@@ -792,6 +798,7 @@ object RelationalQueries {
       """SELECT p.event_id, max(c.ts) AS prev_click_ts, count(c.ts) AS n_prior_clicks
         |FROM events p LEFT JOIN events c
         |  ON c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        |  AND c.ts >= p.ts - INTERVAL 30 DAY
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id""".stripMargin,
 

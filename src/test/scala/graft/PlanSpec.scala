@@ -121,13 +121,17 @@ class PlanSpec extends AnyFunSuite {
     // source; range search reads (vec_id, embedding); exact quantiles read
     // only (event_type, value) — the unused ts column must NOT survive
     // Tables.events' normalization projection into the scan
-    // tfidf's 1-row N-count branch prunes to doc_id alone (or nothing)
-    for (q <- Seq("j4_repetition", "j4_tfidf")) {
-      val rs = readSchemas(q)
-      assert(rs.nonEmpty && rs.toSet.subsetOf(
-        Set("doc_id:bigint,text:string", "doc_id:bigint", "")),
-        s"$q scan not pruned: $rs")
-    }
+    // tfidf's 1-row N-count branch legitimately prunes to doc_id alone (or
+    // nothing); repetition has no such branch, so every one of its scans
+    // must read EXACTLY (doc_id, text) — keep that assertion tight so a
+    // pruning regression (text dropped, or an empty scan) is caught
+    val rep = readSchemas("j4_repetition")
+    assert(rep.nonEmpty && rep.forall(_ == "doc_id:bigint,text:string"),
+      s"j4_repetition scan not pruned to exactly (doc_id, text): $rep")
+    val tf = readSchemas("j4_tfidf")
+    assert(tf.nonEmpty && tf.toSet.subsetOf(
+      Set("doc_id:bigint,text:string", "doc_id:bigint", "")),
+      s"j4_tfidf scan not pruned: $tf")
     for (q <- Seq("j7_pack", "j7_mix")) {
       val rs = readSchemas(q)
       assert(rs.nonEmpty && rs.toSet.subsetOf(
