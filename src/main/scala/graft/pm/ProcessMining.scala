@@ -500,15 +500,20 @@ object BatchDiscovery {
     val types = classify(seg)
 
     // --- subprocess side ---
-    // candidate units are tiny (subsequence-unit grain) but cost a window
-    // chain to build; evSp and candOk both consume them
-    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv), seqGapUs).transform(staged)
+    // cand and evSp are deliberately LAZY (round-8 profile): each stage()
+    // here is an eager materialization under AQE, and the chain
+    // cand -> mixed -> candOk -> spSub -> claims is inherently sequential,
+    // so two extra boundaries bought nothing but two more job barriers +
+    // driver replans (58 sequential jobs, ~6.8s of inter-job driver gap in
+    // the cold run). Lazy, they fold into the spSub/claims materializations;
+    // the one recompute (evSp inside claims, a join over the runsEv/seg
+    // LEAVES) costs less than the boundaries did: 7.3s -> 6.4s min-of-5
+    // standalone at sf0.1.
+    val cand = SubprocessBatches.candidates(SubprocessBatches.units(runsEv), seqGapUs)
     // event grain of candidate units, with the event's task-level type
-    // tiny (claimed-event grain) but feeds both mixed and claims
     val evSp = seg
       .join(cand.select($"case_id", $"run_no", $"subseq", $"sp_seg", $"sp_type",
         $"unit_start", $"unit_end", $"unit_enabled"), Seq("case_id", "run_no"))
-      .transform(staged)
     // W6: >1 distinct task-level type (null counts, as pandas unique does)
     val mixed = evSp
       .join(types, Seq("resource", "activity", "seg_no"), "left")
