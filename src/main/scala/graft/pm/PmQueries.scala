@@ -53,12 +53,34 @@ object PmQueries {
   private val spCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Session-shared runs-annotated event stage and its segmentation —
+    * segment(runsEv) equals segment(en) plus a pass-through run_no column,
+    * so ONE segmentation pass serves both task-only discovery (disc) and
+    * subprocess discovery (pm_sp_batches); before round 8 each ran its own
+    * event-grain window chain over the same log. */
+  private val runsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def runsStage(s: SparkSession, d: String): DataFrame = {
+    evictOthers(runsCache, s, d)
+    runsCache.computeIfAbsent((s, d), { _ =>
+      graft.Pinned.stage(SubprocessBatches.withRuns(enabledStage(s, d)))
+    })
+  }
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def segStage(s: SparkSession, d: String): DataFrame = {
+    evictOthers(segCache, s, d)
+    segCache.computeIfAbsent((s, d), { _ =>
+      graft.Pinned.stage(BatchDiscovery.segment(runsStage(s, d)))
+    })
+  }
+
   private[graft] def disc(s: SparkSession, d: String): DataFrame = {
     evictOthers(discCache, s, d)
     discCache.computeIfAbsent((s, d), { _ =>
       // STAGE boundary (graft.Pinned.stage): ~15 downstream queries plan
       // against a leaf instead of re-printing the discovery DAG per action
-      graft.Pinned.stage(BatchDiscovery.discover(enabledStage(s, d)))
+      graft.Pinned.stage(BatchDiscovery.discoverFromSeg(segStage(s, d)))
     })
   }
 
@@ -186,7 +208,8 @@ object PmQueries {
     "pm_sp_batches" -> ((s, d) => {
       import s.implicits._
       evictOthers(spCache, s, d)
-      spCache.computeIfAbsent((s, d), { _ => BatchDiscovery.discoverFull(enabledStage(s, d)) })
+      spCache.computeIfAbsent((s, d), { _ =>
+        BatchDiscovery.discoverFullFromStages(runsStage(s, d), segStage(s, d)) })
         .select($"event_id", $"case_id", $"activity", $"resource",
           $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
     }),

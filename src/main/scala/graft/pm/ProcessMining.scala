@@ -435,13 +435,25 @@ object BatchDiscovery {
     * distinct-batch grain only (tiny — bounded by #batches, not #events).
     */
   def discover(en: DataFrame, minSize: Int = 2,
-               seqGapUs: Long = PmConfig.SeqGapUs): DataFrame = {
-    import en.sparkSession.implicits._
+               seqGapUs: Long = PmConfig.SeqGapUs): DataFrame =
     // seg feeds three consumers (classify, batchCases->split, the final
     // join-back): persist it so the enabled-time kernel + segmentation
     // windows run once, not three times (visible as repeated case_id /
     // (resource, activity) exchanges in the un-cached plan)
-    val seg = segment(en, seqGapUs).transform(graft.Pinned.track)
+    discoverFromSeg(segment(en, seqGapUs).transform(graft.Pinned.track),
+      minSize)
+
+  /** Task-only discovery over an ALREADY-SEGMENTED event frame. `seg` must
+    * be reusable across its three consumers here (persisted or a checkpoint
+    * leaf — the caller owns that); PmQueries passes the session-memoized
+    * segmentation stage shared with [[discoverFull]], so a suite running
+    * both task and subprocess discovery segments the log ONCE. A `run_no`
+    * column (present when seg came from the shared runs-annotated stage) is
+    * dropped so the output schema matches discover(en)'s exactly. */
+  def discoverFromSeg(seg0: DataFrame, minSize: Int = 2): DataFrame = {
+    val spark = seg0.sparkSession
+    import spark.implicits._
+    val seg = if (seg0.columns.contains("run_no")) seg0.drop("run_no") else seg0
     val types = classify(seg)
     val withSub = split(batchCases(seg))
     val bkeys = withSub
@@ -479,7 +491,31 @@ object BatchDiscovery {
   def discoverFull(en: DataFrame, minSize: Int = 2,
                    seqGapUs: Long = PmConfig.SeqGapUs,
                    debugPart: String = "all"): DataFrame = {
-    import en.sparkSession.implicits._
+    // runsEv feeds both the task-side segmentation and the subprocess-unit
+    // side; without the boundary the whole enabled-time kernel upstream
+    // (K2 sweep + concurrency collect) runs twice. Callers that already
+    // hold the session-memoized runs/seg stages (PmQueries) go through
+    // discoverFullFromStages directly and skip rebuilding them here.
+    val runsEv = graft.Pinned.stage(SubprocessBatches.withRuns(en, seqGapUs))
+    val seg = graft.Pinned.stage(segment(runsEv, seqGapUs))
+    val out = discoverFullFromStages(runsEv, seg, minSize, seqGapUs, debugPart)
+    // locally-built stages are released once the final frame is eager —
+    // unless a debugPart early return still references them (StageProbe
+    // diagnostics only, never a long-lived session)
+    if (debugPart == "all") Seq(runsEv, seg).foreach(graft.Pinned.releaseFrame)
+    out
+  }
+
+  /** [[discoverFull]] over caller-owned runs/segmentation stages. `runsEv`
+    * and `seg` must be reusable leaves (checkpoints); they are NOT released
+    * here — PmQueries owns them via its dataset-switch eviction, so one
+    * session segments the log once for task-only AND subprocess discovery. */
+  def discoverFullFromStages(runsEv: DataFrame, seg: DataFrame,
+                             minSize: Int = 2,
+                             seqGapUs: Long = PmConfig.SeqGapUs,
+                             debugPart: String = "all"): DataFrame = {
+    val spark = runsEv.sparkSession
+    import spark.implicits._
     // STAGE boundaries (lazy localCheckpoint), not persists: the pipeline
     // is ~12 sequential kernels layered 4+ plans deep, and with persist()
     // boundaries every downstream stage re-analyzed/re-codegen'd the whole
@@ -492,11 +528,6 @@ object BatchDiscovery {
     // diagnostics only (StageProbe), never a long-lived session.
     val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
-    // runsEv feeds both the task-side segmentation and the subprocess-unit
-    // side; without the boundary the whole enabled-time kernel upstream
-    // (K2 sweep + concurrency collect) runs twice.
-    val runsEv = SubprocessBatches.withRuns(en, seqGapUs).transform(staged)
-    val seg = segment(runsEv, seqGapUs).transform(staged)
     val types = classify(seg)
 
     // --- subprocess side ---
