@@ -39,7 +39,7 @@ object Features {
         $"start_us", $"end_us", $"enabled_us")
 
     // batch-case grain: C2 struct-min enabled, min start.
-    // bcase/inst/meta/instants are each consumed by 2-6 downstream branches
+    // bcase and instants are each consumed by 3-6 downstream branches
     // (subs, subev, the negative-instant generators, the workload queries,
     // the final join): STAGE boundaries (round 7, the discoverFull
     // treatment) so one action computes each small grain once AND every
@@ -55,13 +55,18 @@ object Features {
       .agg(min(struct($"start_us".as("s"), $"enabled_us".as("e"))).as("m"))
       .select($"batch_id", $"case_id", $"m.s".as("case_start"), $"m.e".as("case_enabled")))
 
-    // instance grain
-    val inst = staged(bcase.groupBy($"batch_id")
+    // instance grain — LAZY (round 8, the discoverFull lesson): inst's
+    // three consumers (pos/neg1/neg2) all sit inside the instants
+    // materialization, and meta's two sit in separate downstream jobs;
+    // both are one cheap aggregate over a staged LEAF (bcase / the disc
+    // input), so re-running them per consumer costs less than two more
+    // eager checkpoint barriers did.
+    val inst = bcase.groupBy($"batch_id")
       .agg(min($"case_start").as("inst_start"),
         min($"case_enabled").as("inst_first_en"),
-        max($"case_enabled").as("inst_last_en")))
-    val meta = staged(bev.groupBy($"batch_id")
-      .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource")))
+        max($"case_enabled").as("inst_last_en"))
+    val meta = bev.groupBy($"batch_id")
+      .agg(first($"batch_type").as("batch_type"), min($"resource").as("resource"))
 
     // instants: src 0 = activate, 1 = ready-interval points, 2 = sampled
     // case enables. kReady equally spaced interior points of
