@@ -191,6 +191,11 @@ object ExtQueries {
           size(expr("filter(toks, x -> x rlike '^[a-z]+$')")).cast("long").as("n_words"))
     }),
 
+    // J4 — BPE merge-rule TRAINING: corpus touched once (word-frequency
+    // shuffle), then 6 merge rounds on the vocabulary grain — pair-count
+    // aggregate, deterministic argmax, greedy run-parity merge windows.
+    "j4_bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d))),
+
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
 
@@ -369,6 +374,37 @@ object ExtQueries {
        |  UNION ALL SELECT doc_b, doc_a FROM jac WHERE j >= ${Dedup.NearDupGroupJaccard}),
        |reach AS (SELECT doc_id AS v, doc_id AS l FROM documents
        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v)""".stripMargin
+
+  /** DuckDB twin of [[TextOps.bpeTrain]], generated with one CTE block per
+    * merge round (the rounds are inherently sequential, so the SQL unrolls
+    * them; the block replicates the run-parity greedy merge windows
+    * verbatim). Shares the round count with the Spark side by construction. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT w, freq, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${r - 1}),
+         |t$r AS (SELECT sym AS ml, nxt AS mr, CAST(sum(freq) AS BIGINT) AS mcnt FROM p$r
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY mcnt DESC, ml, mr LIMIT 1),
+         |k$r AS (SELECT w, freq, pos, sym, nxt,
+         |    CASE WHEN sym = (SELECT ml FROM t$r) AND nxt = (SELECT mr FROM t$r) THEN 1 ELSE 0 END AS m
+         |  FROM p$r),
+         |r$r AS (SELECT *, row_number() OVER (PARTITION BY w ORDER BY pos) AS rn FROM k$r),
+         |x$r AS (SELECT *, max(CASE WHEN m = 0 THEN rn END) OVER (PARTITION BY w ORDER BY rn
+         |    ROWS UNBOUNDED PRECEDING) AS lastu FROM r$r),
+         |y$r AS (SELECT *, (m = 1 AND (rn - coalesce(lastu, 0) - 1) % 2 = 0) AS mrg FROM x$r),
+         |z$r AS (SELECT *, coalesce(lag(mrg) OVER (PARTITION BY w ORDER BY rn), false) AS pmrg FROM y$r),
+         |s$r AS (SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY rn) AS pos,
+         |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym FROM z$r WHERE NOT pmrg)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ml AS left_sym, mr AS right_sym, mcnt AS cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents) u GROUP BY 1),
+       |s0 AS (SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, i, 1) AS sym
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, CAST(strlen(w) AS INT))) AS i) g),
+       |$roundCtes
+       |$sel""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
@@ -1101,6 +1137,8 @@ object ExtQueries {
         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_digit_runs,
         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_words
         |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks FROM documents) z""".stripMargin,
+
+    "j4_bpe_train" -> bpeTrainOracle(6),
 
     "j5_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5,

@@ -7,6 +7,21 @@ import graft.ext.{Dedup, Multimodal, Similarity}
 class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("bpe train: weighted counts, lexicographic ties, greedy aaa overlap") {
+    import spark.implicits._
+    // words: aaa x1, banana x2, band x1. Hand-derived rounds:
+    //  r1 (a,n)=5; r2 (b,an)=3; r3 tie {aa,ana,ban+an}=2 -> (a,a) lexic.;
+    //  greedy on "aaa" gives [aa,a] (NOT [aa,aa]); r4 (an,a)=2;
+    //  r5 (ban,ana)=2; r6 (aa,a)=1 (tie with (ban,d), "aa" < "ban")
+    val docs = Seq((1L, "aaa banana"), (2L, "banana band")).toDF("doc_id", "text")
+    val got = ext.TextOps.bpeTrain(docs, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+      .sortBy(_._1)
+    assert(got == List(
+      (1L, "a", "n", 5L), (2L, "b", "an", 3L), (3L, "a", "a", 2L),
+      (4L, "an", "a", 2L), (5L, "ban", "ana", 2L), (6L, "aa", "a", 1L)))
+  }
+
   test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {
     import spark.implicits._
     val docs = Seq(
