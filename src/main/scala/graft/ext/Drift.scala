@@ -48,4 +48,37 @@ object Drift {
         expr("(ks_num * 1000000) div (n_a * n_b)").as("ks_d_e6"),
         $"at_bucket")
   }
+
+  /** Population Stability Index between the same two binned populations:
+    * PSI = Σ_b (p_A(b) − p_B(b))·ln(p_A(b)/p_B(b)) — the industry-standard
+    * drift score (PSI < 0.1 stable, > 0.25 shifted) complementing the KS
+    * max-deviation view with a mass-weighted total. Empty-bin proportions
+    * are Laplace-smoothed ((c+1)/(n+B), B = bin count) so ln never sees a
+    * zero — deterministic and mirrored in the oracle, no epsilon knob.
+    *
+    * Engine-exactness: each bin's term is one fixed-shape IEEE double
+    * expression rounded to DECIMAL(18,6), then summed exactly (the
+    * idf/lmBits discipline — no float accumulation order to diverge; the
+    * only cross-engine risk is a 1-ulp libm ln() difference at an exact
+    * .5e-7 rounding boundary, the same accepted risk as j4_tfidf's idf).
+    * Same scale posture as [[ksDrift]]: one pass to the bounded bin grain;
+    * the per-bin math is a broadcast-join projection. */
+  def psiDrift(events: DataFrame, groupA: String = GroupA,
+               groupB: String = GroupB): DataFrame = {
+    import events.sparkSession.implicits._
+    val binned = events.filter($"event_type".isin(groupA, groupB))
+      .groupBy(floor($"value").cast("long").as("bucket"))
+      .agg(
+        sum(when($"event_type" === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === groupB, 1L).otherwise(0L)).as("cb"))
+    val totals = binned.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+      count(lit(1)).as("n_bins"))
+    val pa = ($"ca" + 1L).cast("double") / ($"na" + $"n_bins").cast("double")
+    val pb = ($"cb" + 1L).cast("double") / ($"nb" + $"n_bins").cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select($"na", $"nb", $"n_bins",
+        round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)").as("term6"))
+      .groupBy($"na".as("n_a"), $"nb".as("n_b"), $"n_bins")
+      .agg(sum($"term6").cast("double").as("psi"))
+  }
 }

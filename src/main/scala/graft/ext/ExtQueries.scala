@@ -234,6 +234,12 @@ object ExtQueries {
     "j8_drift" -> ((s, d) =>
       Drift.ksDrift(Tables.events(s, d))),
 
+    // J8 — Population Stability Index over the same bin grain: the
+    // mass-weighted drift score next to KS's max-deviation, Laplace
+    // smoothing, decimal-exact term sum.
+    "j8_psi" -> ((s, d) =>
+      Drift.psiDrift(Tables.events(s, d))),
+
     // J6 — DETERMINISTIC sketches: md5-based count-min and HyperLogLog
     // whose cells/registers/estimates hash-match a full DuckDB oracle
     // (unlike Spark's engine-internal approx aggregates in j6_sketch).
@@ -1079,6 +1085,23 @@ object ExtQueries {
          |  bucket AS at_bucket
          |FROM (SELECT *, row_number() OVER (ORDER BY diff DESC, bucket) AS rn FROM d) z
          |WHERE rn = 1""".stripMargin,
+
+    "j8_psi" ->
+      s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events
+         |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),
+         |b AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupA}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupB}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         |  count(*) AS n_bins FROM b),
+         |z AS (SELECT na, nb, n_bins,
+         |    CAST(ca + 1 AS DOUBLE) / CAST(na + n_bins AS DOUBLE) AS pa,
+         |    CAST(cb + 1 AS DOUBLE) / CAST(nb + n_bins AS DOUBLE) AS pb
+         |  FROM b CROSS JOIN t)
+         |SELECT na AS n_a, nb AS n_b, n_bins,
+         |  CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+         |FROM z GROUP BY 1, 2, 3""".stripMargin,
 
     // Deterministic count-min: the full sketch grid and the top-k point
     // queries reproduce bit-for-bit (md5 cells, exact integer counts).

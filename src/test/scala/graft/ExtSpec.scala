@@ -7,6 +7,19 @@ import graft.ext.{Dedup, Multimodal, Similarity}
 class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("psi drift: hand-computed two-bin value, Laplace-smoothed") {
+    import spark.implicits._
+    // bins: 0 -> (ca=1, cb=2), 1 -> (ca=2, cb=0); na=3, nb=2, B=2
+    // pa0=2/5, pb0=3/4: term (0.4-0.75)*ln(0.4/0.75) = 0.220013
+    // pa1=3/5, pb1=1/4: term (0.6-0.25)*ln(2.4)      = 0.306414
+    val events = Seq(
+      ("click", 0.5), ("click", 1.5), ("click", 1.5),
+      ("purchase", 0.5), ("purchase", 0.5)).toDF("event_type", "value")
+    val r = ext.Drift.psiDrift(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
+    assert(r.getDouble(3) == 0.526427)
+  }
+
   test("bpe train: weighted counts, lexicographic ties, greedy aaa overlap") {
     import spark.implicits._
     // words: aaa x1, banana x2, band x1. Hand-derived rounds:
