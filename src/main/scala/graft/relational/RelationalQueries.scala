@@ -358,6 +358,29 @@ object RelationalQueries {
     // the column set; at 100 TB the schema (not the data) should define
     // it. Compiles to one ordinary hash aggregate with pivot-first
     // combine — no extra shuffle vs the long groupBy.
+    // Cx — SESSIONIZATION (30-min inactivity gap): the canonical
+    // event-stream grouping, as a batch op. One window pass per user
+    // (lag -> new-session flag -> running sum), then a session-grain
+    // aggregate — partitioned by user_id, corpus-parallel, the batch twin
+    // of st_session's streaming session window. Total order (ts, event_id)
+    // makes session boundaries deterministic under timestamp ties.
+    "cx_sessions" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"event_id")
+      val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", graft.Det.us($"ts").as("us"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .withColumn("flag", when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum($"flag").over(run))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min($"us").as("start_us"), max($"us").as("end_us"))
+        .select($"user_id", $"session_no", $"n_events", $"start_us", $"end_us",
+          ($"end_us" - $"start_us").as("dur_us"))
+    }),
+
     "cx_pivot" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
@@ -741,6 +764,20 @@ object RelationalQueries {
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "cx_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "cx_pivot" ->
       """SELECT user_id,

@@ -102,6 +102,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("cx_sessions: gap exactly 30min stays in-session, over 30min splits") {
+    val MIN = 60 * SEC
+    val dir = eventsDir(Seq(
+      // user 1: events at 0, +30min (exactly the threshold -> SAME
+      // session; the rule is strict '>'), then +30min+1us -> NEW session
+      (1L, 0L, 1L, "click", 0d),
+      (2L, 30 * MIN, 1L, "view", 0d),
+      (3L, 60 * MIN + 1L, 1L, "view", 0d),
+      // user 2: single event
+      (4L, 5 * SEC, 2L, "click", 0d)))
+    val got = SparkEntry.queries("cx_sessions")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 0L, 30 * MIN, 30 * MIN)),
+      (1L, 2L) -> ((1L, 60 * MIN + 1L, 60 * MIN + 1L, 0L)),
+      (2L, 1L) -> ((1L, 5 * SEC, 5 * SEC, 0L))))
+  }
+
   test("cx_analytics: lag/lead/first/percent_rank/cume_dist, ts tie broken by event_id") {
     val dir = eventsDir(Seq(
       // user 1: two events share ts=10s — order falls back to event_id
