@@ -22,6 +22,19 @@ class PlanSpec extends AnyFunSuite {
       s"schema not pruned to the 3 projected columns:\n$p")
   }
 
+  test("w15 calendar displacement: row-local map pass, zero exchanges") {
+    val p = planOf("w15_calendar")
+    assert(!p.contains("Exchange"), s"calendar displacement must not shuffle:\n$p")
+    // in executedPlan.toString the codegen span shows as the *(n) stage marker
+    assert(p.contains("*(1)"), s"expected whole-stage-codegen marker:\n$p")
+  }
+
+  test("cx_sessions: exactly one exchange (the per-user window shuffle)") {
+    val p = planOf("cx_sessions")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange (user_id reused by window AND agg), got $n:\n$p")
+  }
+
   test("q3: dimension sides broadcast, fact scan filtered at the source") {
     val p = planOf("q3_revenue")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
@@ -204,10 +217,11 @@ class PlanSpec extends AnyFunSuite {
     //                  numerator N)
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
+    //   j8_psi         1-row totals aggregate broadcast (na/nb/n_bins)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
-      "j4_lm_bits", "j4_tfidf")
+      "j4_lm_bits", "j4_tfidf", "j8_psi")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
