@@ -89,6 +89,11 @@ object ExtQueries {
 
     // J7 — snapshot delta detection (CDC merge): added/deleted/changed/
     // unchanged across two crawl snapshots; the re-process-the-delta op.
+    // J7 — per-source order-free fingerprint (bit_xor folds + exact
+    // counts): the snapshot-parity audit; map-side combinable.
+    "j7_checksum" -> ((s, d) =>
+      Pipeline.checksum(Tables.documents(s, d))),
+
     "j7_delta" -> ((s, d) =>
       Pipeline.snapshotDelta(Tables.documents(s, d))),
 
@@ -581,6 +586,13 @@ object ExtQueries {
 
     // presence via side flags + null-safe hash compare, mirroring the op
     // (hash nullness must not read as row absence)
+    "j7_checksum" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_chars,
+        |  bit_xor(doc_id) AS id_sig,
+        |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_sig
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "j7_delta" ->
       """WITH old AS (SELECT doc_id, md5(text) AS old_hash, true AS in_old
         |  FROM documents WHERE doc_id % 10 <> 0),

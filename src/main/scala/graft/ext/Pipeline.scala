@@ -239,4 +239,25 @@ object Pipeline {
         coalesce($"old_hash", lit("")).as("old_hash"),
         coalesce($"new_hash", lit("")).as("new_hash"))
   }
+
+  /** J7 — dataset FINGERPRINT: per-source order-free content checksums,
+    * the cheap parity audit a pipeline runs between stages / snapshots
+    * ("did the copy, repartition, or migration preserve the data?").
+    * Signatures are bit_xor folds of a 60-bit md5 prefix per row —
+    * commutative and associative, so the result is independent of
+    * partitioning and row order, and the aggregate is map-side
+    * combinable: the 100 TB cost is one pass and a |sources|-row
+    * shuffle. XOR parity is intentionally paired with exact n_docs /
+    * n_chars: a doc REPLACED by a twin of another row's hash would
+    * cancel in the xor but move the counts (and vice versa). Not a
+    * cryptographic integrity proof — a drift tripwire. */
+  def checksum(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length($"text")).as("n_chars"),
+      expr("bit_xor(doc_id)").as("id_sig"),
+      expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
+        .as("content_sig"))
+  }
 }

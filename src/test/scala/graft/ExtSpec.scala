@@ -7,6 +7,29 @@ import graft.ext.{Dedup, Multimodal, Similarity}
 class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("checksum: partitioning-invariant; content swap moves content_sig only") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      ext.Pipeline.checksum(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val base = sig(docs)
+    assert(sig(docs.repartition(7)) == base) // order/partitioning free
+    // swap s1's texts between rows: ids and counts identical, and the xor
+    // fold is symmetric, so the per-source signature is unchanged too —
+    // exactly the documented parity limit
+    val swapped = Seq((1L, "beta", "s1"), (2L, "alpha", "s1"), (3L, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(sig(swapped) == base)
+    // replacing content DOES trip the signature
+    val edited = Seq((1L, "alpha!", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    val e = sig(edited)
+    assert(e("s1")._4 != base("s1")._4 && e("s2") == base("s2"))
+  }
+
   test("psi drift: hand-computed two-bin value, Laplace-smoothed") {
     import spark.implicits._
     // bins: 0 -> (ca=1, cb=2), 1 -> (ca=2, cb=0); na=3, nb=2, B=2
