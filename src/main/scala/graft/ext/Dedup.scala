@@ -116,17 +116,33 @@ object Dedup {
     * computed row-locally over the shingle array (no explode, no shuffle —
     * min over a set equals min over the multiset). Docs with no shingles
     * (< 3 tokens) emit no signature, as in the exploded+groupBy form. */
+  /** (doc_id, dshings: array<long>) DISTINCT 60-bit md5 shingle
+    * fingerprints — the Broder-style representation every shingle-set op
+    * here builds on (round 8): the exploded grain shuffles 8-byte longs
+    * instead of ~25-byte strings and every downstream sort/join/intersect
+    * compares integers. ONE definition feeds minhash signatures, the LSH
+    * band grain and the exact-Jaccard verify, and the oracle's `shf` CTE
+    * hashes with the same md5-prefix formula — a drift between copies
+    * would desynchronize an op from the gate. A fingerprint collision
+    * merges two shingles (P of ANY collision < 2^-19 at 2M distinct
+    * shingles corpus-wide), identically on both engines.
+    *
+    * The token-count pre-filter (vs size(shings) > 0 after the fact):
+    * the post-filter's predicate gets the whole shingle build substituted
+    * into it on pushdown (evaluated once more per row, interpreted); the
+    * token-count form is an equivalent plain-expression predicate that
+    * stays in whole-stage codegen at the scan. */
+  private[ext] def shingleFpArrays(docs: DataFrame): DataFrame =
+    shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(shings, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))")
+        .as("dshings"))
+
   def minhash(docs: DataFrame, nHashes: Int = Bands * RowsPerBand): DataFrame = {
     import docs.sparkSession.implicits._
     val cols = (0 until nHashes).map(s =>
-      array_min(transform($"shings", x => md5Hash32(s, x))).as(s"h$s"))
-    // pre-filter on token count instead of size(shings) > 0 after the fact:
-    // the post-filter's predicate gets the whole shingle build substituted
-    // into it on pushdown (evaluated once more per row, interpreted); the
-    // token-count form is an equivalent plain-expression predicate that
-    // stays in whole-stage codegen at the scan
-    shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
-      .select(($"doc_id" +: cols): _*)
+      array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
+    shingleFpArrays(docs).select(($"doc_id" +: cols): _*)
   }
 
   /** Distinct shingle sets + exploded (band, sig) signature rows — the
@@ -156,9 +172,7 @@ object Dedup {
   private def shingleBands(docs: DataFrame, bands: Int,
                            rows: Int): (DataFrame, DataFrame) = {
     import docs.sparkSession.implicits._
-    val sa = graft.Pinned.track(
-      shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
-        .select($"doc_id", array_distinct($"shings").as("dshings")))
+    val sa = graft.Pinned.track(shingleFpArrays(docs))
     val sigCols = (0 until bands * rows).map(s =>
       array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
     val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
@@ -428,10 +442,14 @@ object Dedup {
 
   /** EXACT n-gram Jaccard similarity join (AllPairs/PPJoin prefix filter —
     * Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): all document pairs
-    * with Jaccard(distinct 3-gram shingle sets) >= `t`. The candidate
-    * machinery (prefix filter, length filter) introduces NO false
-    * negatives — unlike [[nearDupPairs]]' probabilistic LSH path — with
-    * ONE documented exception: the `bucketCap` guard. A prefix-shingle
+    * with Jaccard(distinct 3-gram shingle sets) >= `t`, where shingle sets
+    * are represented as 60-bit md5 fingerprints (the standard Broder
+    * representation; a fingerprint collision merges two shingles — P of
+    * ANY collision < 2^-19 at 2M distinct shingles corpus-wide, and the
+    * oracle hashes identically so the gate still matches bit-for-bit).
+    * The candidate machinery (prefix filter, length filter) introduces NO
+    * false negatives — unlike [[nearDupPairs]]' probabilistic LSH path —
+    * with ONE documented exception: the `bucketCap` guard. A prefix-shingle
     * bucket holding more than `bucketCap` docs is dropped (the quadratic-
     * blowup guard), and pairs whose EVERY shared prefix shingle sits in a
     * dropped bucket are lost. J1 exact dedup recovers only the identical-
@@ -461,9 +479,7 @@ object Dedup {
   def jaccardNgramPairs(docs: DataFrame, t: Double = JaccardJoinThreshold,
                         bucketCap: Int = BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
-    val sa = graft.Pinned.track(
-      shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
-        .select($"doc_id", array_distinct($"shings").as("dshings")))
+    val sa = graft.Pinned.track(shingleFpArrays(docs))
     val ds = sa.select($"doc_id", explode($"dshings").as("shingle"))
     val sizes = sa.select($"doc_id", size($"dshings").as("n"))
     val freq = ds.groupBy($"shingle").agg(count(lit(1)).as("cnt"))

@@ -328,8 +328,12 @@ object ExtQueries {
   // Scala operators use (Dedup.Bands/RowsPerBand/BucketCap, Similarity.N*)
   // so a config change cannot silently desync the oracle.
   private val nMinhashes = Dedup.Bands * Dedup.RowsPerBand
+  // minhash runs over the 60-bit shingle FINGERPRINTS (shf), matching the
+  // Spark side's Broder-style representation; the seed-hash input is the
+  // fingerprint's decimal string (Spark's long->string cast == DuckDB's
+  // CAST(BIGINT AS VARCHAR))
   private val mhSelects = (0 until nMinhashes).map(s =>
-    s"    min(('0x' || substr(md5('$s:' || shingle), 1, 8))::BIGINT) AS h$s").mkString(",\n")
+    s"    min(('0x' || substr(md5('$s:' || CAST(fp AS VARCHAR)), 1, 8))::BIGINT) AS h$s").mkString(",\n")
   private val shCtes =
     s"""toks AS (
       |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
@@ -341,10 +345,11 @@ object ExtQueries {
       |  WHERE shingle IS NOT NULL)""".stripMargin
   private val tokCtes =
     s"""$shCtes,
+      |shf AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS fp FROM sh),
       |mh AS (
       |  SELECT doc_id,
       |$mhSelects
-      |  FROM sh GROUP BY 1)""".stripMargin
+      |  FROM shf GROUP BY 1)""".stripMargin
 
   // per-band candidate CTEs mirroring Dedup.nearDupPairs: bucket gate
   // (2..cap members) then equi-join within the band
@@ -431,7 +436,7 @@ object ExtQueries {
       s"""WITH $tokCtes,
          |$bandCtes,
          |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
          |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
          |  JOIN ds x ON x.doc_id = c.doc_a
@@ -466,7 +471,7 @@ object ExtQueries {
          |corp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
          |$bandCands,
          |cand AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
          |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
          |inter AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM cand c
          |  JOIN ds x ON x.doc_id = c.doc_n
@@ -496,7 +501,8 @@ object ExtQueries {
     // gate, exact Jaccard verify on the unrounded ratio).
     "j2_jaccard_ngram" ->
       s"""WITH $shCtes,
-         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |ds AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
          |freq AS (SELECT shingle, count(*) AS cnt FROM ds GROUP BY 1),
          |pre AS (SELECT doc_id, shingle FROM (
