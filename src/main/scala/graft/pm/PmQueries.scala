@@ -58,14 +58,10 @@ object PmQueries {
     * so ONE segmentation pass serves both task-only discovery (disc) and
     * subprocess discovery (pm_sp_batches); before round 8 each ran its own
     * event-grain window chain over the same log. */
-  private val runsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[graft] def runsStage(s: SparkSession, d: String): DataFrame = {
-    evictOthers(runsCache, s, d)
-    runsCache.computeIfAbsent((s, d), { _ =>
-      graft.Pinned.stage(SubprocessBatches.withRuns(enabledStage(s, d)))
-    })
-  }
+  private[graft] def runsStage(s: SparkSession, d: String): DataFrame =
+    // the K2 sweep emits run_no itself (round 8: EvEnR) — the runs stage
+    // IS the enabled stage, no second event-grain window + checkpoint
+    enabledStage(s, d)
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def segStage(s: SparkSession, d: String): DataFrame = {

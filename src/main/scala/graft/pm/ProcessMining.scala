@@ -13,6 +13,14 @@ case class Ev(event_id: Long, case_id: Long, activity: String, resource: String,
 case class EvEn(event_id: Long, case_id: Long, activity: String, resource: String,
                 start_us: Long, end_us: Long, enabled_us: Long)
 
+/** [[EvEn]] plus the within-case same-resource contiguous run index
+  * ([[SubprocessBatches.withRuns]] semantics, computed inside the same K2
+  * sweep — the events are already (start, end, id)-sorted per case there,
+  * so the run index costs three comparisons per event instead of a second
+  * event-grain window pass + checkpoint downstream). */
+case class EvEnR(event_id: Long, case_id: Long, activity: String, resource: String,
+                 start_us: Long, end_us: Long, enabled_us: Long, run_no: Long)
+
 /** Batch-case grain row used by the wrong-enabled split (SURVEY W4). */
 case class BatchCase(resource: String, activity: String, seg_no: Long, case_id: Long,
                      case_start: Long, case_enabled: Long, case_end: Long)
@@ -222,11 +230,12 @@ object EnabledTime {
     }.toSet
   }
 
-  /** Adds `enabled_us`. One shuffle on case_id; per-case time-ordered sweep
+  /** Adds `enabled_us` and `run_no`. One shuffle on case_id; per-case time-ordered sweep
     * keeps a last-completed-end per activity (O(n·A) per case). */
   def withEnabled(log: DataFrame,
                   depThreshold: Double = DependencyThreshold,
-                  l2lThreshold: Option[Double] = None): DataFrame = {
+                  l2lThreshold: Option[Double] = None,
+                  runGapUs: Long = PmConfig.SeqGapUs): DataFrame = {
     val spark = log.sparkSession
     import spark.implicits._
     val conc: Set[(String, String)] = concurrencySet(log, depThreshold, l2lThreshold)
@@ -239,10 +248,20 @@ object EnabledTime {
         val byEnd = evs.sortBy(e => (e.end_us, e.event_id))
         val lastEnd = scala.collection.mutable.HashMap.empty[String, Long]
         var j = 0
-        val out = new Array[EvEn](evs.length)
+        val out = new Array[EvEnR](evs.length)
+        var prevRes: String = null
+        var prevEnd = 0L
+        var runNo = 0L
         var i = 0
         while (i < evs.length) {
           val e = evs(i)
+          // run_no: same order and same rule as SubprocessBatches.withRuns
+          // (new run on first event, resource change, or gap beyond
+          // within_case_seq_tolerated_gap)
+          if (prevRes == null || prevRes != e.resource || e.start_us > prevEnd + runGapUs)
+            runNo += 1
+          prevRes = e.resource
+          prevEnd = e.end_us
           // accrue predecessors that ended STRICTLY before this start; the
           // end == start boundary is handled per-event below so the event
           // itself (zero-duration: own end == own start) never qualifies
@@ -270,7 +289,8 @@ object EnabledTime {
             if (found) best = e.start_us
           }
           val enb = if (best == Long.MinValue) caseStart else best
-          out(i) = EvEn(e.event_id, e.case_id, e.activity, e.resource, e.start_us, e.end_us, enb)
+          out(i) = EvEnR(e.event_id, e.case_id, e.activity, e.resource,
+            e.start_us, e.end_us, enb, runNo)
           i += 1
         }
         out.iterator

@@ -258,6 +258,24 @@ class PmKernelSpec extends AnyFunSuite {
     assert(ann == Set(("E", "F", 9L, 1L), ("F", "E", 9L, 1L)))
   }
 
+  test("K2 kernel run_no equals the withRuns window on a mixed log") {
+    // crafted to exercise all three new-run triggers: first event, resource
+    // change, and a time gap — plus a seamless same-resource continuation
+    val log = Seq(
+      (1L, 1L, "A", "r1", 0L, 10L),
+      (2L, 1L, "B", "r1", 10L, 20L),  // contiguous same-resource: same run
+      (3L, 1L, "C", "r2", 20L, 30L),  // resource change: new run
+      (4L, 1L, "D", "r2", 40L, 50L),  // gap > 0: new run
+      (5L, 2L, "A", "r1", 5L, 6L))    // other case restarts at run 1
+      .toDF("event_id", "case_id", "activity", "resource", "start_us", "end_us")
+    val en = EnabledTime.withEnabled(log)
+    val kernel = en.select($"event_id", $"run_no").as[(Long, Long)].collect().toMap
+    val window = graft.pm.SubprocessBatches.withRuns(en.drop("run_no"))
+      .select($"event_id", $"run_no").as[(Long, Long)].collect().toMap
+    assert(kernel == window)
+    assert(kernel == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+  }
+
   test("K3 sweep line matches hand computation") {
     val d = Seq(
       (1L, 1L, java.lang.Long.valueOf(1L), 0L, 10L, 20L),
