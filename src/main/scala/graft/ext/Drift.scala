@@ -81,4 +81,36 @@ object Drift {
       .groupBy($"na".as("n_a"), $"nb".as("n_b"), $"n_bins")
       .agg(sum($"term6").cast("double").as("psi"))
   }
+
+  /** Drift TIME SERIES: per-day PSI of one event type's value distribution
+    * against the whole-corpus reference distribution of the same type —
+    * the drift-dashboard query ("which ingest days deviate?"). Every day
+    * value is by construction inside the corpus, so the reference's bucket
+    * set IS the bin universe; the (day x bucket) grid (bounded:
+    * time-range x value-range, independent of row count) is generated
+    * explicitly so days missing a reference bucket still contribute that
+    * bucket's term. Same smoothing + decimal-exact sum as [[psiDrift]].
+    * Scale: one pass to the (day, bucket) grain, a broadcastable
+    * reference, and a bounded grid join. */
+  def psiSeries(events: DataFrame, group: String = GroupA): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.filter($"event_type" === group)
+      .select(graft.Det.dayI($"ts").as("day_i"),
+        floor($"value").cast("long").as("bucket"))
+    val ref = e.groupBy($"bucket").agg(count(lit(1)).as("cr"))
+    val refTot = ref.agg(sum($"cr").as("nr"), count(lit(1)).as("n_bins"))
+    val day = e.groupBy($"day_i", $"bucket").agg(count(lit(1)).as("cd"))
+    val dayTot = day.groupBy($"day_i").agg(sum($"cd").as("nd"))
+    val grid = dayTot.crossJoin(broadcast(ref))
+      .join(day, Seq("day_i", "bucket"), "left")
+      .na.fill(0L, Seq("cd"))
+      .crossJoin(broadcast(refTot))
+    val pd = ($"cd" + 1L).cast("double") / ($"nd" + $"n_bins").cast("double")
+    val pr = ($"cr" + 1L).cast("double") / ($"nr" + $"n_bins").cast("double")
+    grid
+      .select($"day_i", $"nd",
+        round((pd - pr) * log(pd / pr), 6).cast("decimal(18,6)").as("term6"))
+      .groupBy($"day_i".as("day_i"), $"nd".as("n_day"))
+      .agg(sum($"term6").cast("double").as("psi"))
+  }
 }

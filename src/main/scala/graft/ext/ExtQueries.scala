@@ -245,6 +245,11 @@ object ExtQueries {
     "j8_psi" -> ((s, d) =>
       Drift.psiDrift(Tables.events(s, d))),
 
+    // J8 — per-day PSI vs the corpus reference distribution: the drift
+    // dashboard ("which ingest days deviate?"); bounded day x bucket grid.
+    "j8_psi_series" -> ((s, d) =>
+      Drift.psiSeries(Tables.events(s, d))),
+
     // J6 — DETERMINISTIC sketches: md5-based count-min and HyperLogLog
     // whose cells/registers/estimates hash-match a full DuckDB oracle
     // (unlike Spark's engine-internal approx aggregates in j6_sketch).
@@ -1121,7 +1126,26 @@ object ExtQueries {
          |  CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
          |FROM z GROUP BY 1, 2, 3""".stripMargin,
 
-    // Deterministic count-min: the full sketch grid and the top-k point
+"j8_psi_series" ->
+      s"""WITH e AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+         |    CAST(floor(value) AS BIGINT) AS bucket
+         |  FROM events WHERE event_type = '${Drift.GroupA}'),
+         |ref AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM e GROUP BY 1),
+         |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, count(*) AS n_bins FROM ref),
+         |day AS (SELECT day_i, bucket, CAST(count(*) AS BIGINT) AS cd FROM e GROUP BY 1, 2),
+         |dt AS (SELECT day_i, CAST(sum(cd) AS BIGINT) AS nd FROM day GROUP BY 1),
+         |grid AS (SELECT d.day_i, d.nd, r.bucket, r.cr, coalesce(y.cd, 0) AS cd
+         |  FROM dt d CROSS JOIN ref r
+         |  LEFT JOIN day y ON y.day_i = d.day_i AND y.bucket = r.bucket),
+         |z AS (SELECT day_i, nd,
+         |    CAST(cd + 1 AS DOUBLE) / CAST(nd + t.n_bins AS DOUBLE) AS pd,
+         |    CAST(cr + 1 AS DOUBLE) / CAST(nr + t.n_bins AS DOUBLE) AS pr
+         |  FROM grid CROSS JOIN rt t)
+         |SELECT day_i, nd AS n_day,
+         |  CAST(sum(CAST(round((pd - pr) * ln(pd / pr), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+         |FROM z GROUP BY 1, 2""".stripMargin,
+
+        // Deterministic count-min: the full sketch grid and the top-k point
     // queries reproduce bit-for-bit (md5 cells, exact integer counts).
     "j6_cms" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

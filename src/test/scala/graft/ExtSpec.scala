@@ -43,6 +43,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.526427)
   }
 
+  test("psi series: a day missing a reference bucket still pays that term") {
+    import spark.implicits._
+    val DAY = 86400000000L
+    // day0: buckets {0,1}; day1: bucket {0} only. ref: {0:2, 1:1}, B=2.
+    // day0 psi = 0.018232 + 0.022314 = 0.040546
+    // day1 psi = 0.007024 + 0.012155 = 0.019179 (second term is the
+    // missing bucket's — the grid join must generate it)
+    val events = Seq((0L, 0.5), (1L, 1.5), (DAY, 0.5))
+      .toDF("us", "value")
+      .withColumn("ts", expr("cast(timestamp_micros(us) as timestamp_ntz)"))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+    val got = ext.Drift.psiSeries(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(0L -> ((2L, 0.040546)), 1L -> ((1L, 0.019179))))
+  }
+
   test("bpe train: weighted counts, lexicographic ties, greedy aaa overlap") {
     import spark.implicits._
     // words: aaa x1, banana x2, band x1. Hand-derived rounds:
