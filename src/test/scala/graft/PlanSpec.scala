@@ -218,10 +218,12 @@ class PlanSpec extends AnyFunSuite {
     // Anything new joining without keys must either broadcast a provably
     // bounded frame and be added here with its bound, or be rewritten.
     //   j8_psi         1-row totals aggregate broadcast (na/nb/n_bins)
+    //   j8_psi_series  reference-bin broadcast (bounded by value range,
+    //                  row-count-independent) + 1-row totals
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
-      "j4_lm_bits", "j4_tfidf", "j8_psi")
+      "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
