@@ -242,6 +242,11 @@ object ExtQueries {
     // J8 — Population Stability Index over the same bin grain: the
     // mass-weighted drift score next to KS's max-deviation, Laplace
     // smoothing, decimal-exact term sum.
+    // J3 — per-language embedding outliers: centroid + exact integer
+    // distance (LongDot identity), deterministic top-16 per group.
+    "j3_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d), Tables.documents(s, d))),
+
     "j8_psi" -> ((s, d) =>
       Drift.psiDrift(Tables.events(s, d))),
 
@@ -1109,7 +1114,25 @@ object ExtQueries {
          |FROM (SELECT *, row_number() OVER (ORDER BY diff DESC, bucket) AS rn FROM d) z
          |WHERE rn = 1""".stripMargin,
 
-    "j8_psi" ->
+"j3_outliers" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+        |ql AS (SELECT qe.vec_id, qe.i, qe.q, lg.lang FROM qe JOIN lg ON lg.vec_id = qe.vec_id),
+        |cent AS (SELECT lang, i,
+        |    CAST(round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM ql GROUP BY 1, 2),
+        |d AS (SELECT ql.vec_id, ql.lang,
+        |    CAST(sum((ql.q - cent.c) * (ql.q - cent.c)) AS BIGINT) AS dist2
+        |  FROM ql JOIN cent ON cent.lang = ql.lang AND cent.i = ql.i
+        |  GROUP BY 1, 2)
+        |SELECT vec_id AS doc_id, lang, dist2, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dist2 DESC, vec_id) AS rn
+        |  FROM d) z
+        |WHERE rn <= ${Similarity.OutlierK}""".stripMargin,
+
+        "j8_psi" ->
       s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events
          |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),
          |b AS (SELECT bucket,

@@ -458,4 +458,43 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"qid", $"vid", $"cos_sim_e6", $"rank")
   }
+
+  /** Top outliers per [[centroidOutliers]] group. */
+  val OutlierK = 16
+
+  /** J3 — embedding-space OUTLIER detection per language group (the
+    * curation filter that drops far-from-centroid documents before
+    * training): per-lang centroid of the quantized embeddings, exact
+    * integer squared distance of every member to its group centroid via
+    * the dot-product identity |q − c|² = q·q − 2·q·c + c·c (all three
+    * terms through the codegen'd [[graft.functions.LongDot]] — no
+    * per-dimension shuffle on the doc grain), deterministic top-K per
+    * group. The centroid component is the HALF-UP-rounded integer mean
+    * (round(S_d / n)) — identical in DuckDB, and keeping the centroid
+    * integral keeps the whole distance exact in 64-bit (diffs ≤ ~2e6,
+    * 64-dim sum ≤ ~2.6e14).
+    *
+    * Scale: the exploded pass exists only to build the centroid — its
+    * output is |groups| × dims (bounded, map-side combinable); the
+    * doc-grain pass is a broadcast join + row-local LongDot; the only
+    * per-group sort is the top-K window (corpus-parallel across groups).
+    */
+  def centroidOutliers(emb: DataFrame, docs: DataFrame,
+                       k: Int = OutlierK): DataFrame = {
+    import emb.sparkSession.implicits._
+    val lang = docs.select($"doc_id".as("vec_id"), $"lang")
+    val cent = quantized(emb).join(lang, Seq("vec_id"))
+      .groupBy($"lang", $"i").agg(sum($"q").as("s"), count(lit(1)).as("n"))
+    val centArr = cent.groupBy($"lang").agg(
+      expr("transform(array_sort(collect_list(struct(i, " +
+        "CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS c))), x -> x.c)").as("cv"))
+      .withColumn("ncv", idot($"cv", $"cv"))
+    base(emb).join(lang, Seq("vec_id"))
+      .join(broadcast(centArr), Seq("lang"))
+      .select($"vec_id".as("doc_id"), $"lang",
+        ($"nq" - lit(2L) * idot($"qv", $"cv") + $"ncv").as("dist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy($"dist2".desc, $"doc_id")).cast("long"))
+      .filter($"rank" <= k)
+  }
 }

@@ -30,6 +30,25 @@ class ExtSpec extends AnyFunSuite {
     assert(e("s1")._4 != base("s1")._4 && e("s2") == base("s2"))
   }
 
+  test("centroid outliers: exact integer distances to the rounded group mean") {
+    import spark.implicits._
+    // en centroid: mean of (1e6,0),(0,1e6),(1e6,1e6) = (666666.67, 666666.67)
+    // -> rounded (666667, 666667); dist docs 1,2 = 333333^2 + 666667^2 =
+    // 555555777778; doc 3 = 2 * 333333^2 = 222221777778. de is a singleton.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)),
+      (4L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de")).toDF("doc_id", "lang")
+    val got = ext.Similarity.centroidOutliers(emb, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("dist2"), r.getAs[Long]("rank")))).toMap
+    assert(got == Map(
+      1L -> (("en", 555555777778L, 1L)),
+      2L -> (("en", 555555777778L, 2L)),
+      3L -> (("en", 222221777778L, 3L)),
+      4L -> (("de", 0L, 1L))))
+  }
+
   test("psi drift: hand-computed two-bin value, Laplace-smoothed") {
     import spark.implicits._
     // bins: 0 -> (ca=1, cb=2), 1 -> (ca=2, cb=0); na=3, nb=2, B=2
