@@ -73,6 +73,28 @@ object Calendar {
       displacedUs(log("start_us"), c, dowPred, targetDow))
   }
 
+  /** Business micros elapsed from the epoch to `us` under a Mon-Fri
+    * 08:00-17:00 working calendar — the closed-form scan that turns
+    * wall-clock waiting times into WORKING-time waiting times (business
+    * durations are differences of this transform: monotone, so
+    * biz(b) - biz(a) is the working time inside [a, b]). Entirely
+    * row-local integer arithmetic over built-ins: full working days are
+    * counted with the epoch-week closed form (epoch day 0 = Thursday, so
+    * each 7-day block [7m, 7m+7) contributes weekday-prefix counts
+    * [0,1,2,2,2,3,4] at offsets 0..6), plus the clamped time-of-day
+    * contribution on weekdays. */
+  def businessUs(us: Column): Column = {
+    val day = intDiv(us, DayUs)
+    val r = pmod(day, lit(7L))
+    val weekdaysBefore = intDiv(day, 7L) * 5L +
+      when(r === 0, 0L).when(r === 1, 1L).when(r === 2, 2L).when(r === 3, 2L)
+        .when(r === 4, 2L).when(r === 5, 3L).otherwise(4L)
+    val within = least(greatest(pmod(us, lit(DayUs)), lit(8L * HourUs)),
+      lit(17L * HourUs)) - lit(8L * HourUs)
+    weekdaysBefore * (9L * HourUs) + when(dowMon0(us) <= 4, within).otherwise(0L)
+  }
+
+
   /** The composed reference op (handoff_batch.py:110-136): Loan Officers
     * don't work Thu-Sun (dow > 2) — displace toward Sunday (net: next
     * Monday 09:00 for working-hours starts); Senior Officers don't work

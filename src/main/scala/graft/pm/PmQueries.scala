@@ -194,6 +194,20 @@ object PmQueries {
       base.select($"event_id", $"event_type", $"us", afterBoth.as("new_us"))
     }),
 
+    // W16 — business-hours time arithmetic: biz(us) = working micros
+    // since epoch under Mon-Fri 08:00-17:00; per-user gap to the previous
+    // event in WORKING time (differences of the monotone transform).
+    // Row-local closed form + one per-user window.
+    "w16_biztime" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", Det.us($"ts").as("us"))
+        .withColumn("biz_us", Calendar.businessUs($"us"))
+        .withColumn("gap_biz_us", $"biz_us" - lag($"biz_us", 1).over(w))
+        .select($"event_id", $"user_id", $"biz_us", $"gap_biz_us")
+    }),
+
     // Full discovery INCLUDING case-based (subprocess) batches — the
     // reference's complete pass order with the nullification path.
     // discoverFull returns an EAGERLY staged frame (round-7: stage
@@ -695,7 +709,23 @@ object PmQueries {
         |    ELSE us END AS new_us
         |FROM s""".stripMargin,
 
-    "w13_ntile" ->
+"w16_biztime" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT event_id, user_id, us,
+        |    ((us // 86400000000) // 7) * 5 + CASE ((us // 86400000000) % 7)
+        |      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2
+        |      WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END AS fulldays,
+        |    least(greatest(us % 86400000000, 28800000000), 61200000000) - 28800000000 AS within,
+        |    ((us // 86400000000) + 3) % 7 AS dow
+        |  FROM e),
+        |z AS (SELECT event_id, user_id, us,
+        |    fulldays * 32400000000 + CASE WHEN dow <= 4 THEN within ELSE 0 END AS biz_us
+        |  FROM b)
+        |SELECT event_id, user_id, biz_us,
+        |  biz_us - lag(biz_us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_biz_us
+        |FROM z""".stripMargin,
+
+        "w13_ntile" ->
       """SELECT tile, count(*) AS n,
         |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM (SELECT o_totalprice, ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders) z

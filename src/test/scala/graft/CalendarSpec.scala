@@ -67,6 +67,23 @@ class CalendarSpec extends AnyFunSuite {
     assert(out == Map(1L -> tue, 2L -> sat, 3L -> fri))
   }
 
+  test("businessUs: Fri 16:00 -> Mon 10:00 is 3 working hours; weekends add zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fri16 = mon0 + 4 * DAY + 16 * HOUR
+    val sat12 = mon0 + 5 * DAY + 12 * HOUR
+    val sun23 = mon0 + 6 * DAY + 23 * HOUR
+    val mon10 = mon0 + 7 * DAY + 10 * HOUR
+    val fri17 = mon0 + 4 * DAY + 17 * HOUR
+    val mon7 = mon0 + 7 * DAY + 7 * HOUR // before opening: same as Fri 17:00
+    val got = Seq(fri16, fri17, sat12, sun23, mon7, mon10).toDF("us")
+      .select(Calendar.businessUs(col("us"))).collect().map(_.getLong(0)).toSeq
+    val Seq(bF16, bF17, bSat, bSun, bM7, bM10) = got
+    assert(bM10 - bF16 == 3 * HOUR) // Fri 16-17 + Mon 8-10
+    assert(bSat == bF17 && bSun == bF17 && bM7 == bF17) // closed time is flat
+    assert(bF17 - bF16 == 1 * HOUR)
+  }
+
   test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
