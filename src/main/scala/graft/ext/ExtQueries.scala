@@ -204,6 +204,11 @@ object ExtQueries {
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
 
+    // J5 — AUDIO: PCM16-LE synthesize -> byte-exact decode-back ->
+    // windowed energy; oracle computes from the closed form, so any
+    // endianness/sign/offset defect in the binary path breaks the hash.
+    "j5_audio" -> ((s, d) => Multimodal.audioEnergy(Tables.documents(s, d))),
+
     // J5 — video-style strided frame sampling (explode shape + per-frame
     // feature join surface; decode stubbed).
     "j5_frames" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -1228,7 +1233,18 @@ object ExtQueries {
 
     "j4_bpe_train" -> bpeTrainOracle(6),
 
-    "j5_multimodal" ->
+"j5_audio" ->
+      s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i, (doc_id * 31 + i * 17) % 65536 AS raw
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i) g),
+        |v AS (SELECT doc_id, n, i // ${Multimodal.AudioWindow} AS window_idx,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        |  FROM sm)
+        |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
+        "j5_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5,
         |  ('0x' || substr(md5(text), 1, 4))::BIGINT AS stub_feature
         |FROM documents""".stripMargin,

@@ -208,4 +208,43 @@ object Multimodal {
       }
     }.toDF("doc_id", "pool_y", "pool_x", "pooled")
   }
+
+  /** Samples per energy window for [[audioEnergy]]. */
+  val AudioWindow = 64
+
+  /** AUDIO plumbing with a REAL binary round trip: synthesize a PCM16-LE
+    * payload whose samples are a closed form of doc_id (the codec stub —
+    * this runtime ships no audio libs), then decode the BYTES back
+    * (substring + hex little-endian reassembly with two's-complement sign
+    * handling, all built-in expressions) and reduce to windowed energy
+    * (sum of squared samples per [[AudioWindow]]-sample window — the RMS
+    * numerator every VAD / silence-trim / loudness-normalize stage
+    * computes). The oracle computes the same windows straight from the
+    * closed form WITHOUT touching bytes, so an endianness, sign, or
+    * offset defect in the encode/decode path breaks the hash — the same
+    * stub-the-codec / keep-the-plumbing-real discipline as the PNG path.
+    * Row-local end to end: zero shuffles, payload grain never leaves its
+    * row. */
+  def audioEnergy(docs: DataFrame, window: Int = AudioWindow): DataFrame = {
+    import docs.sparkSession.implicits._
+    val enc = docs
+      .select($"doc_id", ((pmod($"doc_id", lit(4L)) + 1L) * window).as("n"))
+      .withColumn("payload", unhex(expr(
+        s"""concat_ws('', transform(sequence(0L, n - 1), i -> concat(
+           |  lpad(hex(pmod(doc_id * 31 + i * 17, 65536) % 256), 2, '0'),
+           |  lpad(hex(pmod(doc_id * 31 + i * 17, 65536) div 256), 2, '0'))))""".stripMargin)))
+    enc
+      .select($"doc_id", $"n", $"payload",
+        explode(expr(s"sequence(0L, n div $window - 1)")).as("window_idx"))
+      .withColumn("energy", expr(
+        s"""aggregate(
+           |  transform(sequence(0, $window - 1), k ->
+           |    CAST(conv(hex(substring(payload, CAST(2 * (window_idx * $window + k) + 1 AS INT), 1)), 16, 10) AS BIGINT)
+           |    + 256 * CAST(conv(hex(substring(payload, CAST(2 * (window_idx * $window + k) + 2 AS INT), 1)), 16, 10) AS BIGINT)),
+           |  CAST(0 AS BIGINT),
+           |  (acc, r) -> acc + (CASE WHEN r >= 32768 THEN r - 65536 ELSE r END)
+           |            * (CASE WHEN r >= 32768 THEN r - 65536 ELSE r END))""".stripMargin))
+      .select($"doc_id", $"window_idx".cast("long").as("window_idx"),
+        $"n".as("n_samples"), $"energy")
+  }
 }

@@ -7,6 +7,29 @@ import graft.ext.{Dedup, Multimodal, Similarity}
 class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("audio energy: byte round-trip matches plain-Scala PCM16 windows incl. sign") {
+    import spark.implicits._
+    // doc 2000 starts at raw 62000 >= 32768 — exercises the two's-complement
+    // branch; docs 0/1 cover 1 and 2 windows
+    val docs = Seq((0L, "x"), (1L, "x"), (2000L, "x")).toDF("doc_id", "text")
+    val got = ext.Multimodal.audioEnergy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val W = ext.Multimodal.AudioWindow
+    val expected = Seq(0L, 1L, 2000L).flatMap { doc =>
+      val n = ((doc % 4) + 1).toInt * W
+      (0 until n).map { i =>
+        val raw = (doc * 31 + i * 17) % 65536
+        val s = if (raw >= 32768) raw - 65536 else raw
+        (i / W, s * s)
+      }.groupBy(_._1).map { case (w, xs) =>
+        (doc, w.toLong) -> ((n.toLong, xs.map(_._2).sum))
+      }
+    }.toMap
+    assert(got == expected)
+    // spot-check a hand value: doc 0 window 0 = 289 * sum(i^2, 0..63)
+    assert(got((0L, 0L))._2 == 289L * 85344L)
+  }
+
   test("checksum: partitioning-invariant; content swap moves content_sig only") {
     import spark.implicits._
     val docs = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
