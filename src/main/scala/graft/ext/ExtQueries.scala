@@ -196,6 +196,10 @@ object ExtQueries {
           size(expr("filter(toks, x -> x rlike '^[a-z]+$')")).cast("long").as("n_words"))
     }),
 
+    // J4 — TextRank keyword extraction: integer-exact weighted PageRank
+    // over the token co-occurrence graph, 5 iterations, top-20.
+    "j4_textrank" -> ((s, d) => TextOps.textRank(Tables.documents(s, d))),
+
     // J4 — BPE merge-rule TRAINING: corpus touched once (word-frequency
     // shuffle), then 6 merge rounds on the vocabulary grain — pair-count
     // aggregate, deterministic argmax, greedy run-parity merge windows.
@@ -1231,7 +1235,32 @@ object ExtQueries {
         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_words
         |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks FROM documents) z""".stripMargin,
 
-    "j4_bpe_train" -> bpeTrainOracle(6),
+"j4_textrank" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+        |adj AS (SELECT doc_id, tok AS u, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS v FROM toks),
+        |adj2 AS (SELECT u, v FROM adj WHERE v IS NOT NULL AND v <> u),
+        |edges AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+        |    SELECT u, v FROM adj2 UNION ALL SELECT v AS u, u AS v FROM adj2) q GROUP BY 1, 2),
+        |ws AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY 1),
+        |e2 AS (SELECT e.u, e.v, e.w, s.wu FROM edges e JOIN ws s ON s.u = e.u),
+        |r0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS r FROM ws),
+        |r1 AS (SELECT e2.v, CAST(150000 + sum((((e2.w * r0.r) // e2.wu) * 17) // 20) AS BIGINT) AS r
+        |  FROM e2 JOIN r0 ON r0.v = e2.u GROUP BY 1),
+        |r2 AS (SELECT e2.v, CAST(150000 + sum((((e2.w * r1.r) // e2.wu) * 17) // 20) AS BIGINT) AS r
+        |  FROM e2 JOIN r1 ON r1.v = e2.u GROUP BY 1),
+        |r3 AS (SELECT e2.v, CAST(150000 + sum((((e2.w * r2.r) // e2.wu) * 17) // 20) AS BIGINT) AS r
+        |  FROM e2 JOIN r2 ON r2.v = e2.u GROUP BY 1),
+        |r4 AS (SELECT e2.v, CAST(150000 + sum((((e2.w * r3.r) // e2.wu) * 17) // 20) AS BIGINT) AS r
+        |  FROM e2 JOIN r3 ON r3.v = e2.u GROUP BY 1),
+        |r5 AS (SELECT e2.v, CAST(150000 + sum((((e2.w * r4.r) // e2.wu) * 17) // 20) AS BIGINT) AS r
+        |  FROM e2 JOIN r4 ON r4.v = e2.u GROUP BY 1),
+        |topk AS (SELECT *, row_number() OVER (ORDER BY r DESC, v) AS rn FROM r5)
+        |SELECT CAST(rn AS BIGINT) AS pos, v AS token, r AS score_e6
+        |FROM topk WHERE rn <= ${TextOps.TextRankK}""".stripMargin,
+
+        "j4_bpe_train" -> bpeTrainOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

@@ -371,4 +371,57 @@ object TextOps {
     tmp.foreach(graft.Pinned.releaseFrame)
     out
   }
+
+  /** TextRank iterations / output size for [[textRank]]. */
+  val TextRankIters = 5
+  val TextRankK = 20
+
+  /** J4 — TextRank corpus keyword extraction (Mihalcea & Tarau, EMNLP
+    * 2004): weighted PageRank over the token co-occurrence graph
+    * (undirected edges between ADJACENT tokens, weight = corpus
+    * co-occurrence count), fixed damping 0.85, [[TextRankIters]] Jacobi
+    * iterations, deterministic top-[[TextRankK]] keywords.
+    *
+    * Determinism: ranks are integer millionths and every contribution is
+    * the fully-parenthesized integer form `(((w*r) div W_u) * 17) div 20`
+    * — floor division at each step, so the iteration is bit-identical in
+    * DuckDB (`//`) with no float accumulation order anywhere. The damping
+    * constant is the rational 17/20 = 0.85 exactly.
+    *
+    * Scale: nodes/edges live at the VOCABULARY / distinct-bigram grain
+    * (corpus-size-independent after the first co-occurrence count);
+    * each iteration is one broadcastable join + one aggregate — the
+    * standard distributed PageRank shape. Per-iteration rank frames use
+    * the eager stage + release lifecycle (the BPE-round lesson: the
+    * chain is consumed once per round but referenced across rounds). */
+  def textRank(docs: DataFrame, iters: Int = TextRankIters,
+               k: Int = TextRankK): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val adj = Dedup.tokens(docs)
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"tok")
+      .select($"tok".as("u"), $"nxt".as("v"))
+    val edges = adj.unionByName(adj.select($"v".as("u"), $"u".as("v")))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val wsum = edges.groupBy($"u").agg(sum($"w").as("wu"))
+    val e2 = staged(edges.join(wsum, Seq("u")))
+    var r = staged(wsum.select($"u".as("v"), lit(1000000L).as("r")))
+    for (_ <- 1 to iters) {
+      r = staged(e2
+        .join(r.select($"v".as("u"), $"r".as("ru")), Seq("u"))
+        .groupBy($"v")
+        .agg((lit(150000L) + sum(expr("(((w * ru) div wu) * 17) div 20"))).as("r")))
+    }
+    val out = graft.Pinned.stageEager(r
+      .orderBy($"r".desc, $"v").limit(k)
+      // bounded k-row frame: the global window here is deliberate (W13 note)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"r".desc, $"v")).cast("long"))
+      .select($"pos", $"v".as("token"), $"r".as("score_e6")))
+    tmp.foreach(graft.Pinned.releaseFrame)
+    out
+  }
 }

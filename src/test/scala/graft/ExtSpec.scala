@@ -101,6 +101,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((2L, 0.040546)), 1L -> ((1L, 0.019179))))
   }
 
+  test("textrank: 5 integer iterations on 'a b a c', hand-computed") {
+    import spark.implicits._
+    // graph: w(a-b)=2, w(a-c)=1; W(a)=3, W(b)=2, W(c)=1. Contribution =
+    // (((w*r) div W_u) * 17) div 20, r' = 150000 + sum. Five rounds by hand:
+    // r1=(1850000, 716666, 433333), r2=(1127499, 1198333, 674166),
+    // r3=(1741624, 788916, 469458), r4=(1219617, 1136919, 643459),
+    // r5=(1663321, 841116, 495558)
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = ext.TextOps.textRank(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List((1L, "a", 1663321L), (2L, "b", 841116L), (3L, "c", 495558L)))
+  }
+
   test("bpe train: weighted counts, lexicographic ties, greedy aaa overlap") {
     import spark.implicits._
     // words: aaa x1, banana x2, band x1. Hand-derived rounds:
