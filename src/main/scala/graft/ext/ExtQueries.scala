@@ -196,6 +196,11 @@ object ExtQueries {
           size(expr("filter(toks, x -> x rlike '^[a-z]+$')")).cast("long").as("n_words"))
     }),
 
+    // J4 — SymSpell deletion-neighborhood join: vocabulary pairs within
+    // Levenshtein 1 (typo mining); exact candidates by the deletion
+    // theorem, built-in levenshtein verify, planted fixture pair.
+    "j4_spell_pairs" -> ((s, d) => TextOps.spellPairs(Tables.documents(s, d))),
+
     // J4 — TextRank keyword extraction: integer-exact weighted PageRank
     // over the token co-occurrence graph, 5 iterations, top-20.
     "j4_textrank" -> ((s, d) => TextOps.textRank(Tables.documents(s, d))),
@@ -1235,7 +1240,26 @@ object ExtQueries {
         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_words
         |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks FROM documents) z""".stripMargin,
 
-"j4_textrank" ->
+"j4_spell_pairs" ->
+      s"""WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 AND strlen(string_split(text, ' ')[1]) >= 5
+        |      THEN text || ' ' || substr(string_split(text, ' ')[1], 1, 1)
+        |           || substr(string_split(text, ' ')[1], 3)
+        |      ELSE text END AS text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+        |  WHERE strlen(tok) >= ${TextOps.SpellMinLen} GROUP BY 1),
+        |keys AS (
+        |  SELECT tok, freq, tok AS key FROM vocab
+        |  UNION ALL
+        |  SELECT tok, freq, substr(tok, 1, i - 1) || substr(tok, i + 1) AS key
+        |  FROM vocab, LATERAL (SELECT unnest(generate_series(1, CAST(strlen(tok) AS INT))) AS i) g),
+        |cand AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b, a.freq AS freq_a, b.freq AS freq_b
+        |  FROM keys a JOIN keys b ON b.key = a.key AND a.tok < b.tok)
+        |SELECT tok_a, tok_b, freq_a, freq_b FROM cand
+        |WHERE levenshtein(tok_a, tok_b) <= 1""".stripMargin,
+
+    "j4_textrank" ->
       s"""WITH toks AS (
         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),

@@ -372,6 +372,51 @@ object TextOps {
     out
   }
 
+  /** Minimum token length considered by [[spellPairs]]. */
+  val SpellMinLen = 4
+
+  /** J4 — spelling-variant pair mining (SymSpell deletion-neighborhood
+    * join, Garbe 2012): all vocabulary word pairs within Levenshtein
+    * distance 1. Candidate generation is EXACT by the deletion theorem —
+    * two words within distance 1 share a string in the union of
+    * {word} ∪ {its 1-deletion variants} (substitution: delete the
+    * differing position from both; insertion/deletion: the shorter word
+    * IS a deletion variant of the longer) — so the equi-join on deletion
+    * keys misses nothing, and the built-in `levenshtein` verify discards
+    * the rest. The typo-mining step of corpus cleaning: a rare token one
+    * edit from a frequent one is a misspelling candidate (the freq
+    * columns carry exactly that signal).
+    *
+    * The harness corpus has no natural near-miss pairs, so a
+    * deterministic fixture stage PLANTS one (docs with doc_id % 7 == 0
+    * append their first word with its 2nd character dropped) — the op
+    * under test is the neighborhood join, the plant is the fixture (the
+    * redact/j5 discipline).
+    *
+    * Scale: everything after the token count lives at the VOCABULARY
+    * grain; keys are |word|+1 short strings per vocab entry, one
+    * equi-shuffle, verify touches candidates only. */
+  def spellPairs(docs: DataFrame, minLen: Int = SpellMinLen): DataFrame = {
+    import docs.sparkSession.implicits._
+    val planted = docs.withColumn("text", expr(
+      """CASE WHEN doc_id % 7 = 0 AND length(split(text, ' ')[0]) >= 5
+        |THEN concat(text, ' ', substring(split(text, ' ')[0], 1, 1),
+        |            substring(split(text, ' ')[0], 3))
+        |ELSE text END""".stripMargin))
+    val vocab = Dedup.tokens(planted)
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .filter(length($"tok") >= minLen)
+    val keys = vocab.select($"tok", $"freq", explode(expr(
+      """array_union(array(tok), transform(sequence(1, length(tok)),
+        |  i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1))))""".stripMargin))
+      .as("key"))
+    keys.select($"tok".as("tok_a"), $"freq".as("freq_a"), $"key")
+      .join(keys.select($"tok".as("tok_b"), $"freq".as("freq_b"), $"key"), Seq("key"))
+      .filter($"tok_a" < $"tok_b")
+      .select($"tok_a", $"tok_b", $"freq_a", $"freq_b").distinct()
+      .filter(levenshtein($"tok_a", $"tok_b") <= 1)
+  }
+
   /** TextRank iterations / output size for [[textRank]]. */
   val TextRankIters = 5
   val TextRankK = 20

@@ -101,6 +101,22 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((2L, 0.040546)), 1L -> ((1L, 0.019179))))
   }
 
+  test("spell pairs: substitution, insertion, and the planted typo are all found") {
+    import spark.implicits._
+    // doc 7 (doc_id % 7 == 0, first word >= 5 chars) gets 'wndow' planted;
+    // batch~hatch is a substitution pair, scan~scans an insertion pair
+    val docs = Seq(
+      (7L, "window scan sort merge"),
+      (1L, "batch batch hatch"),
+      (2L, "scans scan scan")).toDF("doc_id", "text")
+    val got = ext.TextOps.spellPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("batch", "hatch") -> ((2L, 1L)),
+      ("scan", "scans") -> ((3L, 1L)),
+      ("window", "wndow") -> ((1L, 1L))))
+  }
+
   test("textrank: 5 integer iterations on 'a b a c', hand-computed") {
     import spark.implicits._
     // graph: w(a-b)=2, w(a-c)=1; W(a)=3, W(b)=2, W(c)=1. Contribution =
