@@ -84,6 +84,20 @@ class CalendarSpec extends AnyFunSuite {
     assert(bF17 - bF16 == 1 * HOUR)
   }
 
+  test("businessUs is monotone on an hourly grid and a full week is exactly 45h") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val grid = (0 until 21 * 24).map(h => mon0 + h.toLong * HOUR)
+    val vals = grid.toDF("us").select(Calendar.businessUs(col("us")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals.zip(vals.tail).forall { case (a, b) => a <= b }, "not monotone")
+    // one calendar week advances the business clock by exactly 5 * 9h
+    assert(vals(7 * 24) - vals(0) == 45 * HOUR)
+    assert(vals(14 * 24) - vals(7 * 24) == 45 * HOUR)
+    // and each hourly step is either 0 (closed) or 1h (open)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b - a == 0 || b - a == HOUR })
+  }
+
   test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

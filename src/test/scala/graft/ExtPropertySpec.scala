@@ -88,4 +88,33 @@ class ExtPropertySpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b, s"bm25 depends on input order:\n$a\nvs\n$b")
   }
+
+  test("spell pairs equal brute-force levenshtein<=1 for random vocabularies") {
+    import spark.implicits._
+    // doc_ids avoid % 7 == 0 so the fixture plant stays out of the way and
+    // the DELETION-THEOREM exactness is tested on its own
+    val rnd = new scala.util.Random(20260814L)
+    val alpha = "abcd" // tiny alphabet forces dense near-miss neighborhoods
+    for (sample <- 1 to 4) {
+      val words = (1 to 30).map(_ =>
+        (1 to (4 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val docs = words.zipWithIndex.map { case (w, i) =>
+        ((i * 7 + 1).toLong, w) } // never % 7 == 0
+        .toDF("doc_id", "text")
+      val got = ext.TextOps.spellPairs(docs).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val vocab = words.distinct.filter(_.length >= ext.TextOps.SpellMinLen)
+      val want = (for {
+        a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(got == want, s"sample $sample: got $got want $want")
+    }
+  }
 }
