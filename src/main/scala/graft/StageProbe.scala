@@ -57,9 +57,9 @@ object StageProbe {
         println(f"job $id%3d  +${(t - base) / 1e3}%8.3f s  dur ${dur / 1e3}%7.3f s  $d")
       }
       // gap analysis: time between consecutive job ENDS not covered by a job
-      val covered = js.map(j => j._2 + j._3).zip(js.drop(1).map(_._2))
+      val uncovered = js.map(j => j._2 + j._3).zip(js.drop(1).map(_._2))
         .map { case (endPrev, startNext) => math.max(0L, startNext - endPrev) }.sum
-      println(f"total inter-job gap ${covered / 1e3}%.3f s over ${js.size} jobs")
+      println(f"total inter-job gap ${uncovered / 1e3}%.3f s over ${js.size} jobs")
       spark.stop(); return
     }
     if (args.length > 1 && args(1) == "explain") {

@@ -112,10 +112,6 @@ object Dedup {
     * them with exact dedup (J1), which handles identical text directly. */
   val BucketCap = 1000
 
-  /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes,
-    * computed row-locally over the shingle array (no explode, no shuffle —
-    * min over a set equals min over the multiset). Docs with no shingles
-    * (< 3 tokens) emit no signature, as in the exploded+groupBy form. */
   /** (doc_id, dshings: array<long>) DISTINCT 60-bit md5 shingle
     * fingerprints — the Broder-style representation every shingle-set op
     * here builds on (round 8): the exploded grain shuffles 8-byte longs
@@ -138,6 +134,10 @@ object Dedup {
         "array_distinct(transform(shings, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))")
         .as("dshings"))
 
+  /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes,
+    * computed row-locally over the shingle array (no explode, no shuffle —
+    * min over a set equals min over the multiset). Docs with no shingles
+    * (< 3 tokens) emit no signature, as in the exploded+groupBy form. */
   def minhash(docs: DataFrame, nHashes: Int = Bands * RowsPerBand): DataFrame = {
     import docs.sparkSession.implicits._
     val cols = (0 until nHashes).map(s =>

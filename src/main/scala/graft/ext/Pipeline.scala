@@ -255,7 +255,9 @@ object Pipeline {
     import docs.sparkSession.implicits._
     docs.groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
-      sum(length($"text")).as("n_chars"),
+      // octet_length (bytes), matching the oracle's strlen: the two engines
+      // must agree on non-ASCII corpora too — this op is a parity tripwire
+      sum(octet_length($"text")).as("n_chars"),
       expr("bit_xor(doc_id)").as("id_sig"),
       expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
         .as("content_sig"))

@@ -395,26 +395,39 @@ object TextOps {
     *
     * Scale: everything after the token count lives at the VOCABULARY
     * grain; keys are |word|+1 short strings per vocab entry, one
-    * equi-shuffle, verify touches candidates only. */
-  def spellPairs(docs: DataFrame, minLen: Int = SpellMinLen): DataFrame = {
+    * equi-shuffle, verify touches candidates only (the levenshtein verify
+    * runs BEFORE the distinct so failing candidates never pay the
+    * distinct's shuffle). Deletion keys follow the family-standard
+    * hot-key discipline ([[Dedup.BucketCap]]): a key shared by 2..cap
+    * words joins; a pathological key shared by more (quadratic fan-out
+    * within the key) is dropped — same accepted trade as
+    * [[Dedup.nearDupPairs]]' boilerplate mega-bucket guard, and the
+    * cnt >= 2 floor is free candidate pruning (a singleton key can only
+    * self-pair, which `tok_a < tok_b` discards anyway). */
+  def spellPairs(docs: DataFrame, minLen: Int = SpellMinLen,
+                 keyCap: Int = Dedup.BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
     val planted = docs.withColumn("text", expr(
       """CASE WHEN doc_id % 7 = 0 AND length(split(text, ' ')[0]) >= 5
         |THEN concat(text, ' ', substring(split(text, ' ')[0], 1, 1),
         |            substring(split(text, ' ')[0], 3))
         |ELSE text END""".stripMargin))
-    val vocab = Dedup.tokens(planted)
+    // tracked persist: keys feeds the key-count pass plus both join sides
+    val keys = graft.Pinned.track(Dedup.tokens(planted)
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
       .filter(length($"tok") >= minLen)
-    val keys = vocab.select($"tok", $"freq", explode(expr(
+      .select($"tok", $"freq", explode(expr(
       """array_union(array(tok), transform(sequence(1, length(tok)),
         |  i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1))))""".stripMargin))
-      .as("key"))
-    keys.select($"tok".as("tok_a"), $"freq".as("freq_a"), $"key")
-      .join(keys.select($"tok".as("tok_b"), $"freq".as("freq_b"), $"key"), Seq("key"))
-      .filter($"tok_a" < $"tok_b")
+      .as("key")))
+    val ok = keys.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2 && $"cnt" <= keyCap)
+      .select($"key")
+    val capped = keys.join(ok, Seq("key"), "left_semi")
+    capped.select($"tok".as("tok_a"), $"freq".as("freq_a"), $"key")
+      .join(capped.select($"tok".as("tok_b"), $"freq".as("freq_b"), $"key"), Seq("key"))
+      .filter($"tok_a" < $"tok_b" && levenshtein($"tok_a", $"tok_b") <= 1)
       .select($"tok_a", $"tok_b", $"freq_a", $"freq_b").distinct()
-      .filter(levenshtein($"tok_a", $"tok_b") <= 1)
   }
 
   /** TextRank iterations / output size for [[textRank]]. */

@@ -321,4 +321,32 @@ class PmKernelSpec extends AnyFunSuite {
     val split = BatchDiscovery.discover(log(rows: _*), seqGapUs = 99L)
     assert(split.select("batch_id").collect().forall(_.get(0) == null))
   }
+
+  test("run_no: the K2 sweep's imperative rule equals SubprocessBatches.withRuns") {
+    // The run-boundary rule (resource change / gap > runGapUs on
+    // (start_us, end_us, event_id) order) exists twice: imperatively inside
+    // EnabledTime.withEnabled and as a window chain in withRuns. This pins
+    // them together on a fixture exercising every boundary kind: first
+    // event, resource change, zero gap (abut), positive gap, overlap,
+    // same-start tie broken by end_us then event_id, and a 2nd case.
+    val fixture = log(
+      (1L, 1L, "A", "r0", 100L, 200L, 0L),
+      (2L, 1L, "B", "r0", 200L, 300L, 0L),   // abut, same resource -> same run
+      (3L, 1L, "C", "r1", 300L, 400L, 0L),   // resource change -> new run
+      (4L, 1L, "D", "r1", 450L, 500L, 0L),   // gap 50 -> new run at gap 0
+      (5L, 1L, "E", "r1", 480L, 520L, 0L),   // overlap -> same run
+      (6L, 1L, "F", "r1", 480L, 510L, 0L),   // same start, earlier end -> orders BEFORE 5
+      (7L, 2L, "A", "r0", 100L, 150L, 0L),
+      (8L, 2L, "A", "r0", 160L, 170L, 0L))   // gap 10
+    for (gap <- Seq(0L, 10L, 50L)) {
+      val sweep = pm.EnabledTime.withEnabled(fixture, runGapUs = gap)
+        .select("event_id", "run_no").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val win = pm.SubprocessBatches.withRuns(
+          pm.EnabledTime.withEnabled(fixture).drop("run_no"), seqGapUs = gap)
+        .select("event_id", "run_no").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sweep == win, s"gap=$gap")
+    }
+  }
 }
