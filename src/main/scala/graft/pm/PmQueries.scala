@@ -119,6 +119,19 @@ object PmQueries {
         $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
     }),
 
+    // K1 at the NON-default seq_tolerated_gap (PmConfig.GapVariantUs):
+    // the one reference dial (batch_detection.R:36, discovery.py:239)
+    // every other graded discovery query runs at its default 0. Shares the
+    // session enabled stage; segments fresh because the gap changes the
+    // S-link rule itself.
+    "pm_batches_gap" -> ((s, d) => {
+      import s.implicits._
+      BatchDiscovery.discover(enabledStage(s, d),
+          seqGapUs = PmConfig.GapVariantUs)
+        .select($"event_id", $"case_id", $"activity", $"resource",
+          $"start_us", $"end_us", $"enabled_us", $"batch_id", $"batch_type")
+    }),
+
     // Batch-instance grain stats (activities set key C5, sizes C4).
     "pm_batch_stats" -> ((s, d) => {
       import s.implicits._
@@ -317,7 +330,7 @@ object PmQueries {
     * with the anchor/parity boundary rule — see ProcessMining Scaladoc).
     * The S-link gap tolerance is generated from PmConfig.SeqGapUs (same
     * constant the engine uses — const-sharing pattern). */
-  private val segCtes =
+  private def segCtesFor(gapUs: Long): String =
     s"""seg0 AS (
       |  SELECT *, lag(start_us) OVER w AS prev_s, lag(end_us) OVER w AS prev_e,
       |    row_number() OVER w AS rn
@@ -325,7 +338,7 @@ object PmQueries {
       |seg1 AS (
       |  SELECT *, CASE WHEN prev_s IS NULL THEN NULL
       |                 WHEN start_us = prev_s AND end_us = prev_e THEN 'P'
-      |                 WHEN start_us >= prev_e AND start_us <= prev_e + ${PmConfig.SeqGapUs} THEN 'S'
+      |                 WHEN start_us >= prev_e AND start_us <= prev_e + $gapUs THEN 'S'
       |                 WHEN start_us < prev_e AND end_us <> prev_e THEN 'C'
       |                 ELSE NULL END AS lnk
       |  FROM seg0),
@@ -346,6 +359,8 @@ object PmQueries {
       |    OVER (PARTITION BY resource, activity ORDER BY start_us, end_us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_no
       |  FROM seg4)""".stripMargin
+
+  private val segCtes = segCtesFor(PmConfig.SeqGapUs)
 
   /** Classification + batch-case grain + W4 recursive split + W7 min size +
     * W8 renumbering (mirrors BatchDiscovery.classify/batchCases/split/discover). */
@@ -555,6 +570,16 @@ object PmQueries {
   private def withPrefix(ctes: String*)(select: String): String =
     s"WITH RECURSIVE ${ctes.mkString(",\n")}\n$select"
 
+  /** Event-grain discovery output (shared by pm_batches and its gap
+    * variant). */
+  private val batchesSelect =
+    """SELECT s.event_id, s.case_id, s.activity, s.resource, s.start_us, s.end_us, s.enabled_us,
+      |  b.batch_id, CASE WHEN b.batch_id IS NULL THEN NULL ELSE t.batch_type END AS batch_type
+      |FROM seg s
+      |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
+      |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+      |LEFT JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no""".stripMargin
+
   /** Expose the full PM CTE pipeline for downstream oracles (rules). The
     * argument is an extra CTE chain ending in the final SELECT. */
   def withFeaturePrefix(extraCtesAndSelect: String): String =
@@ -585,13 +610,12 @@ object PmQueries {
     "pm_enabled" -> withPrefix(logCte, enCtes)(
       "SELECT event_id, case_id, activity, resource, start_us, end_us, enabled_us FROM en"),
 
-    "pm_batches" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
-      """SELECT s.event_id, s.case_id, s.activity, s.resource, s.start_us, s.end_us, s.enabled_us,
-        |  b.batch_id, CASE WHEN b.batch_id IS NULL THEN NULL ELSE t.batch_type END AS batch_type
-        |FROM seg s
-        |LEFT JOIN gen g ON s.resource = g.resource AND s.activity = g.activity AND s.seg_no = g.seg_no AND s.case_id = g.case_id
-        |LEFT JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
-        |LEFT JOIN btype t ON s.resource = t.resource AND s.activity = t.activity AND s.seg_no = t.seg_no""".stripMargin),
+    "pm_batches" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(batchesSelect),
+
+    // Same pipeline, seq_tolerated_gap = GapVariantUs: only the S-link CTE
+    // constant differs (const-shared with the engine through PmConfig).
+    "pm_batches_gap" -> withPrefix(logCte, enCtes,
+      segCtesFor(PmConfig.GapVariantUs), batchCtes)(batchesSelect),
 
     "pm_batch_stats" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
       """SELECT batch_id, batch_type,

@@ -34,6 +34,13 @@ object PmConfig {
     * between sequential cases (S link) AND between consecutive events of a
     * within-case run (`within_case_seq_tolerated_gap`). Reference runs 0. */
   val SeqGapUs: Long = 0L
+  /** The graded NON-default gap-tolerance setting (pm_batches_gap): 10
+    * minutes. The harness log has zero exactly-abutting
+    * same-(resource,activity) pairs, so at the default 0 the S rule never
+    * fires from a gap; 10 min turns near-abutting pairs into Sequential
+    * links at every SF — pinning the `seq_tolerated_gap` dial the reference
+    * exposes (batch_detection.R:36) but runs at 0. */
+  val GapVariantUs: Long = 600000000L
   /** `num_batch_ready_negative_events` (config.py:80): equally spaced
     * non-activating instants in the (instance-enabled, instance-start)
     * ready interval. */
