@@ -210,6 +210,15 @@ object ExtQueries {
     // aggregate, deterministic argmax, greedy run-parity merge windows.
     "j4_bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d))),
 
+    // J4 — BPE apply: encode the corpus with its own trained merge rules
+    // (train -> apply closure; the sequential one-pass-per-rule semantics
+    // make the training corpus round-trip exactly, which is what the
+    // oracle's reuse of the training CTE chain checks).
+    "j4_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bpeApply(docs, TextOps.bpeTrain(docs))
+    }),
+
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
 
@@ -419,7 +428,9 @@ object ExtQueries {
     * merge round (the rounds are inherently sequential, so the SQL unrolls
     * them; the block replicates the run-parity greedy merge windows
     * verbatim). Shares the round count with the Spark side by construction. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** Shared CTE prefix of the BPE oracles: words, char split s0, and one
+    * merge-round block per round ending in the symbol table s{rounds}. */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT w, freq, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${r - 1}),
          |t$r AS (SELECT sym AS ml, nxt AS mr, CAST(sum(freq) AS BIGINT) AS mcnt FROM p$r
@@ -435,16 +446,30 @@ object ExtQueries {
          |s$r AS (SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY rn) AS pos,
          |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym FROM z$r WHERE NOT pmrg)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, ml AS left_sym, mr AS right_sym, mcnt AS cnt FROM t$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH words AS (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents) u GROUP BY 1),
        |s0 AS (SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, i, 1) AS sym
        |  FROM words, LATERAL (SELECT unnest(generate_series(1, CAST(strlen(w) AS INT))) AS i) g),
-       |$roundCtes
-       |$sel""".stripMargin
+       |$roundCtes""".stripMargin
   }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ml AS left_sym, mr AS right_sym, mcnt AS cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"${bpeCtes(rounds)}\n$sel"
+  }
+
+  /** DuckDB twin of [[TextOps.bpeApply]] over the corpus's own trained
+    * rules: the training chain's final symbol table s{rounds} IS the corpus
+    * encoded by sequential one-pass-per-rule application, so the oracle
+    * aggregates it to the (w, freq) grain — an engine apply path that
+    * diverges from the trainer's merge semantics breaks the hash. */
+  private def bpeApplyOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)}
+       |SELECT w, freq, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  string_agg(sym, ' ' ORDER BY pos) AS toks
+       |FROM s$rounds GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
@@ -1285,6 +1310,7 @@ object ExtQueries {
         |FROM topk WHERE rn <= ${TextOps.TextRankK}""".stripMargin,
 
         "j4_bpe_train" -> bpeTrainOracle(6),
+        "j4_bpe_apply" -> bpeApplyOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

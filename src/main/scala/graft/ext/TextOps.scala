@@ -349,25 +349,79 @@ object TextOps {
       val top = staged(paired.filter($"nxt".isNotNull)
         .groupBy($"sym".as("ml"), $"nxt".as("mr")).agg(sum($"freq").as("mcnt"))
         .orderBy($"mcnt".desc, $"ml", $"mr").limit(1))
-      val marked = paired.crossJoin(broadcast(top))
-        .withColumn("m", when($"sym" === $"ml" && $"nxt" === $"mr", 1).otherwise(0))
-        .withColumn("rn", row_number().over(wWord).cast("long"))
-        .withColumn("lastu", max(when($"m" === 0, $"rn")).over(wRun))
-        // greedy left-to-right: merge at even offsets within a marked run
-        .withColumn("mrg",
-          $"m" === 1 && pmod($"rn" - coalesce($"lastu", lit(0L)) - 1, lit(2L)) === 0)
-        .withColumn("pmrg", coalesce(lag($"mrg", 1).over(wWord), lit(false)))
-      syms = staged(marked
-        .filter(!$"pmrg") // the merged-into right symbol disappears
-        .select($"w", $"freq", $"rn",
-          when($"mrg", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("w").orderBy("rn")).cast("long"))
-        .select($"w", $"freq", $"pos", $"sym"))
+      syms = staged(mergePass(paired, top.select($"ml", $"mr")))
       top.select(lit(r.toLong).as("round"), $"ml".as("left_sym"),
         $"mr".as("right_sym"), $"mcnt".as("cnt"))
     }
     val out = graft.Pinned.stageEager(ruleFrames.reduce(_ unionByName _))
+    tmp.foreach(graft.Pinned.releaseFrame)
+    out
+  }
+
+  /** One greedy left-to-right merge pass of the single rule (ml, mr) over a
+    * (w, freq, pos, sym, nxt) paired symbol table — the shared kernel of
+    * [[bpeTrain]] (rule = the round's learned top pair) and [[bpeApply]]
+    * (rule = the trained rule for that round). `rule` must be EXACTLY one
+    * row; it is broadcast, so the pass is a map + two vocabulary-grain
+    * windows, no extra shuffle. */
+  private def mergePass(paired: DataFrame, rule: DataFrame): DataFrame = {
+    import paired.sparkSession.implicits._
+    val wWord = org.apache.spark.sql.expressions.Window.partitionBy("w").orderBy("pos")
+    val wRun = wWord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    paired.crossJoin(broadcast(rule))
+      .withColumn("m", when($"sym" === $"ml" && $"nxt" === $"mr", 1).otherwise(0))
+      .withColumn("rn", row_number().over(wWord).cast("long"))
+      .withColumn("lastu", max(when($"m" === 0, $"rn")).over(wRun))
+      // greedy left-to-right: merge at even offsets within a marked run
+      .withColumn("mrg",
+        $"m" === 1 && pmod($"rn" - coalesce($"lastu", lit(0L)) - 1, lit(2L)) === 0)
+      .withColumn("pmrg", coalesce(lag($"mrg", 1).over(wWord), lit(false)))
+      .filter(!$"pmrg") // the merged-into right symbol disappears
+      .select($"w", $"freq", $"rn",
+        when($"mrg", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w").orderBy("rn")).cast("long"))
+      .select($"w", $"freq", $"pos", $"sym")
+  }
+
+  /** J4 — BPE ENCODE: tokenize the corpus vocabulary with an already-trained
+    * merge-rule table (the train→apply loop closure: [[bpeTrain]] learns the
+    * rules, this applies them to text). Apply semantics are the sequential
+    * one-pass-per-rule form — rule r runs one greedy left-to-right pass in
+    * round order — which on the training corpus reproduces the trainer's
+    * final symbol table EXACTLY (each training round applied its rule the
+    * same way), the round-trip property ExtSpec pins on the trainer fixture.
+    * `rules` must carry one rule per round 1..rounds (bpeTrain's shape).
+    *
+    * Output is the VOCABULARY grain (w, freq, n_tokens, toks): the
+    * per-word tokenization plus corpus frequency — joining back to the
+    * document grain is a broadcast of this table, so the expensive part is
+    * corpus-size-independent like the trainer. */
+  def bpeApply(docs: DataFrame, rules: DataFrame, rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wWord = org.apache.spark.sql.expressions.Window.partitionBy("w").orderBy("pos")
+    val tmp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = { val f = graft.Pinned.stage(df); tmp += f; f }
+    val words = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var syms = staged(words
+      .select($"w", $"freq", explode(sequence(lit(1), length($"w"))).as("p"))
+      .select($"w", $"freq", $"p".cast("long").as("pos"),
+        expr("substring(w, p, 1)").as("sym")))
+    for (r <- 1 to rounds) {
+      val rule = rules.filter($"round" === r.toLong)
+        .select($"left_sym".as("ml"), $"right_sym".as("mr"))
+      val paired = syms.withColumn("nxt", lead($"sym", 1).over(wWord))
+      syms = staged(mergePass(paired, rule))
+    }
+    val out = graft.Pinned.stageEager(syms
+      .groupBy($"w", $"freq")
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct($"pos", $"sym"))),
+          x => x.getField("sym"))).as("toks")))
     tmp.foreach(graft.Pinned.releaseFrame)
     out
   }

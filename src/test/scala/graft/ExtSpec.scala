@@ -145,6 +145,24 @@ class ExtSpec extends AnyFunSuite {
       (4L, "an", "a", 2L), (5L, "ban", "ana", 2L), (6L, "aa", "a", 1L)))
   }
 
+  test("bpe apply: the training corpus round-trips through its own rules") {
+    import spark.implicits._
+    // same fixture as the trainer test; hand-applied rules in round order:
+    //  aaa:    r3 (a,a) greedy -> [aa, a]; r6 (aa,a) -> [aaa]
+    //  banana: r1 (a,n)x2 -> [b,an,an,a]; r2 (b,an) -> [ban,an,a];
+    //          r4 (an,a) -> [ban,ana]; r5 -> [banana]
+    //  band:   r1 -> [b,an,d]; r2 -> [ban,d]; no later rule matches
+    val docs = Seq((1L, "aaa banana"), (2L, "banana band")).toDF("doc_id", "text")
+    val rules = ext.TextOps.bpeTrain(docs, rounds = 6)
+    val got = ext.TextOps.bpeApply(docs, rules, rounds = 6).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList.sortBy(_._1)
+    assert(got == List(
+      ("aaa", 1L, 1L, "aaa"),
+      ("banana", 2L, 1L, "banana"),
+      ("band", 1L, 2L, "ban d")))
+  }
+
   test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {
     import spark.implicits._
     val docs = Seq(
