@@ -273,6 +273,13 @@ object ExtQueries {
     "j8_psi" -> ((s, d) =>
       Drift.psiDrift(Tables.events(s, d))),
 
+    // I + J8 — streaming drift: per tumbling 1-day window, the exact-integer
+    // binned KS between the two drift populations, computed from the
+    // map-side-combinable bin register file (windowedDriftBinsStream is the
+    // readStream twin; StreamingSpec pins register-exact equality).
+    "st_drift" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedKs(Tables.events(s, d))),
+
     // J8 — per-day PSI vs the corpus reference distribution: the drift
     // dashboard ("which ingest days deviate?"); bounded day x bucket grid.
     "j8_psi_series" -> ((s, d) =>
@@ -1134,6 +1141,30 @@ object ExtQueries {
 
     // Binned two-sample KS: integer cross-multiplied ecdf difference, the
     // final ratio floor-divided at e6.
+    // Per-window KS: j8_drift's integer pipeline with every window function
+    // PARTITION BY win_start (day windows align to epoch, so the tumbling
+    // window start is the epoch-day floor, st_hll's make_timestamp form).
+    "st_drift" ->
+      s"""WITH e AS (SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS win_start,
+         |    CAST(floor(value) AS BIGINT) AS bucket, event_type FROM events
+         |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),
+         |b AS (SELECT win_start, bucket,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupA}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupB}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT win_start, bucket, ca, cb,
+         |  CAST(sum(ca) OVER (PARTITION BY win_start ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ca,
+         |  CAST(sum(cb) OVER (PARTITION BY win_start ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cb,
+         |  CAST(sum(ca) OVER (PARTITION BY win_start) AS BIGINT) AS na,
+         |  CAST(sum(cb) OVER (PARTITION BY win_start) AS BIGINT) AS nb
+         |  FROM b),
+         |d AS (SELECT win_start, bucket, na, nb, abs(cum_ca * nb - cum_cb * na) AS diff
+         |  FROM c WHERE na > 0 AND nb > 0)
+         |SELECT win_start, na AS n_a, nb AS n_b,
+         |  (diff * 1000000) // (na * nb) AS ks_d_e6, bucket AS at_bucket
+         |FROM (SELECT *, row_number() OVER (PARTITION BY win_start ORDER BY diff DESC, bucket) AS rn FROM d) z
+         |WHERE rn = 1""".stripMargin,
+
     "j8_drift" ->
       s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events
          |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),

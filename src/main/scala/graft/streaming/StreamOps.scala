@@ -249,6 +249,77 @@ object StreamOps {
       .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"), $"bucket", $"max_rho")
   }
 
+  /** Per-window drift BIN REGISTER FILE (batch form): per tumbling 1-day
+    * window and whole-unit value bin, the conditional counts of the two
+    * drift populations ([[graft.ext.Drift.GroupA]]/[[graft.ext.Drift.GroupB]])
+    * — the monitoring register a continuously-ingesting pipeline keeps per
+    * window. Bin counts are plain conditional sums: map-side-combinable, so
+    * the streaming state per window is the BOUNDED bin grain (value range /
+    * bin width), not the row count — the same state-size argument as
+    * [[windowedHll]]'s registers. The KS statistic ([[windowedKs]]) is a
+    * deterministic function of this register file. */
+  def windowedDriftBins(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .filter($"event_type".isin(graft.ext.Drift.GroupA, graft.ext.Drift.GroupB))
+      .select(window($"ts", "1 day").as("w"),
+        floor($"value").cast("long").as("bucket"), $"event_type")
+      .groupBy($"w", $"bucket")
+      .agg(
+        sum(when($"event_type" === graft.ext.Drift.GroupA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === graft.ext.Drift.GroupB, 1L).otherwise(0L)).as("cb"))
+      .select($"w.start".cast("timestamp_ntz").as("win_start"), $"bucket", $"ca", $"cb")
+  }
+
+  /** Streaming twin of [[windowedDriftBins]] (watermark + tz-invariant
+    * window, see [[dedupStream]]). Conditional-count merge across batches /
+    * partitions / triggers is exact addition — register-exact equality with
+    * the batch form is pinned in StreamingSpec. */
+  def windowedDriftBinsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.Tables.normalizeTs(events)
+      .withColumn("ts", graft.Det.ntzAsUtcInstant($"ts"))
+      .withWatermark("ts", "2 hours")
+      .filter($"event_type".isin(graft.ext.Drift.GroupA, graft.ext.Drift.GroupB))
+      .groupBy(window($"ts", "1 day").as("w"),
+        floor($"value").cast("long").as("bucket"))
+      .agg(
+        sum(when($"event_type" === graft.ext.Drift.GroupA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === graft.ext.Drift.GroupB, 1L).otherwise(0L)).as("cb"))
+      .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"),
+        $"bucket", $"ca", $"cb")
+  }
+
+  /** Per-window two-sample KS drift over the [[windowedDriftBins]] register
+    * file — [[graft.ext.Drift.ksDrift]]'s exact-integer semantics applied
+    * per tumbling window ("did today's click-vs-purchase value gap move?").
+    * Cumulative sums and totals are window functions PARTITIONED BY the
+    * window start: each partition is the bounded bin grain, so no
+    * single-task window exists at any scale. Windows missing one population
+    * entirely are dropped (a KS against an empty sample is undefined). */
+  def windowedKs(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("win_start")
+    windowedDriftBins(events)
+      .withColumn("cum_ca", sum($"ca").over(wCum))
+      .withColumn("cum_cb", sum($"cb").over(wCum))
+      .withColumn("na", sum($"ca").over(wAll))
+      .withColumn("nb", sum($"cb").over(wAll))
+      .filter($"na" > 0 && $"nb" > 0)
+      .withColumn("diff", abs($"cum_ca" * $"nb" - $"cum_cb" * $"na"))
+      .groupBy($"win_start")
+      .agg(
+        first($"na").as("n_a"), first($"nb").as("n_b"),
+        max($"diff").as("ks_num"),
+        // argmax bin, ties to the smallest bucket (the ksDrift trick)
+        (-max(struct($"diff", (-$"bucket").as("nb0"))).getField("nb0")).as("at_bucket"))
+      .select($"win_start", $"n_a", $"n_b",
+        expr("(ks_num * 1000000) div (n_a * n_b)").as("ks_d_e6"), $"at_bucket")
+  }
+
   /** Streaming variant of [[sliding]] with a watermark, for a readStream
     * source (tested via the memory sink): overlapping 1h windows every 30
     * minutes, exact decimal value sums — one input row feeds two window

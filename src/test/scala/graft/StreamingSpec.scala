@@ -132,6 +132,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift bin registers equal batch registers (KS state merge)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = StreamOps.windowedDriftBins(Tables.events(spark, dir))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+    val staged = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged)
+    val q = StreamOps.windowedDriftBinsStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_drift_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT win_start, bucket, ca, cb FROM graft_drift_test")
+        .collect().map(r => (r.get(0).toString, r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected)
+      // and the graded KS view is a pure function of those registers
+      assert(StreamOps.windowedKs(Tables.events(spark, dir)).count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming sliding counts+sums equal batch sliding (overlapping windows)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
