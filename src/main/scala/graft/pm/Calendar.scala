@@ -73,26 +73,90 @@ object Calendar {
       displacedUs(log("start_us"), c, dowPred, targetDow))
   }
 
-  /** Business micros elapsed from the epoch to `us` under a Mon-Fri
-    * 08:00-17:00 working calendar — the closed-form scan that turns
-    * wall-clock waiting times into WORKING-time waiting times (business
-    * durations are differences of this transform: monotone, so
-    * biz(b) - biz(a) is the working time inside [a, b]). Entirely
-    * row-local integer arithmetic over built-ins: full working days are
-    * counted with the epoch-week closed form (epoch day 0 = Thursday, so
-    * each 7-day block [7m, 7m+7) contributes weekday-prefix counts
-    * [0,1,2,2,2,3,4] at offsets 0..6), plus the clamped time-of-day
-    * contribution on weekdays. */
-  def businessUs(us: Column): Column = {
+  /** A working calendar: the set of working weekdays (Mon=0) and the daily
+    * working window [startHour, endHour). The reference's two officer
+    * calendars (handoff_batch.py:110-136 — Loan Officers work Mon-Wed,
+    * Senior Officers Thu onward) are instances of this shape. */
+  final case class BizCal(workDows: Set[Int], startHour: Int, endHour: Int) {
+    require(workDows.nonEmpty && workDows.forall(d => d >= 0 && d <= 6))
+    require(startHour >= 0 && endHour > startHour && endHour <= 24)
+    def dayUs: Long = (endHour - startHour).toLong * HourUs
+    /** Working days among the first k days of an epoch week (epoch day 0 =
+      * Thursday, so offset o within the week has Mon=0 dow (o + 3) % 7). */
+    def weekPrefix(k: Int): Long = (0 until k).count(o => workDows((o + 3) % 7)).toLong
+  }
+
+  /** Mon-Fri 08:00-17:00 — the reference-style default office calendar. */
+  val DefaultCal: BizCal = BizCal(Set(0, 1, 2, 3, 4), 8, 17)
+
+  /** Business micros elapsed from the epoch to `us` under `cal` — the
+    * closed-form scan that turns wall-clock waiting times into WORKING-time
+    * waiting times (business durations are differences of this transform:
+    * monotone, so biz(b) - biz(a) is the working time inside [a, b]).
+    * Entirely row-local integer arithmetic over built-ins: full working
+    * days via the epoch-week closed form (each 7-day block contributes
+    * `weekPrefix` counts at offsets 0..6), plus the clamped time-of-day
+    * contribution on working days. The calendar is a SCALA value, so every
+    * branch constant-folds into the codegen'd expression — no per-row
+    * calendar lookup. */
+  def businessUsCal(us: Column, cal: BizCal): Column = {
     val day = intDiv(us, DayUs)
     val r = pmod(day, lit(7L))
-    val weekdaysBefore = intDiv(day, 7L) * 5L +
-      when(r === 0, 0L).when(r === 1, 1L).when(r === 2, 2L).when(r === 3, 2L)
-        .when(r === 4, 2L).when(r === 5, 3L).otherwise(4L)
-    val within = least(greatest(pmod(us, lit(DayUs)), lit(8L * HourUs)),
-      lit(17L * HourUs)) - lit(8L * HourUs)
-    weekdaysBefore * (9L * HourUs) + when(dowMon0(us) <= 4, within).otherwise(0L)
+    val weekdaysBefore = intDiv(day, 7L) * cal.weekPrefix(7) +
+      (1 to 5).foldLeft(when(r === 0, cal.weekPrefix(0))) { (acc, k) =>
+        acc.when(r === k, cal.weekPrefix(k))
+      }.otherwise(cal.weekPrefix(6))
+    val within = least(greatest(pmod(us, lit(DayUs)), lit(cal.startHour * HourUs)),
+      lit(cal.endHour * HourUs)) - lit(cal.startHour * HourUs)
+    weekdaysBefore * cal.dayUs +
+      when(dowMon0(us).isInCollection(cal.workDows.toSeq.sorted.map(_.toLong)),
+        within).otherwise(0L)
   }
+
+  /** [[businessUsCal]] under [[DefaultCal]] (the W16 op's calendar). */
+  def businessUs(us: Column): Column = businessUsCal(us, DefaultCal)
+
+  /** DuckDB twin of [[businessUsCal]] over an epoch-micros SQL expression —
+    * generated from the SAME BizCal value the engine folds into its
+    * expression (const-sharing pattern: a calendar edit cannot desync the
+    * oracle). */
+  def bizSql(usExpr: String, cal: BizCal): String = {
+    val prefixCase = (0 to 5).map(k => s"WHEN $k THEN ${cal.weekPrefix(k)}")
+      .mkString(" ")
+    val dows = cal.workDows.toSeq.sorted.mkString(", ")
+    s"""((((($usExpr) // 86400000000) // 7) * ${cal.weekPrefix(7)} +
+       | CASE ((($usExpr) // 86400000000) % 7) $prefixCase ELSE ${cal.weekPrefix(6)} END) * ${cal.dayUs} +
+       | CASE WHEN ((($usExpr) // 86400000000) + 3) % 7 IN ($dows)
+       |   THEN least(greatest(($usExpr) % 86400000000, ${cal.startHour * HourUs}), ${cal.endHour * HourUs}) - ${cal.startHour * HourUs}
+       |   ELSE 0 END)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** Per-resource calendars for the graded working-time decomposition
+    * (w17_rescal): each harness resource class works its own days/hours —
+    * the generalization of the reference's two officer calendars. r3 is
+    * 24x7 (its business WT equals its wall WT: the spec's identity case). */
+  val ResourceCals: Seq[(String, BizCal)] = Seq(
+    "r0" -> DefaultCal,
+    "r1" -> BizCal(Set(0, 1, 2), 6, 18),
+    "r2" -> BizCal(Set(3, 4, 5, 6), 9, 15),
+    "r3" -> BizCal(Set(0, 1, 2, 3, 4, 5, 6), 0, 24))
+
+  /** biz(us) under the calendar of the row's `resource` — a constant-folded
+    * when-chain over [[ResourceCals]] (no join, no lookup; with a genuinely
+    * dynamic calendar TABLE this would become a broadcast join against the
+    * bounded resource dimension). Unknown resources fall back to
+    * [[DefaultCal]]. */
+  def resourceBizUs(resource: Column, us: Column): Column =
+    ResourceCals.foldLeft(None: Option[Column]) { case (acc, (r, cal)) =>
+      val c = businessUsCal(us, cal)
+      Some(acc.fold(when(resource === r, c))(_.when(resource === r, c)))
+    }.get.otherwise(businessUsCal(us, DefaultCal))
+
+  /** CASE twin of [[resourceBizUs]] for the oracle. */
+  def resourceBizSql(resourceExpr: String, usExpr: String): String =
+    s"CASE ${ResourceCals.map { case (r, cal) =>
+      s"WHEN $resourceExpr = '$r' THEN ${bizSql(usExpr, cal)}"
+    }.mkString(" ")} ELSE ${bizSql(usExpr, DefaultCal)} END"
 
 
   /** The composed reference op (handoff_batch.py:110-136): Loan Officers

@@ -221,6 +221,26 @@ object PmQueries {
         .select($"event_id", $"user_id", $"biz_us", $"gap_biz_us")
     }),
 
+    // W17 — PER-RESOURCE working-time waiting decomposition: each resource
+    // class has its own calendar (Calendar.ResourceCals — the reference's
+    // two-officer-calendar setup generalized), and each event's waiting
+    // time start_us - enabled_us is re-measured on its resource's business
+    // clock (difference of the monotone biz transform). The calendar
+    // when-chain constant-folds row-locally, so the whole query is the
+    // enabled stage + one map pass + one aggregate.
+    "w17_rescal" -> ((s, d) => {
+      import s.implicits._
+      val en = enabledStage(s, d)
+      en.select($"resource", $"activity",
+          ($"start_us" - $"enabled_us").as("wall"),
+          (Calendar.resourceBizUs($"resource", $"start_us") -
+            Calendar.resourceBizUs($"resource", $"enabled_us")).as("biz"))
+        .groupBy($"resource", $"activity")
+        .agg(count(lit(1)).as("n"),
+          sum($"wall").as("wall_wt_us"),
+          sum($"biz").as("biz_wt_us"))
+    }),
+
     // Full discovery INCLUDING case-based (subprocess) batches — the
     // reference's complete pass order with the nullification path.
     // discoverFull returns an EAGERLY staged frame (round-7: stage
@@ -732,6 +752,15 @@ object PmQueries {
         |      THEN us + (2 - dow) * 86400000000 + clock_shift
         |    ELSE us END AS new_us
         |FROM s""".stripMargin,
+
+    // W17 — enabled-time CTEs + the generated per-resource business-clock
+    // CASE (const-shared with the engine through Calendar.ResourceCals).
+    "w17_rescal" -> withPrefix(logCte, enCtes)(
+      s"""SELECT resource, activity, count(*) AS n,
+         |  CAST(sum(start_us - enabled_us) AS BIGINT) AS wall_wt_us,
+         |  CAST(sum(${Calendar.resourceBizSql("resource", "start_us")} -
+         |    ${Calendar.resourceBizSql("resource", "enabled_us")}) AS BIGINT) AS biz_wt_us
+         |FROM en GROUP BY 1, 2""".stripMargin),
 
 "w16_biztime" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -98,6 +98,44 @@ class CalendarSpec extends AnyFunSuite {
     assert(vals.zip(vals.tail).forall { case (a, b) => b - a == 0 || b - a == HOUR })
   }
 
+  test("two overlapping per-resource calendars measure the same interval differently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // r1 works Mon-Wed 06:00-18:00, r2 works Thu-Sun 09:00-15:00. The
+    // wall interval [Wed 17:00, Thu 10:00) contains 1h of r1's window
+    // (Wed 17-18) and 1h of r2's (Thu 9-10); [Mon 00:00, Sun 24:00)
+    // contains 3*12h of r1's and 4*6h of r2's.
+    val calB = Calendar.ResourceCals.toMap.apply("r1")
+    val calC = Calendar.ResourceCals.toMap.apply("r2")
+    val wed17 = mon0 + 2 * DAY + 17 * HOUR
+    val thu10 = mon0 + 3 * DAY + 10 * HOUR
+    val sunEnd = mon0 + 7 * DAY
+    def biz(cal: Calendar.BizCal, us: Long*): Seq[Long] =
+      us.toDF("us").select(Calendar.businessUsCal(col("us"), cal))
+        .collect().map(_.getLong(0)).toSeq
+    val Seq(b1a, b1b, b1w0, b1w1) = biz(calB, wed17, thu10, mon0, sunEnd)
+    val Seq(c1a, c1b, c1w0, c1w1) = biz(calC, wed17, thu10, mon0, sunEnd)
+    assert(b1b - b1a == 1 * HOUR)
+    assert(c1b - c1a == 1 * HOUR)
+    assert(b1w1 - b1w0 == 36 * HOUR)
+    assert(c1w1 - c1w0 == 24 * HOUR)
+  }
+
+  test("resourceBizUs: the 24x7 calendar's business clock IS the wall clock") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val times = Seq(mon0, mon0 + 3 * DAY + 7 * HOUR, mon0 + 6 * DAY + 23 * HOUR)
+    val rows = times.map(t => ("r3", t)).toDF("resource", "us")
+    val got = rows.select(($"us" - Calendar.resourceBizUs($"resource", $"us")).as("d"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 1) // constant offset => every wall gap equals its biz gap
+    // and the default fallback matches businessUs for an unknown resource
+    val fb = times.map(t => ("mystery", t)).toDF("resource", "us")
+      .select(Calendar.resourceBizUs($"resource", $"us") - Calendar.businessUs($"us"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fb == Set(0L))
+  }
+
   test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
