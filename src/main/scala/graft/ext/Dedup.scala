@@ -184,6 +184,17 @@ object Dedup {
     (sa, bandSig)
   }
 
+  /** Diagnostic: LSH band-bucket occupancy (band, sig, cnt) — the scale
+    * probe's cap-overflow tripwire (a max(cnt) above [[BucketCap]] means
+    * [[nearDupPairs]] is silently dropping buckets at that scale). Reuses
+    * the exact band pipeline the candidate join runs on. */
+  def bandBucketSizes(docs: DataFrame, bands: Int = Bands,
+                      rows: Int = RowsPerBand): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleBands(docs, bands, rows)._2
+      .groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+  }
+
   /** LSH candidate pairs (docs sharing any band bucket) verified with exact
     * Jaccard over distinct shingle sets. */
   def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,

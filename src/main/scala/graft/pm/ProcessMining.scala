@@ -58,9 +58,15 @@ object PmConfig {
   * epoch micros longs (SURVEY §1.4 duration-as-micros convention).
   */
 object EventLogOps {
-  def fromEvents(s: SparkSession, d: String): DataFrame = {
+  def fromEvents(s: SparkSession, d: String): DataFrame =
+    fromEventsDf(Tables.events(s, d))
+
+  /** Same derivation over an arbitrary events-shaped frame (the scale
+    * probe's inflated-log path). */
+  def fromEventsDf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    Tables.events(s, d).select(
+    events.select(
       $"event_id",
       $"user_id".as("case_id"),
       $"event_type".as("activity"),
