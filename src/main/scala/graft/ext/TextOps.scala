@@ -466,22 +466,35 @@ object TextOps {
         |THEN concat(text, ' ', substring(split(text, ' ')[0], 1, 1),
         |            substring(split(text, ' ')[0], 3))
         |ELSE text END""".stripMargin))
-    // tracked persist: keys feeds the key-count pass plus both join sides
-    val keys = graft.Pinned.track(Dedup.tokens(planted)
+    val keys = Dedup.tokens(planted)
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
       .filter(length($"tok") >= minLen)
       .select($"tok", $"freq", explode(expr(
       """array_union(array(tok), transform(sequence(1, length(tok)),
         |  i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1))))""".stripMargin))
-      .as("key")))
-    val ok = keys.groupBy($"key").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" >= 2 && $"cnt" <= keyCap)
-      .select($"key")
-    val capped = keys.join(ok, Seq("key"), "left_semi")
-    capped.select($"tok".as("tok_a"), $"freq".as("freq_a"), $"key")
-      .join(capped.select($"tok".as("tok_b"), $"freq".as("freq_b"), $"key"), Seq("key"))
-      .filter($"tok_a" < $"tok_b" && levenshtein($"tok_a", $"tok_b") <= 1)
-      .select($"tok_a", $"tok_b", $"freq_a", $"freq_b").distinct()
+      .as("key"))
+    // ONE shuffle to the key grain, then row-local pair generation inside
+    // each key bucket (combinations over the collected array) — no
+    // self-join at all. The cap is the size gate on the bucket (2..cap,
+    // like Dedup.nearDupPairs' band buckets); per-bucket work is quadratic
+    // only in the CAPPED bucket size, inside whole-stage codegen. The
+    // levenshtein verify runs before the distinct so failed candidates
+    // never pay its shuffle.
+    keys.groupBy($"key")
+      .agg(collect_list(struct($"tok", $"freq")).as("items"))
+      .filter(size($"items").between(2, keyCap))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(least(x.tok, y.tok) AS tok_a,
+          |                greatest(x.tok, y.tok) AS tok_b,
+          |                if(x.tok <= y.tok, x.freq, y.freq) AS freq_a,
+          |                if(x.tok <= y.tok, y.freq, x.freq) AS freq_b))))"""
+          .stripMargin)).as("p"))
+      .filter(levenshtein($"p.tok_a", $"p.tok_b") <= 1)
+      .select($"p.tok_a".as("tok_a"), $"p.tok_b".as("tok_b"),
+        $"p.freq_a".as("freq_a"), $"p.freq_b".as("freq_b"))
+      .distinct()
   }
 
   /** TextRank iterations / output size for [[textRank]]. */
