@@ -53,12 +53,58 @@ object ScaleProbe {
 
   /** (quadratic, equi-shuffle) join-operator counts in the executed (final
     * adaptive) plan. Quadratic shapes fail the probe if they grow;
-    * equi-shuffle counts are reported (see the scaladoc rationale). */
-  private def joinCounts(df: DataFrame): (Int, Int) = {
-    val plan = df.queryExecution.executedPlan.toString
-    def n(ops: Seq[String]) = ops.map(op => op.r.findAllIn(plan).size).sum
+    * equi-shuffle counts are reported (see the scaladoc rationale).
+    * Counted by TREE WALK (descending into AQE stages and subqueries),
+    * not by plan-string matching — toString truncates at
+    * spark.sql.maxPlanStringLength and would silently undercount.
+    * Public: ScaleInvariantSpec reuses it as a standing tripwire. */
+  def joinCounts(df: DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p.nodeName +: kids.flatMap(walk)) ++
+        p.subqueries.flatMap(walk)
+    }
+    val names = walk(df.queryExecution.executedPlan)
+    def n(ops: Seq[String]) = names.count(nm => ops.exists(nm.contains))
     (n(Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       n(Seq("SortMergeJoin", "ShuffledHashJoin")))
+  }
+
+  /** FACTORx copies of `documents` with bijective per-copy token renaming
+    * (see object scaladoc). Public for ScaleInvariantSpec. */
+  def inflatedDocs(docs0: DataFrame, f: Int): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val stride = docs0.agg(max($"doc_id")).head.getLong(0) + 1
+    docs0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+      .select(
+        ($"doc_id" + $"k" * stride).as("doc_id"),
+        when($"k" === 0, $"text").otherwise(array_join(
+          transform(split($"text", " "), t => concat(lit("c"), $"k", t)), " "))
+          .as("text"),
+        $"lang", $"source", $"n_chars")
+  }
+
+  /** FACTORx copies of `events`, each shifted +31 days with id/case offsets
+    * (resource classes preserved). Public for ScaleInvariantSpec. */
+  def inflatedEvents(ev0: DataFrame, f: Int): DataFrame = {
+    import ev0.sparkSession.implicits._
+    val evStride = ev0.agg(max($"event_id")).head.getLong(0) + 1
+    val userStride = {
+      val m = ev0.agg(max($"user_id")).head.getLong(0) + 1
+      ((m + 3) / 4) * 4
+    }
+    ev0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+      .select(
+        ($"event_id" + $"k" * evStride).as("event_id"),
+        expr("timestampadd(DAY, 31 * k, ts)").as("ts"),
+        ($"user_id" + $"k" * userStride).as("user_id"),
+        $"event_type", $"value", $"props")
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,42 +119,21 @@ object ScaleProbe {
     import spark.implicits._
 
     // ---------------------------------------------------------- inflation
-    def copies(df: DataFrame, f: Int): DataFrame =
-      df.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
-
     val docs0 = Tables.documents(spark, sfDir)
-    val docStride = docs0.agg(max($"doc_id")).head.getLong(0) + 1
-    def docsAt(f: Int): DataFrame =
-      copies(docs0, f).select(
-        ($"doc_id" + $"k" * docStride).as("doc_id"),
-        when($"k" === 0, $"text").otherwise(array_join(
-          transform(split($"text", " "), t => concat(lit("c"), $"k", t)), " "))
-          .as("text"),
-        $"lang", $"source", $"n_chars")
+    def docsAt(f: Int): DataFrame = inflatedDocs(docs0, f)
 
     val emb0 = Tables.embeddings(spark, sfDir)
     val embStride = emb0.agg(max($"vec_id")).head.getLong(0) + 1
     def embAt(f: Int): DataFrame =
-      copies(emb0, f).select(
-        ($"vec_id" + $"k" * embStride).as("vec_id"),
-        transform($"embedding",
-          x => (x + $"k".cast("float") * lit(1e-4f)).cast("float")).as("embedding"),
-        $"label")
+      emb0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+        .select(
+          ($"vec_id" + $"k" * embStride).as("vec_id"),
+          transform($"embedding",
+            x => (x + $"k".cast("float") * lit(1e-4f)).cast("float")).as("embedding"),
+          $"label")
 
     val ev0 = Tables.events(spark, sfDir)
-    val evStride = ev0.agg(max($"event_id")).head.getLong(0) + 1
-    // user stride rounded to a multiple of 4 so user_id % 4 (the resource
-    // class) is preserved in every copy
-    val userStride = {
-      val m = ev0.agg(max($"user_id")).head.getLong(0) + 1
-      ((m + 3) / 4) * 4
-    }
-    def eventsAt(f: Int): DataFrame =
-      copies(ev0, f).select(
-        ($"event_id" + $"k" * evStride).as("event_id"),
-        expr("timestampadd(DAY, 31 * k, ts)").as("ts"),
-        ($"user_id" + $"k" * userStride).as("user_id"),
-        $"event_type", $"value", $"props")
+    def eventsAt(f: Int): DataFrame = inflatedEvents(ev0, f)
 
     // ------------------------------------------------------------- heads
     def pmLog(f: Int): DataFrame =

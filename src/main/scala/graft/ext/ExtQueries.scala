@@ -280,6 +280,11 @@ object ExtQueries {
     "st_drift" -> ((s, d) =>
       graft.streaming.StreamOps.windowedKs(Tables.events(s, d))),
 
+    // I + J8 — per-window PSI from the SAME streaming bin registers: the
+    // mass-weighted drift twin of st_drift's max-deviation KS.
+    "st_psi" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedPsi(Tables.events(s, d))),
+
     // J8 — per-day PSI vs the corpus reference distribution: the drift
     // dashboard ("which ingest days deviate?"); bounded day x bucket grid.
     "j8_psi_series" -> ((s, d) =>
@@ -1201,6 +1206,27 @@ object ExtQueries {
         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dist2 DESC, vec_id) AS rn
         |  FROM d) z
         |WHERE rn <= ${Similarity.OutlierK}""".stripMargin,
+
+    // st_drift's windowed register file through j8_psi's smoothed,
+    // decimal-exact term pipeline, one score per window.
+    "st_psi" ->
+      s"""WITH e AS (SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS win_start,
+         |    CAST(floor(value) AS BIGINT) AS bucket, event_type FROM events
+         |  WHERE event_type IN ('${Drift.GroupA}', '${Drift.GroupB}')),
+         |b AS (SELECT win_start, bucket,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupA}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN event_type = '${Drift.GroupB}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT win_start, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         |  count(*) AS n_bins FROM b GROUP BY 1),
+         |z AS (SELECT b.win_start, na, nb, n_bins,
+         |    CAST(ca + 1 AS DOUBLE) / CAST(na + n_bins AS DOUBLE) AS pa,
+         |    CAST(cb + 1 AS DOUBLE) / CAST(nb + n_bins AS DOUBLE) AS pb
+         |  FROM b JOIN t ON t.win_start = b.win_start
+         |  WHERE na > 0 AND nb > 0)
+         |SELECT win_start, na AS n_a, nb AS n_b, n_bins,
+         |  CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+         |FROM z GROUP BY 1, 2, 3, 4""".stripMargin,
 
         "j8_psi" ->
       s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events

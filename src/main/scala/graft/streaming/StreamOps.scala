@@ -320,6 +320,30 @@ object StreamOps {
         expr("(ks_num * 1000000) div (n_a * n_b)").as("ks_d_e6"), $"at_bucket")
   }
 
+  /** Per-window PSI over the same [[windowedDriftBins]] register file —
+    * [[graft.ext.Drift.psiDrift]]'s Laplace-smoothed, decimal-exact-sum
+    * semantics applied per tumbling window: the mass-weighted drift score
+    * next to [[windowedKs]]'s max-deviation view, both deterministic
+    * functions of one streaming register state. Window functions
+    * partitioned by win_start (bounded bin grain per partition). */
+  def windowedPsi(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("win_start")
+    val g = windowedDriftBins(events)
+      .withColumn("na", sum($"ca").over(wAll))
+      .withColumn("nb", sum($"cb").over(wAll))
+      .withColumn("n_bins", count(lit(1)).over(wAll))
+      .filter($"na" > 0 && $"nb" > 0)
+    val pa = ($"ca" + 1L).cast("double") / ($"na" + $"n_bins").cast("double")
+    val pb = ($"cb" + 1L).cast("double") / ($"nb" + $"n_bins").cast("double")
+    g.select($"win_start", $"na", $"nb", $"n_bins",
+        round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)").as("term6"))
+      .groupBy($"win_start")
+      .agg(first($"na").as("n_a"), first($"nb").as("n_b"),
+        first($"n_bins").as("n_bins"),
+        sum($"term6").cast("double").as("psi"))
+  }
+
   /** Streaming variant of [[sliding]] with a watermark, for a readStream
     * source (tested via the memory sink): overlapping 1h windows every 30
     * minutes, exact decimal value sums — one input row feeds two window
