@@ -103,6 +103,17 @@ object ExtQueries {
     "j7_sample" -> ((s, d) =>
       Pipeline.stratifiedSample(Tables.documents(s, d))),
 
+    // J7 — leakage-safe CONTENT-keyed train/val/test split: duplicates can
+    // never straddle train and test (the id-keyed manifest split can't
+    // guarantee that).
+    "j7_split" -> ((s, d) =>
+      Pipeline.contentSplit(Tables.documents(s, d))),
+
+    // J7 — per-source bottom-decile quality gate: c14 integer-rank
+    // threshold per source, broadcast back, row-local verdicts.
+    "j7_quality_gate" -> ((s, d) =>
+      Pipeline.qualityGate(Tables.documents(s, d))),
+
     // J7 — deterministic k-per-group sampling (hash-order top-k: the
     // reproducible replacement for per-group reservoir sampling).
     "j7_sample_k" -> ((s, d) =>
@@ -701,6 +712,26 @@ object ExtQueries {
          |  CAST(CASE WHEN $bucket < $rateCase THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM documents""".stripMargin
     },
+
+    "j7_split" -> {
+      val bucket =
+        s"('0x' || substr(md5('${Pipeline.ContentSplitSeed}:' || text), 1, 8))::BIGINT % 100"
+      s"""SELECT doc_id, source, $bucket AS bucket,
+         |  CASE WHEN $bucket < ${Pipeline.SplitValPct} THEN 'val'
+         |       WHEN $bucket < ${Pipeline.SplitValPct + Pipeline.SplitTestPct} THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "j7_quality_gate" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM s),
+         |t AS (SELECT source, score AS thr FROM r WHERE rn = (${Pipeline.QualityDropPct} * n) // 100)
+         |SELECT s.doc_id, s.source, s.score, coalesce(t.thr, -1) AS thr,
+         |  CAST(CASE WHEN s.score > coalesce(t.thr, -1) THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM s LEFT JOIN t ON t.source = s.source""".stripMargin,
 
     "j2_simhash" ->
       """WITH toks AS (

@@ -262,4 +262,59 @@ object Pipeline {
       expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
         .as("content_sig"))
   }
+
+  /** [[contentSplit]] percentages: buckets [0, Val) -> val,
+    * [Val, Val+Test) -> test, the rest train. */
+  val ContentSplitSeed = 77
+  val SplitValPct = 2L
+  val SplitTestPct = 3L
+
+  /** J7 — LEAKAGE-SAFE train/val/test split: the assignment key is the md5
+    * of the CONTENT, not the row id — exact duplicates (and any future
+    * re-ingest of the same text under a new doc_id) land in the same
+    * split by construction, so a duplicated document can never sit in
+    * both train and test. This is the property the manifest's id-keyed
+    * split ([[trainsetManifest]]) deliberately does not have (ids are
+    * cheap and stable there; here the DEDUP-INTERACTION is the point).
+    * Row-local verdicts: reproducible, stable under corpus growth, one
+    * map pass at any scale. */
+  def contentSplit(docs: DataFrame, valPct: Long = SplitValPct,
+                   testPct: Long = SplitTestPct,
+                   seed: Int = ContentSplitSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bucket = pmod(Dedup.md5Hash32(seed, $"text"), lit(100L))
+    docs.select($"doc_id", $"source", bucket.as("bucket"),
+      when(bucket < valPct, "val")
+        .when(bucket < valPct + testPct, "test")
+        .otherwise("train").as("split"))
+  }
+
+  /** [[qualityGate]] drop fraction in percent (bottom decile). */
+  val QualityDropPct = 10L
+
+  /** J7 — per-source quality-percentile gate: drop each source's bottom
+    * [[QualityDropPct]]% by score (token count — the standard length
+    * gate), keeping ties at the boundary. Two-pass scale shape: the
+    * per-source threshold is selected by the c14 integer-rank kernel
+    * (exact, no interpolation), then the |sources|-row threshold table is
+    * BROADCAST back and every verdict is row-local (score > thr) — the
+    * event grain is never re-shuffled for the verdict. Sources too small
+    * to have a dropped decile ((pct*n) div 100 == 0) get no threshold row
+    * and keep everything (thr = -1). */
+  def qualityGate(docs: DataFrame, dropPct: Long = QualityDropPct): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("score"))
+    val ranked = scored.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("score", "doc_id")).cast("long"))
+    val counts = scored.groupBy($"source").agg(count(lit(1)).as("n"))
+    val thr = ranked.join(counts, Seq("source"))
+      .filter($"rn" === expr(s"($dropPct * n) div 100"))
+      .select($"source", $"score".as("thr"))
+    scored.join(broadcast(thr), Seq("source"), "left")
+      .na.fill(-1L, Seq("thr"))
+      .select($"doc_id", $"source", $"score", $"thr",
+        ($"score" > $"thr").cast("long").as("kept"))
+  }
 }

@@ -163,6 +163,35 @@ class ExtSpec extends AnyFunSuite {
       ("band", 1L, 2L, "ban d")))
   }
 
+  test("content split: exact duplicates can never straddle train and test") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"),  // duplicate text, other id+source
+      (3L, "totally different words here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = ext.Pipeline.contentSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == got(2L), "identical text diverged across splits")
+    // verdict is a pure function of text: rerunning yields identical rows
+    val again = ext.Pipeline.contentSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(again == got)
+  }
+
+  test("quality gate: bottom decile dropped per source, tiny sources keep all") {
+    import spark.implicits._
+    val big = (1 to 10).map(i => (i.toLong, ("w " * i).trim, "big"))
+    val tiny = (11 to 15).map(i => (i.toLong, ("w " * (i - 10)).trim, "tiny"))
+    val out = ext.Pipeline.qualityGate((big ++ tiny).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // big: n=10, rank (10*10)//100 = 1 -> thr = score 1; doc 1 dropped
+    assert(out(1L) == ((1L, 1L, 0L)))
+    (2 to 10).foreach(i => assert(out(i.toLong)._3 == 1L, s"doc $i"))
+    // tiny: n=5, (10*5)//100 = 0 -> no threshold row, keep all at thr -1
+    (11 to 15).foreach(i => assert(out(i.toLong)._2 == -1L && out(i.toLong)._3 == 1L))
+  }
+
   test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {
     import spark.implicits._
     val docs = Seq(
