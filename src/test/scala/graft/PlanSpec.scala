@@ -29,6 +29,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), s"expected whole-stage-codegen marker:\n$p")
   }
 
+  test("w17 per-resource calendars: JOIN-FREE (the calendar folds into the row expression)") {
+    val p = planOf("w17_rescal")
+    assert(!p.contains("Join"), s"per-resource calendar must not join a lookup table:\n$p")
+  }
+
+  test("j7_quality_gate: the threshold table joins back by BROADCAST only") {
+    val p = planOf("j7_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc grain must not re-shuffle for the verdict:\n$p")
+  }
+
   test("cx_sessions: exactly one exchange (the per-user window shuffle)") {
     val p = planOf("cx_sessions")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
