@@ -221,6 +221,32 @@ object PmQueries {
         .select($"event_id", $"user_id", $"biz_us", $"gap_biz_us")
     }),
 
+    // W17b — the BATCH waiting-time decomposition re-measured on each
+    // batch's resource business clock: every component interval
+    // [a, b) becomes biz_R(b) - biz_R(a) under the resource's calendar
+    // (a batch belongs to exactly one resource by construction), so
+    // "3 days of ready time" over a weekend reads as 0 working hours —
+    // the working-time report a process analyst actually wants. The
+    // telescoping identity total = creation + ready + other survives the
+    // transform (PmKernelSpec pins it); the batch-grain resource frame
+    // joins back by its equi-key (batch grain << case grain, AQE
+    // broadcasts it at small scale).
+    "pm_wt_biz" -> ((s, d) => {
+      import s.implicits._
+      val dd = disc(s, d)
+      val res = dd.filter($"batch_id".isNotNull)
+        .groupBy($"batch_id").agg(min($"resource").as("resource"))
+      def biz(c: org.apache.spark.sql.Column) =
+        Calendar.resourceBizUs($"resource", c)
+      WaitingTimes.batchCaseWT(dd).join(res, Seq("batch_id"))
+        .select($"batch_id", $"batch_type", $"case_id", $"resource",
+          (biz($"case_start_us") - biz($"case_enabled_us")).as("total_wt_biz_us"),
+          (biz($"instance_enabled_us") - biz($"case_enabled_us")).as("creation_wt_biz_us"),
+          (biz($"instance_start_us") - biz($"instance_enabled_us")).as("ready_wt_biz_us"),
+          (biz($"case_start_us") - biz($"instance_start_us")).as("other_wt_biz_us"),
+          (biz($"case_end_us") - biz($"case_start_us")).as("pt_biz_us"))
+    }),
+
     // W17 — PER-RESOURCE working-time waiting decomposition: each resource
     // class has its own calendar (Calendar.ResourceCals — the reference's
     // two-officer-calendar setup generalized), and each event's waiting
@@ -645,6 +671,25 @@ object PmQueries {
         |FROM bev GROUP BY 1, 2""".stripMargin),
 
     "pm_wt" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(wtSelect),
+
+    // W17b — wtSelect's checkpoint instants pushed through the generated
+    // per-resource business clock (bcase rebuilt with its resource kept).
+    "pm_wt_biz" -> withPrefix(logCte, enCtes, segCtes, batchCtes)({
+      def biz(c: String) = Calendar.resourceBizSql("resource", c)
+      s"""SELECT batch_id, batch_type, case_id, resource,
+         |  ${biz("case_start")} - ${biz("case_enabled")} AS total_wt_biz_us,
+         |  ${biz("inst_enabled")} - ${biz("case_enabled")} AS creation_wt_biz_us,
+         |  ${biz("inst_start")} - ${biz("inst_enabled")} AS ready_wt_biz_us,
+         |  ${biz("case_start")} - ${biz("inst_start")} AS other_wt_biz_us,
+         |  ${biz("case_end")} - ${biz("case_start")} AS pt_biz_us
+         |FROM (SELECT g.resource, b.batch_id, t.batch_type, g.case_id,
+         |        g.case_start, g.case_enabled, g.case_end,
+         |        max(g.case_enabled) OVER (PARTITION BY b.batch_id) AS inst_enabled,
+         |        min(g.case_start) OVER (PARTITION BY b.batch_id) AS inst_start
+         |      FROM gen g
+         |      JOIN bid b ON g.resource = b.resource AND g.activity = b.activity AND g.seg_no = b.seg_no AND g.sub = b.sub
+         |      JOIN btype t ON g.resource = t.resource AND g.activity = t.activity AND g.seg_no = t.seg_no) z""".stripMargin
+    }),
 
     "pm_sweepline" -> withPrefix(logCte, enCtes, segCtes, batchCtes)(
       """SELECT batch_id, case_id,

@@ -322,6 +322,38 @@ class PmKernelSpec extends AnyFunSuite {
     assert(split.select("batch_id").collect().forall(_.get(0) == null))
   }
 
+  test("business-clock WT decomposition: telescoping identity + weekend collapse") {
+    import org.apache.spark.sql.functions._
+    // Two cases batch on resource r0 (Mon-Fri 08:00-17:00). Case 2 is
+    // enabled Friday 16:00 but the batch starts Monday 10:00: wall ready
+    // time spans the weekend (66h), business ready time is 3h (Fri 16-17
+    // + Mon 8-10). mon0 = 2024-01-01 00:00 UTC (a Monday).
+    val mon0 = 1704067200000000L
+    val H = 3600000000L
+    val fri16 = mon0 + 4 * 24 * H + 16 * H
+    val mon10 = mon0 + 7 * 24 * H + 10 * H
+    val d = BatchDiscovery.discover(this.log(
+      (1L, 1L, "A", "r0", mon10, mon10 + H, fri16),
+      (2L, 2L, "A", "r0", mon10, mon10 + H, fri16)))
+    val res = d.filter($"batch_id".isNotNull)
+      .groupBy($"batch_id").agg(min($"resource").as("resource"))
+    def biz(c: org.apache.spark.sql.Column) = pm.Calendar.resourceBizUs($"resource", c)
+    val wt = WaitingTimes.batchCaseWT(d).join(res, Seq("batch_id"))
+      .select(
+        (biz($"case_start_us") - biz($"case_enabled_us")).as("total"),
+        (biz($"instance_enabled_us") - biz($"case_enabled_us")).as("creation"),
+        (biz($"instance_start_us") - biz($"instance_enabled_us")).as("ready"),
+        (biz($"case_start_us") - biz($"instance_start_us")).as("other"))
+      .collect()
+    assert(wt.length == 2)
+    wt.foreach { r =>
+      assert(r.getAs[Long]("total") ==
+        r.getAs[Long]("creation") + r.getAs[Long]("ready") + r.getAs[Long]("other"))
+      // wall total would be 66h; the business clock collapses the weekend
+      assert(r.getAs[Long]("total") == 3 * H, s"weekend not collapsed: $r")
+    }
+  }
+
   test("run_no: the K2 sweep's imperative rule equals SubprocessBatches.withRuns") {
     // The run-boundary rule (resource change / gap > runGapUs on
     // (start_us, end_us, event_id) order) exists twice: imperatively inside
