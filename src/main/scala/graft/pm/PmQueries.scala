@@ -267,6 +267,26 @@ object PmQueries {
           sum($"biz").as("biz_wt_us"))
     }),
 
+    // W18 — w17_rescal computed from a calendar TABLE (calendar-as-DATA):
+    // the same per-resource working-time decomposition, but the calendars
+    // come from a DataFrame broadcast-joined on resource instead of a
+    // Scala constant folded into the plan — the form a real deployment
+    // needs (calendars arrive as data and change over time). Hash-equal
+    // to w17_rescal by construction; the oracle is the same generated
+    // CASE (it checks the VALUES, not the plumbing).
+    "w18_caltable" -> ((s, d) => {
+      import s.implicits._
+      val en = Calendar.withResourceCal(enabledStage(s, d), Calendar.calendarDf(s))
+      en.select($"resource", $"activity",
+          ($"start_us" - $"enabled_us").as("wall"),
+          (Calendar.bizUsFromCalCols($"start_us") -
+            Calendar.bizUsFromCalCols($"enabled_us")).as("biz"))
+        .groupBy($"resource", $"activity")
+        .agg(count(lit(1)).as("n"),
+          sum($"wall").as("wall_wt_us"),
+          sum($"biz").as("biz_wt_us"))
+    }),
+
     // Full discovery INCLUDING case-based (subprocess) batches — the
     // reference's complete pass order with the nullification path.
     // discoverFull returns an EAGERLY staged frame (round-7: stage
@@ -801,6 +821,15 @@ object PmQueries {
     // W17 — enabled-time CTEs + the generated per-resource business-clock
     // CASE (const-shared with the engine through Calendar.ResourceCals).
     "w17_rescal" -> withPrefix(logCte, enCtes)(
+      s"""SELECT resource, activity, count(*) AS n,
+         |  CAST(sum(start_us - enabled_us) AS BIGINT) AS wall_wt_us,
+         |  CAST(sum(${Calendar.resourceBizSql("resource", "start_us")} -
+         |    ${Calendar.resourceBizSql("resource", "enabled_us")}) AS BIGINT) AS biz_wt_us
+         |FROM en GROUP BY 1, 2""".stripMargin),
+
+    // W18 — identical answer to w17_rescal (the engine reads the calendars
+    // from a broadcast TABLE; the oracle checks the values either way).
+    "w18_caltable" -> withPrefix(logCte, enCtes)(
       s"""SELECT resource, activity, count(*) AS n,
          |  CAST(sum(start_us - enabled_us) AS BIGINT) AS wall_wt_us,
          |  CAST(sum(${Calendar.resourceBizSql("resource", "start_us")} -

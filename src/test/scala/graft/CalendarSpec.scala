@@ -136,6 +136,35 @@ class CalendarSpec extends AnyFunSuite {
     assert(fb == Set(0L))
   }
 
+  test("calendar-as-data: table form == constant form; editing one row moves only that resource") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a grid of instants x all four resources (+ an unknown one for the
+    // DefaultCal fallback path)
+    val times = (0 until 14).map(k => mon0 + k * 13 * HOUR + 17 * MIN + 3 * SEC)
+    val rows = for (r <- Seq("r0", "r1", "r2", "r3", "mystery"); t <- times) yield (r, t)
+    val df = rows.toDF("resource", "us")
+    def viaTable(cals: Seq[(String, Calendar.BizCal)]) =
+      Calendar.withResourceCal(df, Calendar.calendarDf(spark, cals))
+        .select($"resource", $"us", Calendar.bizUsFromCalCols($"us").as("biz"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val table = viaTable(Calendar.ResourceCals)
+    val const = df.select($"resource", $"us",
+        Calendar.resourceBizUs($"resource", $"us").as("biz"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(table == const, "broadcast-table form must equal the constant-folded form")
+    // edit ONE calendar row (r2 gets r3's 24x7 calendar): only r2 changes
+    val edited = viaTable(Calendar.ResourceCals.map {
+      case ("r2", _) => "r2" -> Calendar.BizCal(Set(0, 1, 2, 3, 4, 5, 6), 0, 24)
+      case other => other
+    })
+    val (changed, same) = rows.partition(_._1 == "r2")
+    assert(same.forall(k => edited(k) == const(k)),
+      "editing r2's calendar row must not move any other resource")
+    assert(changed.exists(k => edited(k) != const(k)),
+      "r2's decomposition must actually change under the edited calendar")
+  }
+
   test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -52,6 +52,32 @@ class ScaleInvariantSpec extends AnyFunSuite {
     Pinned.release(spark)
   }
 
+  test("graded CC path: >31-diameter chain collapses; converged == unroll on the corpus") {
+    import spark.implicits._
+    // Since round 10 j2_neardup_groups routes through ccGroupsConverged —
+    // no diameter precondition. An adversarial 100-vertex path graph
+    // (diameter 99, beyond the fixed unroll's 31 bound AND beyond what any
+    // single pointer-jump round covers) must fully collapse.
+    val n = 100
+    val verts = (0 until n).map(_.toLong).toDF("v")
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val got = ext.Dedup.ccGroupsConverged(verts, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._2 == 0L), s"diameter-99 chain must collapse to component 0")
+    assert(got.count(_._3 == 1L) == 1, "exactly one canonical survivor")
+    // And on the real corpus the graded converged path is bit-identical to
+    // the fixed-unroll form (the hash-unchanged condition for the reroute).
+    val docs = Tables.documents(spark, dir)
+    val pairs = Pinned.stageEager(ext.Dedup.nearDupPairs(docs))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val u = asSet(ext.Dedup.nearDupGroups(docs, pairs0 = Some(pairs)))
+    val c = asSet(ext.Dedup.nearDupGroupsConverged(docs, pairs0 = Some(pairs)))
+    assert(u == c, "converged CC must match the unrolled form on the corpus")
+    Pinned.releaseFrame(pairs)
+    Pinned.release(spark)
+  }
+
   test("pm discovery under inflation: copies are independent periods") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
