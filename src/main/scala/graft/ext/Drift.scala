@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   * sort of the event grain. The two populations are counted in ONE pass
   * (conditional sums), not two scans. */
 object Drift {
+  /** libm-`ln()` INVENTORY — the single anchor for every floating-point
+    * logarithm in the engine (keep this list current; a new `log()` call
+    * site must repeat the containment analysis or route here):
+    *
+    *   1. [[psiDrift]] (`Drift.scala`, PSI term),
+    *   2. [[psiSeries]] (`Drift.scala`, per-period PSI term),
+    *   3. [[graft.streaming.StreamOps.windowedPsi]] (per-window PSI term).
+    *
+    * All three compute the same expression — `(p−q) * ln(p/q)` per bin —
+    * and contain the cross-engine risk identically: the term is ROUNDED
+    * to 6 decimals and cast to DECIMAL(18,6) BEFORE the exact decimal
+    * sum, so engines must agree only on the rounded per-bin value. A
+    * disagreement requires java.lang.StrictMath-vs-libm `ln` to differ by
+    * enough to flip a half-even rounding at the 6th decimal — a ≤1-ulp
+    * event observed never across all SFs/seeds; accepted, and the
+    * blast radius is one bin's 1e-6 contribution, not the sum order. */
+
   /** The graded comparison: click vs purchase value distributions. */
   val GroupA = "click"
   val GroupB = "purchase"

@@ -47,6 +47,24 @@ object ExtQueries {
       graft.Pinned.stageEager(Dedup.nearDupPairs(Tables.documents(s, d))))
   }
 
+  /** Trained BPE merge rules + the encoded vocabulary, each an
+    * eagerly-staged frame shared by THREE graded queries (j4_bpe_train,
+    * j4_bpe_apply, j4_bpe_encode_docs) — memoized per (session, dataset)
+    * with the standard dataset-switch eviction so a session trains once. */
+  private val bpeRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bpeRules(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(bpeRulesCache, s, d)
+    bpeRulesCache.computeIfAbsent((s, d), _ => TextOps.bpeTrain(Tables.documents(s, d)))
+  }
+  private val bpeAppliedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bpeApplied(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(bpeAppliedCache, s, d)
+    bpeAppliedCache.computeIfAbsent((s, d), _ =>
+      TextOps.bpeApply(Tables.documents(s, d), bpeRules(s, d)))
+  }
+
   val queries: Map[String, Q] = Map(
     // J1 — exact dedup, deterministic representative.
     "j1_dedup_docs" -> ((s, d) => {
@@ -228,16 +246,24 @@ object ExtQueries {
     // J4 — BPE merge-rule TRAINING: corpus touched once (word-frequency
     // shuffle), then 6 merge rounds on the vocabulary grain — pair-count
     // aggregate, deterministic argmax, greedy run-parity merge windows.
-    "j4_bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d))),
+    // Memoized: the trained-rules frame feeds j4_bpe_apply and
+    // j4_bpe_encode_docs too (round 10 — previously apply re-trained
+    // in-query, duplicating ~1s of vocabulary-grain work per session).
+    "j4_bpe_train" -> ((s, d) => bpeRules(s, d)),
 
     // J4 — BPE apply: encode the corpus with its own trained merge rules
     // (train -> apply closure; the sequential one-pass-per-rule semantics
     // make the training corpus round-trip exactly, which is what the
-    // oracle's reuse of the training CTE chain checks).
-    "j4_bpe_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextOps.bpeApply(docs, TextOps.bpeTrain(docs))
-    }),
+    // oracle's reuse of the training CTE chain checks). Memoized: the
+    // encoded vocabulary feeds j4_bpe_encode_docs.
+    "j4_bpe_apply" -> ((s, d) => bpeApplied(s, d)),
+
+    // J4 — DOCUMENT-grain BPE encoding: per-document token-ID sequences
+    // (symbol ids dense-ranked by corpus frequency; vocab table broadcast
+    // back to the doc grain) — the artifact a tokenizer stage actually
+    // materializes, feeding j7_pack's sequence packing.
+    "j4_bpe_encode_docs" -> ((s, d) =>
+      TextOps.bpeEncodeDocs(Tables.documents(s, d), bpeApplied(s, d))),
 
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
@@ -503,6 +529,24 @@ object ExtQueries {
        |  string_agg(sym, ' ' ORDER BY pos) AS toks
        |FROM s$rounds GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB twin of [[TextOps.bpeEncodeDocs]]: symbol ids ranked by corpus
+    * frequency over the training chain's final symbol table, per-word id
+    * sequences re-assembled in symbol order, then per-document in word
+    * order — the document-grain tokenizer product. */
+  private def bpeEncodeDocsOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+       |symocc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM s$rounds GROUP BY 1),
+       |symid AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym) AS BIGINT) AS tok_id FROM symocc),
+       |wtok AS (SELECT s.w, s.pos, i.tok_id FROM s$rounds s JOIN symid i ON i.sym = s.sym),
+       |wids AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(tok_id, ' ' ORDER BY pos) AS ids FROM wtok GROUP BY 1),
+       |dw AS (SELECT doc_id, g.i AS wpos, regexp_extract_all(text, '[a-z]+')[g.i] AS w
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(regexp_extract_all(text, '[a-z]+')))) AS i) g)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens,
+       |  string_agg(wi.ids, ' ' ORDER BY d.wpos) AS token_ids
+       |FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -734,7 +778,7 @@ object ExtQueries {
 
     "j7_quality_gate" ->
       s"""WITH s AS (SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),
+         |    ${TextOps.compositeScoreSql} AS score FROM documents),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS rn,
          |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM s),
          |t AS (SELECT source, score AS thr FROM r WHERE rn = (${Pipeline.QualityDropPct} * n) // 100)
@@ -1408,6 +1452,7 @@ object ExtQueries {
 
         "j4_bpe_train" -> bpeTrainOracle(6),
         "j4_bpe_apply" -> bpeApplyOracle(6),
+        "j4_bpe_encode_docs" -> bpeEncodeDocsOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

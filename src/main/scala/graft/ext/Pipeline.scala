@@ -293,18 +293,23 @@ object Pipeline {
   val QualityDropPct = 10L
 
   /** J7 — per-source quality-percentile gate: drop each source's bottom
-    * [[QualityDropPct]]% by score (token count — the standard length
-    * gate), keeping ties at the boundary. Two-pass scale shape: the
-    * per-source threshold is selected by the c14 integer-rank kernel
-    * (exact, no interpolation), then the |sources|-row threshold table is
-    * BROADCAST back and every verdict is row-local (score > thr) — the
-    * event grain is never re-shuffled for the verdict. Sources too small
-    * to have a dropped decile ((pct*n) div 100 == 0) get no threshold row
-    * and keep everything (thr = -1). */
+    * [[QualityDropPct]]% by the COMPOSITE quality score
+    * ([[TextOps.compositeScoreSpark]] — length + diversity + stopword
+    * presence − punctuation density, the graded j4 quality signals as one
+    * number; round 10, previously bare token count), keeping ties at the
+    * boundary. Two-pass scale shape: the per-source threshold is selected
+    * by the c14 integer-rank kernel (exact, no interpolation), then the
+    * |sources|-row threshold table is BROADCAST back and every verdict is
+    * row-local (score > thr) — the event grain is never re-shuffled for
+    * the verdict. Sources too small to have a dropped decile
+    * ((pct*n) div 100 == 0) get no threshold row and keep everything
+    * (thr = -1; composite scores are > 0 for any non-degenerate text, and
+    * a pathological all-punctuation doc scoring <= -1 would only ever be
+    * dropped — the conservative direction for a quality gate). */
   def qualityGate(docs: DataFrame, dropPct: Long = QualityDropPct): DataFrame = {
     import docs.sparkSession.implicits._
     val scored = docs.select($"doc_id", $"source",
-      size(split($"text", " ")).cast("long").as("score"))
+      TextOps.compositeScoreSpark.as("score"))
     val ranked = scored.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("score", "doc_id")).cast("long"))

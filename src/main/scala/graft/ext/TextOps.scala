@@ -11,6 +11,59 @@ object TextOps {
 
   private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Composite document-quality score weights (e6 fixed-point). The four
+    * graded j4_quality signals combined into the ONE number a curation
+    * gate thresholds on ([[Pipeline.qualityGate]]): saturating length
+    * (longer is better up to [[QualityLenCap]] tokens), lexical diversity
+    * (distinct/total tokens — penalizes the repetition j4_repetition
+    * measures), stopword presence (real language contains stopwords), and
+    * a punctuation-density penalty. Every term is an integer-division
+    * ratio of row-local counts, so the score is exact, one map pass, and
+    * identical under DuckDB's `//` — both engine and oracle expressions
+    * are GENERATED from these constants ([[compositeScoreSpark]] /
+    * [[compositeScoreSql]]), the bizSql const-sharing pattern. */
+  val QualityLenW = 400000L
+  val QualityLenCap = 256L
+  val QualityUniqW = 300000L
+  val QualityStopW = 200000L
+  val QualityPunctW = 100000L
+
+  /** The composite score over column `text`, rendered for one dialect:
+    * `div` is the integer-division operator, and the count expressions are
+    * dialect-specific renderings of the SAME five row-local signals. */
+  private def compositeExpr(nTok: String, nUniq: String, nStop: String,
+                            nPunct: String, nChars: String, div: String): String =
+    s"(($QualityLenW * least($nTok, $QualityLenCap)) $div $QualityLenCap" +
+      s" + ($QualityUniqW * $nUniq) $div $nTok" +
+      s" + ($QualityStopW * $nStop) $div $nTok" +
+      s" - ($QualityPunctW * $nPunct) $div greatest($nChars, 1))"
+
+  /** Spark rendering of the composite quality score (codegen'd built-ins,
+    * row-local — no shuffle, no UDF). */
+  def compositeScoreSpark: org.apache.spark.sql.Column = {
+    val nTok = "cast(size(split(text, ' ')) as bigint)"
+    expr("cast(" + compositeExpr(
+      nTok,
+      "cast(size(array_distinct(split(text, ' '))) as bigint)",
+      s"cast(size(filter(split(text, ' '), x -> x IN ${inList(stopwords)})) as bigint)",
+      "cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) as bigint)",
+      "cast(length(text) as bigint)",
+      "div") + " as bigint)")
+  }
+
+  /** DuckDB rendering of the composite quality score — generated from the
+    * same weights, so a weight edit cannot desync the gate's oracle. */
+  def compositeScoreSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    "CAST(" + compositeExpr(
+      nTok,
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)",
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ${inList(stopwords)})) AS BIGINT)",
+      "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)",
+      "CAST(length(text) AS BIGINT)",
+      "//") + " AS BIGINT)"
+  }
+
   /** Per-doc token counts, stopword ratio, punctuation count. */
   def qualityStats(docs: DataFrame): DataFrame =
     docs.selectExpr(
@@ -424,6 +477,53 @@ object TextOps {
           x => x.getField("sym"))).as("toks")))
     tmp.foreach(graft.Pinned.releaseFrame)
     out
+  }
+
+  /** J4 — DOCUMENT-grain BPE encoding: the artifact a training pipeline
+    * actually materializes — one row per document with its token-ID
+    * sequence (the input to sequence packing, j7_pack's grain). Built
+    * from an already-encoded VOCABULARY table ([[bpeApply]]'s output), so
+    * the expensive merge rounds stay corpus-size-independent and the doc
+    * grain pays only (a) the word extraction it would pay anyway and (b)
+    * one BROADCAST join against the vocab table:
+    *
+    *  1. symbol ids: corpus frequency of each BPE symbol (sum of word
+    *     freq over its occurrences), dense-ranked by (freq desc, sym) via
+    *     [[graft.Dist.withGlobalRank]] — no single-partition window;
+    *  2. per-word id sequence: the vocab table's `toks` joined to the ids
+    *     (symbol grain — tiny, broadcast) and re-assembled in order;
+    *  3. per-document sequence: words extracted with their position, the
+    *     word→ids table broadcast in, id strings concatenated in word
+    *     order (sort_array over collected (pos, ids) structs — the
+    *     [[bpeApply]] idiom, no single-task sort).
+    *
+    * Documents with no `[a-z]+` word (none in the harness corpora) emit
+    * no row — the same convention as the signature ops on <3-token docs.
+    * Output: (doc_id, n_words, n_tokens, token_ids). */
+  def bpeEncodeDocs(docs: DataFrame, applied: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val symOcc = applied
+      .select($"freq", explode(split($"toks", " ")).as("sym"))
+      .groupBy($"sym").agg(sum($"freq").as("n"))
+    val symIds = graft.Dist.withGlobalRank(symOcc, "tok_id", Seq($"n".desc, $"sym"))
+      .select($"sym", $"tok_id")
+    val wordIds = applied
+      .select($"w", $"n_tokens", posexplode(split($"toks", " ")).as(Seq("p", "sym")))
+      .join(broadcast(symIds), Seq("sym"))
+      .groupBy($"w", $"n_tokens")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct($"p", $"tok_id"))),
+        x => x.getField("tok_id").cast("string"))).as("ids"))
+    docs
+      .select($"doc_id",
+        posexplode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as(Seq("wpos", "w")))
+      .join(broadcast(wordIds), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_tokens").as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct($"wpos", $"ids"))),
+          x => x.getField("ids"))).as("token_ids"))
   }
 
   /** Minimum token length considered by [[spellPairs]]. */

@@ -234,6 +234,11 @@ object PmQueries {
     "pm_wt_biz" -> ((s, d) => {
       import s.implicits._
       val dd = disc(s, d)
+      // min(resource) is well-defined because K1 segments per resource
+      // (W5): countDistinct(resource) == 1 per batch — EXECUTABLE guard in
+      // PmKernelSpec ("one-resource-per-batch invariant") over the real
+      // datasets, so a future W5 change fails there instead of silently
+      // mis-clocking this decomposition.
       val res = dd.filter($"batch_id".isNotNull)
         .groupBy($"batch_id").agg(min($"resource").as("resource"))
       def biz(c: org.apache.spark.sql.Column) =

@@ -325,7 +325,9 @@ object StreamOps {
     * semantics applied per tumbling window: the mass-weighted drift score
     * next to [[windowedKs]]'s max-deviation view, both deterministic
     * functions of one streaming register state. Window functions
-    * partitioned by win_start (bounded bin grain per partition). */
+    * partitioned by win_start (bounded bin grain per partition).
+    * Floating-point `ln()` site #3 of 3 — containment analysis at the
+    * single inventory anchor, [[graft.ext.Drift]]'s object Scaladoc. */
   def windowedPsi(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("win_start")

@@ -179,17 +179,43 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
-  test("quality gate: bottom decile dropped per source, tiny sources keep all") {
+  test("quality gate: bottom decile by composite score; boundary ties drop; tiny sources keep all") {
     import spark.implicits._
-    val big = (1 to 10).map(i => (i.toLong, ("w " * i).trim, "big"))
-    val tiny = (11 to 15).map(i => (i.toLong, ("w " * (i - 10)).trim, "tiny"))
-    val out = ext.Pipeline.qualityGate((big ++ tiny).toDF("doc_id", "text", "source"))
+    // uniqDoc(i): i DISTINCT tokens, no stopwords, no punctuation, so the
+    // composite collapses to two hand-checkable terms:
+    // score = (400000 * min(i, 256)) div 256 + 300000 — monotone in i.
+    def uniqDoc(i: Int) = (1 to i).map(k => s"w$k").mkString(" ")
+    val big = (1 to 10).map(i => (i.toLong, uniqDoc(i), "big"))
+    val tiny = (11 to 15).map(i => (i.toLong, uniqDoc(i - 10), "tiny"))
+    // ties source: docs 21 AND 22 share the bottom score
+    val ties = (21 to 30).map(i =>
+      (i.toLong, uniqDoc(if (i <= 22) 1 else i - 20), "ties"))
+    val out = ext.Pipeline.qualityGate((big ++ tiny ++ ties).toDF("doc_id", "text", "source"))
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    // big: n=10, rank (10*10)//100 = 1 -> thr = score 1; doc 1 dropped
-    assert(out(1L) == ((1L, 1L, 0L)))
+    // big: n=10, rank (10*10)//100 = 1 -> thr = doc 1's score
+    // 400000 div 256 + 300000 = 1562 + 300000 = 301562; doc 1 dropped
+    assert(out(1L) == ((301562L, 301562L, 0L)))
+    assert(out(2L)._1 == 303125L) // 800000 div 256 = 3125
     (2 to 10).foreach(i => assert(out(i.toLong)._3 == 1L, s"doc $i"))
     // tiny: n=5, (10*5)//100 = 0 -> no threshold row, keep all at thr -1
     (11 to 15).foreach(i => assert(out(i.toLong)._2 == -1L && out(i.toLong)._3 == 1L))
+    // ties: thr equals the shared bottom score -> BOTH boundary docs drop
+    // (kept = score > thr), the other eight keep
+    assert(out(21L)._3 == 0L && out(22L)._3 == 0L)
+    (23 to 30).foreach(i => assert(out(i.toLong)._3 == 1L, s"doc $i"))
+  }
+
+  test("composite score: punctuation-heavy and repetitive docs score below clean prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank today"),
+      (2L, "the quick!! brown,, fox!!! jumps;; over,, a... lazy:: dog?? near!!! the. riverbank. today."),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val s = docs.select($"doc_id", ext.TextOps.compositeScoreSpark.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(2L) < s(1L), s"punctuation density must cost score: $s")
+    assert(s(3L) < s(1L), s"repetition must cost score: $s")
   }
 
   test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {

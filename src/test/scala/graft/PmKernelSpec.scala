@@ -381,4 +381,23 @@ class PmKernelSpec extends AnyFunSuite {
       assert(sweep == win, s"gap=$gap")
     }
   }
+
+  test("one-resource-per-batch invariant (pm_wt_biz's clock attribution) on real datasets") {
+    // pm_wt_biz measures each batch on "the batch's resource" clock,
+    // attributed via min(resource) per batch — well-defined only because
+    // K1 segments per resource (W5), so a batch can never span resources.
+    // This makes that invariant EXECUTABLE: if a future W5 edit lets a
+    // batch mix resources, this fails before min() silently picks one.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = BatchDiscovery.discover(EnabledTime.withEnabled(
+        pm.EventLogOps.fromEvents(spark, dir)).transform(Pinned.track))
+      val bad = d.filter($"batch_id".isNotNull)
+        .groupBy($"batch_id").agg(countDistinct($"resource").as("nres"))
+        .filter($"nres" =!= 1L).count()
+      assert(bad == 0L,
+        s"$dir: $bad batches span >1 resource — pm_wt_biz's per-batch business clock is ill-defined")
+      Pinned.release(spark)
+    }
+  }
 }
