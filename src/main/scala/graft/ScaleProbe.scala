@@ -156,7 +156,18 @@ object ScaleProbe {
       Head("ar_features", f =>
         rules.Features.featuresTable(
           pm.BatchDiscovery.discover(
-            pm.EnabledTime.withEnabled(pmLog(f)).transform(Pinned.track)))))
+            pm.EnabledTime.withEnabled(pmLog(f)).transform(Pinned.track)))),
+      // round-10 additions (r9 verdict #5): the register/report/rules heads
+      // whose scale posture was argued but not measured.
+      Head("st_drift_ks", f => streaming.StreamOps.windowedKs(eventsAt(f))),
+      Head("pm_report", f => pm.PmQueries.reportFrom(spark,
+        pm.BatchDiscovery.discover(
+          pm.EnabledTime.withEnabled(pmLog(f)).transform(Pinned.track)),
+        s"graft_probe_repin_$f")),
+      Head("ar_rule_scores", f => rules.RuleQueries.scoresForFeatures(
+        rules.Features.featuresTable(
+          pm.BatchDiscovery.discover(
+            pm.EnabledTime.withEnabled(pmLog(f)).transform(Pinned.track))))))
 
     final case class Res(name: String, rows1: Long, rowsF: Long,
                          wall1: Double, wallF: Double,
@@ -186,11 +197,24 @@ object ScaleProbe {
       .agg(max($"cnt")).head.getLong(0)
     val maxBucketF = ext.Dedup.bandBucketSizes(docsAt(factor))
       .agg(max($"cnt")).head.getLong(0)
+    // streaming-drift register bound: state per window is the BIN grain
+    // (value range / bin width), so the max register rows per window must
+    // NOT grow with scale (inflation multiplies windows, not bins —
+    // values are untouched). This is the measured form of the st_drift/
+    // st_psi bounded-state claim.
+    def maxBinsPerWin(f: Int): Long =
+      streaming.StreamOps.windowedDriftBins(eventsAt(f))
+        .groupBy($"win_start").agg(count(lit(1)).as("nb"))
+        .agg(max($"nb")).head.getLong(0)
+    val binsWin1 = maxBinsPerWin(1)
+    val binsWinF = maxBinsPerWin(factor)
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
     if (maxBucketF > ext.Dedup.BucketCap)
       failed ::= s"bucket cap overflow at ${factor}x: $maxBucketF > ${ext.Dedup.BucketCap}"
+    if (binsWinF > binsWin1)
+      failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinF at ${factor}x (state not at the bin grain)"
     results.foreach { r =>
       if (r.quadF > r.quad1)
         failed ::= s"${r.name}: quadratic join shapes grew ${r.quad1} -> ${r.quadF} at ${factor}x"
@@ -203,7 +227,7 @@ object ScaleProbe {
         results.map(r =>
           s""""${r.name}":{"rows_1x":${r.rows1},"rows_fx":${r.rowsF},"wall_1x_sec":${f"${r.wall1}%.3f"},"wall_fx_sec":${f"${r.wallF}%.3f"},"ratio":${f"${r.wallF / r.wall1}%.3f"},"quad_joins_1x":${r.quad1},"quad_joins_fx":${r.quadF},"shuffle_joins_1x":${r.shuf1},"shuffle_joins_fx":${r.shufF}}""")
           .mkString(",")
-      }},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

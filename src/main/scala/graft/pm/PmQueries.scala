@@ -81,13 +81,17 @@ object PmQueries {
   }
 
   /** Report input at batch-case grain: activities key + WT decomposition. */
-  private def reportInput(s: SparkSession, d: String): DataFrame = {
+  /** EP2 report over an explicit discovered frame — shared by pm_report
+    * and the scale probe's report head (which feeds an INFLATED discovery
+    * instead of the session cache). `view` must be caller-unique. */
+  private[graft] def reportFrom(s: SparkSession, dd: DataFrame, view: String): DataFrame = {
     import s.implicits._
-    val dd = disc(s, d)
     val acts = dd.filter($"batch_id".isNotNull)
       .groupBy("batch_id")
       .agg(concat_ws(",", sort_array(collect_set($"activity"))).as("activities"))
     WaitingTimes.batchCaseWT(dd).join(acts, Seq("batch_id"))
+      .createOrReplaceTempView(view)
+    s.sql(reportSelect(view))
   }
 
   val queries: Map[String, Q] = Map(
@@ -152,10 +156,7 @@ object PmQueries {
     "pm_sweepline" -> ((s, d) => WaitingTimes.sweepLine(disc(s, d))),
 
     // EP2 — grouping-sets report over the decomposition.
-    "pm_report" -> ((s, d) => {
-      reportInput(s, d).createOrReplaceTempView("graft_pm_repin")
-      s.sql(reportSelect("graft_pm_repin"))
-    }),
+    "pm_report" -> ((s, d) => reportFrom(s, disc(s, d), "graft_pm_repin")),
 
     // W2 — ordered n-gram (length-3) subsequence counting per case.
     "w2_ngram_seq" -> ((s, d) => {

@@ -136,15 +136,21 @@ object RuleQueries {
   /** Distributed re-scoring of the fitted rulesets: one pass over the
     * feature table, per-group predicate via a chained `when`, exact counts,
     * integer-division e6 ratios (identical in DuckDB's `//`). */
-  private def ruleScores(s: SparkSession, d: String, groupCol: String): DataFrame = {
-    import s.implicits._
-    val f = fitted(s, d, groupCol)
+  private def ruleScores(s: SparkSession, d: String, groupCol: String): DataFrame =
+    scoreWithFits(scoreFrame(s, d, groupCol), groupCol, fitted(s, d, groupCol))
+
+  /** The scoring pass over an EXPLICIT feature frame + fit map — shared by
+    * the graded queries (memoized session fit) and the scale probe (fresh
+    * fit over an inflated feature frame). */
+  private[graft] def scoreWithFits(frame: DataFrame, groupCol: String,
+                                   f: Map[String, Option[RuleSet]]): DataFrame = {
+    import frame.sparkSession.implicits._
     val g = col(groupCol)
     val pred = f.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
       case (acc, (k, rs)) =>
         when(g === k, rs.map(_.toColumn).getOrElse(lit(false))).otherwise(acc)
     }
-    scoreFrame(s, d, groupCol)
+    frame
       .filter(g.isin(f.keys.toSeq: _*))
       .withColumn("m", pred)
       .groupBy(g)
@@ -155,6 +161,12 @@ object RuleQueries {
         expr("(tp * 1000000) div nullif(pp, 0)").as("confidence_e6"),
         expr("(tp * 1000000) div nullif(num_obs, 0)").as("support_e6"))
   }
+
+  /** Fit + score over an explicit feature frame (scale-probe entry — no
+    * session/dataset cache, no oracle registration). */
+  private[graft] def scoresForFeatures(features: DataFrame,
+                                       groupCol: String = "activities"): DataFrame =
+    scoreWithFits(features, groupCol, Ripper.fitPerGroupAll(features, groupCol))
 
   /** ar_features oracle: extends the PM CTE pipeline with the instant
     * generation + subset-feature computation (mirrors Features stage by
