@@ -66,6 +66,24 @@ object Dedup {
           typedLit(Seq.empty[String])).as("shings"))
   }
 
+  /** (doc_id, grams: array<string>) word n-grams as a per-row array — the
+    * [[shingleArrays]] slice-zip construction generalized to arbitrary n
+    * (n−1 zip_with folds, so `toks` is referenced a CONSTANT number of
+    * times per row; the indexed per-element form re-evaluates split(text)
+    * quadratically — see the [[shingleArrays]] hazard note). Fewer than n
+    * tokens degrades to an empty array. */
+  def ngramArrays(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(n >= 2, s"ngramArrays: n must be >= 2, got $n")
+    val cnt = greatest(size($"toks") - (n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice($"toks", lit(1), cnt)) { (acc, k) =>
+      zip_with(acc, slice($"toks", lit(k), cnt), (a, b) => concat(a, lit(" "), b))
+    }
+    docs.select($"doc_id", split(col(textCol), " ").as("toks"))
+      .select($"doc_id",
+        coalesce(grams, typedLit(Seq.empty[String])).as("grams"))
+  }
+
   /** Word 3-gram shingles per doc with their position (exploded view of
     * [[shingleArrays]]). */
   def shingles(docs: DataFrame): DataFrame = {

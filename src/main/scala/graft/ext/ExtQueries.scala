@@ -114,6 +114,13 @@ object ExtQueries {
     "j7_decontam" -> ((s, d) =>
       Pipeline.decontam(Tables.documents(s, d))),
 
+    // J7 — DIRECT 13-gram decontamination (the GPT-3/PaLM published
+    // convention): exact word-13-gram collisions between train docs and
+    // the eval set; eval fingerprints broadcast, train corpus touched
+    // once, per-doc gram counts row-local.
+    "j7_decontam_ngram" -> ((s, d) =>
+      Pipeline.decontamNgram(Tables.documents(s, d))),
+
     // J7 — snapshot delta detection (CDC merge): added/deleted/changed/
     // unchanged across two crawl snapshots; the re-process-the-delta op.
     // J7 — per-source order-free fingerprint (bit_xor folds + exact
@@ -774,6 +781,25 @@ object ExtQueries {
          |       WHEN $bucket < ${Pipeline.SplitValPct + Pipeline.SplitTestPct} THEN 'test'
          |       ELSE 'train' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "j7_decontam_ngram" -> {
+      val n = Pipeline.DecontamN
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |fp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM g),
+         |e AS (SELECT DISTINCT fp, doc_id AS eval_doc FROM fp WHERE doc_id < ${Pipeline.EvalDocs}),
+         |t AS (SELECT doc_id, fp FROM fp WHERE doc_id >= ${Pipeline.EvalDocs}),
+         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM t GROUP BY 1),
+         |sh AS (SELECT t.doc_id, CAST(count(DISTINCT t.fp) AS BIGINT) AS n_shared,
+         |    CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+         |  FROM t JOIN e ON e.fp = t.fp GROUP BY 1)
+         |SELECT b.doc_id, b.n_grams, coalesce(sh.n_shared, 0) AS n_shared,
+         |  coalesce(sh.n_eval_docs, 0) AS n_eval_docs,
+         |  (coalesce(sh.n_shared, 0) * 1000000) // b.n_grams AS contam_frac_e6,
+         |  CAST(CASE WHEN coalesce(sh.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id""".stripMargin
     },
 
     "j7_quality_gate" ->

@@ -202,6 +202,50 @@ object Pipeline {
         countDistinct($"eval_doc").as("n_eval_docs"))
   }
 
+  /** N-gram size of [[decontamNgram]] — 13, the published decontamination
+    * convention (GPT-3 appendix C / PaLM: a train doc is contaminated if
+    * it shares any 13-gram with an eval document). */
+  val DecontamN = 13
+
+  /** DIRECT n-gram decontamination — the published-standard complement to
+    * [[decontam]]'s winnowing-fingerprint form: a train document
+    * (doc_id >= evalDocs) is contaminated iff it shares at least one
+    * exact word 13-gram with any eval document. One row per train doc
+    * with >= 1 n-gram: distinct-gram count, shared-gram count, how many
+    * eval docs it collides with, the contamination fraction (e6, exact),
+    * and the binary verdict.
+    *
+    * Scale shape: grams are built row-locally ([[Dedup.ngramArrays]] —
+    * constant slice references per row) and hashed to 60-bit md5
+    * fingerprints so the exploded grain shuffles 8-byte longs; the EVAL
+    * side is the benchmark suite — tiny by construction — so its
+    * distinct fingerprint set BROADCASTS and the train corpus is touched
+    * exactly once (per-doc gram counts are row-local `size()`, not a
+    * second aggregation over the exploded grain). Fingerprint collisions
+    * (P < 2^-19 at 2M distinct grams) behave identically on both engines
+    * — same formula as [[Dedup.shingleFpArrays]]. */
+  def decontamNgram(docs: DataFrame, n: Int = DecontamN,
+                    evalDocs: Long = EvalDocs): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id", expr(
+      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
+      .as("fps"))
+    val evalFp = withFps.filter($"doc_id" < evalDocs)
+      .select(explode($"fps").as("fp"), $"doc_id".as("eval_doc")).distinct()
+    val train = withFps.filter($"doc_id" >= evalDocs && size($"fps") > 0)
+    val shared = train.select($"doc_id", explode($"fps").as("fp"))
+      .join(broadcast(evalFp), Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"fp").as("n_shared"),
+        countDistinct($"eval_doc").as("n_eval_docs"))
+    train.select($"doc_id", size($"fps").cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared", "n_eval_docs"))
+      .select($"doc_id", $"n_grams", $"n_shared", $"n_eval_docs",
+        expr("(n_shared * 1000000) div n_grams").as("contam_frac_e6"),
+        ($"n_shared" > 0).cast("long").as("contaminated"))
+  }
+
   /** Snapshot DELTA detection (CDC merge): classify every document across
     * two crawl snapshots as added / deleted / changed / unchanged — the
     * step that turns "re-process 100 TB nightly" into "re-process the

@@ -209,11 +209,42 @@ object Calendar {
         within).otherwise(0L)
   }
 
-  /** CASE twin of [[resourceBizUs]] for the oracle. */
-  def resourceBizSql(resourceExpr: String, usExpr: String): String =
-    s"CASE ${ResourceCals.map { case (r, cal) =>
+  /** CASE twin of [[resourceBizUs]] for the oracle (parameterized by the
+    * calendar assignment so versioned twins share the generator). */
+  def resourceBizSql(resourceExpr: String, usExpr: String,
+                     cals: Seq[(String, BizCal)] = ResourceCals): String =
+    s"CASE ${cals.map { case (r, cal) =>
       s"WHEN $resourceExpr = '$r' THEN ${bizSql(usExpr, cal)}"
     }.mkString(" ")} ELSE ${bizSql(usExpr, DefaultCal)} END"
+
+  /** Version-2 calendar assignment for the VALIDITY-INTERVAL surface
+    * (w19_calversion): the round-robin amendment — each resource adopts
+    * the next resource's calendar at [[CalAmendUs]]. Deterministic,
+    * derived from [[ResourceCals]], so the oracle CASE twin is generated
+    * from the same values. */
+  val ResourceCalsV2: Seq[(String, BizCal)] = {
+    val cs = ResourceCals.map(_._2)
+    ResourceCals.map(_._1).zip(cs.tail :+ cs.head)
+  }
+
+  /** The calendar amendment instant: 2024-01-16 00:00:00 UTC, mid-way
+    * through the harness event span (Jan 1-30) so both versions are
+    * exercised by every dataset. */
+  val CalAmendUs: Long = 1705363200000000L
+
+  /** Calendar table WITH VALIDITY INTERVALS — the full production shape
+    * (r9 verdict #2's parenthetical): calendars arrive as data AND change
+    * over time, so each row carries `[valid_from_us, valid_to_us)` and an
+    * event joins the row valid at its anchor instant. Two versions here:
+    * [[ResourceCals]] before [[CalAmendUs]], [[ResourceCalsV2]] after.
+    * 2·|resources| rows — still always broadcastable. */
+  def versionedCalendarDf(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    calendarDf(spark, ResourceCals)
+      .withColumn("valid_from_us", lit(0L))
+      .withColumn("valid_to_us", lit(CalAmendUs))
+      .unionByName(calendarDf(spark, ResourceCalsV2)
+        .withColumn("valid_from_us", lit(CalAmendUs))
+        .withColumn("valid_to_us", lit(Long.MaxValue)))
 
 
   /** The composed reference op (handoff_batch.py:110-136): Loan Officers

@@ -293,6 +293,33 @@ object PmQueries {
           sum($"biz").as("biz_wt_us"))
     }),
 
+    // W19 — calendar VALIDITY INTERVALS: the w18 calendar table gains
+    // [valid_from_us, valid_to_us) rows (two versions: the round-robin
+    // amendment at Calendar.CalAmendUs), and each event joins the row
+    // valid at its START instant — the version convention "the clock the
+    // resource was on when the work started" applies to the whole waiting
+    // interval, so the transform stays a difference of ONE monotone
+    // function per row. Broadcast range-join against the 2·|resources|-row
+    // dimension; otherwise identical shape to w18_caltable.
+    "w19_calversion" -> ((s, d) => {
+      import s.implicits._
+      val en = enabledStage(s, d)
+      val cal = Calendar.versionedCalendarDf(s)
+        .withColumnRenamed("resource", "cal_resource")
+      en.join(broadcast(cal),
+          en("resource") === cal("cal_resource") &&
+            en("start_us") >= cal("valid_from_us") &&
+            en("start_us") < cal("valid_to_us"))
+        .select($"resource", $"activity",
+          ($"start_us" - $"enabled_us").as("wall"),
+          (Calendar.bizUsFromCalCols($"start_us") -
+            Calendar.bizUsFromCalCols($"enabled_us")).as("biz"))
+        .groupBy($"resource", $"activity")
+        .agg(count(lit(1)).as("n"),
+          sum($"wall").as("wall_wt_us"),
+          sum($"biz").as("biz_wt_us"))
+    }),
+
     // Full discovery INCLUDING case-based (subprocess) batches — the
     // reference's complete pass order with the nullification path.
     // discoverFull returns an EAGERLY staged frame (round-7: stage
@@ -840,6 +867,19 @@ object PmQueries {
          |  CAST(sum(start_us - enabled_us) AS BIGINT) AS wall_wt_us,
          |  CAST(sum(${Calendar.resourceBizSql("resource", "start_us")} -
          |    ${Calendar.resourceBizSql("resource", "enabled_us")}) AS BIGINT) AS biz_wt_us
+         |FROM en GROUP BY 1, 2""".stripMargin),
+
+    // W19 — validity-interval twin: version CASE on the event's start
+    // instant, both version CASEs generated from the same BizCal values.
+    "w19_calversion" -> withPrefix(logCte, enCtes)(
+      s"""SELECT resource, activity, count(*) AS n,
+         |  CAST(sum(start_us - enabled_us) AS BIGINT) AS wall_wt_us,
+         |  CAST(sum(CASE WHEN start_us < ${Calendar.CalAmendUs}
+         |    THEN ${Calendar.resourceBizSql("resource", "start_us")} -
+         |      ${Calendar.resourceBizSql("resource", "enabled_us")}
+         |    ELSE ${Calendar.resourceBizSql("resource", "start_us", Calendar.ResourceCalsV2)} -
+         |      ${Calendar.resourceBizSql("resource", "enabled_us", Calendar.ResourceCalsV2)}
+         |    END) AS BIGINT) AS biz_wt_us
          |FROM en GROUP BY 1, 2""".stripMargin),
 
 "w16_biztime" ->

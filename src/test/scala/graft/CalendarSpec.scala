@@ -165,6 +165,35 @@ class CalendarSpec extends AnyFunSuite {
       "r2's decomposition must actually change under the edited calendar")
   }
 
+  test("calendar validity intervals: the version valid at the instant wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one instant per side of the amendment, per resource
+    val before = Calendar.CalAmendUs - 3 * DAY - 5 * HOUR
+    val after = Calendar.CalAmendUs + 3 * DAY + 5 * HOUR
+    val rows = for (r <- Seq("r0", "r1", "r2", "r3"); t <- Seq(before, after)) yield (r, t)
+    val df = rows.toDF("resource", "us")
+    val cal = Calendar.versionedCalendarDf(spark)
+      .withColumnRenamed("resource", "cal_resource")
+    val got = df.join(broadcast(cal),
+        df("resource") === cal("cal_resource") &&
+          df("us") >= cal("valid_from_us") && df("us") < cal("valid_to_us"))
+      .select($"resource", $"us", Calendar.bizUsFromCalCols($"us").as("biz"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == rows.size, "every (resource, instant) must join exactly one version")
+    val v1 = Calendar.ResourceCals.toMap
+    val v2 = Calendar.ResourceCalsV2.toMap
+    def expect(cal: Calendar.BizCal, us: Long): Long =
+      Seq(us).toDF("us").select(Calendar.businessUsCal(col("us"), cal))
+        .head.getLong(0)
+    for (r <- Seq("r0", "r1", "r2", "r3")) {
+      assert(got((r, before)) == expect(v1(r), before), s"$r before amendment uses v1")
+      assert(got((r, after)) == expect(v2(r), after), s"$r after amendment uses v2")
+    }
+    // the amendment actually changes something (rotation is not identity)
+    assert(got(("r0", after)) != expect(v1("r0"), after))
+  }
+
   test("dowMon0 matches the pandas convention on epoch day 0 (Thursday)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
