@@ -459,6 +459,39 @@ object Similarity {
       .select($"qid", $"vid", $"cos_sim_e6", $"rank")
   }
 
+  /** J3 — METADATA-FILTERED similarity search: top-k cosine neighbors
+    * restricted to corpus vectors sharing the query's label — the
+    * filtered vector-search mode every production retrieval stack
+    * exposes ("nearest docs in the same category/tenant/language").
+    * PRE-filter semantics: the predicate restricts the candidate set
+    * BEFORE scoring and the top-k window, so k survivors are guaranteed
+    * (post-filtering a label-blind top-k under-fills when the filter is
+    * selective). At fleet scale the pre-filter composes with layout — a
+    * label-partitioned corpus turns the predicate into partition pruning
+    * before any arithmetic runs — which is why pre-filter is the
+    * production default for selective predicates. Same exact-integer
+    * scoring as [[knnCosine]]. */
+  def knnCosineFiltered(emb: DataFrame, nQueries: Int = KnnQueries,
+                        k: Int = KnnK): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = emb.select($"vec_id", $"label", qvec($"embedding").as("qv"))
+      .withColumn("nq", idot($"qv", $"qv"))
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"qv".as("qa"), $"nq".as("na")))
+    b.select($"vec_id".as("vid"), $"label", $"qv".as("va"), $"nq".as("nb"))
+      .join(queries, $"qid" =!= $"vid" && $"label" === $"qlabel")
+      .select($"qid", $"vid", $"label".cast("long").as("label"),
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"vid", $"label", $"cos_sim_e6", $"rank")
+  }
+
   /** Top outliers per [[centroidOutliers]] group. */
   val OutlierK = 16
 

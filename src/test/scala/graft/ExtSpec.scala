@@ -486,6 +486,25 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("vid") == 7L && r(2).getAs[Long]("cos_sim_e6") == -1000000L)
   }
 
+  test("filtered knn: neighbors share the query's label; pre-filter fills k") {
+    import spark.implicits._
+    // label 1: the query + 3 candidates (incl. a LOW-sim same-label one);
+    // label 2: a near-identical vector that MUST be excluded by the filter
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.9f, 0.1f, 0.0f), 2),   // best cosine overall — wrong label
+      (6L, Array(0.8f, 0.2f, 0.0f), 1),
+      (7L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal, still returned (pre-filter fills k)
+      (8L, Array(-1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnCosineFiltered(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(r.length == 3, "pre-filter must fill k from same-label candidates")
+    assert(r.forall(_.getAs[Long]("label") == 1L), "every neighbor shares the query's label")
+    assert(r.map(_.getAs[Long]("vid")).toSeq == Seq(6L, 7L, 8L),
+      "ranked by cosine within the filtered set (5 excluded despite top sim)")
+  }
+
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
     import spark.implicits._
     // deterministic pseudo-random corpus (hash-derived floats)
