@@ -406,6 +406,47 @@ object Dedup {
     out
   }
 
+  /** [[dupNgramFrac]] n-gram size (10-grams — the MassiveText-family
+    * "duplicated content" grain) and its drop threshold in millionths
+    * (documents with more than 30% duplicated n-grams are scrubbed). */
+  val DupNgramN = 10
+  val DupFracGateE6 = 300000L
+
+  /** J2 — CROSS-document duplicated-n-gram fraction (the MassiveText /
+    * RefinedWeb scrub signal, distinct from [[graft.ext.TextOps]]'
+    * WITHIN-doc repetition stats): per document, the fraction of its
+    * distinct word 10-grams that also occur in at least one OTHER
+    * document, plus the >30% drop verdict. Boilerplate-heavy docs
+    * (headers, navigation, license blocks) score high even when no
+    * whole-doc near-dup exists — the reason pipelines run this pass IN
+    * ADDITION to doc-level LSH.
+    *
+    * Scale shape: grams are row-local ([[ngramArrays]]) and hashed to
+    * 60-bit fps; ONE shuffle to the gram grain computes document
+    * frequency; the duplicated-gram set (df >= 2, typically a small
+    * fraction) is semi-joined back on the SAME key — co-partitioned with
+    * the df aggregate, so no second wide shuffle of the gram grain; the
+    * per-doc denominator is a row-local size(). Docs with fewer than n
+    * tokens have no grams and emit no row. */
+  def dupNgramFrac(docs: DataFrame, n: Int = DupNgramN,
+                   gateE6: Long = DupFracGateE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withFps = ngramArrays(docs, n).select($"doc_id", expr(
+      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
+      .as("fps")).filter(size($"fps") > 0)
+    val ex = withFps.select($"doc_id", explode($"fps").as("fp"))
+    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+      .select($"fp")
+    val shared = ex.join(dup, Seq("fp"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    withFps.select($"doc_id", size($"fps").cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        expr("(n_dup * 1000000) div n_grams").as("dup_frac_e6"),
+        (expr("(n_dup * 1000000) div n_grams") > gateE6).cast("long").as("flagged"))
+  }
+
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
     * same 0.9 decision point as [[NearDupGroupJaccard]]. */
   val IncrementalDropE6 = 900000L

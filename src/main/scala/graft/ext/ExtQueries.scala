@@ -100,6 +100,12 @@ object ExtQueries {
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
     "j2_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
 
+    // J2 — CROSS-document duplicated-10-gram fraction + the >30% scrub
+    // verdict (the MassiveText/RefinedWeb boilerplate signal; catches
+    // heavy partial duplication no whole-doc near-dup pass flags).
+    "j2_dup_ngram_frac" -> ((s, d) =>
+      Dedup.dupNgramFrac(Tables.documents(s, d))),
+
     // J2 — INCREMENTAL near-dup lookup: a new batch (doc_id % 10 == 0)
     // probes the standing corpus LSH index; per-batch cost scales with
     // the batch, not the corpus.
@@ -788,6 +794,23 @@ object ExtQueries {
          |       WHEN $bucket < ${Pipeline.SplitValPct + Pipeline.SplitTestPct} THEN 'test'
          |       ELSE 'train' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "j2_dup_ngram_frac" -> {
+      val n = Dedup.DupNgramN
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |fp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM g),
+         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM fp GROUP BY 1),
+         |dup AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) >= 2),
+         |sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM fp WHERE fp IN (SELECT fp FROM dup) GROUP BY 1)
+         |SELECT b.doc_id, b.n_grams, coalesce(sh.n_dup, 0) AS n_dup,
+         |  (coalesce(sh.n_dup, 0) * 1000000) // b.n_grams AS dup_frac_e6,
+         |  CAST(CASE WHEN (coalesce(sh.n_dup, 0) * 1000000) // b.n_grams > ${Dedup.DupFracGateE6}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id""".stripMargin
     },
 
     "j7_decontam_ngram" -> {

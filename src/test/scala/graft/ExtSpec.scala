@@ -218,6 +218,33 @@ class ExtSpec extends AnyFunSuite {
     assert(s(3L) < s(1L), s"repetition must cost score: $s")
   }
 
+  test("dup-ngram fraction: boilerplate sharing flags; unique docs don't") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // a shared 12-token block
+    def uniq(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + uniq("x")),  // 12-token boilerplate prefix
+      (2L, boiler + " " + uniq("y")),  // same prefix, different tail
+      (3L, uniq("z"))                  // fully unique
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.dupNgramFrac(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // docs 1/2: 32 tokens -> 23 distinct 10-grams; the 3 grams fully inside
+    // the shared 12-token block are duplicated (positions 1..3), the rest
+    // straddle into the unique tail. 3/23 = 13% -> not flagged at 30%.
+    assert(got(1L) == ((23L, 3L, 0L)), s"$got")
+    assert(got(2L) == ((23L, 3L, 0L)), s"$got")
+    assert(got(3L) == ((11L, 0L, 0L)), s"$got")
+    // a doc that is MOSTLY boilerplate crosses the gate
+    val heavy = Seq(
+      (1L, boiler + " t1 t2"), (2L, boiler + " u1 u2"))
+      .toDF("doc_id", "text")
+    val h = ext.Dedup.dupNgramFrac(heavy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    // 14 tokens -> 5 grams; 3 inside the shared block -> 60% -> flagged
+    assert(h(1L) == ((3L, 1L)) && h(2L) == ((3L, 1L)), s"$h")
+  }
+
   test("near-dup pairs: a true near-duplicate has high jaccard; LSH finds it") {
     import spark.implicits._
     val docs = Seq(
