@@ -64,6 +64,14 @@ object ExtQueries {
     bpeAppliedCache.computeIfAbsent((s, d), _ =>
       TextOps.bpeApply(Tables.documents(s, d), bpeRules(s, d)))
   }
+  // document-grain encodings feed j4_bpe_encode_docs AND j7_pack_bpe
+  private val bpeEncodedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bpeEncoded(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(bpeEncodedCache, s, d)
+    bpeEncodedCache.computeIfAbsent((s, d), _ => graft.Pinned.stageEager(
+      TextOps.bpeEncodeDocs(Tables.documents(s, d), bpeApplied(s, d))))
+  }
 
   val queries: Map[String, Q] = Map(
     // J1 — exact dedup, deterministic representative.
@@ -282,8 +290,18 @@ object ExtQueries {
     // (symbol ids dense-ranked by corpus frequency; vocab table broadcast
     // back to the doc grain) — the artifact a tokenizer stage actually
     // materializes, feeding j7_pack's sequence packing.
-    "j4_bpe_encode_docs" -> ((s, d) =>
-      TextOps.bpeEncodeDocs(Tables.documents(s, d), bpeApplied(s, d))),
+    "j4_bpe_encode_docs" -> ((s, d) => bpeEncoded(s, d)),
+
+    // J7 — sequence packing over the REAL tokenizer counts (the
+    // tokenize→pack closure): j7_pack's 512-token packing with
+    // n_tokens from the document-grain BPE encoding instead of
+    // whitespace counts.
+    "j7_pack_bpe" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packSequencesFrom(
+        Tables.documents(s, d).select($"doc_id", $"source")
+          .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")))
+    }),
 
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
@@ -553,7 +571,7 @@ object ExtQueries {
     * frequency over the training chain's final symbol table, per-word id
     * sequences re-assembled in symbol order, then per-document in word
     * order — the document-grain tokenizer product. */
-  private def bpeEncodeDocsOracle(rounds: Int): String =
+  private def bpeEncodeCtes(rounds: Int): String =
     s"""${bpeCtes(rounds)},
        |symocc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM s$rounds GROUP BY 1),
        |symid AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym) AS BIGINT) AS tok_id FROM symocc),
@@ -561,11 +579,28 @@ object ExtQueries {
        |wids AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tokens,
        |    string_agg(tok_id, ' ' ORDER BY pos) AS ids FROM wtok GROUP BY 1),
        |dw AS (SELECT doc_id, g.i AS wpos, regexp_extract_all(text, '[a-z]+')[g.i] AS w
-       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(regexp_extract_all(text, '[a-z]+')))) AS i) g)
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(regexp_extract_all(text, '[a-z]+')))) AS i) g)""".stripMargin
+
+  private def bpeEncodeDocsOracle(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)}
        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens,
        |  string_agg(wi.ids, ' ' ORDER BY d.wpos) AS token_ids
        |FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1""".stripMargin
+
+  /** j7_pack's packing arithmetic over the BPE-encoded per-doc counts. */
+  private def bpePackOracle(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)},
+       |enc AS (SELECT d.doc_id, CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1),
+       |t AS (SELECT doc.source, e.doc_id, e.n_tokens
+       |  FROM enc e JOIN documents doc ON doc.doc_id = e.doc_id),
+       |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM t)
+       |SELECT source, doc_id, n_tokens, tok_offset,
+       |  tok_offset // ${Pipeline.PackSeqLen} AS seq_id,
+       |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
+       |FROM c""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
@@ -1532,6 +1567,7 @@ object ExtQueries {
         "j4_bpe_train" -> bpeTrainOracle(6),
         "j4_bpe_apply" -> bpeApplyOracle(6),
         "j4_bpe_encode_docs" -> bpeEncodeDocsOracle(6),
+        "j7_pack_bpe" -> bpePackOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

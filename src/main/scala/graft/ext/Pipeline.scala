@@ -113,11 +113,21 @@ object Pipeline {
     * order key (source, doc_id) is total. */
   def packSequences(docs: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
     import docs.sparkSession.implicits._
+    packSequencesFrom(docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens")), seqLen)
+  }
+
+  /** The packing kernel over an EXPLICIT (source, doc_id, n_tokens)
+    * frame — shared by [[packSequences]] (whitespace token counts) and
+    * the BPE-grain packing (`j7_pack_bpe`, counts from the real
+    * tokenizer output [[TextOps.bpeEncodeDocs]] — the tokenize→pack
+    * closure a training pipeline actually runs). */
+  def packSequencesFrom(counts: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
+    import counts.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select($"source", $"doc_id",
-      size(split($"text", " ")).cast("long").as("n_tokens"))
+    counts
       .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .select($"source", $"doc_id", $"n_tokens", $"tok_offset",
         floor($"tok_offset" / seqLen).cast("long").as("seq_id"),
