@@ -130,4 +130,46 @@ object Drift {
       .groupBy($"day_i".as("day_i"), $"nd".as("n_day"))
       .agg(sum($"term6").cast("double").as("psi"))
   }
+
+  /** J8 — EMBEDDING-space drift register: per-dimension mean shift
+    * between two vector populations (here the even/odd label classes as
+    * the deterministic snapshot proxy; production compares reference vs
+    * candidate index snapshots) — the vector-pipeline health check that
+    * catches an encoder change, a normalization bug, or genuine
+    * distribution movement before retrieval quality degrades. EXACT
+    * integer arithmetic end-to-end: embeddings are already e6-quantized
+    * ([[Similarity.quantized]]), per-dimension sums are exact 64-bit
+    * (|q| <= ~2e6 · rows), and the mean is floor-divided — no libm, no
+    * summation-order sensitivity, so no new entry in the `ln()`
+    * inventory. Scale: one shuffle to the DIMENSION grain (bounded by
+    * the embedding width, independent of corpus size), map-side
+    * combinable conditional sums — the same register-file shape as the
+    * binned KS. Output ranked by |shift| (largest-moving dimension
+    * first; deterministic ties to the dimension index). */
+  def embDrift(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = Similarity.quantized(emb)
+      .join(emb.select($"vec_id", pmod($"label", lit(2)).as("grp")), Seq("vec_id"))
+    val stats = q.groupBy($"i")
+      .agg(
+        sum(when($"grp" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"grp" === 0, $"q").otherwise(0L)).as("sa"),
+        sum(when($"grp" === 1, $"q").otherwise(0L)).as("sb"))
+      .filter($"n_a" > 0 && $"n_b" > 0)
+      // signed-division parity: the sums are signed (embedding components
+      // are ±) and BOTH engines truncate integer division toward zero
+      // (Spark `div`, DuckDB `//`: -7/2 -> -3 on each — verified), so the
+      // means agree bit-for-bit on negative dimensions too.
+      .select($"i", $"n_a", $"n_b",
+        expr("sa div n_a").as("mean_a_e6"),
+        expr("sb div n_b").as("mean_b_e6"),
+        abs(expr("sa div n_a") - expr("sb div n_b")).as("shift_e6"))
+    // ranking via the distributed-rank kernel (the dimension grain is
+    // bounded, but the surface-wide no-global-window lock applies to
+    // every plan — and Dist costs one bounded offsets table)
+    graft.Dist.withGlobalRank(stats, "rnk", Seq($"shift_e6".desc, $"i"))
+      .select($"i", $"n_a", $"n_b", $"mean_a_e6", $"mean_b_e6",
+        $"shift_e6", $"rnk")
+  }
 }

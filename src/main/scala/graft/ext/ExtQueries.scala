@@ -176,6 +176,12 @@ object ExtQueries {
     "j3_knn_cosine" -> ((s, d) =>
       Similarity.knnCosine(Tables.embeddings(s, d))),
 
+    // J8 — EMBEDDING-space drift register: per-dimension mean shift
+    // between two snapshot populations (exact integers end-to-end; one
+    // shuffle to the bounded dimension grain), ranked by |shift|.
+    "j8_emb_drift" -> ((s, d) =>
+      Drift.embDrift(Tables.embeddings(s, d))),
+
     // J3 — METADATA-FILTERED top-k cosine (pre-filter semantics: the
     // label predicate restricts candidates BEFORE scoring/top-k, so k
     // survivors are guaranteed; composes with label partition pruning at
@@ -923,6 +929,24 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
+
+    "j8_emb_drift" ->
+      """WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q,
+        |    label % 2 AS grp
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |s AS (SELECT i,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN grp = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN grp = 1 THEN q ELSE 0 END) AS BIGINT) AS sb
+        |  FROM qe GROUP BY 1),
+        |m AS (SELECT i, n_a, n_b, sa // n_a AS mean_a_e6, sb // n_b AS mean_b_e6,
+        |    abs(sa // n_a - sb // n_b) AS shift_e6
+        |  FROM s WHERE n_a > 0 AND n_b > 0)
+        |SELECT i, n_a, n_b, mean_a_e6, mean_b_e6, shift_e6,
+        |  CAST(row_number() OVER (ORDER BY shift_e6 DESC, i) AS BIGINT) AS rnk
+        |FROM m""".stripMargin,
 
     // Filtered search: the knn kernel with the query's label equality
     // restricting candidates before scoring.
