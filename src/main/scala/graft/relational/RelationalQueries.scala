@@ -485,6 +485,22 @@ object RelationalQueries {
         .agg(max($"cts").as("prev_click_ts"), count($"cts").as("n_prior_clicks"))
     }),
 
+    // D5b — FORWARD as-of join (the other temporal-join direction: "the
+    // NEXT click within 7 days after each purchase" — follow-up /
+    // time-to-next-event analytics). Same bounded-band state argument as
+    // d5_asof; min over the band is the earliest follower.
+    "d5_asof_fwd" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      p.join(c, $"user_id" === $"cu" && $"cts" > $"ts" &&
+          $"cts" <= $"ts" + expr("INTERVAL 7 DAYS"), "left")
+        .groupBy($"event_id")
+        .agg(min($"cts").as("next_click_ts"), count($"cts").as("n_next_clicks"))
+    }),
+
     // D6 — UNION ALL then aggregate. Ref: handoff_batch.py:59,213.
     "d6_union" -> ((s, d) => {
       import s.implicits._
@@ -836,6 +852,14 @@ object RelationalQueries {
         |FROM events p LEFT JOIN events c
         |  ON c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
         |  AND c.ts >= p.ts - INTERVAL 30 DAY
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin,
+
+    "d5_asof_fwd" ->
+      """SELECT p.event_id, min(c.ts) AS next_click_ts, count(c.ts) AS n_next_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id AND c.ts > p.ts
+        |  AND c.ts <= p.ts + INTERVAL 7 DAY
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id""".stripMargin,
 
