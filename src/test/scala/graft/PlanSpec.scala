@@ -41,6 +41,30 @@ class PlanSpec extends AnyFunSuite {
       s"doc grain must not re-shuffle for the verdict:\n$p")
   }
 
+  test("w18 calendar table: attached by BROADCAST join, no product shapes") {
+    val p = planOf("w18_caltable")
+    assert(p.contains("BroadcastHashJoin"), s"calendar table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join:\n$p")
+  }
+
+  test("w19 versioned calendars: broadcast range-join, no product shapes") {
+    val p = planOf("w19_calversion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"versioned calendar must broadcast on the resource equi-key " +
+        s"(validity range as join condition, not a nested loop):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join:\n$p")
+  }
+
+  test("ngram decontam/dup-frac/filtered-knn: no quadratic join shapes") {
+    for (q <- Seq("j7_decontam_ngram", "j2_dup_ngram_frac", "j3_knn_filtered")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: quadratic join shape:\n$p")
+    }
+  }
+
   test("cx_sessions: exactly one exchange (the per-user window shuffle)") {
     val p = planOf("cx_sessions")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -78,6 +78,26 @@ class ScaleInvariantSpec extends AnyFunSuite {
     Pinned.release(spark)
   }
 
+  test("dup-ngram fraction under inflation: per-copy structure preserved, no cross-copy dups") {
+    import spark.implicits._
+    // bijective per-copy token renaming keeps every within-copy 10-gram
+    // relation and creates zero cross-copy gram collisions, so each doc's
+    // (n_grams, n_dup) must equal its base copy's — corpus-level dup
+    // counts scale EXACTLY by the factor, not quadratically.
+    val base = Tables.documents(spark, dir)
+    val stride = base.agg(max($"doc_id")).head.getLong(0) + 1
+    val b = ext.Dedup.dupNgramFrac(base).select($"doc_id", $"n_grams", $"n_dup")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val f = ext.Dedup.dupNgramFrac(ScaleProbe.inflatedDocs(base, factor))
+      .select($"doc_id", $"n_grams", $"n_dup")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(f.size == factor * b.size)
+    f.foreach { case (id, got) =>
+      assert(got == b(id % stride), s"doc $id diverged from its base copy ${id % stride}")
+    }
+    Pinned.release(spark)
+  }
+
   test("pm discovery under inflation: copies are independent periods") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
