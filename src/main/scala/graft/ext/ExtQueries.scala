@@ -92,6 +92,13 @@ object ExtQueries {
     "j2_minhash_sigs" -> ((s, d) =>
       Dedup.minhash(Tables.documents(s, d))),
     "j2_neardup_pairs" -> ((s, d) => neardupPairs(s, d)),
+
+    // J2 — the LSH banding dial at its HIGH-RECALL point: 4 bands of 1
+    // row over the same four minhashes (P(candidate) = 1-(1-j)^4 vs the
+    // default 2x2's 1-(1-j^2)^2) — the graded second point of the
+    // recall/precision trade every LSH deployment tunes.
+    "j2_neardup_pairs_b4r1" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d), bands = 4, rows = 1)),
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     // Manku-style simhash near-dup pairs (byte-block pigeonhole, exact
@@ -487,20 +494,47 @@ object ExtQueries {
       |  FROM shf GROUP BY 1)""".stripMargin
 
   // per-band candidate CTEs mirroring Dedup.nearDupPairs: bucket gate
-  // (2..cap members) then equi-join within the band
-  private val bandCtes = (0 until Dedup.Bands).map { b =>
-    val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
-    val sel = keys.mkString(", ")
-    val pos = (1 to keys.size).mkString(", ")
-    val gOn = keys.map(k => s"g.$k = a.$k").mkString(" AND ")
-    val abOn = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
-    s"""ok$b AS (SELECT $sel FROM mh GROUP BY $pos HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
-       |cand$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a
-       |  JOIN ok$b g ON $gOn
-       |  JOIN mh b ON $abOn AND a.doc_id < b.doc_id)""".stripMargin
-  }.mkString(",\n")
-  private val candUnion =
-    (0 until Dedup.Bands).map(b => s"SELECT * FROM cand$b").mkString(" UNION ALL ")
+  // (2..cap members) then equi-join within the band. Parameterized by the
+  // (bands, rows) layout so the non-default banding dial's oracle is
+  // generated by the same code (bands*rows must not exceed the minhash
+  // columns tokCtes materializes).
+  private def bandCtesFor(bands: Int, rows: Int): String = {
+    require(bands * rows <= nMinhashes, s"banding $bands x $rows needs more than $nMinhashes hashes")
+    (0 until bands).map { b =>
+      val keys = (0 until rows).map(r => s"h${b * rows + r}")
+      val sel = keys.mkString(", ")
+      val pos = (1 to keys.size).mkString(", ")
+      val gOn = keys.map(k => s"g.$k = a.$k").mkString(" AND ")
+      val abOn = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
+      s"""ok$b AS (SELECT $sel FROM mh GROUP BY $pos HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+         |cand$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a
+         |  JOIN ok$b g ON $gOn
+         |  JOIN mh b ON $abOn AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+  }
+  private def candUnionFor(bands: Int): String =
+    (0 until bands).map(b => s"SELECT * FROM cand$b").mkString(" UNION ALL ")
+  private val bandCtes = bandCtesFor(Dedup.Bands, Dedup.RowsPerBand)
+  private val candUnion = candUnionFor(Dedup.Bands)
+
+  /** The full verified-pairs oracle for an arbitrary (bands, rows) LSH
+    * layout over the shared minhash columns. */
+  private def pairsOracle(bands: Int, rows: Int): String =
+    s"""WITH $tokCtes,
+       |${bandCtesFor(bands, rows)},
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (${candUnionFor(bands)})),
+       |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
+       |  JOIN ds x ON x.doc_id = c.doc_a
+       |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin
 
   /** Verified near-dup pair graph + exact connected-component reachability
     * (shared by the j2_neardup_groups and j7_trainset oracles). Ends with
@@ -618,22 +652,11 @@ object ExtQueries {
     "j2_minhash_sigs" ->
       s"WITH $tokCtes SELECT doc_id, ${(0 until nMinhashes).map(s => s"h$s").mkString(", ")} FROM mh",
 
-    "j2_neardup_pairs" ->
-      s"""WITH $tokCtes,
-         |$bandCtes,
-         |cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
-         |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM cand c
-         |  JOIN ds x ON x.doc_id = c.doc_a
-         |  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b,
-         |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN sizes sa ON sa.doc_id = c.doc_a
-         |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin,
+    "j2_neardup_pairs" -> pairsOracle(Dedup.Bands, Dedup.RowsPerBand),
+
+    // The banding DIAL at its high-recall point (4 bands x 1 row) over
+    // the SAME four minhash functions: P(candidate) = 1-(1-j)^4.
+    "j2_neardup_pairs_b4r1" -> pairsOracle(4, 1),
 
     // Incremental lookup: incoming (doc_id % 10 = 0) probes corpus band
     // buckets (cap-gated on the corpus side only, no >=2 requirement);
