@@ -49,6 +49,63 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dup-ngram fraction equals brute force for random corpora") {
+    import spark.implicits._
+    // Small vocab + short docs force heavy cross-doc gram sharing — the
+    // regime where a fingerprint-collision or distinct/df bug would show.
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val n = 4 // 4-grams keep the brute-force cheap while non-trivial
+    for (sample <- 1 to 6) {
+      val docs = (1 to (5 + rnd.nextInt(6))).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = ext.Dedup.dupNgramFrac(df, n = n).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute force over STRING n-grams (no fingerprints)
+      val grams = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        id -> toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = grams.collect { case (id, gs) if gs.nonEmpty =>
+        val dup = gs.count(g => grams.exists { case (o, og) => o != id && og(g) })
+        id -> ((gs.size.toLong, dup.toLong))
+      }
+      assert(got == want, s"[sample $sample] diverged: got=$got want=$want docs=$docs")
+      graft.Pinned.release(spark)
+    }
+  }
+
+  test("ngram decontam equals brute force for random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val n = 3
+    for (sample <- 1 to 5) {
+      val evalDocs = 3L
+      val docs = (0 to (7 + rnd.nextInt(5))).map { id =>
+        val len = 3 + rnd.nextInt(8)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = ext.Pipeline.decontamNgram(df, n = n, evalDocs = evalDocs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val grams = docs.map { case (id, t) =>
+        id -> t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      }.toMap
+      val evalG = grams.filter(_._1 < evalDocs)
+      val want = grams.collect { case (id, gs) if id >= evalDocs && gs.nonEmpty =>
+        val shared = gs.count(g => evalG.values.exists(_(g)))
+        val nEval = evalG.count { case (_, eg) => gs.exists(eg) }
+        id -> ((gs.size.toLong, shared.toLong, nEval.toLong))
+      }
+      assert(got == want, s"[sample $sample] diverged: got=$got want=$want docs=$docs")
+      graft.Pinned.release(spark)
+    }
+  }
+
   test("salted join equals plain join for random inputs, both join types") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
