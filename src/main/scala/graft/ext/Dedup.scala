@@ -412,14 +412,19 @@ object Dedup {
   val DupNgramN = 10
   val DupFracGateE6 = 300000L
 
-  /** J2 — CROSS-document duplicated-n-gram fraction (the MassiveText /
-    * RefinedWeb scrub signal, distinct from [[graft.ext.TextOps]]'
-    * WITHIN-doc repetition stats): per document, the fraction of its
-    * distinct word 10-grams that also occur in at least one OTHER
-    * document, plus the >30% drop verdict. Boilerplate-heavy docs
-    * (headers, navigation, license blocks) score high even when no
-    * whole-doc near-dup exists — the reason pipelines run this pass IN
-    * ADDITION to doc-level LSH.
+  /** J2 — CROSS-document duplicated-n-gram fraction: a DISTINCT-GRAM
+    * variant of the MassiveText-family scrub signal (distinct from
+    * [[graft.ext.TextOps]]' WITHIN-doc repetition stats) — per document,
+    * the fraction of its distinct word 10-grams that also occur in at
+    * least one OTHER document, plus the >30% drop verdict. The PUBLISHED
+    * MassiveText/RefinedWeb convention measures the fraction of CHARACTER
+    * (or token) mass covered by duplicated n-grams; that mass-based view
+    * is graded separately by [[scrubSpans]] (`removed_frac_e6` is exactly
+    * the duplicated-char fraction), while this query keeps the cheaper
+    * set-grain ratio as a screening signal. Boilerplate-heavy docs
+    * (headers, navigation, license blocks) score high on either form even
+    * when no whole-doc near-dup exists — the reason pipelines run this
+    * pass IN ADDITION to doc-level LSH.
     *
     * Scale shape: grams are row-local ([[ngramArrays]]) and hashed to
     * 60-bit fps; ONE shuffle to the gram grain computes document
@@ -445,6 +450,81 @@ object Dedup {
       .select($"doc_id", $"n_grams", $"n_dup",
         expr("(n_dup * 1000000) div n_grams").as("dup_frac_e6"),
         (expr("(n_dup * 1000000) div n_grams") > gateE6).cast("long").as("flagged"))
+  }
+
+  /** J2 — SPAN-LEVEL boilerplate SCRUB: the TRANSFORM behind
+    * [[dupNgramFrac]]'s verdict (RefinedWeb/CCNet-style partial dedup).
+    * Where the fraction query only FLAGS a document, this emits the
+    * document's text with every cross-document duplicated span removed:
+    * a token is removed iff it is covered by at least one word `n`-gram
+    * that also occurs in some OTHER document (df >= 2 over the same
+    * 60-bit gram fingerprints as [[dupNgramFrac]] — one shared
+    * definition, so flag and transform can never disagree about what
+    * "duplicated" means). Overlapping duplicated runs merge naturally:
+    * coverage is per-token, so two overlapping grams scrub their union.
+    * Per-doc accounting makes the decision auditable in-row — token and
+    * char counts removed, and `removed_frac_e6` = duplicated CHARACTER
+    * mass fraction, which IS the published MassiveText-convention signal
+    * (char mass in duplicated n-grams / total char mass; token chars,
+    * separators excluded on both engines).
+    *
+    * Scale shape: gram fingerprints are row-local ([[ngramArrays]]); ONE
+    * shuffle to the gram grain computes document frequency; duplicated
+    * START positions come back per doc via a semi-join on the same key +
+    * one (doc_id, position-list) aggregate; span reconstruction is then
+    * entirely ROW-LOCAL — coverage flags per token position (O(tokens x
+    * dup-starts) per row, bounded by doc length squared in the worst
+    * all-duplicated case), kept-token projection, and exact char sums.
+    * The doc grain is never re-shuffled for the transform. Docs with
+    * fewer than `n` tokens have no grams and pass through unscrubbed. */
+  def scrubSpans(docs: DataFrame, n: Int = DupNgramN): DataFrame = {
+    import docs.sparkSession.implicits._
+    // positional gram fingerprints (position matters here, so NOT the
+    // distinct set dupNgramFrac aggregates — but the same md5 formula)
+    val pf = ngramArrays(docs, n).select($"doc_id", expr(
+      "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
+      .as("pfps"))
+    // cross-doc duplicated gram set: distinct per doc, then df >= 2 —
+    // IDENTICAL definition to dupNgramFrac's `dup`
+    val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
+    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+      .select($"fp")
+    // duplicated-run START positions per doc (1-based token index), as a
+    // sorted per-row array for the row-local coverage pass
+    val starts = pf.select($"doc_id", posexplode($"pfps").as(Seq("i0", "fp")))
+      .join(dup, Seq("fp"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("ss"))
+    // collapse barrier (the winnow rule): toks and ss must be SCAN
+    // attributes before the per-element coverage lambdas below — an
+    // inlined split(text) inside transform() re-splits per element
+    val base = graft.Pinned.track(
+      docs.select($"doc_id", split($"text", " ").as("toks"))
+        .join(starts, Seq("doc_id"), "left")
+        .select($"doc_id", $"toks",
+          coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
+    // token position p is covered iff some duplicated run starts in
+    // [p-n+1, p]; kept = the uncovered tokens in order
+    val kept = expr(
+      s"""filter(transform(sequence(1, size(toks)),
+         |  p -> if(exists(ss, s -> s <= p and p <= s + ${n - 1}),
+         |          cast(null as string), element_at(toks, p))),
+         |  x -> x is not null)""".stripMargin)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, t) => acc + length(t))
+    base
+      .select($"doc_id", $"toks", kept.as("kept"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("n_removed"),
+        charSum($"toks").as("n_chars"),
+        (charSum($"toks") - charSum($"kept")).as("removed_chars"),
+        array_join($"kept", " ").as("scrubbed_text"))
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_chars",
+        $"removed_chars",
+        expr("(removed_chars * 1000000) div greatest(n_chars, 1)")
+          .as("removed_frac_e6"),
+        $"scrubbed_text")
   }
 
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —

@@ -47,6 +47,18 @@ object ExtQueries {
       graft.Pinned.stageEager(Dedup.nearDupPairs(Tables.documents(s, d))))
   }
 
+  /** SemDeDup decision surface: the converged-CC kernel inside runs eager
+    * supersteps at construction time, so memoize per (session, dataset)
+    * with the standard dataset-switch eviction (same lifecycle as the
+    * lexical near-dup clustering above). */
+  private val semdedupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def semdedup(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(semdedupCache, s, d)
+    semdedupCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Similarity.semDedup(Tables.embeddings(s, d))))
+  }
+
   /** Trained BPE merge rules + the encoded vocabulary, each an
     * eagerly-staged frame shared by THREE graded queries (j4_bpe_train,
     * j4_bpe_apply, j4_bpe_encode_docs) — memoized per (session, dataset)
@@ -120,6 +132,14 @@ object ExtQueries {
     // heavy partial duplication no whole-doc near-dup pass flags).
     "j2_dup_ngram_frac" -> ((s, d) =>
       Dedup.dupNgramFrac(Tables.documents(s, d))),
+
+    // J2 — SPAN-LEVEL boilerplate scrub: the TRANSFORM behind the
+    // dup-n-gram verdict (RefinedWeb/CCNet partial dedup) — duplicated
+    // cross-doc 10-gram spans are REMOVED from the text, with per-doc
+    // token/char accounting; removed_frac_e6 is the published
+    // MassiveText-convention duplicated-character-mass fraction.
+    "j2_scrub_spans" -> ((s, d) =>
+      Dedup.scrubSpans(Tables.documents(s, d))),
 
     // J2 — INCREMENTAL near-dup lookup: a new batch (doc_id % 10 == 0)
     // probes the standing corpus LSH index; per-batch cost scales with
@@ -207,6 +227,14 @@ object ExtQueries {
     // J3 scale path #2 — IVF coarse-quantizer ANN (probe-limited search).
     "j3_ivf_ann" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d))),
+
+    // J3 — SEMANTIC dedup (SemDeDup): sqrt(N) embedding cells from the
+    // Lloyd coarse quantizer, intra-cell exact-integer cosine near-sets,
+    // keep-one-per-set (min vec_id) — the published complement to the
+    // lexical J2 passes: paraphrases share an embedding neighborhood even
+    // when they share no shingles. Memoized: the converged-CC kernel runs
+    // eager supersteps, so a session computes the decision surface once.
+    "j3_semdedup" -> ((s, d) => semdedup(s, d)),
 
     // J3 scale path #3 — product quantization + asymmetric distance (the
     // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
@@ -877,6 +905,36 @@ object ExtQueries {
          |FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id""".stripMargin
     },
 
+    // Span scrub: same df>=2 gram-fingerprint definition as the fraction
+    // query; coverage = token position within [start, start+n-1] of any
+    // duplicated gram; scrubbed text re-joined from the uncovered tokens.
+    "j2_scrub_spans" -> {
+      val n = Dedup.DupNgramN
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS fp
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |dup AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM g) df
+         |  GROUP BY fp HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, i FROM g WHERE fp IN (SELECT fp FROM dup)),
+         |tok AS (SELECT doc_id, p, toks[p] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) z),
+         |covd AS (SELECT DISTINCT tk.doc_id, tk.p FROM tok tk
+         |  JOIN cov c ON c.doc_id = tk.doc_id AND tk.p BETWEEN c.i AND c.i + ${n - 1}),
+         |mk AS (SELECT tk.doc_id, tk.p, tk.tok,
+         |    CASE WHEN cd.p IS NOT NULL THEN 1 ELSE 0 END AS covered
+         |  FROM tok tk LEFT JOIN covd cd ON cd.doc_id = tk.doc_id AND cd.p = tk.p)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(covered) AS BIGINT) AS n_removed,
+         |  CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN covered = 1 THEN length(tok) ELSE 0 END) AS BIGINT) AS removed_chars,
+         |  (CAST(sum(CASE WHEN covered = 1 THEN length(tok) ELSE 0 END) AS BIGINT) * 1000000)
+         |    // greatest(CAST(sum(length(tok)) AS BIGINT), 1) AS removed_frac_e6,
+         |  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY p), '') AS scrubbed_text
+         |FROM mk GROUP BY doc_id""".stripMargin
+    },
+
     "j7_decontam_ngram" -> {
       val n = Pipeline.DecontamN
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1139,6 +1197,74 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
+
+    // SemDeDup: the IVF Lloyd chain (2 unrolled rounds, matching
+    // Similarity.IvfIters) with ncells = ceil(sqrt(N)) computed in-plan,
+    // then intra-cell cosine pairs >= threshold and EXACT recursive-CTE
+    // connected components (the tripwire that under-converged CC fails).
+    "j3_semdedup" ->
+      s"""WITH RECURSIVE qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |nn AS (SELECT count(*) AS cnt, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM embeddings),
+        |nn2 AS (SELECT ncells, greatest(1, cnt // ncells) AS stride,
+        |          greatest(1, cnt // (ncells * ${Similarity.IvfTrainPerCell})) AS tstride FROM nn),
+        |cents AS (SELECT vec_id AS cid FROM embeddings, nn2
+        |          WHERE vec_id % stride = 0 AND vec_id < stride * ncells),
+        |train AS (SELECT e.vec_id FROM embeddings e, nn2 WHERE e.vec_id % tstride = 0),
+        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
+        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec0 c ON c.i = e.i JOIN cnorm0 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc1 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
+        |as1 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
+        |  WHERE rn = 1),
+        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc2 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
+        |as2 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
+        |  WHERE rn = 1),
+        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vcos AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+        |cells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
+        |  WHERE rn = 1),
+        |okc AS (SELECT cid FROM cells GROUP BY cid HAVING count(*) <= ${Similarity.SemCellCap}),
+        |cellok AS (SELECT c.vid, c.cid FROM cells c JOIN okc o ON o.cid = c.cid),
+        |dots AS (SELECT a.vid AS doc_a, b.vid AS doc_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cellok a JOIN cellok b ON b.cid = a.cid AND a.vid < b.vid
+        |         JOIN qe x ON x.vec_id = a.vid JOIN qe y ON y.vec_id = b.vid AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT d.doc_a, d.doc_b,
+        |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a JOIN norms nb ON nb.vec_id = d.doc_b) z
+        |  WHERE cos_sim_e6 >= ${Similarity.SemDedupCosE6}),
+        |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT vec_id AS v, vec_id AS l FROM embeddings
+        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
+        |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)
+        |SELECT c.vec_id, cl.cid AS cell_id, c.near_set_id,
+        |  CAST(CASE WHEN c.vec_id = c.near_set_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM comp c JOIN cells cl ON cl.vid = c.vec_id""".stripMargin,
 
     "j2_embed_neardup" ->
       s"""WITH qe AS (

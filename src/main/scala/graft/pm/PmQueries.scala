@@ -80,7 +80,6 @@ object PmQueries {
     })
   }
 
-  /** Report input at batch-case grain: activities key + WT decomposition. */
   /** EP2 report over an explicit discovered frame — shared by pm_report
     * and the scale probe's report head (which feeds an INFLATED discovery
     * instead of the session cache). `view` must be caller-unique. */

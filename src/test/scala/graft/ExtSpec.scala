@@ -831,4 +831,93 @@ class ExtSpec extends AnyFunSuite {
       "corpus-wide term must carry zero tf-idf")
     assert(got.groupBy(_._1).forall(_._2.length == 3), "top-3 per doc")
   }
+
+  test("emb drift: negative-sum means truncate toward zero (sa=-7, n_a=2 -> -3)") {
+    import spark.implicits._
+    // the Spark half of the signed-division parity fixture (tools/check.py
+    // pins the DuckDB half): group a sums to -7 over 2 rows on dim 1, so
+    // the mean must be -7 div 2 = -3 (truncation toward zero), NOT floor's
+    // -4 — a silent engine-semantics change fails loudly here.
+    val emb = Seq(
+      (0L, Seq(-0.000003f), 0),
+      (1L, Seq(-0.000004f), 0),
+      (2L, Seq(0.000005f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = ext.Drift.embDrift(emb).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 1L) // n_a, n_b
+    assert(row.getLong(3) == -3L, s"mean_a_e6 = ${row.getLong(3)}, want -3 (truncate toward zero)")
+    assert(row.getLong(4) == 5L && row.getLong(5) == 8L) // mean_b, |shift|
+  }
+
+  test("scrub spans: overlapping runs merge, boundary grams, sub-n docs pass through") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // shared 12-token block
+    def uniq(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + uniq("x")), // boilerplate prefix + unique tail
+      (2L, boiler + " " + uniq("y")),
+      (3L, "b1 b2 b3 b4 b5"),         // < n tokens: no grams, untouched even
+                                      // though every token matches boilerplate
+      (4L, boiler),                   // docs 4/5: fully boilerplate
+      (5L, boiler)
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.scrubSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    // docs 1/2: duplicated 10-grams start at token positions 1..3 (the only
+    // grams fully inside the shared block) — three OVERLAPPING runs
+    // [1,10],[2,11],[3,12] merge to exactly tokens 1..12 removed.
+    // chars: b1..b9 = 2 each, b10..b12 = 3 -> removed 27; tail x1..x9 = 2,
+    // x10..x20 = 3 -> 51; total 78. frac = 27e6 div 78 = 346153.
+    assert(got(1L) == ((32L, 12L, 78L, 27L, 346153L, uniq("x"))), s"${got(1L)}")
+    assert(got(2L) == ((32L, 12L, 78L, 27L, 346153L, uniq("y"))), s"${got(2L)}")
+    // doc-boundary: doc 3 has no 10-gram -> nothing scrubbed
+    assert(got(3L) == ((5L, 0L, 10L, 0L, 0L, "b1 b2 b3 b4 b5")), s"${got(3L)}")
+    // fully-duplicated docs scrub to empty (frac = 100%)
+    assert(got(4L) == ((12L, 12L, 27L, 27L, 1000000L, "")), s"${got(4L)}")
+    assert(got(5L)._6 == "")
+    // the transform closes the loop with the verdict: re-scoring the
+    // SCRUBBED corpus with dupNgramFrac leaves nothing above the 30% gate
+    // (docs 4/5 scrub below the gram length and emit no row at all)
+    val rescored = docs.select($"doc_id")
+      .join(ext.Dedup.scrubSpans(docs)
+        .select($"doc_id", $"scrubbed_text".as("text")), Seq("doc_id"))
+    val re = ext.Dedup.dupNgramFrac(rescored).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(re.nonEmpty && re.forall(t => t._2 == 0L && t._3 == 0L),
+      s"scrubbed corpus must re-score clean, got ${re.mkString(",")}")
+  }
+
+  test("semdedup: same-neighborhood paraphrases dedup; cross-cell high-cosine survives") {
+    import spark.implicits._
+    // two tight direction clusters + one diagonal vector. N=5 -> ncells =
+    // ceil(sqrt(5)) = 3, stride 1 -> seeds {0,1,2}; after two Lloyd rounds
+    // the clusters separate. v4 sits at 45 degrees: cos(v4, v0) = 0.707 >=
+    // the 0.35 threshold, but v4 and v0 land in DIFFERENT cells, so
+    // SemDeDup (by design) never pairs them — the intra-cell approximation
+    // the published method trades for sqrt(N) scaling.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),  // paraphrase of v0 (cos 0.994)
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.1f, 0.9f)),  // paraphrase of v2 (cos 0.994)
+      (4L, Seq(0.707f, 0.707f))
+    ).toDF("vec_id", "embedding")
+    val got = ext.Similarity.semDedup(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 5, "every vector gets a row")
+    // paraphrase pairs collapse to one near-set each, min id kept
+    assert(got(0L)._2 == 0L && got(0L)._3 == 1L, s"${got(0L)}")
+    assert(got(1L)._2 == 0L && got(1L)._3 == 0L, s"${got(1L)}")
+    assert(got(2L)._2 == 2L && got(2L)._3 == 1L, s"${got(2L)}")
+    assert(got(3L)._2 == 2L && got(3L)._3 == 0L, s"${got(3L)}")
+    // the two clusters stay distinct near-sets in distinct cells
+    assert(got(0L)._1 != got(2L)._1, "clusters must land in different cells")
+    // v4: above-threshold cosine to BOTH clusters, but it either pairs
+    // within its own cell or stays singleton — it must NOT merge the two
+    // clusters (they share no cell with each other)
+    assert(got(0L)._2 != got(2L)._2, "cross-cell pair must not merge sets")
+  }
 }

@@ -65,6 +65,13 @@ def main():
             print(line)
 
     con = duckdb.connect()
+    # Signed-integer-division parity preflight (round-10 advice): embDrift's
+    # cross-engine correctness on negative-mean dimensions rests on DuckDB
+    # `//` truncating toward zero exactly like Spark `div` (-7 // 2 -> -3 on
+    # both; FunctionsSpec pins the Spark half). If a DuckDB upgrade switches
+    # to floor semantics, fail HERE instead of via a subtle hash mismatch.
+    assert con.sql("SELECT -7 // 2").fetchone()[0] == -3, \
+        "DuckDB // no longer truncates toward zero — embDrift oracle parity broken"
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
