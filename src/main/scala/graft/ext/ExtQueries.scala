@@ -254,6 +254,12 @@ object ExtQueries {
     // J4 — text quality stats, language ID, token frequencies.
     "j4_quality" -> ((s, d) => TextOps.qualityStats(Tables.documents(s, d))),
     "j4_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+
+    // J4 — CONTENT-based language ID (char-trigram profiles from the
+    // labeled slice, rational relfreq scoring) scored side-by-side with
+    // the marker heuristic, plus the one-row measured-agreement summary.
+    "j4_langid_ngram" -> ((s, d) => TextOps.langIdNgram(Tables.documents(s, d))),
+    "j4_langid_agree" -> ((s, d) => TextOps.langIdAgreement(Tables.documents(s, d))),
     "j4_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
 
     // J4 — BM25 top-k retrieval (sparse lexical scorer for decontamination
@@ -563,6 +569,45 @@ object ExtQueries {
        |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |JOIN sizes sa ON sa.doc_id = c.doc_a
        |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin
+
+  /** Shared CTE chain of the content-language-ID oracles (per-doc relation
+    * `lout`) — generated from the TextOps constants (train slice, profile
+    * size, markers, unknown tag), so a dial edit cannot desync the twin. */
+  private val langNgramCtes = {
+    import TextOps.{LangTrainMod, LangProfileK, LangUnknown, EnMarkers, DeMarkers, EsMarkers}
+    def markers(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH tg AS (SELECT lang, substr(text, i, 3) AS tri
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) z
+       |  WHERE doc_id % $LangTrainMod = 0 AND length(text) >= 3),
+       |cnt AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+       |prof AS (SELECT r.lang AS plang, r.tri, (r.cnt * 1000000) // t.tot AS relfreq_e6
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn FROM cnt) r
+       |  JOIN tot t ON t.lang = r.lang WHERE r.rn <= $LangProfileK),
+       |dt AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS tri
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) z
+       |  WHERE length(text) >= 3),
+       |lsc AS (SELECT d.doc_id, p.plang, CAST(sum(p.relfreq_e6) AS BIGINT) AS s
+       |  FROM dt d JOIN prof p ON p.tri = d.tri GROUP BY 1, 2),
+       |lbest AS (SELECT doc_id, plang, s FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn FROM lsc) z
+       |  WHERE rn = 1),
+       |lsp AS (SELECT doc_id, lang,
+       |    CASE WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+       |         WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS predicted_stop
+       |  FROM (SELECT doc_id, lang,
+       |      len(list_filter(string_split(text, ' '), x -> x IN ${markers(EnMarkers)})) AS n_en,
+       |      len(list_filter(string_split(text, ' '), x -> x IN ${markers(DeMarkers)})) AS n_de,
+       |      len(list_filter(string_split(text, ' '), x -> x IN ${markers(EsMarkers)})) AS n_es
+       |    FROM documents) q),
+       |lout AS (SELECT sp.doc_id, sp.lang,
+       |    coalesce(b.plang, '$LangUnknown') AS predicted,
+       |    CAST(coalesce(b.s, 0) AS BIGINT) AS score_e6,
+       |    sp.predicted_stop,
+       |    (coalesce(b.plang, '$LangUnknown') = sp.lang) AS agree_ngram,
+       |    (sp.predicted_stop = sp.lang) AS agree_stop
+       |  FROM lsp sp LEFT JOIN lbest b ON b.doc_id = sp.doc_id)""".stripMargin
+  }
 
   /** Verified near-dup pair graph + exact connected-component reachability
     * (shared by the j2_neardup_groups and j7_trainset oracles). Ends with
@@ -1329,6 +1374,19 @@ object ExtQueries {
         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS n_de,
         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'y'))) AS BIGINT) AS n_es
         |    FROM documents) a) b""".stripMargin,
+
+    "j4_langid_ngram" -> s"$langNgramCtes\nSELECT * FROM lout",
+
+    "j4_langid_agree" ->
+      s"""$langNgramCtes,
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN agree_ngram THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_ngram,
+         |    CAST(sum(CASE WHEN agree_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_stop
+         |  FROM lout)
+         |SELECT n_docs, n_agree_ngram, n_agree_stop,
+         |  (n_agree_ngram * 1000000) // n_docs AS agree_ngram_e6,
+         |  (n_agree_stop * 1000000) // n_docs AS agree_stop_e6
+         |FROM ag""".stripMargin,
 
     "j4_top_tokens" ->
       """SELECT tok, count(*) AS n

@@ -832,6 +832,44 @@ class ExtSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.length == 3), "top-3 per doc")
   }
 
+  test("langid ngram: classifies real-language held-out docs the marker heuristic cannot") {
+    import spark.implicits._
+    // train slice = doc_id % 5 == 0; held-out docs carry real language
+    // content but NONE of the heuristic's marker tokens, so the stopword
+    // classifier defaults to 'en' on them while the trigram profiles carry
+    // the signal. (The harness corpus has label-independent content, so
+    // THIS fixture is where discriminative power is proven.)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then the cat sleeps", "en"),
+      (5L, "die katze schlaeft und der hund laeuft schnell durch den garten heute", "de"),
+      (10L, "el perro corre y la casa es buena para los gatos y perros buenos", "es"),
+      (15L, "the dog and the fox run over the green hill and the cat watches", "en"),
+      // held-out (not in the train slice):
+      (1L, "katzen schlafen hunde laufen schnell durch einen garten", "de"),
+      (2L, "perros corren casas buenas gatos buenos los caminos", "es"),
+      (3L, "quick brown foxes jump over lazy dogs then sleep", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = ext.TextOps.langIdNgram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(4),
+        r.getBoolean(5), r.getBoolean(6)))).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(got(id)._1 == (if (id == 1L) "de" else "es"),
+        s"doc $id: content classifier predicted ${got(id)._1}")
+      assert(got(id)._2 == "en" && !got(id)._4,
+        s"doc $id: marker heuristic should default to en, got ${got(id)._2}")
+    }
+    assert(got(3L)._1 == "en", s"held-out en doc predicted ${got(3L)._1}")
+    // measured agreement: content classifier strictly beats the heuristic
+    val ag = ext.TextOps.langIdAgreement(docs).collect().head
+    assert(ag.getLong(1) > ag.getLong(2),
+      s"ngram agree ${ag.getLong(1)} must beat stopword agree ${ag.getLong(2)} on this fixture")
+    // a doc with no profile trigram overlap is 'und', score 0
+    val und = ext.TextOps.langIdNgram(
+      docs.union(Seq((4L, "zzzz", "en")).toDF("doc_id", "text", "lang"))).collect()
+      .find(_.getLong(0) == 4L).get
+    assert(und.getString(2) == ext.TextOps.LangUnknown && und.getLong(3) == 0L)
+  }
+
   test("emb drift: negative-sum means truncate toward zero (sa=-7, n_a=2 -> -3)") {
     import spark.implicits._
     // the Spark half of the signed-division parity fixture (tools/check.py
