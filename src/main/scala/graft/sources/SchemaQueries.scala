@@ -41,7 +41,83 @@ object SchemaQueries {
     })
   }
 
+  /** a11 compaction dials: the fragmented "before" layout carries
+    * [[CompactFragmentFiles]] files per day partition (a round-robin
+    * repartition before the partitioned write — exactly how a
+    * high-parallelism streaming ingest fragments a lake table), and the
+    * OPTIMIZE pass bin-packs to at most ceil(rows/[[CompactMaxRecords]])
+    * files per partition. Every harness SF's busiest day (3471 rows at
+    * sf0.1) packs to ONE file. */
+  val CompactFragmentFiles = 8
+  val CompactMaxRecords = 4096L
+
+  private val fragDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Deliberately FRAGMENTED day-partitioned events copy (written once per
+    * JVM per dataset, like [[partitionedEvents]]). */
+  private def fragmentedEvents(s: SparkSession, d: String): String = {
+    val outDir = sys.props("java.io.tmpdir") + "/graft_a11_frag_" +
+      new java.io.File(d).getName
+    fragDirs.computeIfAbsent(outDir, _ => {
+      import s.implicits._
+      graft.Tables.events(s, d).withColumn("day", to_date($"ts"))
+        .repartition(CompactFragmentFiles)
+        .write.mode("overwrite").partitionBy("day").parquet(outDir)
+      outDir
+    })
+  }
+
+  /** Parquet data files per `day=` partition directory — the metadata the
+    * maintenance pass is judged on (driver-side listing; at fleet scale
+    * this is the table format's manifest, never a data read). */
+  def parquetFilesPerDay(dir: String): Map[String, Long] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(f => f.getName.stripPrefix("day=") ->
+        f.listFiles().count(x => x.getName.endsWith(".parquet")).toLong)
+      .toMap
+
   val queries: Map[String, Q] = Map(
+    // A11 — small-file COMPACTION (the OPTIMIZE/bin-pack maintenance pass
+    // every 100 TB lake runs): rewrite a fragmented day-partitioned table
+    // co-locating each partition's rows (one shuffle on the partition
+    // key), bin-packed via maxRecordsPerFile; grade CONTENT equality per
+    // partition (order-free xor signature over the row fields — file
+    // layout must never change query results) and the FILE-COUNT bound
+    // in-row: compact_ok compares the actual post-compaction file count
+    // (driver manifest listing) against ceil(rows/target) and the
+    // fragmented "before" count, so a regressed pass hash-mismatches the
+    // oracle's literal TRUE. SourcesSpec pins the exact before/after
+    // counts.
+    "a11_compact" -> ((s, d) => {
+      import s.implicits._
+      val frag = fragmentedEvents(s, d)
+      val outDir = sys.props("java.io.tmpdir") + "/graft_a11_compact_" +
+        new java.io.File(d).getName
+      s.read.parquet(frag).repartition($"day")
+        .write.mode("overwrite").partitionBy("day")
+        .option("maxRecordsPerFile", CompactMaxRecords)
+        .parquet(outDir)
+      val before = parquetFilesPerDay(frag)
+      val after = parquetFilesPerDay(outDir)
+      val filesDf = after.toSeq.map { case (dayS, nAfter) =>
+        (dayS, nAfter, before.getOrElse(dayS, 0L))
+      }.toDF("day_s", "n_files_after", "n_files_before")
+      s.read.parquet(outDir)
+        .select($"day",
+          concat_ws(":", $"event_id", graft.Det.us($"ts"), $"user_id",
+            $"event_type").as("sig_s"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(cast(conv(substring(md5(sig_s), 1, 15), 16, 10) as bigint))")
+            .as("content_sig"))
+        .join(broadcast(filesDf), $"day".cast("string") === $"day_s")
+        .select(graft.Det.dayI($"day").as("day_i"), $"n_rows", $"content_sig",
+          ($"n_files_after" <=
+            greatest(expr(s"(n_rows + ${CompactMaxRecords - 1}) div $CompactMaxRecords"), lit(1L)) &&
+           $"n_files_after" <= $"n_files_before").as("compact_ok"))
+    }),
+
     // A9 — PARTITIONED sink + pruned read-back: write events
     // hive-partitioned by day, read one day through the partition
     // directory layout. The scan must prune at PLANNING time
@@ -96,6 +172,18 @@ object SchemaQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // content columns recomputed from the ORIGINAL table (layout must not
+    // change content); compact_ok is the oracle's literal claim — the
+    // Spark side computes it from the real file manifest, so a bin-pack
+    // regression (more files than ceil(rows/target), or no reduction)
+    // breaks the hash.
+    "a11_compact" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(concat_ws(':', event_id, epoch_us(ts), user_id, event_type)), 1, 15))::BIGINT) AS content_sig,
+        |  TRUE AS compact_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
     "a9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
