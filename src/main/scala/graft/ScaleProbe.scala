@@ -149,6 +149,11 @@ object ScaleProbe {
           pairs0 = Some(Pinned.stageEager(ext.Dedup.nearDupPairs(d))))
       }),
       Head("j2_jaccard_ngram", f => ext.Dedup.jaccardNgramPairs(docsAt(f))),
+      // round-11 additions: the span-scrub transform (gram-grain shuffle +
+      // row-local reconstruction) and SemDeDup (sqrt(N) cells — the
+      // intra-cell pair stage must scale ~N*sqrt(N), never quadratic)
+      Head("j2_scrub_spans", f => ext.Dedup.scrubSpans(docsAt(f))),
+      Head("j3_semdedup", f => ext.Similarity.semDedup(embAt(f))),
       Head("j3_pq_adc", f => ext.Similarity.annPq(embAt(f))),
       Head("pm_sp_batches", f =>
         pm.BatchDiscovery.discoverFull(
@@ -208,6 +213,20 @@ object ScaleProbe {
         .agg(max($"nb")).head.getLong(0)
     val binsWin1 = maxBinsPerWin(1)
     val binsWinF = maxBinsPerWin(factor)
+
+    // SECOND DECADE (round-10 verdict #7): the two cheapest heads run a
+    // further 3x past the primary factor (30x of sf0.1 = 3 decades above
+    // the smallest gate scale), turning the "overheads amortize" claim
+    // into a two-decade curve with the same invariants asserted.
+    val deepFactor = 3 * factor
+    val deepNames = Seq("st_drift_ks", "pm_report")
+    val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
+      val (nd, wd, qd, sd) = timed(h, deepFactor)
+      val base = results.find(_.name == h.name).get
+      println(f"${h.name}%-18s ${deepFactor}x: $nd%9d rows $wd%7.2fs quad=$qd shuf=$sd  ratio-vs-1x ${wd / base.wall1}%5.2f")
+      (h.name, nd, wd, qd, sd, base)
+    }
+    val binsWinD = maxBinsPerWin(deepFactor)
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -221,13 +240,25 @@ object ScaleProbe {
       if (r.wallF >= factor * r.wall1)
         failed ::= f"${r.name}: wall ratio ${r.wallF / r.wall1}%.2f is not sublinear at ${factor}x"
     }
+    if (binsWinD > binsWin1)
+      failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinD at ${deepFactor}x"
+    deepRes.foreach { case (name, _, wd, qd, _, base) =>
+      if (qd > base.quad1)
+        failed ::= s"$name: quadratic join shapes grew ${base.quad1} -> $qd at ${deepFactor}x"
+      if (wd >= deepFactor * base.wall1)
+        failed ::= f"$name: wall ratio ${wd / base.wall1}%.2f is not sublinear at ${deepFactor}x"
+    }
 
     val json =
       s"""{"sf":"$sfDir","factor":$factor,"heads":{${
         results.map(r =>
           s""""${r.name}":{"rows_1x":${r.rows1},"rows_fx":${r.rowsF},"wall_1x_sec":${f"${r.wall1}%.3f"},"wall_fx_sec":${f"${r.wallF}%.3f"},"ratio":${f"${r.wallF / r.wall1}%.3f"},"quad_joins_1x":${r.quad1},"quad_joins_fx":${r.quadF},"shuffle_joins_1x":${r.shuf1},"shuffle_joins_fx":${r.shufF}}""")
           .mkString(",")
-      }},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }},"second_decade":{"factor":$deepFactor,"heads":{${
+        deepRes.map { case (name, nd, wd, qd, sd, base) =>
+          s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
+        }.mkString(",")
+      }},"drift_max_bins_per_window_deep":$binsWinD},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

@@ -256,7 +256,13 @@ class PlanSpec extends AnyFunSuite {
     //   j8_psi         1-row totals aggregate broadcast (na/nb/n_bins)
     //   j8_psi_series  reference-bin broadcast (bounded by value range,
     //                  row-count-independent) + 1-row totals
+    //   j3_ivf_np1     same 1-row stride broadcast as j3_ivf_ann
+    //   j3_semdedup    1-row sqrt-cell stride frame + the <= ceil(sqrt(N))-row
+    //                  centroid broadcast (the published SemDeDup assignment
+    //                  shape; the memoized query presents a checkpoint leaf,
+    //                  so the RAW constructor is audited below with a bound)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
+      "j3_ivf_np1", "j3_semdedup",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series")
@@ -282,6 +288,16 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(rawOffenders.isEmpty,
       s"product join hidden behind a memo: ${rawOffenders.mkString(", ")}")
+    // semDedup is memoized too, and its REVIEWED product joins are the
+    // 1-row stride frame (2 refs) and the <= ceil(sqrt(N))-row trained
+    // centroid frame (Lloyd rounds + assignment) — bound the count so an
+    // UNREVIEWED product join cannot hide among them
+    val semPlan = ext.Similarity.semDedup(Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val semQuad = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(semPlan).size
+    assert(semQuad <= 8,
+      s"raw semDedup carries $semQuad product joins — more than the reviewed stride/centroid broadcasts")
     graft.Pinned.release(spark)
   }
 
