@@ -133,6 +133,32 @@ object ExtQueries {
     "j2_dup_ngram_frac" -> ((s, d) =>
       Dedup.dupNgramFrac(Tables.documents(s, d))),
 
+    // J2 — QUALITY-keyed dedup survivor selection: within each verified
+    // near-dup cluster keep the HIGHEST composite-quality member (ties to
+    // the smallest doc_id) — the keep rule real pipelines run (drop the
+    // boilerplate-ridden copy, keep the clean one), composed from the
+    // memoized clustering and the graded composite score. min-id
+    // canonicality (j2_neardup_groups) stays as the deterministic
+    // id-keyed baseline.
+    "j2_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", TextOps.compositeScoreSpark.as("score"))
+      val g = neardupGroups(s, d).join(scored, Seq("doc_id"))
+      val best = g.groupBy($"cluster_id")
+        .agg(min(struct((-$"score").as("ns"), $"doc_id")).as("m"))
+        .select($"cluster_id", $"m.doc_id".as("best_doc_id"))
+      g.join(best, Seq("cluster_id"))
+        .select($"doc_id", $"cluster_id", $"score", $"best_doc_id",
+          ($"doc_id" === $"best_doc_id").cast("long").as("kept_best"))
+    }),
+
+    // J7 — EVAL-side decontamination report (the published appendix view:
+    // per benchmark doc, how many of its 13-grams leak into the train
+    // corpus and from how many train docs).
+    "j7_decontam_report" -> ((s, d) =>
+      Pipeline.decontamEvalReport(Tables.documents(s, d))),
+
     // J2 — SPAN-LEVEL boilerplate scrub: the TRANSFORM behind the
     // dup-n-gram verdict (RefinedWeb/CCNet partial dedup) — duplicated
     // cross-doc 10-gram spans are REMOVED from the text, with per-doc
@@ -1018,6 +1044,43 @@ object ExtQueries {
          |  CAST(CASE WHEN (coalesce(sh.n_dup, 0) * 1000000) // b.n_grams > ${Dedup.DupFracGateE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
          |FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id""".stripMargin
+    },
+
+    // Quality-keyed survivor: exact components (recursive CTE) + the
+    // shared composite-score expression, argmax score / min id per set.
+    "j2_keep_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |qs AS (SELECT doc_id, ${TextOps.compositeScoreSql} AS score FROM documents),
+         |gm AS (SELECT c.doc_id, c.cluster_id, q.score FROM comp c JOIN qs q USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS best_doc_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM gm) z WHERE rn = 1)
+         |SELECT g.doc_id, g.cluster_id, g.score, b.best_doc_id,
+         |  CAST(CASE WHEN g.doc_id = b.best_doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept_best
+         |FROM gm g JOIN best b USING (cluster_id)""".stripMargin,
+
+    "j7_decontam_report" -> {
+      val n = Pipeline.DecontamN
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |fp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM g),
+         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM fp WHERE doc_id < ${Pipeline.EvalDocs} GROUP BY 1),
+         |sh AS (SELECT e.doc_id, CAST(count(DISTINCT e.fp) AS BIGINT) AS n_hit_grams,
+         |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+         |  FROM fp e JOIN fp t ON t.fp = e.fp AND t.doc_id >= ${Pipeline.EvalDocs}
+         |  WHERE e.doc_id < ${Pipeline.EvalDocs} GROUP BY 1)
+         |SELECT d.doc_id, coalesce(b.n_grams, 0) AS n_grams,
+         |  coalesce(sh.n_hit_grams, 0) AS n_hit_grams,
+         |  coalesce(sh.n_train_docs, 0) AS n_train_docs,
+         |  (coalesce(sh.n_hit_grams, 0) * 1000000) // greatest(coalesce(b.n_grams, 0), 1) AS leaked_frac_e6,
+         |  CAST(CASE WHEN coalesce(sh.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS compromised
+         |FROM documents d
+         |LEFT JOIN base b ON b.doc_id = d.doc_id
+         |LEFT JOIN sh ON sh.doc_id = d.doc_id
+         |WHERE d.doc_id < ${Pipeline.EvalDocs}""".stripMargin
     },
 
     // Span scrub: same df>=2 gram-fingerprint definition as the fraction

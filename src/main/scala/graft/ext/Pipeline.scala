@@ -256,6 +256,43 @@ object Pipeline {
         ($"n_shared" > 0).cast("long").as("contaminated"))
   }
 
+  /** The EVAL-SIDE decontamination report — the view the published
+    * decontamination appendices actually tabulate (GPT-3 appendix C /
+    * PaLM): per BENCHMARK document, how compromised is it — how many of
+    * its 13-grams appear anywhere in the training corpus, and how many
+    * distinct train documents carry them. [[decontamNgram]] answers
+    * "which train docs do I drop"; this answers "which eval results can
+    * I still trust" — both from the same gram fingerprints, so the two
+    * verdicts can never disagree about what a collision is.
+    *
+    * Scale shape: the eval set is the small side (fixed benchmark) — its
+    * distinct gram fingerprints BROADCAST; the train corpus is exploded
+    * once to the gram grain and semi-joined in the map stage, so the one
+    * shuffle is the (eval_doc) aggregate over the HIT subset only. Eval
+    * docs shorter than n tokens carry no grams and report 0/0/0. */
+  def decontamEvalReport(docs: DataFrame, n: Int = DecontamN,
+                         evalDocs: Long = EvalDocs): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id", expr(
+      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
+      .as("fps"))
+    val evalFp = withFps.filter($"doc_id" < evalDocs)
+      .select($"doc_id".as("eval_doc"), explode($"fps").as("fp"))
+    val trainFp = withFps.filter($"doc_id" >= evalDocs)
+      .select($"doc_id".as("train_doc"), explode($"fps").as("fp"))
+    val hits = trainFp.join(broadcast(evalFp), Seq("fp"))
+      .groupBy($"eval_doc")
+      .agg(countDistinct($"fp").as("n_hit_grams"),
+        countDistinct($"train_doc").as("n_train_docs"))
+    docs.filter($"doc_id" < evalDocs)
+      .join(withFps.select($"doc_id", size($"fps").cast("long").as("n_grams")), Seq("doc_id"))
+      .join(hits.withColumnRenamed("eval_doc", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_grams", "n_train_docs"))
+      .select($"doc_id", $"n_grams", $"n_hit_grams", $"n_train_docs",
+        expr("(n_hit_grams * 1000000) div greatest(n_grams, 1)").as("leaked_frac_e6"),
+        ($"n_hit_grams" > 0).cast("long").as("compromised"))
+  }
+
   /** Snapshot DELTA detection (CDC merge): classify every document across
     * two crawl snapshots as added / deleted / changed / unchanged — the
     * step that turns "re-process 100 TB nightly" into "re-process the

@@ -836,6 +836,53 @@ class ExtSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.length == 3), "top-3 per doc")
   }
 
+  test("keep-best dedup: the high-quality member survives, not the min id") {
+    import spark.implicits._
+    // docs 1 and 2 are shingle near-dups (J = 97/99 ≈ 0.98): doc 1 (the
+    // MIN id, i.e. the id-keyed canonical) repeats a token, so its
+    // lexical-diversity term is lower — the quality-keyed rule must keep
+    // doc 2 instead. doc 3 is an unrelated singleton (kept trivially).
+    val base = (1 to 99).map(i => s"t$i")
+    val docs = Seq(
+      (1L, (base :+ "t50").mkString(" ")),  // 100 tokens, 99 distinct
+      (2L, (base :+ "t100").mkString(" ")), // 100 tokens, all distinct
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroupsConverged(docs)
+    val scored = docs.select($"doc_id", ext.TextOps.compositeScoreSpark.as("score"))
+    val g = groups.join(scored, Seq("doc_id"))
+    val best = g.groupBy($"cluster_id")
+      .agg(min(struct((-$"score").as("ns"), $"doc_id")).as("m"))
+      .select($"cluster_id", $"m.doc_id".as("best_doc_id"))
+    val got = g.join(best, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"best_doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L, "near-dups share a cluster")
+    assert(got(1L)._2 == 2L, s"quality keep rule must pick doc 2, got ${got(1L)._2}")
+    assert(got(3L)._2 == 3L, "singleton keeps itself")
+  }
+
+  test("decontam eval report: leaked grams attributed per eval doc; short docs report 0") {
+    import spark.implicits._
+    val leak = (1 to 13).map(i => s"q$i").mkString(" ") // one exact 13-gram
+    def pad(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, leak + " " + pad("e", 10)),      // eval: leaks its first 13-gram
+      (1L, pad("c", 25)),                   // eval: clean
+      (2L, "a b c"),                        // eval: < 13 tokens -> no grams
+      (30L, pad("x", 7) + " " + leak),      // train: carries the gram
+      (31L, leak + " " + pad("y", 5)),      // train: carries it too
+      (32L, pad("w", 30))                   // train: unrelated
+    ).toDF("doc_id", "text")
+    val got = ext.Pipeline.decontamEvalReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "one row per eval doc, incl. gram-less")
+    // doc 0: 11 distinct 13-grams, exactly 1 leaked, found in 2 train docs
+    assert(got(0L) == ((11L, 1L, 2L, 1L)), s"${got(0L)}")
+    assert(got(1L) == ((13L, 0L, 0L, 0L)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), s"${got(2L)}")
+  }
+
   test("langid ngram: classifies real-language held-out docs the marker heuristic cannot") {
     import spark.implicits._
     // train slice = doc_id % 5 == 0; held-out docs carry real language
