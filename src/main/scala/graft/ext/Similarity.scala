@@ -437,7 +437,7 @@ object Similarity {
     * neighborhood even when they share few shingles. Composes three
     * graded kernels and adds none: the Lloyd quantizer ([[refineCents]],
     * trained on a deterministic stride subsample), the e6-quantized
-    * [[graft.functions.LongDot]] cosine, and [[Dedup.ccGroups]]'
+    * [[graft.functions.LongDot]] cosine, and [[Dedup.ccGroupsConverged]]'s
     * keep-one-per-component semantics (kept = min vec_id of the
     * near-set, the deterministic keep order; the recursive-CTE oracle
     * computes EXACT components, so under-iteration fails the gate).
