@@ -153,6 +153,12 @@ object ExtQueries {
           ($"doc_id" === $"best_doc_id").cast("long").as("kept_best"))
     }),
 
+    // J7 — TEMPERATURE-weighted source rebalancing (mT5/Pile alpha=0.5):
+    // sampling weight = isqrt(source tokens), boosting small sources vs
+    // the proportional j7_mix — exact-integer end to end.
+    "j7_mix_temp" -> ((s, d) =>
+      Pipeline.temperatureMix(Tables.documents(s, d))),
+
     // J7 — EVAL-side decontamination report (the published appendix view:
     // per benchmark doc, how many of its 13-grams leak into the train
     // corpus and from how many train docs).
@@ -410,6 +416,13 @@ object ExtQueries {
     // decoded PNGs, exact integer means vs the closed-form pixel oracle.
     "j5_pool" -> ((s, d) =>
       Multimodal.poolImages(Multimodal.pngFixture(Tables.documents(s, d)))),
+
+    // J5 — perceptual image signature (tiny-grid aHash over the real
+    // decode + pool path) and the equality-bucketed image near-dup pairs.
+    "j5_phash" -> ((s, d) =>
+      Multimodal.aHash(Multimodal.pngFixture(Tables.documents(s, d)))),
+    "j5_phash_pairs" -> ((s, d) =>
+      Multimodal.aHashPairs(Multimodal.pngFixture(Tables.documents(s, d)))),
 
     // J6 — sketches. No DuckDB-equivalent oracle exists (HLL registers and
     // quantile sketches are engine-specific), so the row is SELF-CHECKING
@@ -1614,6 +1627,29 @@ object ExtQueries {
          |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b JOIN r USING (source)""".stripMargin,
 
+    // alpha=0.5 temperature mix: isqrt weights (floor(sqrt) of int64 <
+    // 2^52 is the exact integer square root on both engines), integer
+    // normalization + rate.
+    "j7_mix_temp" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
+         |w AS (SELECT source, total_tokens,
+         |  CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS w FROM tot),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+         |r AS (SELECT source, total_tokens, w.w,
+         |  (${Pipeline.MixBudgetTokens} * w.w) // ws.wsum AS target_tokens,
+         |  least(1000000, ((${Pipeline.MixBudgetTokens} * w.w) // ws.wsum * 1000000)
+         |    // greatest(total_tokens, 1)) AS rate_e6
+         |  FROM w, ws),
+         |b AS (SELECT t.source, t.doc_id, t.n_tokens,
+         |  ('0x' || substr(md5('${Pipeline.MixSeed}:' || t.doc_id), 1, 8))::BIGINT % 1000000 AS bucket
+         |  FROM t)
+         |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.w, r.target_tokens,
+         |  r.rate_e6, b.bucket,
+         |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM b JOIN r USING (source)""".stripMargin,
+
     // KMV sketches: k smallest distinct md5 hashes per set, merge for the
     // union, floor-division estimators — sketch contents and every
     // estimate reproduce exactly.
@@ -1947,6 +1983,60 @@ object ExtQueries {
         |SELECT doc_id, CAST(py AS BIGINT) AS pool_y, CAST(px AS BIGINT) AS pool_x,
         |  CAST(sum(v) // count(*) AS BIGINT) AS pooled
         |FROM pxv GROUP BY 1, 2, 3""".stripMargin,
+
+    // aHash from the same closed-form pixel field as j5_pool: pooled
+    // cell floor-means, per-image floor-mean of those, bit = cell > mean.
+    "j5_phash" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h FROM documents),
+        |cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS py) gy,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS px) gx),
+        |pxv AS (SELECT c.doc_id, c.py, c.px,
+        |    (c.doc_id + 7 * gx.x + 13 * gy.y) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 29) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 58) % 256 AS v
+        |  FROM cells c,
+        |  LATERAL (SELECT unnest(generate_series(c.px * c.w // 2, (c.px + 1) * c.w // 2 - 1)) AS x) gx,
+        |  LATERAL (SELECT unnest(generate_series(c.py * c.h // 2, (c.py + 1) * c.h // 2 - 1)) AS y) gy),
+        |pl AS (SELECT doc_id, py, px, CAST(sum(v) // count(*) AS BIGINT) AS pooled
+        |  FROM pxv GROUP BY 1, 2, 3),
+        |mn AS (SELECT doc_id, CAST(sum(pooled) // count(*) AS BIGINT) AS mean_pooled
+        |  FROM pl GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(sum(CASE WHEN p.pooled > m.mean_pooled
+        |    THEN (CAST(1 AS BIGINT) << CAST(p.py * 2 + p.px AS INT)) ELSE 0 END) AS BIGINT) AS ahash,
+        |  m.mean_pooled,
+        |  CAST(bit_count(CAST(sum(CASE WHEN p.pooled > m.mean_pooled
+        |    THEN (CAST(1 AS BIGINT) << CAST(p.py * 2 + p.px AS INT)) ELSE 0 END) AS BIGINT)) AS BIGINT) AS n_bits
+        |FROM pl p JOIN mn m USING (doc_id) GROUP BY 1, 3""".stripMargin,
+
+    "j5_phash_pairs" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h FROM documents),
+        |cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS py) gy,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS px) gx),
+        |pxv AS (SELECT c.doc_id, c.py, c.px,
+        |    (c.doc_id + 7 * gx.x + 13 * gy.y) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 29) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 58) % 256 AS v
+        |  FROM cells c,
+        |  LATERAL (SELECT unnest(generate_series(c.px * c.w // 2, (c.px + 1) * c.w // 2 - 1)) AS x) gx,
+        |  LATERAL (SELECT unnest(generate_series(c.py * c.h // 2, (c.py + 1) * c.h // 2 - 1)) AS y) gy),
+        |pl AS (SELECT doc_id, py, px, CAST(sum(v) // count(*) AS BIGINT) AS pooled
+        |  FROM pxv GROUP BY 1, 2, 3),
+        |mn AS (SELECT doc_id, CAST(sum(pooled) // count(*) AS BIGINT) AS mean_pooled
+        |  FROM pl GROUP BY 1),
+        |hs AS (SELECT p.doc_id,
+        |  CAST(sum(CASE WHEN p.pooled > m.mean_pooled
+        |    THEN (CAST(1 AS BIGINT) << CAST(p.py * 2 + p.px AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM pl p JOIN mn m USING (doc_id) GROUP BY 1),
+        |ok AS (SELECT ahash FROM hs GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND ${Multimodal.AHashBucketCap})
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash
+        |FROM hs a JOIN hs b ON b.ahash = a.ahash AND a.doc_id < b.doc_id
+        |JOIN ok o ON o.ahash = a.ahash""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

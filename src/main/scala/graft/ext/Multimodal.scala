@@ -209,6 +209,53 @@ object Multimodal {
     }.toDF("doc_id", "pool_y", "pool_x", "pooled")
   }
 
+  /** [[aHashPairs]] bucket cap — same quadratic-blowup guard as every
+    * bucketed candidate generator ([[Dedup.BucketCap]] rationale). */
+  val AHashBucketCap = 1000
+
+  /** J5 — PERCEPTUAL image signature (average hash): bit(py,px) = pooled
+    * cell value > the image's floor-mean pooled value, packed little-
+    * endian by cell index — the tiny-image 2x2 variant of the published
+    * 8x8 aHash (the pHash-family primitive behind every image-dedup /
+    * known-content-matching pass). Built on the REAL imageio decode +
+    * adaptive mean-pool grid ([[poolImages]]), so codec or color-mapping
+    * defects break the closed-form oracle; the hash itself is exact
+    * integer arithmetic. Row-local per image after the pool. */
+  def aHash(payloads: DataFrame, p: Int = 2): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val pooled = poolImages(payloads, p)
+    val mn = pooled.groupBy($"doc_id")
+      .agg(expr("sum(pooled) div count(1)").as("mean_pooled"))
+    pooled.join(mn, Seq("doc_id"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"pooled" > $"mean_pooled",
+          expr(s"shiftleft(1L, cast(pool_y * $p + pool_x as int))")).otherwise(0L))
+          .as("ahash"),
+        max($"mean_pooled").as("mean_pooled"))
+      .select($"doc_id", $"ahash", $"mean_pooled",
+        bit_count($"ahash").cast("long").as("n_bits"))
+  }
+
+  /** J5 — image NEAR-DUP pairs: equality-bucketed on the aHash signature
+    * (hamming 0 at this grid size), bucket-capped like every candidate
+    * generator. At 100 TB this is the known-content / exact-duplicate
+    * image pass: one shuffle on the 2^(p*p)-value hash key. */
+  def aHashPairs(payloads: DataFrame, p: Int = 2,
+                 cap: Int = AHashBucketCap): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val h = aHash(payloads, p).select($"doc_id", $"ahash")
+    val ok = h.groupBy($"ahash").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2 && $"n" <= cap).select($"ahash")
+    val hok = h.join(ok, Seq("ahash"), "left_semi")
+    hok.select($"ahash", $"doc_id".as("doc_a"))
+      .join(hok.select($"ahash", $"doc_id".as("doc_b")), Seq("ahash"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"ahash")
+  }
+
   /** Samples per energy window for [[audioEnergy]]. */
   val AudioWindow = 64
 

@@ -256,6 +256,44 @@ object Pipeline {
         ($"n_shared" > 0).cast("long").as("contaminated"))
   }
 
+  /** TEMPERATURE-weighted source rebalancing (the mT5/Pile alpha-sampling
+    * convention at alpha = 0.5): sampling weight per source is
+    * sqrt(total_tokens) instead of total_tokens, boosting small sources
+    * relative to proportional sampling while never inverting the order —
+    * the standard fix for web-scale corpora drowning out books/code.
+    * [[tokenBudgetMix]] keeps the proportional form; this is the
+    * temperature point every published mixture tunes.
+    *
+    * alpha = 0.5 keeps the whole computation EXACT: isqrt(total) is
+    * floor(sqrt) of an int64 < 2^52, where IEEE sqrt is correctly rounded
+    * and floor recovers the exact integer square root on both engines; the
+    * normalization and rate are integer divisions from there. The
+    * source-grain frame is tiny and broadcast; verdicts are row-local
+    * md5-bucket draws, reproducible under corpus growth. */
+  def temperatureMix(docs: DataFrame, budget: Long = MixBudgetTokens,
+                     seed: Int = MixSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val totals = tok.groupBy($"source")
+      .agg(sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"total_tokens",
+        floor(sqrt($"total_tokens".cast("double"))).cast("long").as("w"))
+    val wsum = totals.agg(sum($"w").as("wsum"))
+    val rates = totals.crossJoin(broadcast(wsum))
+      .select($"source", $"total_tokens", $"w",
+        expr(s"($budget * w) div wsum").as("target_tokens"))
+      .select($"source", $"total_tokens", $"w", $"target_tokens",
+        least(lit(1000000L), expr("(target_tokens * 1000000) div greatest(total_tokens, 1)"))
+          .as("rate_e6"))
+    val bucket = pmod(Dedup.md5Hash32(seed, $"doc_id".cast("string")),
+      lit(1000000L))
+    tok.join(broadcast(rates), Seq("source"))
+      .select($"source", $"doc_id", $"n_tokens", $"total_tokens", $"w",
+        $"target_tokens", $"rate_e6", bucket.as("bucket"),
+        (bucket < $"rate_e6").cast("long").as("kept"))
+  }
+
   /** The EVAL-SIDE decontamination report — the view the published
     * decontamination appendices actually tabulate (GPT-3 appendix C /
     * PaLM): per BENCHMARK document, how compromised is it — how many of

@@ -78,6 +78,91 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scrub spans equals brute force for random corpora") {
+    import spark.implicits._
+    // heavy cross-doc gram sharing: overlapping duplicated runs, runs
+    // touching both doc boundaries, fully-duplicated docs — all arise
+    // naturally at this vocab/length regime.
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val n = 4
+    for (sample <- 1 to 6) {
+      val docs = (1 to (5 + rnd.nextInt(6))).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = ext.Dedup.scrubSpans(df, n = n).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+        .toMap
+      // brute force over STRING n-grams: dup = grams in >= 2 docs (distinct
+      // per doc); token p covered iff some dup gram starts in [p-n+1, p]
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val gramsOf = toks.map { case (id, ts) =>
+        id -> ts.sliding(n).filter(_.length == n).map(_.mkString(" ")).toVector
+      }
+      val dup = gramsOf.values.flatMap(_.distinct).groupBy(identity)
+        .collect { case (g, xs) if xs.size >= 2 => g }.toSet
+      val want = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val starts = gramsOf(id).zipWithIndex.collect { case (g, i) if dup(g) => i + 1 }
+        val covered = (1 to ts.length).map(p => starts.exists(s => s <= p && p <= s + n - 1))
+        val kept = ts.zip(covered).collect { case (t, false) => t }
+        val nc = ts.map(_.length.toLong).sum
+        val rc = ts.zip(covered).collect { case (t, true) => t.length.toLong }.sum
+        id -> ((ts.length.toLong, covered.count(identity).toLong, nc, rc,
+          rc * 1000000L / math.max(nc, 1L), kept.mkString(" ")))
+      }.toMap
+      assert(got == want, s"[sample $sample] diverged: got=$got want=$want docs=$docs")
+      graft.Pinned.release(spark)
+    }
+  }
+
+  test("semdedup: near-sets are exactly the same-cell cosine>=threshold components") {
+    import spark.implicits._
+    // The Lloyd assignment is oracle-checked; here take the emitted cells
+    // as given and verify the DECISION surface exactly: recompute every
+    // same-cell pair's quantized cosine brute-force, union-find the >=
+    // threshold pairs, and demand identical near-sets + min-id keeps.
+    val rnd = new scala.util.Random(20260818L)
+    for (sample <- 1 to 3) {
+      val emb = (0 until 40 + rnd.nextInt(20)).map { i =>
+        (i.toLong, Seq.fill(8)((rnd.nextInt(2001) - 1000) / 1000.0f))
+      }
+      val df = emb.toDF("vec_id", "embedding")
+      val got = ext.Similarity.semDedup(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got.size == emb.size, "every vector emitted once")
+      val q = emb.map { case (id, v) => id -> v.map(x => math.round(x * 1000000.0)) }.toMap
+      def cosE6(a: Long, b: Long): Long = {
+        val (va, vb) = (q(a), q(b))
+        val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        val na = va.map(x => x * x).sum.toDouble
+        val nb = vb.map(x => x * x).sum.toDouble
+        math.round(dot.toDouble / math.sqrt(na * nb) * 1000000.0)
+      }
+      // union-find over same-cell >= threshold pairs
+      val parent = scala.collection.mutable.Map(emb.map(e => e._1 -> e._1): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for {
+        a <- got.keys; b <- got.keys
+        if a < b && got(a)._1 == got(b)._1 && cosE6(a, b) >= ext.Similarity.SemDedupCosE6
+      } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val wantSet = got.keys.map(v => v -> find(v)).toMap
+      // component label = min member id by construction of union toward min
+      val minOf = wantSet.groupBy(_._2).map { case (r, xs) => r -> xs.keys.min }
+      for (v <- got.keys) {
+        val wantLabel = minOf(wantSet(v))
+        assert(got(v)._2 == wantLabel,
+          s"[sample $sample] vec $v near_set ${got(v)._2} != brute-force $wantLabel")
+        assert(got(v)._3 == (if (v == wantLabel) 1L else 0L),
+          s"[sample $sample] vec $v kept flag wrong")
+      }
+      graft.Pinned.release(spark)
+    }
+  }
+
   test("ngram decontam equals brute force for random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260816L)

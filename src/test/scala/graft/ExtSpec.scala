@@ -836,6 +836,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.length == 3), "top-3 per doc")
   }
 
+  test("temperature mix: sqrt weights boost small sources without inverting order") {
+    import spark.implicits._
+    // big: 50 docs x 100 tokens = 5000; small: 2 docs x 50 = 100 tokens.
+    // proportional share of small = 100/5100 ≈ 2.0%; sqrt-temperature
+    // share = 10/(10+70) = 12.5% — boosted ~6x, but big still gets more.
+    def doc(tag: String, i: Int, n: Int) = (1 to n).map(j => s"$tag${i}x$j").mkString(" ")
+    val docs = ((1 to 50).map(i => (i.toLong, doc("b", i, 100), "big")) ++
+      Seq((100L, doc("s", 1, 50), "small"), (101L, doc("s", 2, 50), "small")))
+      .toDF("doc_id", "text", "source")
+    val got = ext.Pipeline.temperatureMix(docs, budget = 1000).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap // source -> (total, w, target, rate_e6)
+    val (bt, bw, btg, _) = got("big")
+    val (st, sw, stg, srate) = got("small")
+    assert(bt == 5000L && st == 100L)
+    assert(bw == 70L && sw == 10L, s"isqrt weights: $bw, $sw") // floor(sqrt(5000))=70
+    // targets: 1000*70/80 = 875, 1000*10/80 = 125
+    assert(btg == 875L && stg == 125L, s"targets: $btg, $stg")
+    // small's temperature target (125 tokens -> rate capped at 100%)
+    // strictly exceeds its PROPORTIONAL corpus share of the same budget
+    // (1000 * 100/5100 = 19 tokens)
+    val propTarget = 1000L * st / (bt + st)
+    assert(srate == 1000000L && stg > propTarget,
+      s"temperature must boost the small source: target $stg vs proportional $propTarget")
+    // order not inverted: big's absolute target still exceeds small's
+    assert(btg > stg)
+  }
+
   test("keep-best dedup: the high-quality member survives, not the min id") {
     import spark.implicits._
     // docs 1 and 2 are shingle near-dups (J = 97/99 ≈ 0.98): doc 1 (the
