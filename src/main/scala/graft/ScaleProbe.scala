@@ -258,7 +258,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }},"drift_max_bins_per_window_deep":$binsWinD},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

@@ -1395,7 +1395,8 @@ object ExtQueries {
         |pairs AS (SELECT doc_a, doc_b FROM (
         |  SELECT d.doc_a, d.doc_b,
         |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a JOIN norms nb ON nb.vec_id = d.doc_b) z
+        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a AND na.nq > 0
+        |    JOIN norms nb ON nb.vec_id = d.doc_b AND nb.nq > 0) z
         |  WHERE cos_sim_e6 >= ${Similarity.SemDedupCosE6}),
         |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach AS (SELECT vec_id AS v, vec_id AS l FROM embeddings

@@ -477,7 +477,12 @@ object Similarity {
     val okc = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
       .filter($"n" <= cellCap).select($"cid")
     val cellok = cells.join(okc, Seq("cid"), "left_semi")
-    val withVec = cellok.join(b.select($"vec_id".as("vid"), $"qv", $"nq"), Seq("vid"))
+    // nq > 0 on both pair sides (mirroring the centroid-side nc > 0
+    // filter): an all-zero embedding would make the cosine NaN, which
+    // Spark casts to 0L while DuckDB errors on CAST(nan AS BIGINT) —
+    // degenerate vectors are singletons by definition, never pair members
+    val withVec = cellok.join(
+      b.select($"vec_id".as("vid"), $"qv", $"nq").filter($"nq" > 0L), Seq("vid"))
     val pairs = withVec.select($"cid", $"vid".as("doc_a"), $"qv".as("va"), $"nq".as("na"))
       .join(withVec.select($"cid", $"vid".as("doc_b"), $"qv".as("vb"), $"nq".as("nb")),
         Seq("cid"))

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
 object SchemaQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-PROCESS token in every tmp staging path: two concurrent JVMs
+    * (bench and check over the same SF) must never overwrite each other's
+    * fragmented/compacted dirs mid-read — the per-JVM memo caches only
+    * serialize within one process. */
+  private val procToken: String = ProcessHandle.current().pid().toString
+
+  /** Staging dir for a dataset-keyed tmp layout, isolated per process. */
+  def stagingDir(prefix: String, d: String): String =
+    sys.props("java.io.tmpdir") + s"/${prefix}_p${procToken}_" +
+      new java.io.File(d).getName
+
   private val partDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -31,8 +42,7 @@ object SchemaQueries {
     * identical and deterministic; writing it from each query doubled the
     * staging cost of every Verify run and plan sweep). */
   private def partitionedEvents(s: SparkSession, d: String): String = {
-    val outDir = sys.props("java.io.tmpdir") + "/graft_part_events_" +
-      new java.io.File(d).getName
+    val outDir = stagingDir("graft_part_events", d)
     partDirs.computeIfAbsent(outDir, _ => {
       import s.implicits._
       graft.Tables.events(s, d).withColumn("day", to_date($"ts"))
@@ -56,8 +66,7 @@ object SchemaQueries {
   /** Deliberately FRAGMENTED day-partitioned events copy (written once per
     * JVM per dataset, like [[partitionedEvents]]). */
   private def fragmentedEvents(s: SparkSession, d: String): String = {
-    val outDir = sys.props("java.io.tmpdir") + "/graft_a11_frag_" +
-      new java.io.File(d).getName
+    val outDir = stagingDir("graft_a11_frag", d)
     fragDirs.computeIfAbsent(outDir, _ => {
       import s.implicits._
       graft.Tables.events(s, d).withColumn("day", to_date($"ts"))
@@ -70,12 +79,16 @@ object SchemaQueries {
   /** Parquet data files per `day=` partition directory — the metadata the
     * maintenance pass is judged on (driver-side listing; at fleet scale
     * this is the table format's manifest, never a data read). */
-  def parquetFilesPerDay(dir: String): Map[String, Long] =
-    new java.io.File(dir).listFiles().toSeq
+  def parquetFilesPerDay(dir: String): Map[String, Long] = {
+    def ls(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).map(_.toSeq).getOrElse(
+        sys.error(s"missing or unreadable staging directory: ${f.getPath}"))
+    ls(new java.io.File(dir))
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
       .map(f => f.getName.stripPrefix("day=") ->
-        f.listFiles().count(x => x.getName.endsWith(".parquet")).toLong)
+        ls(f).count(x => x.getName.endsWith(".parquet")).toLong)
       .toMap
+  }
 
   val queries: Map[String, Q] = Map(
     // A11 — small-file COMPACTION (the OPTIMIZE/bin-pack maintenance pass
@@ -92,8 +105,7 @@ object SchemaQueries {
     "a11_compact" -> ((s, d) => {
       import s.implicits._
       val frag = fragmentedEvents(s, d)
-      val outDir = sys.props("java.io.tmpdir") + "/graft_a11_compact_" +
-        new java.io.File(d).getName
+      val outDir = stagingDir("graft_a11_compact", d)
       s.read.parquet(frag).repartition($"day")
         .write.mode("overwrite").partitionBy("day")
         .option("maxRecordsPerFile", CompactMaxRecords)

@@ -257,6 +257,9 @@ class PlanSpec extends AnyFunSuite {
     //   j8_psi_series  reference-bin broadcast (bounded by value range,
     //                  row-count-independent) + 1-row totals
     //   j3_ivf_np1     same 1-row stride broadcast as j3_ivf_ann
+    //   j7_mix_temp    1-row weight-sum aggregate broadcast (the isqrt
+    //                  normalization denominator wsum — same shape as
+    //                  j4_lm_bits' V and j4_tfidf's N)
     //   j3_semdedup    1-row sqrt-cell stride frame + the <= ceil(sqrt(N))-row
     //                  centroid broadcast (the published SemDeDup assignment
     //                  shape; the memoized query presents a checkpoint leaf,
@@ -265,7 +268,7 @@ class PlanSpec extends AnyFunSuite {
       "j3_ivf_np1", "j3_semdedup",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
-      "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series")
+      "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -197,9 +197,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(3)), "every partition within the bin-pack bound")
     // pin the exact manifests: the fragmented layout carries 8 files per
     // day; every harness day holds < 4096 rows, so OPTIMIZE packs to ONE
-    val tmp = sys.props("java.io.tmpdir")
-    val before = sources.SchemaQueries.parquetFilesPerDay(s"$tmp/graft_a11_frag_sf0.001")
-    val after = sources.SchemaQueries.parquetFilesPerDay(s"$tmp/graft_a11_compact_sf0.001")
+    val before = sources.SchemaQueries.parquetFilesPerDay(
+      sources.SchemaQueries.stagingDir("graft_a11_frag", d))
+    val after = sources.SchemaQueries.parquetFilesPerDay(
+      sources.SchemaQueries.stagingDir("graft_a11_compact", d))
     // (a round-robin task holding zero rows of a sparse sf0.001 day writes
     // no file for it, so a day can carry slightly fewer than 8)
     assert(before.size == 30 && before.values.forall(n => n >= 6L && n <= 8L),
