@@ -504,12 +504,22 @@ object Dedup {
         .select($"doc_id", $"toks",
           coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
     // token position p is covered iff some duplicated run starts in
-    // [p-n+1, p]; kept = the uncovered tokens in order
+    // [p-n+1, p] — equivalently p is in the union of the [s, s+n-1]
+    // intervals; kept = the uncovered tokens in order. LINEAR form:
+    // expand each start into its covered positions (O(|ss| x n) cells,
+    // n a fixed dial) and subtract with array_except, whose hash-set
+    // membership makes the pass O(n x tokens) per row — the per-token
+    // exists() scan this replaces was O(tokens x dup-starts), quadratic
+    // inside a single heavily-duplicated document. (Catalyst has no
+    // stateful scan, and an aggregate() accumulator array copies on every
+    // append — O(tokens^2) always — so interval expansion IS the linear
+    // expression of the sorted-starts two-pointer here.)
     val kept = expr(
-      s"""filter(transform(sequence(1, size(toks)),
-         |  p -> if(exists(ss, s -> s <= p and p <= s + ${n - 1}),
-         |          cast(null as string), element_at(toks, p))),
-         |  x -> x is not null)""".stripMargin)
+      s"""transform(
+         |  array_except(
+         |    sequence(cast(1 as bigint), cast(size(toks) as bigint)),
+         |    flatten(transform(ss, s -> sequence(s, s + ${n - 1})))),
+         |  p -> element_at(toks, cast(p as int)))""".stripMargin)
     def charSum(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, t) => acc + length(t))
     base
@@ -525,6 +535,82 @@ object Dedup {
         expr("(removed_chars * 1000000) div greatest(n_chars, 1)")
           .as("removed_frac_e6"),
         $"scrubbed_text")
+  }
+
+  /** Line width (tokens) for [[lineDedup]]. The harness corpus carries no
+    * newline structure, so a "line" is a fixed run of 5 consecutive
+    * tokens — deliberately SHORTER than [[DupNgramN]] so the two grains
+    * provably disagree: a duplicated 5-token line can never form a
+    * 10-gram, so the line pass removes text the gram scrub must keep. */
+  val LineTokens = 5
+
+  /** J2 — LINE-grain exact dedup: the CCNet FIRST-pass transform (and the
+    * form most published pipelines run before any fuzzy dedup): hash each
+    * line of every document, compute cross-document frequency, and remove
+    * every line whose hash occurs in >= 2 documents — boilerplate
+    * headers, footers, cookie banners. The exact sibling of
+    * [[scrubSpans]] at a cheaper grain: ~tokens/[[LineTokens]] hashes per
+    * doc instead of one per token position, and removal is whole-line, so
+    * no overlap merging is needed.
+    *
+    * Same df >= 2 discipline as [[dupNgramFrac]] (distinct per doc, then
+    * document frequency — within-doc repeats alone never trigger), same
+    * 60-bit md5 fingerprints, same MassiveText char-mass accounting
+    * (`removed_frac_e6` over separator-free token chars).
+    *
+    * Scale shape: line fingerprints are row-local; ONE shuffle to the
+    * line-hash grain computes document frequency; duplicated line
+    * NUMBERS come back per doc via a semi-join on the same key + one
+    * (doc_id, line-list) aggregate; reconstruction is row-local via the
+    * same hash-set array_except as the gram scrub — O(tokens) per row.
+    * The doc grain is never re-shuffled for the transform. */
+  def lineDedup(docs: DataFrame, w: Int = LineTokens): DataFrame = {
+    import docs.sparkSession.implicits._
+    // fixed-width token chunks as array<array<string>> (line text is
+    // joined only where hashed/emitted, so char accounting stays exact)
+    def lineized(df: DataFrame) = df
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", expr(
+        s"transform(sequence(0, (size(toks) - 1) div $w), b -> slice(toks, b * $w + 1, $w))")
+        .as("lines"))
+    val pf = lineized(docs).select($"doc_id", expr(
+      "transform(lines, l -> cast(conv(substring(md5(array_join(l, ' ')), 1, 15), 16, 10) as bigint))")
+      .as("lfps"))
+    // cross-doc duplicated line set: distinct per doc, then df >= 2 —
+    // the dupNgramFrac definition at the line grain
+    val ex = pf.select($"doc_id", explode(array_distinct($"lfps")).as("fp"))
+    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+      .select($"fp")
+    // duplicated LINE NUMBERS per doc (0-based), small, sorted per row
+    val dupNos = pf.select($"doc_id", posexplode($"lfps").as(Seq("i0", "fp")))
+      .join(dup, Seq("fp"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"i0".cast("long"))).as("dd"))
+    // collapse barrier (the winnow rule): toks/lines/dd must be SCAN
+    // attributes before the per-element lambdas below
+    val base = graft.Pinned.track(
+      lineized(docs)
+        .join(dupNos, Seq("doc_id"), "left")
+        .select($"doc_id", $"toks", $"lines",
+          coalesce($"dd", typedLit(Seq.empty[Long])).as("dd")))
+    val kept = expr(
+      """transform(
+        |  array_except(sequence(cast(0 as bigint), cast(size(lines) - 1 as bigint)), dd),
+        |  i -> element_at(lines, cast(i as int) + 1))""".stripMargin)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, t) => acc + length(t))
+    base.select($"doc_id", $"toks", $"lines", kept.as("kept"))
+      .select($"doc_id",
+        size($"lines").cast("long").as("n_lines"),
+        (size($"lines") - size($"kept")).cast("long").as("n_removed_lines"),
+        charSum($"toks").as("n_chars"),
+        (charSum($"toks") - charSum(flatten($"kept"))).as("removed_chars"),
+        array_join(flatten($"kept"), " ").as("deduped_text"))
+      .select($"doc_id", $"n_lines", $"n_removed_lines", $"n_chars",
+        $"removed_chars",
+        expr("(removed_chars * 1000000) div greatest(n_chars, 1)")
+          .as("removed_frac_e6"),
+        $"deduped_text")
   }
 
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —

@@ -173,6 +173,13 @@ object ExtQueries {
     "j2_scrub_spans" -> ((s, d) =>
       Dedup.scrubSpans(Tables.documents(s, d))),
 
+    // J2 — LINE-grain exact dedup: the CCNet first-pass transform —
+    // remove every fixed-width line whose hash occurs in >= 2 documents;
+    // cheaper grain than the 10-gram scrub and catches short duplicated
+    // boilerplate (< n tokens) the gram pass cannot see.
+    "j2_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d))),
+
     // J2 — INCREMENTAL near-dup lookup: a new batch (doc_id % 10 == 0)
     // probes the standing corpus LSH index; per-batch cost scales with
     // the batch, not the corpus.
@@ -1123,6 +1130,32 @@ object ExtQueries {
          |  (CAST(sum(CASE WHEN covered = 1 THEN length(tok) ELSE 0 END) AS BIGINT) * 1000000)
          |    // greatest(CAST(sum(length(tok)) AS BIGINT), 1) AS removed_frac_e6,
          |  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY p), '') AS scrubbed_text
+         |FROM mk GROUP BY doc_id""".stripMargin
+    },
+
+    // Line dedup: fixed-width token chunks, same df>=2 / 60-bit-md5 /
+    // char-mass conventions as the gram queries, whole-line removal.
+    "j2_line_dedup" -> {
+      val w = Dedup.LineTokens
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT doc_id, b, toks[b * $w + 1 : least((b + 1) * $w, len(toks))] AS lt
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |lf AS (SELECT doc_id, b, lt,
+         |    ('0x' || substr(md5(array_to_string(lt, ' ')), 1, 15))::BIGINT AS fp FROM ln),
+         |dup AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM lf) df
+         |  GROUP BY fp HAVING count(*) >= 2),
+         |mk AS (SELECT doc_id, b, lt,
+         |    CAST(list_sum(list_transform(lt, x -> length(x))) AS BIGINT) AS lchars,
+         |    CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END AS rm
+         |  FROM lf)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(rm) AS BIGINT) AS n_removed_lines,
+         |  CAST(sum(lchars) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN rm = 1 THEN lchars ELSE 0 END) AS BIGINT) AS removed_chars,
+         |  (CAST(sum(CASE WHEN rm = 1 THEN lchars ELSE 0 END) AS BIGINT) * 1000000)
+         |    // greatest(CAST(sum(lchars) AS BIGINT), 1) AS removed_frac_e6,
+         |  coalesce(string_agg(CASE WHEN rm = 0 THEN array_to_string(lt, ' ') END, ' ' ORDER BY b), '') AS deduped_text
          |FROM mk GROUP BY doc_id""".stripMargin
     },
 

@@ -1007,6 +1007,54 @@ class ExtSpec extends AnyFunSuite {
       s"scrubbed corpus must re-score clean, got ${re.mkString(",")}")
   }
 
+  test("line dedup: aligned duplicated lines removed; disagrees with gram scrub below n tokens") {
+    import spark.implicits._
+    // shared 5-token line (one full LineTokens chunk), line-ALIGNED in two
+    // docs — too short to ever form a 10-gram, so the gram scrub MUST
+    // keep it while the line pass MUST remove it (the grain-disagreement
+    // fixture the two transforms are designed around)
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 x1 x2 x3 x4 x5"),
+      (2L, "c1 c2 c3 c4 c5 y1 y2 y3 y4 y5"),
+      (3L, "c1 c2 c3"),                // sub-width doc: one short unique line
+      (4L, "d1 d2 d3 d4 d5 d6 d7"),    // docs 4/5 identical: both lines
+      (5L, "d1 d2 d3 d4 d5 d6 d7")     //   (full + 2-token tail) removed
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got(1L) == ((2L, 1L, 20L, 10L, 500000L, "x1 x2 x3 x4 x5")), s"${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 20L, 10L, 500000L, "y1 y2 y3 y4 y5")), s"${got(2L)}")
+    assert(got(3L) == ((1L, 0L, 6L, 0L, 0L, "c1 c2 c3")), s"${got(3L)}")
+    assert(got(4L) == ((2L, 2L, 14L, 14L, 1000000L, "")), s"${got(4L)}")
+    assert(got(5L)._6 == "")
+    // the disagreement, stated both ways: the gram scrub keeps docs 1/2
+    // whole (their only 10-gram is the full doc, which differs), and the
+    // line pass removed text from them
+    val scrub = ext.Dedup.scrubSpans(docs.filter($"doc_id" <= 2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub(1L) == 0L && scrub(2L) == 0L,
+      s"gram scrub must keep the sub-n duplicated line: $scrub")
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L)
+  }
+
+  test("line dedup composes with the gram verdict: deduped sf0.001 corpus re-scores lower") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val before = ext.Dedup.dupNgramFrac(docs)
+      .agg(sum($"n_dup")).collect().head.getLong(0)
+    val deduped = ext.Dedup.lineDedup(docs)
+      .filter(length($"deduped_text") > 0)
+      .select($"doc_id", $"deduped_text".as("text"))
+    val after = ext.Dedup.dupNgramFrac(deduped)
+      .agg(coalesce(sum($"n_dup"), lit(0L))).collect().head.getLong(0)
+    // line-aligned synthetic boilerplate means the 5-token grain removes
+    // every duplicated 10-gram here (2292 -> 0 at this corpus); the
+    // portable invariant is strict reduction
+    assert(before > 0L && after < before,
+      s"dup-gram mass must drop: before=$before after=$after")
+  }
+
   test("semdedup: same-neighborhood paraphrases dedup; cross-cell high-cosine survives") {
     import spark.implicits._
     // two tight direction clusters + one diagonal vector. N=5 -> ncells =
