@@ -431,6 +431,13 @@ object ExtQueries {
     "j5_phash_pairs" -> ((s, d) =>
       Multimodal.aHashPairs(Multimodal.pngFixture(Tables.documents(s, d)))),
 
+    // J5 — image near-dup at hamming <= 3 over the full 64-bit 8x8 aHash:
+    // Manku 16-bit-block pigeonhole candidates + exact bit_count(xor)
+    // verify — the radius pass that catches re-encoded (JPEG-vs-PNG)
+    // copies the hamming-0 equality bucket misses.
+    "j5_phash_hamming" -> ((s, d) =>
+      Multimodal.aHashHammingPairs(Multimodal.pngFixture(Tables.documents(s, d)))),
+
     // J6 — sketches. No DuckDB-equivalent oracle exists (HLL registers and
     // quantile sketches are engine-specific), so the row is SELF-CHECKING
     // instead: the same query computes the exact twins and emits bound
@@ -2071,6 +2078,48 @@ object ExtQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash
         |FROM hs a JOIN hs b ON b.ahash = a.ahash AND a.doc_id < b.doc_id
         |JOIN ok o ON o.ahash = a.ahash""".stripMargin,
+
+    // 64-bit 8x8 aHash from the same closed-form pixel field; cells the
+    // tiny images leave empty pool to 0 (the Spark decode convention);
+    // bit 63 needs the two's-complement literal (DuckDB 1<<63 overflows
+    // where Spark's shiftleft wraps to Long.MinValue); then the Manku
+    // 16-bit-block pigeonhole with the same cap as the Spark side.
+    "j5_phash_hamming" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h FROM documents),
+        |cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS py) gy,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS px) gx),
+        |pxv AS (SELECT c.doc_id, c.py, c.px,
+        |    (c.doc_id + 7 * gx.x + 13 * gy.y) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 29) % 256
+        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 58) % 256 AS v
+        |  FROM cells c,
+        |  LATERAL (SELECT unnest(generate_series(c.px * c.w // 8, (c.px + 1) * c.w // 8 - 1)) AS x) gx,
+        |  LATERAL (SELECT unnest(generate_series(c.py * c.h // 8, (c.py + 1) * c.h // 8 - 1)) AS y) gy),
+        |pl0 AS (SELECT doc_id, py, px, CAST(sum(v) // count(*) AS BIGINT) AS pooled
+        |  FROM pxv GROUP BY 1, 2, 3),
+        |pl AS (SELECT c.doc_id, c.py, c.px, coalesce(p.pooled, 0) AS pooled
+        |  FROM cells c LEFT JOIN pl0 p ON p.doc_id = c.doc_id AND p.py = c.py AND p.px = c.px),
+        |mn AS (SELECT doc_id, CAST(sum(pooled) // count(*) AS BIGINT) AS mean_pooled
+        |  FROM pl GROUP BY 1),
+        |hs AS (SELECT p.doc_id,
+        |  CAST(sum(CASE WHEN p.pooled > m.mean_pooled THEN
+        |    CASE WHEN p.py * 8 + p.px = 63 THEN -9223372036854775807 - 1
+        |         ELSE (CAST(1 AS BIGINT) << CAST(p.py * 8 + p.px AS INT)) END
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM pl p JOIN mn m USING (doc_id) GROUP BY 1),
+        |bands AS (SELECT doc_id, ahash, blk, (ahash >> (blk * 16)) & 65535 AS val
+        |  FROM hs, generate_series(0, 3) z(blk)),
+        |ok AS (SELECT blk, val FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND ${Multimodal.AHashHamBucketCap}),
+        |pruned AS (SELECT b.doc_id, b.ahash, b.blk, b.val
+        |  FROM bands b JOIN ok o ON o.blk = b.blk AND o.val = b.val)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

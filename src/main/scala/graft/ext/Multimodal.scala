@@ -256,6 +256,61 @@ object Multimodal {
       .select($"doc_a", $"doc_b", $"ahash")
   }
 
+  /** Pigeonhole block count for [[aHashHammingPairs]] — 4 x 16-bit
+    * blocks over the 64-bit hash cover hamming <= 3 exactly (the Manku
+    * bound: k+1 blocks cover distance k). */
+  val AHashHamMaxHamming = 3
+
+  /** [[aHashHammingPairs]] bucket cap. TIGHTER than [[AHashBucketCap]]:
+    * a 16-bit block key concentrates far more docs than the full 64-bit
+    * hash (small images leave most grid cells empty, so block values
+    * repeat heavily), and the harness image field is mod-periodic in
+    * doc_id — measured pair growth at this cap is LINEAR across
+    * sf0.001 -> sf0.1 (3.4k -> 37k for 100x docs) where cap 1000 went
+    * quadratic (360k). Hot blocks carry the least signal, the standard
+    * banded-candidate trade. */
+  val AHashHamBucketCap = 100
+
+  /** J5 — image near-dup pairs at hamming <= k over the FULL 64-bit 8x8
+    * aHash (the published pHash-family radius, not the hamming-0
+    * equality bucket of [[aHashPairs]]): re-encoded / slightly
+    * re-compressed copies of an image flip a few threshold bits, so the
+    * radius is what an image-dedup pass actually needs. Candidate
+    * generation is the same Manku pigeonhole as [[Dedup.simhashPairs]]
+    * — two hashes within hamming 3 MUST agree on one of the 4 16-bit
+    * blocks — then one codegen'd bit_count(xor) verifies the exact
+    * distance. No false negatives except documented hot-block pruning.
+    *
+    * 100 TB posture: 4 small rows per image, one equi-shuffle on the
+    * (block, value) key, verification touches candidates only; the
+    * dial is blocks-vs-radius, the cap bounds any hot block. */
+  def aHashHammingPairs(payloads: DataFrame, p: Int = 8,
+                        maxHamming: Int = AHashHamMaxHamming,
+                        cap: Int = AHashHamBucketCap): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val h = graft.Pinned.track(aHash(payloads, p).select($"doc_id", $"ahash"))
+    val bands = h.select($"doc_id", $"ahash",
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .select($"doc_id", $"ahash", $"blk",
+        // arithmetic vs logical shift is mask-invisible here: & 65535
+        // keeps bits 0..15 and sign extension only touches bits >= 16
+        expr("shiftright(ahash, blk * 16) & 65535").as("val"))
+    val ok = bands.groupBy($"blk", $"val").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2 && $"c" <= cap).select($"blk", $"val")
+    val pruned = bands.join(ok, Seq("blk", "val"), "left_semi")
+    pruned.select($"doc_id".as("doc_a"), $"ahash".as("ha"), $"blk", $"val")
+      .join(pruned.select($"doc_id".as("doc_b"), $"ahash".as("hb"), $"blk", $"val"),
+        Seq("blk", "val"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      // verify BEFORE dedup (the simhashPairs discipline): a pair can
+      // arrive from up to 4 shared blocks
+      .filter($"hamming" <= maxHamming)
+      .distinct()
+  }
+
   /** Samples per energy window for [[audioEnergy]]. */
   val AudioWindow = 64
 

@@ -630,6 +630,48 @@ class ExtSpec extends AnyFunSuite {
     assert(m(101L)._4 == "stub")
   }
 
+  test("phash hamming: JPEG re-encode found at hamming > 0; equality pairs always covered") {
+    import spark.implicits._
+    // a textured 64x64 gray image (LCG noise): JPEG's DCT quantization
+    // shifts a couple of pooled cell means across the per-image mean
+    // threshold, so the re-encoded copy sits at hamming 1-3 — visible to
+    // the radius pass, invisible to the hamming-0 equality bucket
+    def noiseImg(seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (seed + 7L * x + 13L * y) * 6364136223846793005L + 1442695040888963407L
+        val g = ((v >>> 33) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val src = noiseImg(1L)
+    // docs 3/4: byte-different but pixel-identical PNGs (a re-save), the
+    // hamming-0 case the equality bucket does find
+    val payloads = Seq(
+      (1L, enc(src, "png")), (2L, enc(src, "jpg")),
+      (3L, enc(noiseImg(9L), "png")), (4L, enc(noiseImg(9L), "png"))
+    ).toDF("doc_id", "payload")
+    val ham = Multimodal.aHashHammingPairs(payloads).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ham.contains((1L, 2L)) && ham((1L, 2L)) >= 1L && ham((1L, 2L)) <= 3L,
+      s"JPEG re-encode must surface at hamming 1..3: $ham")
+    assert(ham.get((3L, 4L)).contains(0L), s"identical pair at hamming 0: $ham")
+    // the equality path misses the re-encoded pair and finds the identical
+    // one — and every equality pair is covered by the radius pass (the
+    // pigeonhole bound: equal hashes agree on all four blocks)
+    val eq = Multimodal.aHashPairs(payloads, p = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!eq.contains((1L, 2L)), "equality bucket must miss the JPEG copy")
+    assert(eq.subsetOf(ham.keySet), s"equality pairs not covered: ${eq -- ham.keySet}")
+  }
+
   test("near-dup bucket cap drops boilerplate mega-buckets (no quadratic pairs)") {
     import spark.implicits._
     // 2000 identical docs would fill one band bucket and emit ~2M pairs;
