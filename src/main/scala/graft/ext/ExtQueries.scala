@@ -306,6 +306,12 @@ object ExtQueries {
     // the marker heuristic, plus the one-row measured-agreement summary.
     "j4_langid_ngram" -> ((s, d) => TextOps.langIdNgram(Tables.documents(s, d))),
     "j4_langid_agree" -> ((s, d) => TextOps.langIdAgreement(Tables.documents(s, d))),
+
+    // J4 — TRAINED quality classifier (gold = composite above the labeled
+    // slice's mean; linear rational scorer over 4 binned row-local
+    // features) + its in-query agreement summary.
+    "j4_quality_clf" -> ((s, d) => TextOps.qualityClassifier(Tables.documents(s, d))),
+    "j4_quality_clf_agree" -> ((s, d) => TextOps.qualityClassifierAgreement(Tables.documents(s, d))),
     "j4_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
 
     // J4 — BM25 top-k retrieval (sparse lexical scorer for decontamination
@@ -692,6 +698,44 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.AnnK}""".stripMargin
+
+  /** Shared CTE chain of the trained-quality-classifier oracles (per-doc
+    * relation `qout`) — generated from the SAME composite-score rendering
+    * and TextOps dials (train slice, smoothing) as the Spark side, the
+    * langNgramCtes discipline. */
+  private val qualityClfCtes = {
+    import TextOps.{LangTrainMod, QClfSmooth}
+    s"""WITH f AS (SELECT doc_id, ${TextOps.compositeScoreSql} AS score,
+       |    least(CAST(len(string_split(text, ' ')) AS BIGINT) // 16, 15) AS v1,
+       |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 8)
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS v2,
+       |    (CAST(len(list_filter(string_split(text, ' '),
+       |       x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) * 8)
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS v3,
+       |    least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT), 7) AS v4
+       |  FROM documents),
+       |thr AS (SELECT CAST(sum(score) // count(*) AS BIGINT) AS thr FROM f WHERE doc_id % $LangTrainMod = 0),
+       |lab AS (SELECT f.*, CASE WHEN f.score > t.thr THEN 1 ELSE 0 END AS hq
+       |  FROM f, thr t WHERE f.doc_id % $LangTrainMod = 0),
+       |cls AS (SELECT CAST(sum(hq) AS BIGINT) AS n_pos,
+       |    CAST(count(*) - sum(hq) AS BIGINT) AS n_neg FROM lab),
+       |fvl AS (SELECT t.fk, t.v, lab.hq FROM lab,
+       |  LATERAL (VALUES (1, v1), (2, v2), (3, v3), (4, v4)) t(fk, v)),
+       |prof AS (SELECT fk, v, CAST(sum(hq) AS BIGINT) AS cp,
+       |    CAST(count(*) - sum(hq) AS BIGINT) AS cn FROM fvl GROUP BY 1, 2),
+       |fva AS (SELECT f.doc_id, t.fk, t.v FROM f,
+       |  LATERAL (VALUES (1, v1), (2, v2), (3, v3), (4, v4)) t(fk, v)),
+       |sc AS (SELECT a.doc_id,
+       |    CAST(sum(((coalesce(p.cp, 0) + 1) * 1000000) // (c.n_pos + $QClfSmooth)
+       |      - ((coalesce(p.cn, 0) + 1) * 1000000) // (c.n_neg + $QClfSmooth)) AS BIGINT) AS s
+       |  FROM fva a LEFT JOIN prof p ON p.fk = a.fk AND p.v = a.v, cls c GROUP BY 1),
+       |qout AS (SELECT f.doc_id, f.score, t.thr,
+       |    CAST(CASE WHEN f.score > t.thr THEN 1 ELSE 0 END AS BIGINT) AS gold_hq,
+       |    sc.s AS clf_score_e6,
+       |    CAST(CASE WHEN sc.s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hq,
+       |    (sc.s > 0) = (f.score > t.thr) AS agree
+       |  FROM f JOIN sc USING (doc_id), thr t)""".stripMargin
+  }
 
   /** Shared CTE chain of the content-language-ID oracles (per-doc relation
     * `lout`) — generated from the TextOps constants (train slice, profile
@@ -1509,6 +1553,18 @@ object ExtQueries {
         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS n_de,
         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'y'))) AS BIGINT) AS n_es
         |    FROM documents) a) b""".stripMargin,
+
+    "j4_quality_clf" -> s"$qualityClfCtes\nSELECT * FROM qout",
+
+    "j4_quality_clf_agree" ->
+      s"""$qualityClfCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(gold_hq) AS BIGINT) AS n_gold_hq,
+         |  CAST(sum(pred_hq) AS BIGINT) AS n_pred_hq,
+         |  CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  (CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS agree_e6
+         |FROM qout""".stripMargin,
 
     "j4_langid_ngram" -> s"$langNgramCtes\nSELECT * FROM lout",
 

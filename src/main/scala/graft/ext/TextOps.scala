@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines (SURVEY J4): token/quality
@@ -187,6 +187,92 @@ object TextOps {
       .select($"n_docs", $"n_agree_ngram", $"n_agree_stop",
         expr("(n_agree_ngram * 1000000) div n_docs").as("agree_ngram_e6"),
         expr("(n_agree_stop * 1000000) div n_docs").as("agree_stop_e6"))
+  }
+
+  /** Laplace smoothing constant for [[qualityClassifier]] — one pseudo-
+    * count per bin against a fixed 16-bin denominator on both classes. */
+  val QClfSmooth = 16L
+
+  /** J4 — TRAINED quality classifier (the GPT-3/LLaMA production pattern:
+    * an expensive gold labeler runs on a SLICE, a cheap feature model is
+    * fit against it and scored corpus-wide). Gold on the labeled
+    * doc_id % [[LangTrainMod]] slice = composite score above the slice
+    * MEAN (the hand-weighted composite plays the reference-corpus role);
+    * the model is linear over four binned row-local features — length,
+    * unique-token ratio, stopword ratio, punctuation count — scoring
+    * each doc by the summed difference of Laplace-smoothed class-
+    * conditional bin rates (integer millionths end to end: no ln(), the
+    * [[langProfiles]] rational-training discipline).
+    *
+    * Both the gold verdict and the trained prediction are emitted per
+    * doc with their agreement, so the distillation quality is graded
+    * in-query ([[qualityClassifierAgreement]] aggregates it).
+    *
+    * 100 TB posture: training state is the 1-row threshold, the 1-row
+    * class counts, and a <= 4x16-bin profile — all broadcast; corpus
+    * scoring is four broadcast hash joins on the bin keys, row-local
+    * arithmetic, zero extra shuffles of the doc grain. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val feats = graft.Pinned.track(docs.select($"doc_id",
+        compositeScoreSpark.as("score"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("n_uniq"),
+        expr(s"cast(size(filter(split(text, ' '), x -> x IN ${inList(stopwords)})) as bigint)").as("n_stop"),
+        expr("cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) as bigint)").as("n_punct"))
+      .select($"doc_id", $"score",
+        expr("least(n_tok div 16, 15)").as("v1"),
+        expr("(n_uniq * 8) div n_tok").as("v2"),
+        expr("(n_stop * 8) div n_tok").as("v3"),
+        expr("least(n_punct, 7)").as("v4")))
+    val slice = feats.filter($"doc_id" % LangTrainMod === 0)
+    // 1-row training state: gold threshold (slice mean composite) and
+    // class counts under it
+    val thrF = slice.agg(expr("sum(score) div count(1)").as("thr"))
+    val lab = slice.crossJoin(broadcast(thrF))
+      .select($"doc_id", ($"score" > $"thr").cast("long").as("hq"),
+        $"v1", $"v2", $"v3", $"v4")
+    val cls = lab.agg(sum($"hq").as("n_pos"),
+      (count(lit(1)) - sum($"hq")).as("n_neg"))
+    // class-conditional bin counts: 4 features x <= 16 bins, broadcastable
+    val prof = lab
+      .select(explode(expr(
+        """array(struct(1L as f, v1 as v, hq as hq), struct(2L as f, v2 as v, hq as hq),
+          |      struct(3L as f, v3 as v, hq as hq), struct(4L as f, v4 as v, hq as hq))""".stripMargin)).as("t"))
+      .select($"t.f", $"t.v", $"t.hq")
+      .groupBy($"f", $"v")
+      .agg(sum($"hq").as("cp"), (count(lit(1)) - sum($"hq")).as("cn"))
+    def featJoin(df: DataFrame, k: Int): DataFrame =
+      df.join(broadcast(prof.filter($"f" === k)
+        .select($"v".as(s"v$k"), $"cp".as(s"cp$k"), $"cn".as(s"cn$k"))),
+        Seq(s"v$k"), "left")
+    val contrib = (1 to 4).map(k =>
+      expr(s"((coalesce(cp$k, 0) + 1) * 1000000) div (n_pos + $QClfSmooth)" +
+        s" - ((coalesce(cn$k, 0) + 1) * 1000000) div (n_neg + $QClfSmooth)"): Column)
+      .reduce(_ + _)
+    (1 to 4).foldLeft(feats)(featJoin)
+      .crossJoin(broadcast(cls))
+      .crossJoin(broadcast(thrF))
+      .select($"doc_id", $"score", $"thr",
+        ($"score" > $"thr").cast("long").as("gold_hq"),
+        contrib.as("clf_score_e6"))
+      .select($"doc_id", $"score", $"thr", $"gold_hq", $"clf_score_e6",
+        ($"clf_score_e6" > 0L).cast("long").as("pred_hq"),
+        (($"clf_score_e6" > 0L) === ($"gold_hq" === 1L)).as("agree"))
+  }
+
+  /** One-row corpus summary of [[qualityClassifier]]: doc counts, gold
+    * and predicted positives, and the measured agreement rate in integer
+    * millionths — distillation quality graded in-query. */
+  def qualityClassifierAgreement(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    qualityClassifier(docs)
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"gold_hq").as("n_gold_hq"),
+        sum($"pred_hq").as("n_pred_hq"),
+        sum(when($"agree", 1L).otherwise(0L)).as("n_agree"))
+      .select($"n_docs", $"n_gold_hq", $"n_pred_hq", $"n_agree",
+        expr("(n_agree * 1000000) div n_docs").as("agree_e6"))
   }
 
   /** Corpus-wide token frequency, deterministic top-k. */

@@ -630,6 +630,32 @@ class ExtSpec extends AnyFunSuite {
     assert(m(101L)._4 == "stub")
   }
 
+  test("quality classifier: separates structured good/garbage docs from a 20% labeled slice") {
+    import spark.implicits._
+    // even ids: varied vocabulary with stopwords, no punctuation spam;
+    // odd ids: one token repeated with heavy punctuation — the composite
+    // gold splits them, and the trained bins must recover that split on
+    // the 80% of docs whose gold verdict the model never saw
+    val docs = spark.range(0L, 100L).select($"id".as("doc_id"),
+      when($"id" % 2 === 0,
+        concat(lit("the quick brown fox jumps over a lazy dog of unusual size and "),
+          lit("grace in w"), $"id", lit(" x"), $"id", lit(" y"), $"id"))
+        .otherwise(concat(lit("spam.spam!spam?spam.spam!spam?spam; z"), $"id"))
+        .as("text"))
+    val r = ext.TextOps.qualityClassifier(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(5), x.getBoolean(6)))).toMap
+    // gold follows parity by construction
+    assert((0L until 100L).forall(i => r(i)._1 == (1L - i % 2)),
+      "composite gold must split the classes")
+    // held-out docs (doc_id % 5 != 0): the trained model reproduces gold
+    val held = (0L until 100L).filterNot(_ % 5 == 0)
+    val agreeHeld = held.count(i => r(i)._3)
+    assert(agreeHeld == held.size,
+      s"trained classifier must separate held-out docs: $agreeHeld/${held.size}")
+    // and it predicts BOTH classes (not a constant predictor)
+    assert(r.values.exists(_._2 == 1L) && r.values.exists(_._2 == 0L))
+  }
+
   test("phash hamming: JPEG re-encode found at hamming > 0; equality pairs always covered") {
     import spark.implicits._
     // a textured 64x64 gray image (LCG noise): JPEG's DCT quantization

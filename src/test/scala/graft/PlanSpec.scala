@@ -260,6 +260,9 @@ class PlanSpec extends AnyFunSuite {
     //   j7_mix_temp    1-row weight-sum aggregate broadcast (the isqrt
     //                  normalization denominator wsum — same shape as
     //                  j4_lm_bits' V and j4_tfidf's N)
+    //   j4_quality_clf(_agree)  1-row gold-threshold (slice mean) + 1-row
+    //                  class-count aggregates broadcast; the bin profile
+    //                  itself is a keyed broadcast hash join (<= 4x16 rows)
     //   j3_semdedup    1-row sqrt-cell stride frame + the <= ceil(sqrt(N))-row
     //                  centroid broadcast (the published SemDeDup assignment
     //                  shape; the memoized query presents a checkpoint leaf,
@@ -268,7 +271,8 @@ class PlanSpec extends AnyFunSuite {
       "j3_ivf_np1", "j3_semdedup",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
-      "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp")
+      "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
+      "j4_quality_clf", "j4_quality_clf_agree")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
