@@ -343,6 +343,13 @@ object ExtQueries {
     "j7_pack" -> ((s, d) =>
       Pipeline.packSequences(Tables.documents(s, d))),
 
+    // J7 — deterministic GLOBAL training-order shuffle: seeded md5 rank
+    // over the quality-gate kept set + the exclusive token prefix sum in
+    // permuted order, cut into 512-token sequences (the global form of
+    // j7_pack) — rank and offset from the two-phase distributed cumsum.
+    "j7_shuffle" -> ((s, d) =>
+      Pipeline.globalShuffle(Tables.documents(s, d))),
+
     // J7 — token-budget-weighted mix: per-source keep rates computed FROM
     // the data (budget / total source tokens), md5-bucket verdicts.
     "j7_mix" -> ((s, d) =>
@@ -698,6 +705,19 @@ object ExtQueries {
         |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |WHERE rn <= ${Similarity.AnnK}""".stripMargin
+
+  /** Quality-gate oracle CTEs (per-doc relation `gate` with the kept
+    * verdict) — shared by j7_quality_gate and the kept-set consumers
+    * (j7_shuffle). */
+  private val qualityGateCtes =
+    s"""WITH s AS (SELECT doc_id, source,
+       |    ${TextOps.compositeScoreSql} AS score FROM documents),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM s),
+       |t AS (SELECT source, score AS thr FROM r WHERE rn = (${Pipeline.QualityDropPct} * n) // 100),
+       |gate AS (SELECT s.doc_id, s.source, s.score, coalesce(t.thr, -1) AS thr,
+       |  CAST(CASE WHEN s.score > coalesce(t.thr, -1) THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM s LEFT JOIN t ON t.source = s.source)""".stripMargin
 
   /** Shared CTE chain of the trained-quality-classifier oracles (per-doc
     * relation `qout`) — generated from the SAME composite-score rendering
@@ -1229,15 +1249,27 @@ object ExtQueries {
          |FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id""".stripMargin
     },
 
-    "j7_quality_gate" ->
-      s"""WITH s AS (SELECT doc_id, source,
-         |    ${TextOps.compositeScoreSql} AS score FROM documents),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM s),
-         |t AS (SELECT source, score AS thr FROM r WHERE rn = (${Pipeline.QualityDropPct} * n) // 100)
-         |SELECT s.doc_id, s.source, s.score, coalesce(t.thr, -1) AS thr,
-         |  CAST(CASE WHEN s.score > coalesce(t.thr, -1) THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM s LEFT JOIN t ON t.source = s.source""".stripMargin,
+    "j7_quality_gate" -> s"$qualityGateCtes\nSELECT * FROM gate",
+
+    // Deterministic global shuffle: seeded md5 rank + exclusive token
+    // prefix sum over the quality-gate kept set, cut into 512-token
+    // sequences — the oracle's global window IS the semantics the
+    // distributed two-phase cumsum must reproduce exactly.
+    "j7_shuffle" ->
+      s"""$qualityGateCtes,
+         |k AS (SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('${Pipeline.ShuffleSeed}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS shuffle_key
+         |  FROM documents d JOIN gate g ON g.doc_id = d.doc_id AND g.kept = 1),
+         |rk AS (SELECT *,
+         |    CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_rank,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM k)
+         |SELECT doc_id, source, n_tokens, shuffle_key, shuffle_rank, tok_offset,
+         |  tok_offset // ${Pipeline.PackSeqLen} AS seq_id,
+         |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
+         |FROM rk""".stripMargin,
 
     "j2_simhash" ->
       """WITH toks AS (

@@ -419,6 +419,48 @@ object Pipeline {
   }
 
   /** [[qualityGate]] drop fraction in percent (bottom decile). */
+  /** Seed for [[globalShuffle]] — the training-order permutation dial. */
+  val ShuffleSeed = 17
+
+  /** J7 — deterministic GLOBAL training-order shuffle: the last step
+    * before packing in every published pipeline — permute the KEPT corpus
+    * with a seeded hash so training order is reproducible, resumable, and
+    * source-decorrelated. shuffle_key = md5 head of (seed, doc_id);
+    * shuffle_rank = the exact global rank in (key, doc_id) order;
+    * tok_offset = the exclusive prefix sum of token counts in that order
+    * (the doc's first-token position in the permuted token stream), with
+    * seq_id/seq_offset cutting it into [[PackSeqLen]] training sequences
+    * — [[packSequences]]' layout over the globally permuted order instead
+    * of per-source (source, doc_id) order.
+    *
+    * 100 TB posture: ONE range shuffle on the hash key; BOTH the rank and
+    * the running token offset come from [[graft.Dist.withGlobalCumSums]]'
+    * two-phase local-cumsum + bounded per-partition offsets (no
+    * single-task window anywhere); the kept-set filter is the broadcast
+    * [[qualityGate]] verdict. Seed-stable by construction: md5 is a pure
+    * function of (seed, doc_id) and (key, doc_id) is a total order, so
+    * corpus growth only inserts rows, never reorders survivors of a
+    * fixed id set. */
+  def globalShuffle(docs: DataFrame, seed: Int = ShuffleSeed,
+                    seqLen: Long = PackSeqLen): DataFrame = {
+    import docs.sparkSession.implicits._
+    val kept = docs.select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(qualityGate(docs).filter($"kept" === 1L).select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .withColumn("shuffle_key", Dedup.md5Hash32(seed, $"doc_id".cast("string")))
+      .withColumn("one", lit(1L))
+    graft.Dist.withGlobalCumSums(kept, Seq("one", "n_tokens"),
+        Seq($"shuffle_key", $"doc_id"))
+      .select($"doc_id", $"source", $"n_tokens", $"shuffle_key",
+        $"cum_one".as("shuffle_rank"),
+        ($"cum_n_tokens" - $"n_tokens").as("tok_offset"))
+      .select($"doc_id", $"source", $"n_tokens", $"shuffle_key",
+        $"shuffle_rank", $"tok_offset",
+        expr(s"tok_offset div $seqLen").as("seq_id"),
+        expr(s"tok_offset % $seqLen").as("seq_offset"))
+  }
+
   val QualityDropPct = 10L
 
   /** J7 — per-source quality-percentile gate: drop each source's bottom

@@ -119,6 +119,46 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("global shuffle is a seed-stable bijection with an exact token prefix sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Array("the", "a", "of", "x", "y", "z", "w")
+    for (sample <- 1 to 3) {
+      val docs = (0 until (40 + rnd.nextInt(40))).map { id =>
+        val len = 3 + rnd.nextInt(20)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+          s"src${id % 3}")
+      }
+      val df = docs.toDF("doc_id", "text", "source")
+      val got = ext.Pipeline.globalShuffle(df).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      val n = got.length
+      // BIJECTION: ranks are exactly 1..n, each once
+      assert(got.map(_._4).sorted.toSeq == (1L to n).toSeq,
+        s"[sample $sample] ranks not a bijection")
+      // rank order IS (key, doc_id) order, and tok_offset is the exact
+      // exclusive prefix sum of token counts in that order
+      val inOrder = got.sortBy(t => (t._3, t._1))
+      assert(inOrder.map(_._4).toSeq == (1L to n).toSeq,
+        s"[sample $sample] rank disagrees with (key, id) order")
+      val prefix = inOrder.map(_._2).scanLeft(0L)(_ + _).init
+      assert(inOrder.map(_._5).toSeq == prefix.toSeq,
+        s"[sample $sample] tok_offset is not the exclusive prefix sum")
+      // SEED STABILITY: same seed twice -> identical permutation; a
+      // different seed -> a different order of the same id set
+      val again = ext.Pipeline.globalShuffle(df).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toMap
+      assert(got.forall(t => again(t._1) == t._4), s"[sample $sample] not seed-stable")
+      val other = ext.Pipeline.globalShuffle(df, seed = 18).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toMap
+      assert(other.keySet == got.map(_._1).toSet,
+        s"[sample $sample] reseeding changed the kept id set")
+      assert(got.exists(t => other(t._1) != t._4),
+        s"[sample $sample] reseeding must change the order")
+      graft.Pinned.release(spark)
+    }
+  }
+
   test("semdedup: near-sets are exactly the same-cell cosine>=threshold components") {
     import spark.implicits._
     // The Lloyd assignment is oracle-checked; here take the emitted cells
