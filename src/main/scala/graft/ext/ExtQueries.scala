@@ -282,6 +282,13 @@ object ExtQueries {
     // eager supersteps, so a session computes the decision surface once.
     "j3_semdedup" -> ((s, d) => semdedup(s, d)),
 
+    // J3 — INCREMENTAL semantic dedup: the newest 10% of ids (the ingest
+    // batch) assigned to the FROZEN corpus quantizer and compared only
+    // against kept members of its own cell — per-batch cost scales with
+    // the batch, not the corpus.
+    "j3_semdedup_inc" -> ((s, d) =>
+      Similarity.semDedupIncremental(Tables.embeddings(s, d))),
+
     // J3 scale path #3 — product quantization + asymmetric distance (the
     // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
     // tables, exact integer arithmetic end-to-end).
@@ -902,6 +909,75 @@ object ExtQueries {
        |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
        |FROM c""".stripMargin
 
+  /** The full SemDeDup oracle CTE chain over `cemb` = embeddings
+    * filtered by `pred` — Lloyd rounds, cell assignment (relation
+    * `cells`, final centroids `cvec2`/`cnorm2`, cap gate `okc`/`cellok`),
+    * intra-cell pairs, and exact recursive-CTE components (`comp`).
+    * Shared by j3_semdedup (pred TRUE) and the frozen corpus side of
+    * j3_semdedup_inc. */
+  private def semDedupChain(pred: String): String =
+    s"""WITH RECURSIVE cemb AS (SELECT * FROM embeddings WHERE $pred),
+      |qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM cemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |nn AS (SELECT count(*) AS cnt, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM cemb),
+        |nn2 AS (SELECT ncells, greatest(1, cnt // ncells) AS stride,
+        |          greatest(1, cnt // (ncells * ${Similarity.IvfTrainPerCell})) AS tstride FROM nn),
+        |cents AS (SELECT vec_id AS cid FROM cemb, nn2
+        |          WHERE vec_id % stride = 0 AND vec_id < stride * ncells),
+        |train AS (SELECT e.vec_id FROM cemb e, nn2 WHERE e.vec_id % tstride = 0),
+        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
+        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec0 c ON c.i = e.i JOIN cnorm0 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc1 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
+        |as1 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
+        |  WHERE rn = 1),
+        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
+        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vc2 AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
+        |as2 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
+        |  WHERE rn = 1),
+        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
+        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+        |vcos AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+        |cells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
+        |  WHERE rn = 1),
+        |okc AS (SELECT cid FROM cells GROUP BY cid HAVING count(*) <= ${Similarity.SemCellCap}),
+        |cellok AS (SELECT c.vid, c.cid FROM cells c JOIN okc o ON o.cid = c.cid),
+        |dots AS (SELECT a.vid AS doc_a, b.vid AS doc_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM cellok a JOIN cellok b ON b.cid = a.cid AND a.vid < b.vid
+        |         JOIN qe x ON x.vec_id = a.vid JOIN qe y ON y.vec_id = b.vid AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT d.doc_a, d.doc_b,
+        |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a AND na.nq > 0
+        |    JOIN norms nb ON nb.vec_id = d.doc_b AND nb.nq > 0) z
+        |  WHERE cos_sim_e6 >= ${Similarity.SemDedupCosE6}),
+        |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT vec_id AS v, vec_id AS l FROM cemb
+        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
+        |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -1458,69 +1534,50 @@ object ExtQueries {
     // then intra-cell cosine pairs >= threshold and EXACT recursive-CTE
     // connected components (the tripwire that under-converged CC fails).
     "j3_semdedup" ->
-      s"""WITH RECURSIVE qe AS (
-        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
-        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
-        |nn AS (SELECT count(*) AS cnt, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM embeddings),
-        |nn2 AS (SELECT ncells, greatest(1, cnt // ncells) AS stride,
-        |          greatest(1, cnt // (ncells * ${Similarity.IvfTrainPerCell})) AS tstride FROM nn),
-        |cents AS (SELECT vec_id AS cid FROM embeddings, nn2
-        |          WHERE vec_id % stride = 0 AND vec_id < stride * ncells),
-        |train AS (SELECT e.vec_id FROM embeddings e, nn2 WHERE e.vec_id % tstride = 0),
-        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
-        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec0 c ON c.i = e.i JOIN cnorm0 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vc1 AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
-        |as1 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
-        |  WHERE rn = 1),
-        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vc2 AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
-        |as2 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
-        |  WHERE rn = 1),
-        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vcos AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
-        |cells AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
-        |  WHERE rn = 1),
-        |okc AS (SELECT cid FROM cells GROUP BY cid HAVING count(*) <= ${Similarity.SemCellCap}),
-        |cellok AS (SELECT c.vid, c.cid FROM cells c JOIN okc o ON o.cid = c.cid),
-        |dots AS (SELECT a.vid AS doc_a, b.vid AS doc_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
-        |         FROM cellok a JOIN cellok b ON b.cid = a.cid AND a.vid < b.vid
-        |         JOIN qe x ON x.vec_id = a.vid JOIN qe y ON y.vec_id = b.vid AND y.i = x.i
-        |         GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM (
-        |  SELECT d.doc_a, d.doc_b,
-        |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a AND na.nq > 0
-        |    JOIN norms nb ON nb.vec_id = d.doc_b AND nb.nq > 0) z
-        |  WHERE cos_sim_e6 >= ${Similarity.SemDedupCosE6}),
-        |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (SELECT vec_id AS v, vec_id AS l FROM embeddings
-        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
-        |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)
-        |SELECT c.vec_id, cl.cid AS cell_id, c.near_set_id,
+      s"""${semDedupChain("TRUE")}
+                |SELECT c.vec_id, cl.cid AS cell_id, c.near_set_id,
         |  CAST(CASE WHEN c.vec_id = c.near_set_id THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM comp c JOIN cells cl ON cl.vid = c.vec_id""".stripMargin,
+
+    // Incremental SemDeDup: the corpus chain trains on vec_id % 10 <> 0;
+    // the batch is assigned to the final (cvec2/cnorm2) centroids with the
+    // same argmax tie order, then scored only against kept cap-passing
+    // corpus members of its cell (nq > 0 on both sides).
+    "j3_semdedup_inc" -> {
+      val cut = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
+      s"""${semDedupChain(s"vec_id < $cut")},
+        |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
+        |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
+        |  JOIN norms nm ON nm.vec_id = cl.vid AND nm.nq > 0),
+        |bemb AS (SELECT * FROM embeddings WHERE vec_id >= $cut),
+        |bqe AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM bemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |bnorms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM bqe GROUP BY 1),
+        |bcd AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM bqe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+        |bvcos AS (SELECT d.vec_id, d.cid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+        |  FROM bcd d JOIN bnorms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+        |bcells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM bvcos) z
+        |  WHERE rn = 1),
+        |bdots AS (SELECT b.vid, b.cid, k.mid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |  FROM bcells b JOIN bnorms bn ON bn.vec_id = b.vid AND bn.nq > 0
+        |  JOIN keptm k ON k.cid = b.cid
+        |  JOIN bqe x ON x.vec_id = b.vid JOIN qe y ON y.vec_id = k.mid AND y.i = x.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (SELECT d.vid, d.mid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(bn.nq AS DOUBLE) * CAST(mn.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM bdots d JOIN bnorms bn ON bn.vec_id = d.vid JOIN norms mn ON mn.vec_id = d.mid),
+        |best AS (SELECT vid, mid, cos_sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM scored) z
+        |  WHERE rn = 1)
+        |SELECT bc.vid AS vec_id, bc.cid AS cell_id,
+        |  coalesce(b.mid, -1) AS best_match,
+        |  coalesce(b.cos_sim_e6, 0) AS best_cos_e6,
+        |  CAST(CASE WHEN coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6} THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM bcells bc LEFT JOIN best b ON b.vid = bc.vid""".stripMargin
+    },
 
     "j2_embed_neardup" ->
       s"""WITH qe AS (

@@ -456,8 +456,18 @@ object Similarity {
     * key only. */
   def semDedup(emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
                iters: Int = IvfIters, cellCap: Int = SemCellCap): DataFrame = {
-    import emb.sparkSession.implicits._
     val b = base(emb)
+    val (cents, cells) = semCells(b, emb, iters)
+    semDedupFrom(emb, b, cells, thresholdE6, cellCap)
+  }
+
+  /** The trained SemDeDup quantizer state over `emb` (with `b` =
+    * base(emb)): the Lloyd-refined centroid frame and the tracked
+    * full-corpus cell assignment — shared by [[semDedup]] and the frozen
+    * side of [[semDedupIncremental]]. */
+  private def semCells(b: DataFrame, emb: DataFrame,
+                       iters: Int): (DataFrame, DataFrame) = {
+    import emb.sparkSession.implicits._
     val strideF = sqrtCellStride(emb)
     val seed = b.crossJoin(broadcast(strideF))
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * $"ncells")
@@ -473,7 +483,14 @@ object Similarity {
     // persist: the assignment relation feeds the cap gate, both pair
     // sides, and the final join-back, and recomputing it repeats the
     // |corpus| x sqrt(N) broadcast-centroid scan (the dominant cost)
-    val cells = graft.Pinned.track(assignCells(centCos(b, cents)))
+    (cents, graft.Pinned.track(assignCells(centCos(b, cents))))
+  }
+
+  /** The pairing + connected-components tail of [[semDedup]] over an
+    * already-assigned corpus. */
+  private def semDedupFrom(emb: DataFrame, b: DataFrame, cells: DataFrame,
+                           thresholdE6: Long, cellCap: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     val okc = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
       .filter($"n" <= cellCap).select($"cid")
     val cellok = cells.join(okc, Seq("cid"), "left_semi")
@@ -501,6 +518,75 @@ object Similarity {
         $"is_canonical".as("kept"))
       .join(cells.select($"vid".as("vec_id"), $"cid".as("cell_id")), Seq("vec_id"))
       .select($"vec_id", $"cell_id", $"near_set_id", $"kept")
+  }
+
+  /** Corpus share (percent of the id range) for [[semDedupIncremental]]:
+    * the standing corpus is the OLDEST 90% of vec_ids and the batch the
+    * newest 10% — the ingest reality (new docs arrive with higher ids),
+    * and it keeps the corpus id space DENSE so [[sqrtCellStride]]'s
+    * stride seeding stays valid (a mod-slice batch would delete every
+    * stride multiple from the corpus and empty the seed set). */
+  val SemIncCorpusPct = 90L
+
+  /** J3 — INCREMENTAL semantic dedup: the nightly-ingest form of
+    * [[semDedup]]. The standing corpus (the oldest [[SemIncCorpusPct]]%
+    * of the id range) carries FROZEN state — its trained quantizer, its cell assignment,
+    * and its kept set from the full batch pass; a NEW batch of vectors is
+    * assigned to the frozen cells and compared ONLY against the kept
+    * members of its own cell. One row per batch vector: its cell, its
+    * best kept match (highest exact-integer cosine, ties to the smallest
+    * corpus id), and the keep verdict (kept unless a match reaches the
+    * [[SemDedupCosE6]] radius).
+    *
+    * Consistency with the batch pass: over-cap cells never pair there, so
+    * batch vectors landing in one are kept by construction here; zero-norm
+    * vectors are singletons on both sides (nq > 0 on both pair sides).
+    *
+    * 100 TB posture: per-batch cost scales with the BATCH, not the corpus
+    * — assignment is |batch| x sqrt(N) against the broadcast frozen
+    * centroids, and the candidate join touches only the matching cell's
+    * kept members (<= cellCap each); the corpus is never re-clustered. */
+  def semDedupIncremental(emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                          iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                          corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    // 1-row id cutoff broadcast (allowlisted bounded side): corpus = the
+    // oldest corpusPct% of the id range, batch = the newest remainder
+    val cut = emb.agg(expr(s"(max(vec_id) + 1) * $corpusPct div 100").as("cutoff"))
+    val corpus = emb.crossJoin(broadcast(cut))
+      .filter($"vec_id" < $"cutoff").drop("cutoff")
+    val batch = emb.crossJoin(broadcast(cut))
+      .filter($"vec_id" >= $"cutoff").drop("cutoff")
+    val bc = base(corpus)
+    val (cents, cells) = semCells(bc, corpus, iters)
+    val state = semDedupFrom(corpus, bc, cells, thresholdE6, cellCap)
+    val okc = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
+      .filter($"n" <= cellCap).select($"cid")
+    // standing kept members with vectors, cap-passing cells only
+    val keptM = state.filter($"kept" === 1L)
+      .select($"vec_id".as("mid"), $"cell_id".as("cid"))
+      .join(okc, Seq("cid"), "left_semi")
+      .join(bc.select($"vec_id".as("mid"), $"qv".as("mv"), $"nq".as("mn"))
+        .filter($"mn" > 0L), Seq("mid"))
+    // batch assignment against the FROZEN centroids
+    val bb = base(batch)
+    val bcells = assignCells(centCos(bb, cents))
+    val cand = bcells
+      .join(bb.select($"vec_id".as("vid"), $"qv", $"nq").filter($"nq" > 0L),
+        Seq("vid"))
+      .join(keptM, Seq("cid"))
+      .select($"vid", $"mid",
+        round(idot($"qv", $"mv").cast("double") /
+          sqrt($"nq".cast("double") * $"mn".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+    val best = cand.groupBy($"vid")
+      .agg(min(struct((-$"cos_sim_e6").as("nc"), $"mid", $"cos_sim_e6")).as("m"))
+      .select($"vid", $"m.mid".as("best_match"), $"m.cos_sim_e6".as("best_cos_e6"))
+    bcells.join(best, Seq("vid"), "left")
+      .na.fill(-1L, Seq("best_match")).na.fill(0L, Seq("best_cos_e6"))
+      .select($"vid".as("vec_id"), $"cid".as("cell_id"),
+        $"best_match", $"best_cos_e6",
+        ($"best_cos_e6" < thresholdE6).cast("long").as("kept"))
   }
 
   /** Brute-force cosine top-k of every vec_id < nQueries against the

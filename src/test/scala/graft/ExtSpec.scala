@@ -1123,6 +1123,28 @@ class ExtSpec extends AnyFunSuite {
       s"dup-gram mass must drop: before=$before after=$after")
   }
 
+  test("incremental semdedup: batch paraphrase drops against the kept member, novel direction survives") {
+    import spark.implicits._
+    // corpus = oldest 90% of ids (0..8): two direction clusters + a
+    // diagonal; batch = ids 9, 10. v9 paraphrases the x-cluster (whose
+    // kept member is min id 0); v10 points away from every corpus vector.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.707f, 0.707f)), (5L, Seq(0.95f, 0.05f)),
+      (6L, Seq(0.05f, 0.95f)), (7L, Seq(0.8f, 0.2f)), (8L, Seq(0.2f, 0.8f)),
+      (9L, Seq(0.92f, 0.08f)),   // batch: paraphrase of the x-cluster
+      (10L, Seq(-1.0f, -0.1f))   // batch: novel direction
+    ).toDF("vec_id", "embedding")
+    val got = ext.Similarity.semDedupIncremental(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(9L, 10L), s"one row per batch vector: $got")
+    assert(got(9L)._3 == 0L && got(9L)._1 == 0L &&
+      got(9L)._2 >= ext.Similarity.SemDedupCosE6,
+      s"paraphrase must drop against kept member 0: ${got(9L)}")
+    assert(got(10L)._3 == 1L && got(10L)._2 < ext.Similarity.SemDedupCosE6,
+      s"novel direction must survive: ${got(10L)}")
+  }
+
   test("semdedup: same-neighborhood paraphrases dedup; cross-cell high-cosine survives") {
     import spark.implicits._
     // two tight direction clusters + one diagonal vector. N=5 -> ncells =
