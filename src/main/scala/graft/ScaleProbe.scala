@@ -154,6 +154,19 @@ object ScaleProbe {
       // intra-cell pair stage must scale ~N*sqrt(N), never quadratic)
       Head("j2_scrub_spans", f => ext.Dedup.scrubSpans(docsAt(f))),
       Head("j3_semdedup", f => ext.Similarity.semDedup(embAt(f))),
+      // round-12 additions: the line-grain dedup transform, the 64-bit
+      // banded image near-dup (real PNG decode under it), the global
+      // shuffle's two-phase rank+cumsum, the trained quality classifier
+      // (broadcast profile scoring), and incremental SemDeDup (frozen
+      // corpus state + batch assignment; production stores the state,
+      // here it is recomputed in-query, so the sublinear bound covers
+      // the WHOLE chain).
+      Head("j2_line_dedup", f => ext.Dedup.lineDedup(docsAt(f))),
+      Head("j5_phash_hamming", f =>
+        ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docsAt(f)))),
+      Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
+      Head("j4_quality_clf", f => ext.TextOps.qualityClassifier(docsAt(f))),
+      Head("j3_semdedup_inc", f => ext.Similarity.semDedupIncremental(embAt(f))),
       Head("j3_pq_adc", f => ext.Similarity.annPq(embAt(f))),
       Head("pm_sp_batches", f =>
         pm.BatchDiscovery.discoverFull(
@@ -219,7 +232,10 @@ object ScaleProbe {
     // the smallest gate scale), turning the "overheads amortize" claim
     // into a two-decade curve with the same invariants asserted.
     val deepFactor = 3 * factor
-    val deepNames = Seq("st_drift_ks", "pm_report")
+    // round-12: the two round-11 heads with the steepest 10x ratios join
+    // the second decade (verdict #8) — cell-cap and quadratic-join
+    // invariants asserted at 30x for the sqrt(N)-cell and gram-grain paths
+    val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
       val (nd, wd, qd, sd) = timed(h, deepFactor)
       val base = results.find(_.name == h.name).get
@@ -227,6 +243,27 @@ object ScaleProbe {
       (h.name, nd, wd, qd, sd, base)
     }
     val binsWinD = maxBinsPerWin(deepFactor)
+
+    // LINEAR-SCRUB worst case (the round-11 watch item, fixed in round
+    // 12): per-token coverage is hash-set based now, so scrub cost must
+    // track token MASS, not doc-length x dup-start-count. Two fully-
+    // duplicated corpora of EQUAL token mass, doc length doubled — the
+    // old per-token exists() scan doubled its wall here (cost ~ mass x
+    // doc length); the linear form must stay ~flat.
+    def worstDocs(m: Int, t: Int): DataFrame = {
+      val text = (1 to t).map(i => s"w$i").mkString(" ")
+      spark.range(0, m).select($"id".as("doc_id"), lit(text).as("text"))
+    }
+    def scrubWall(m: Int, t: Int): Double = {
+      val t0 = System.nanoTime()
+      ext.Dedup.scrubSpans(worstDocs(m, t)).agg(sum($"n_removed")).collect()
+      val s = (System.nanoTime() - t0) / 1e9
+      Pinned.release(spark); s
+    }
+    scrubWall(320, 1000) // warmup
+    val scrubA = scrubWall(320, 1000)
+    val scrubB = scrubWall(160, 2000)
+
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -242,6 +279,8 @@ object ScaleProbe {
     }
     if (binsWinD > binsWin1)
       failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinD at ${deepFactor}x"
+    if (scrubB >= 1.6 * scrubA)
+      failed ::= f"scrub worst case scales with doc length at fixed mass: ${scrubB / scrubA}%.2f (len 1000 -> 2000)"
     deepRes.foreach { case (name, _, wd, qd, _, base) =>
       if (qd > base.quad1)
         failed ::= s"$name: quadratic join shapes grew ${base.quad1} -> $qd at ${deepFactor}x"
@@ -258,7 +297,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()
