@@ -81,7 +81,12 @@ object ScaleProbe {
   def inflatedDocs(docs0: DataFrame, f: Int): DataFrame = {
     import docs0.sparkSession.implicits._
     val stride = docs0.agg(max($"doc_id")).head.getLong(0) + 1
-    docs0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+    // repartition BEFORE the explode: sf0.1 documents is one parquet file,
+    // so without it the whole inflated corpus sits in ONE partition and
+    // every row-local stage measures on one core — a probe artifact, not
+    // an engine property (a real corpus arrives as many splits)
+    docs0.repartition(32)
+      .select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
       .select(
         ($"doc_id" + $"k" * stride).as("doc_id"),
         when($"k" === 0, $"text").otherwise(array_join(
@@ -99,7 +104,9 @@ object ScaleProbe {
       val m = ev0.agg(max($"user_id")).head.getLong(0) + 1
       ((m + 3) / 4) * 4
     }
-    ev0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+    // same single-parquet-file rationale as inflatedDocs
+    ev0.repartition(32)
+      .select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
       .select(
         ($"event_id" + $"k" * evStride).as("event_id"),
         expr("timestampadd(DAY, 31 * k, ts)").as("ts"),
@@ -125,7 +132,8 @@ object ScaleProbe {
     val emb0 = Tables.embeddings(spark, sfDir)
     val embStride = emb0.agg(max($"vec_id")).head.getLong(0) + 1
     def embAt(f: Int): DataFrame =
-      emb0.select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
+      emb0.repartition(32)
+        .select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("k"))
         .select(
           ($"vec_id" + $"k" * embStride).as("vec_id"),
           transform($"embedding",

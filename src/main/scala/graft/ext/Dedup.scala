@@ -472,11 +472,13 @@ object Dedup {
     * shuffle to the gram grain computes document frequency; duplicated
     * START positions come back per doc via a semi-join on the same key +
     * one (doc_id, position-list) aggregate; span reconstruction is then
-    * entirely ROW-LOCAL — coverage flags per token position (O(tokens x
-    * dup-starts) per row, bounded by doc length squared in the worst
-    * all-duplicated case), kept-token projection, and exact char sums.
-    * The doc grain is never re-shuffled for the transform. Docs with
-    * fewer than `n` tokens have no grams and pass through unscrubbed. */
+    * entirely ROW-LOCAL and LINEAR — sorted starts merge into covered
+    * runs, kept text is the gap slices between them (O(dup-starts + kept
+    * tokens) per row; round 12, previously a per-token coverage scan that
+    * went quadratic inside a single heavily-duplicated doc), then exact
+    * char sums. The doc grain is never re-shuffled for the transform.
+    * Docs with fewer than `n` tokens have no grams and pass through
+    * unscrubbed. */
   def scrubSpans(docs: DataFrame, n: Int = DupNgramN): DataFrame = {
     import docs.sparkSession.implicits._
     // positional gram fingerprints (position matters here, so NOT the
@@ -505,24 +507,38 @@ object Dedup {
           coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
     // token position p is covered iff some duplicated run starts in
     // [p-n+1, p] — equivalently p is in the union of the [s, s+n-1]
-    // intervals; kept = the uncovered tokens in order. LINEAR form:
-    // expand each start into its covered positions (O(|ss| x n) cells,
-    // n a fixed dial) and subtract with array_except, whose hash-set
-    // membership makes the pass O(n x tokens) per row — the per-token
-    // exists() scan this replaces was O(tokens x dup-starts), quadratic
-    // inside a single heavily-duplicated document. (Catalyst has no
-    // stateful scan, and an aggregate() accumulator array copies on every
-    // append — O(tokens^2) always — so interval expansion IS the linear
-    // expression of the sorted-starts two-pointer here.)
+    // intervals. LINEAR form (the sorted-starts two-pointer, expressed in
+    // Catalyst): consecutive sorted starts within n of each other merge
+    // into one covered RUN (fixed-length intervals, so a run's end is its
+    // last start + n-1), and kept = the concatenation of the GAP slices
+    // between runs — O(|ss| + kept tokens) per row with element_at/slice,
+    // no per-token predicate. This replaced a per-token exists() scan
+    // (O(tokens x dup-starts)) and an interval-expansion + array_except
+    // form: BOTH measured superlinear on heavily-duplicated docs
+    // (array_except's membership test is not hash-based here — the
+    // equal-mass doubled-length probe fixture ran 2.7x, now ~1x).
+    // ni = 1-based indices into ss where a new run begins.
+    val withGaps = base.select($"doc_id", $"toks",
+        // two guards: sequence(1, 0) is DESCENDING [1, 0] in Spark, so an
+        // empty ss needs the case branch; and greatest() keeps the lagged
+        // lookup index >= 1 (element_at(x, 0) throws even when the left
+        // disjunct already decided)
+        expr(s"""case when size(ss) = 0 then array()
+                |else filter(sequence(1, size(ss)),
+                |  i -> i = 1 OR element_at(ss, i) > element_at(ss, greatest(i - 1, 1)) + $n) end""".stripMargin)
+          .as("ni"), $"ss")
+      .select($"doc_id", $"toks", expr(
+        s"""transform(sequence(0, size(ni)), k -> named_struct(
+           |  'gs', if(k = 0, cast(1 as bigint),
+           |    element_at(ss, if(k = size(ni), size(ss), element_at(ni, k + 1) - 1)) + $n),
+           |  'ge', if(k = size(ni), cast(size(toks) as bigint),
+           |    element_at(ss, element_at(ni, k + 1)) - 1)))""".stripMargin).as("gaps"))
     val kept = expr(
-      s"""transform(
-         |  array_except(
-         |    sequence(cast(1 as bigint), cast(size(toks) as bigint)),
-         |    flatten(transform(ss, s -> sequence(s, s + ${n - 1})))),
-         |  p -> element_at(toks, cast(p as int)))""".stripMargin)
+      """flatten(transform(gaps, g ->
+        |  slice(toks, cast(g.gs as int), greatest(cast(g.ge - g.gs + 1 as int), 0))))""".stripMargin)
     def charSum(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, t) => acc + length(t))
-    base
+    withGaps
       .select($"doc_id", $"toks", kept.as("kept"))
       .select($"doc_id",
         size($"toks").cast("long").as("n_tokens"),
@@ -581,11 +597,11 @@ object Dedup {
     val ex = pf.select($"doc_id", explode(array_distinct($"lfps")).as("fp"))
     val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
       .select($"fp")
-    // duplicated LINE NUMBERS per doc (0-based), small, sorted per row
+    // duplicated LINE NUMBERS per doc (1-based), small, sorted per row
     val dupNos = pf.select($"doc_id", posexplode($"lfps").as(Seq("i0", "fp")))
       .join(dup, Seq("fp"), "left_semi")
       .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"i0".cast("long"))).as("dd"))
+      .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("dd"))
     // collapse barrier (the winnow rule): toks/lines/dd must be SCAN
     // attributes before the per-element lambdas below
     val base = graft.Pinned.track(
@@ -593,13 +609,27 @@ object Dedup {
         .join(dupNos, Seq("doc_id"), "left")
         .select($"doc_id", $"toks", $"lines",
           coalesce($"dd", typedLit(Seq.empty[Long])).as("dd")))
+    // kept = the gap slices between maximal consecutive runs of duplicated
+    // line numbers — the scrubSpans merged-run form at interval length 1
+    // (array_except's membership test is not hash-based; see scrubSpans)
+    val withGaps = base.select($"doc_id", $"toks", $"lines",
+        // same empty-array / lagged-index guards as scrubSpans
+        expr("""case when size(dd) = 0 then array()
+               |else filter(sequence(1, size(dd)),
+               |  i -> i = 1 OR element_at(dd, i) > element_at(dd, greatest(i - 1, 1)) + 1) end""".stripMargin)
+          .as("ni"), $"dd")
+      .select($"doc_id", $"toks", $"lines", expr(
+        """transform(sequence(0, size(ni)), k -> named_struct(
+          |  'gs', if(k = 0, cast(1 as bigint),
+          |    element_at(dd, if(k = size(ni), size(dd), element_at(ni, k + 1) - 1)) + 1),
+          |  'ge', if(k = size(ni), cast(size(lines) as bigint),
+          |    element_at(dd, element_at(ni, k + 1)) - 1)))""".stripMargin).as("gaps"))
     val kept = expr(
-      """transform(
-        |  array_except(sequence(cast(0 as bigint), cast(size(lines) - 1 as bigint)), dd),
-        |  i -> element_at(lines, cast(i as int) + 1))""".stripMargin)
+      """flatten(transform(gaps, g ->
+        |  slice(lines, cast(g.gs as int), greatest(cast(g.ge - g.gs + 1 as int), 0))))""".stripMargin)
     def charSum(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, t) => acc + length(t))
-    base.select($"doc_id", $"toks", $"lines", kept.as("kept"))
+    withGaps.select($"doc_id", $"toks", $"lines", kept.as("kept"))
       .select($"doc_id",
         size($"lines").cast("long").as("n_lines"),
         (size($"lines") - size($"kept")).cast("long").as("n_removed_lines"),
