@@ -282,6 +282,12 @@ object ExtQueries {
     // eager supersteps, so a session computes the decision surface once.
     "j3_semdedup" -> ((s, d) => semdedup(s, d)),
 
+    // J7 — SEMANTIC decontamination: max exact cosine of every train
+    // vector against the broadcast eval set — the embedding-level
+    // complement to the exact 13-gram pass (catches paraphrased leakage).
+    "j7_decontam_sem" -> ((s, d) =>
+      Similarity.semDecontam(Tables.embeddings(s, d))),
+
     // J3 — INCREMENTAL semantic dedup: the newest 10% of ids (the ingest
     // batch) assigned to the FROZEN corpus quantizer and compared only
     // against kept members of its own cell — per-batch cost scales with
@@ -349,6 +355,12 @@ object ExtQueries {
     // sequence id and offset, packed per source in (source, doc_id) order.
     "j7_pack" -> ((s, d) =>
       Pipeline.packSequences(Tables.documents(s, d))),
+
+    // J7 — SPAN-CORRUPTION sample prep (T5/UL2 denoising layout): fixed
+    // 8-token blocks masked at 15% by seeded md5 draws; input/target
+    // halves with ordinal sentinels, all row-local.
+    "j7_span_corrupt" -> ((s, d) =>
+      Pipeline.spanCorrupt(Tables.documents(s, d))),
 
     // J7 — deterministic GLOBAL training-order shuffle: seeded md5 rank
     // over the quality-gate kept set + the exclusive token prefix sum in
@@ -1327,6 +1339,41 @@ object ExtQueries {
 
     "j7_quality_gate" -> s"$qualityGateCtes\nSELECT * FROM gate",
 
+    // Span corruption: same block chunking as the Spark side, md5 draws,
+    // ordinal sentinels; the oracle builds both halves with windowed
+    // ranks + ordered string_agg.
+    "j7_span_corrupt" -> {
+      val w = Pipeline.SpanBlockTokens
+      val seed = Pipeline.SpanSeed
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bl AS (SELECT doc_id, b + 1 AS k, toks[b * $w + 1 : least((b + 1) * $w, len(toks))] AS blk
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |mk AS (SELECT doc_id, k, blk,
+         |    CASE WHEN ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+         |      % 1000000 < ${Pipeline.SpanMaskRateE6} THEN 1 ELSE 0 END AS m
+         |  FROM bl),
+         |mm AS (SELECT doc_id, k,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS BIGINT) AS j
+         |  FROM mk WHERE m = 1),
+         |pieces AS (SELECT mk.doc_id, mk.k, mk.m, mk.blk, mm.j,
+         |    CASE WHEN mk.m = 1 THEN '<extra_id_' || CAST(mm.j AS VARCHAR) || '>'
+         |         ELSE array_to_string(mk.blk, ' ') END AS ipiece
+         |  FROM mk LEFT JOIN mm ON mm.doc_id = mk.doc_id AND mm.k = mk.k)
+         |SELECT p.doc_id,
+         |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(p.m) AS BIGINT) AS n_masked_blocks,
+         |  CAST(coalesce(sum(CASE WHEN p.m = 1 THEN len(p.blk) END), 0) AS BIGINT) AS n_masked_tokens,
+         |  (CAST(coalesce(sum(CASE WHEN p.m = 1 THEN len(p.blk) END), 0) AS BIGINT) * 1000000)
+         |    // CAST(len(t.toks) AS BIGINT) AS masked_frac_e6,
+         |  string_agg(p.ipiece, ' ' ORDER BY p.k) AS input_text,
+         |  coalesce(string_agg(CASE WHEN p.m = 1
+         |    THEN '<extra_id_' || CAST(p.j AS VARCHAR) || '> ' || array_to_string(p.blk, ' ') END,
+         |    ' ' ORDER BY p.k), '') AS target_text
+         |FROM pieces p JOIN t ON t.doc_id = p.doc_id
+         |GROUP BY p.doc_id, len(t.toks)""".stripMargin
+    },
+
     // Deterministic global shuffle: seeded md5 rank + exclusive token
     // prefix sum over the quality-gate kept set, cut into 512-token
     // sequences — the oracle's global window IS the semantics the
@@ -1538,6 +1585,30 @@ object ExtQueries {
                 |SELECT c.vec_id, cl.cid AS cell_id, c.near_set_id,
         |  CAST(CASE WHEN c.vec_id = c.near_set_id THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM comp c JOIN cells cl ON cl.vid = c.vec_id""".stripMargin,
+
+    // Semantic decontamination: brute exact-integer cosine of train
+    // vectors against the tiny eval slice, argmax with min-id ties.
+    "j7_decontam_sem" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |dots AS (SELECT t.vec_id, e.vec_id AS eid, CAST(sum(t.q * e.q) AS BIGINT) AS dot
+        |  FROM qe t JOIN qe e ON e.i = t.i
+        |    AND t.vec_id >= ${Pipeline.EvalDocs} AND e.vec_id < ${Pipeline.EvalDocs}
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT d.vec_id, d.eid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nt.nq AS DOUBLE) * CAST(ne.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM dots d JOIN norms nt ON nt.vec_id = d.vec_id AND nt.nq > 0
+        |    JOIN norms ne ON ne.vec_id = d.eid AND ne.nq > 0),
+        |best AS (SELECT vec_id, eid, cos_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, eid) AS rn
+        |  FROM scored) z WHERE rn = 1)
+        |SELECT t.vec_id, coalesce(b.eid, -1) AS nearest_eval,
+        |  coalesce(b.cos_e6, 0) AS max_cos_e6,
+        |  CAST(CASE WHEN coalesce(b.cos_e6, 0) >= ${Similarity.SemDedupCosE6} THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM embeddings t LEFT JOIN best b ON b.vec_id = t.vec_id
+        |WHERE t.vec_id >= ${Pipeline.EvalDocs}""".stripMargin,
 
     // Incremental SemDeDup: the corpus chain trains on vec_id % 10 <> 0;
     // the batch is assigned to the final (cvec2/cnorm2) centroids with the

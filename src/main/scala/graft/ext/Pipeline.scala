@@ -419,6 +419,70 @@ object Pipeline {
   }
 
   /** [[qualityGate]] drop fraction in percent (bottom decile). */
+  /** [[spanCorrupt]] dials: block width (tokens), mask rate (millionths —
+    * the T5 15% corruption convention), and the draw seed. */
+  val SpanBlockTokens = 8
+  val SpanMaskRateE6 = 150000L
+  val SpanSeed = 23
+
+  /** J7 — SPAN-CORRUPTION sample prep (the T5/UL2 denoising objective's
+    * data layout): partition each document's token stream into fixed
+    * [[SpanBlockTokens]]-token blocks, mask each block independently with
+    * probability [[SpanMaskRateE6]] via a seeded md5 draw (deterministic,
+    * reproducible, resumable — the published pipelines' requirement), and
+    * emit the training pair: `input_text` with every masked block
+    * replaced by its ordinal `<extra_id_j>` sentinel, and `target_text`
+    * as the sentinel-prefixed masked spans in order — exactly the
+    * encoder/decoder halves a T5-style pretraining batch consumes.
+    * Fixed blocks make the spans non-overlapping BY CONSTRUCTION, so the
+    * whole transform is one row-local pass (the sequential overlap
+    * resolution of token-grain span sampling has no distributed form).
+    *
+    * 100 TB posture: zero shuffles — every column is a row-local
+    * expression over the token array; draws are pure functions of
+    * (seed, doc_id, block), so corpus growth never changes a doc's
+    * masking. */
+  def spanCorrupt(docs: DataFrame, w: Int = SpanBlockTokens,
+                  rateE6: Long = SpanMaskRateE6, seed: Int = SpanSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val draw = Dedup.md5Hash32(seed,
+      concat($"doc_id".cast("string"), lit(":"), $"k".cast("string")))
+    // blocks as array<array<string>>; mi = 1-based masked block indices
+    val blocked = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", expr(
+        s"transform(sequence(0, (size(toks) - 1) div $w), b -> slice(toks, b * $w + 1, $w))")
+        .as("blocks"))
+    val base = graft.Pinned.track(blocked
+      .select($"doc_id", $"toks", $"blocks",
+        posexplode($"blocks").as(Seq("k0", "blk")))
+      .select($"doc_id", ($"k0" + 1).as("k"), $"blk")
+      .filter(pmod(draw, lit(1000000L)) < rateE6)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"k".cast("long"))).as("mi")))
+    blocked.join(base, Seq("doc_id"), "left")
+      .select($"doc_id", $"toks", $"blocks",
+        coalesce($"mi", typedLit(Seq.empty[Long])).as("mi"))
+      .select($"doc_id", $"toks", $"blocks", $"mi",
+        // masked blocks collapse to their ordinal sentinel; kept blocks pass
+        expr("""flatten(transform(blocks, (b, k0) ->
+               |  if(array_contains(mi, cast(k0 + 1 as bigint)),
+               |     array(concat('<extra_id_', cast(array_position(mi, cast(k0 + 1 as bigint)) - 1 as string), '>')),
+               |     b)))""".stripMargin).as("inp"),
+        expr("""flatten(transform(mi, (m, j) ->
+               |  concat(array(concat('<extra_id_', cast(j as string), '>')),
+               |         element_at(blocks, cast(m as int)))))""".stripMargin).as("tgt"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size($"blocks").cast("long").as("n_blocks"),
+        size($"mi").cast("long").as("n_masked_blocks"),
+        aggregate($"mi", lit(0L),
+          (acc, m) => acc + size(element_at($"blocks", m.cast("int")))).as("n_masked_tokens"),
+        expr("(aggregate(mi, cast(0 as bigint), (a, m) -> a + size(element_at(blocks, cast(m as int)))) * 1000000) div size(toks)")
+          .as("masked_frac_e6"),
+        array_join($"inp", " ").as("input_text"),
+        array_join($"tgt", " ").as("target_text"))
+  }
+
   /** Seed for [[globalShuffle]] — the training-order permutation dial. */
   val ShuffleSeed = 17
 

@@ -520,6 +520,40 @@ object Similarity {
       .select($"vec_id", $"cell_id", $"near_set_id", $"kept")
   }
 
+  /** J7 — SEMANTIC decontamination (the PaLM-2/Llama-3 complement to the
+    * exact 13-gram pass): a train vector is contaminated iff its cosine
+    * to ANY eval vector reaches the radius — catching paraphrased or
+    * re-formatted benchmark leakage that exact n-grams miss. One row per
+    * train vector: its nearest eval doc, the exact-integer max cosine,
+    * and the verdict. Zero-norm vectors on either side never match
+    * (the nq > 0 convention).
+    *
+    * 100 TB posture: the eval set is tiny and BROADCAST (the same shape
+    * as [[Pipeline.decontam]]'s fingerprint side); the train corpus is
+    * scanned ONCE with row-local exact [[graft.functions.LongDot]]
+    * cosines — embarrassingly parallel, no shuffle of the corpus. */
+  def semDecontam(emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                  evalDocs: Long = Pipeline.EvalDocs): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
+    val ev = b.filter($"vec_id" < evalDocs && $"nq" > 0L)
+      .select($"vec_id".as("eid"), $"qv".as("ev"), $"nq".as("en"))
+    val scored = b.filter($"vec_id" >= evalDocs && $"nq" > 0L)
+      .crossJoin(broadcast(ev))
+      .select($"vec_id", $"eid",
+        round(idot($"qv", $"ev").cast("double") /
+          sqrt($"nq".cast("double") * $"en".cast("double")) * 1000000d)
+          .cast("long").as("cos_e6"))
+    val best = scored.groupBy($"vec_id")
+      .agg(min(struct((-$"cos_e6").as("nc"), $"eid", $"cos_e6")).as("m"))
+      .select($"vec_id", $"m.eid".as("nearest_eval"), $"m.cos_e6".as("max_cos_e6"))
+    emb.select($"vec_id").filter($"vec_id" >= evalDocs)
+      .join(best, Seq("vec_id"), "left")
+      .na.fill(-1L, Seq("nearest_eval")).na.fill(0L, Seq("max_cos_e6"))
+      .select($"vec_id", $"nearest_eval", $"max_cos_e6",
+        ($"max_cos_e6" >= thresholdE6).cast("long").as("contaminated"))
+  }
+
   /** Corpus share (percent of the id range) for [[semDedupIncremental]]:
     * the standing corpus is the OLDEST 90% of vec_ids and the batch the
     * newest 10% — the ingest reality (new docs arrive with higher ids),

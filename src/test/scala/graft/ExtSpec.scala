@@ -1123,6 +1123,38 @@ class ExtSpec extends AnyFunSuite {
       s"dup-gram mass must drop: before=$before after=$after")
   }
 
+  test("span corruption: splicing target spans back into input reconstructs every doc") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val rows = ext.Pipeline.spanCorrupt(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(6), r.getString(7)))).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    for ((id, (nm, inp, tgt)) <- rows) {
+      // target spans by ordinal
+      val spans = scala.collection.mutable.Map[Int, List[String]]()
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(j) => cur = j.toInt; spans(cur) = Nil
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nm, s"doc $id: ${spans.size} spans vs $nm masked blocks")
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(j) => spans(j.toInt)
+        case tok => Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id does not reconstruct")
+    }
+    // the draw is a pure function of (seed, doc, block): a re-run is
+    // byte-identical, a reseed changes the masking
+    val again = ext.Pipeline.spanCorrupt(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(rows.forall { case (id, (_, inp, _)) => again(id) == inp })
+    val reseeded = ext.Pipeline.spanCorrupt(docs, seed = 24).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(rows.exists { case (id, (_, inp, _)) => reseeded(id) != inp })
+  }
+
   test("incremental semdedup: batch paraphrase drops against the kept member, novel direction survives") {
     import spark.implicits._
     // corpus = oldest 90% of ids (0..8): two direction clusters + a
