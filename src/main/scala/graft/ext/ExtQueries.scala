@@ -356,6 +356,12 @@ object ExtQueries {
     "j7_pack" -> ((s, d) =>
       Pipeline.packSequences(Tables.documents(s, d))),
 
+    // J7 — CCNet PERPLEXITY BUCKETS: per-language head/middle/tail
+    // terciles by bigram-LM bits-per-token (keep head, sample middle,
+    // drop tail — the published CCNet split).
+    "j7_ppl_buckets" -> ((s, d) =>
+      Pipeline.pplBuckets(Tables.documents(s, d))),
+
     // J7 — SPAN-CORRUPTION sample prep (T5/UL2 denoising layout): fixed
     // 8-token blocks masked at 15% by seeded md5 draws; input/target
     // halves with ordinal sentinels, all row-local.
@@ -989,6 +995,30 @@ object ExtQueries {
         |reach AS (SELECT vec_id AS v, vec_id AS l FROM cemb
         |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
         |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)""".stripMargin
+
+  /** Bigram-LM bits-per-token oracle CTEs (per-doc relation `lmout`)
+    * — shared by j4_lm_bits and the CCNet perplexity buckets. */
+  private val lmBitsCtes =
+    s"""WITH toks AS (
+         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+         |bgall AS (SELECT doc_id, w1, w2 FROM (
+         |    SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+         |    FROM toks) z WHERE w2 IS NOT NULL),
+         |docbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bgall GROUP BY 1, 2, 3),
+         |cb AS (SELECT w1, w2, count(*) AS c2 FROM bgall GROUP BY 1, 2),
+         |cl AS (SELECT w1, count(*) AS c1 FROM bgall GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         |sc AS (SELECT doc_id, m,
+         |    CAST(-round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      / CAST(${TextOps.Ln2} AS DOUBLE), 6) AS DECIMAL(18,6)) * m AS bits6
+         |  FROM docbg JOIN cb USING (w1, w2) JOIN cl USING (w1) CROSS JOIN voc),
+         |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, sum(bits6) AS bits6
+         |  FROM sc GROUP BY 1),
+       |lmout AS (SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
+         |FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
@@ -1801,27 +1831,25 @@ object ExtQueries {
 
     // ln (DuckDB log() is log10); the ln(2) divisor is the SAME Scala
     // double the operator bakes in, emitted shortest-round-trip
-    "j4_lm_bits" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, i, string_split(text, ' ')[i] AS tok
-         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
-         |bgall AS (SELECT doc_id, w1, w2 FROM (
-         |    SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-         |    FROM toks) z WHERE w2 IS NOT NULL),
-         |docbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bgall GROUP BY 1, 2, 3),
-         |cb AS (SELECT w1, w2, count(*) AS c2 FROM bgall GROUP BY 1, 2),
-         |cl AS (SELECT w1, count(*) AS c1 FROM bgall GROUP BY 1),
-         |voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
-         |sc AS (SELECT doc_id, m,
-         |    CAST(-round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
-         |      / CAST(${TextOps.Ln2} AS DOUBLE), 6) AS DECIMAL(18,6)) * m AS bits6
-         |  FROM docbg JOIN cb USING (w1, w2) JOIN cl USING (w1) CROSS JOIN voc),
-         |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, sum(bits6) AS bits6
-         |  FROM sc GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
-         |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "j4_lm_bits" -> s"$lmBitsCtes\nSELECT * FROM lmout",
+
+    // CCNet buckets: the lmout chain + per-language rank with the
+    // explicit integer tercile formula (no engine ntile semantics).
+    "j7_ppl_buckets" ->
+      s"""$lmBitsCtes,
+         |sc2 AS (SELECT d.doc_id, d.lang, l.bits_per_token FROM documents d
+         |  JOIN lmout l ON l.doc_id = d.doc_id),
+         |rk AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM sc2)
+         |SELECT doc_id, lang, bits_per_token, rn, n,
+         |  ((rn - 1) * 3) // n + 1 AS bucket,
+         |  CASE WHEN ((rn - 1) * 3) // n + 1 = 1 THEN 'head'
+         |       WHEN ((rn - 1) * 3) // n + 1 = 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket_label,
+         |  CAST(CASE WHEN ((rn - 1) * 3) // n + 1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept_head
+         |FROM rk""".stripMargin,
 
     // ln (not DuckDB's log10 log()); idf rounded to DECIMAL(18,6) per
     // distinct term before the exact integer-tf multiply, as in the op

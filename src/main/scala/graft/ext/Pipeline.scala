@@ -483,6 +483,36 @@ object Pipeline {
         array_join($"tgt", " ").as("target_text"))
   }
 
+  /** J7 — CCNet PERPLEXITY BUCKETS: per language, split documents into
+    * head / middle / tail terciles by bigram-LM bits-per-token
+    * ([[TextOps.lmBits]] — the exact engine-parity score) — the published
+    * CCNet move (Wenzek et al.): keep `head` for high-quality corpora,
+    * sample `middle`, drop or downweight `tail`. Tercile boundaries use
+    * the explicit integer formula ((rn-1)*3) div n + 1 so both engines
+    * agree without depending on anyone's ntile() edge semantics.
+    *
+    * 100 TB posture: the LM scoring is the lmBits chain (bigram-grain
+    * shuffles, no corpus-quadratic work); the per-language rank window
+    * partitions by lang — the same per-source window shape as
+    * [[qualityGate]] — and the |langs|-row count table broadcasts back
+    * for the row-local bucket verdict. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs.select($"doc_id", $"lang")
+      .join(TextOps.lmBits(docs), Seq("doc_id"))
+    val ranked = scored.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"bits_per_token", $"doc_id")).cast("long"))
+    val counts = scored.groupBy($"lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .select($"doc_id", $"lang", $"bits_per_token", $"rn", $"n",
+        expr("((rn - 1) * 3) div n + 1").as("bucket"))
+      .select($"doc_id", $"lang", $"bits_per_token", $"rn", $"n", $"bucket",
+        expr("CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END")
+          .as("bucket_label"),
+        ($"bucket" === 1L).cast("long").as("kept_head"))
+  }
+
   /** Seed for [[globalShuffle]] — the training-order permutation dial. */
   val ShuffleSeed = 17
 

@@ -1123,6 +1123,26 @@ class ExtSpec extends AnyFunSuite {
       s"dup-gram mass must drop: before=$before after=$after")
   }
 
+  test("ppl buckets: per-language terciles are balanced and ordered by LM score") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = ext.Pipeline.pplBuckets(docs).collect()
+      .map(x => (x.getString(1), x.getDouble(2), x.getLong(5)))
+    val byLang = r.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    for ((lang, xs) <- byLang) {
+      val sizes = xs.groupBy(_._3).view.mapValues(_.size).toMap
+      val n = xs.size
+      // explicit-formula terciles: sizes differ by at most 1
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes (n=$n)")
+      // ordering: every head score <= every tail score
+      val head = xs.filter(_._3 == 1L).map(_._2)
+      val tail = xs.filter(_._3 == 3L).map(_._2)
+      assert(head.max <= tail.min, s"$lang: head/tail overlap")
+    }
+  }
+
   test("span corruption: splicing target spans back into input reconstructs every doc") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)

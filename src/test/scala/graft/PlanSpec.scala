@@ -271,12 +271,15 @@ class PlanSpec extends AnyFunSuite {
     //                  plus the 1-row id-cutoff aggregate (corpus/batch split)
     //   j7_decontam_sem  <= EvalDocs(20)-row eval-vector broadcast (the
     //                  decontam fingerprint-side shape, embedding form)
+    //   j7_ppl_buckets inherits j4_lm_bits' 1-row vocabulary-size
+    //                  broadcast (the smoothing denominator V)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
-      "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem")
+      "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
+      "j7_ppl_buckets")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
