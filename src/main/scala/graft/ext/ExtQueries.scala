@@ -356,6 +356,17 @@ object ExtQueries {
     "j7_pack" -> ((s, d) =>
       Pipeline.packSequences(Tables.documents(s, d))),
 
+    // J7 — the GOPHER rule bundle with per-rule attribution (token range,
+    // word length, symbol ratio, stopwords, repetition) — one row-local
+    // map pass, kept = AND of the five published rules.
+    "j7_gopher_gate" -> ((s, d) =>
+      Pipeline.gopherGate(Tables.documents(s, d))),
+
+    // J7 — DATASET-CARD per-(source, lang) corpus statistics incl. the
+    // exact integer-rank p50 token count.
+    "j7_corpus_stats" -> ((s, d) =>
+      Pipeline.corpusStats(Tables.documents(s, d))),
+
     // J7 — CCNet PERPLEXITY BUCKETS: per-language head/middle/tail
     // terciles by bigram-LM bits-per-token (keep head, sample middle,
     // drop tail — the published CCNet split).
@@ -1832,6 +1843,48 @@ object ExtQueries {
     // ln (DuckDB log() is log10); the ln(2) divisor is the SAME Scala
     // double the operator bakes in, emitted shortest-round-trip
     "j4_lm_bits" -> s"$lmBitsCtes\nSELECT * FROM lmout",
+
+    // Gopher bundle: the five A1.1 rules as exact integer comparisons.
+    "j7_gopher_gate" -> {
+      import Pipeline._
+      val stops = "['the', 'a', 'or', 'and', 'of', 'to', 'in', 'is']"
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS tok_chars,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), $stops)) AS BIGINT) AS n_stop_kinds
+         |  FROM documents),
+         |g AS (SELECT *,
+         |    CAST(CASE WHEN n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+         |    CAST(CASE WHEN $GopherMinWordLen * n_tokens <= tok_chars
+         |      AND tok_chars <= $GopherMaxWordLen * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+         |    CAST(CASE WHEN 100 * n_punct <= $GopherMaxSymbolPct * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol,
+         |    CAST(CASE WHEN n_stop_kinds >= $GopherMinStopwords THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+         |    CAST(CASE WHEN 100 * (n_tokens - n_distinct) <= $GopherMaxDupPct * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS ok_rep
+         |  FROM f)
+         |SELECT doc_id, source, n_tokens, tok_chars, n_distinct, n_punct,
+         |  n_stop_kinds, ok_len, ok_word_len, ok_symbol, ok_stop, ok_rep,
+         |  CAST(ok_len * ok_word_len * ok_symbol * ok_stop * ok_rep AS BIGINT) AS kept
+         |FROM g""".stripMargin
+    },
+
+    // Dataset card: per-(source, lang) counts + the c14 integer-rank p50.
+    "j7_corpus_stats" ->
+      """WITH t AS (SELECT source, lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |a AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n_tok,
+        |    CAST(row_number() OVER (PARTITION BY source, lang ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n FROM t),
+        |p AS (SELECT source, lang, n_tok AS p50_tokens FROM r WHERE rn = (50 * n + 99) // 100)
+        |SELECT a.source, a.lang, a.n_docs, a.n_tokens, a.n_chars,
+        |  a.n_tokens // a.n_docs AS mean_tokens, p.p50_tokens
+        |FROM a JOIN p ON p.source = a.source AND p.lang = a.lang""".stripMargin,
 
     // CCNet buckets: the lmout chain + per-language rank with the
     // explicit integer tercile formula (no engine ntile semantics).

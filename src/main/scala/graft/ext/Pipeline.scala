@@ -419,6 +419,86 @@ object Pipeline {
   }
 
   /** [[qualityGate]] drop fraction in percent (bottom decile). */
+  /** [[gopherGate]] dials — the published Gopher A1.1 rule bounds (Rae et
+    * al. 2021), expressed as exact integer comparisons (mean word length
+    * in [3,10] becomes 3n <= chars <= 10n, etc.). */
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherMinWordLen = 3L
+  val GopherMaxWordLen = 10L
+  val GopherMaxSymbolPct = 10L
+  val GopherMinStopwords = 2L
+  /** Duplicate-word-fraction bound. Gopher's literal 30% is unreachable
+    * on the harness's ~30-word synthetic vocabulary (every >=50-token doc
+    * repeats words), so the DIAL is graded at 60% — the point where the
+    * verdict splits the corpus both ways (78/500 kept at sf0.001) and
+    * every rule still fires differentially. */
+  val GopherMaxDupPct = 60L
+
+  /** J7 — the GOPHER RULE BUNDLE as one gate with PER-RULE attribution
+    * (the Dolma/RedPajama release pattern: every dropped doc carries
+    * WHICH rule dropped it, so the pipeline's filter mix is auditable):
+    * token-count range, mean-word-length range, symbol-to-word ratio,
+    * minimum distinct stopwords, and duplicate-word fraction — each a
+    * row-local exact-integer flag, kept = AND of all five. Composes the
+    * graded J4 signals into the published bundle; [[qualityGate]] stays
+    * as the score-percentile form.
+    *
+    * 100 TB posture: zero shuffles — one map pass, every flag a codegen'd
+    * expression over the token array. */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stopArr = TextOps.stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs.select($"doc_id", $"source",
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr("aggregate(split(text, ' '), cast(0 as bigint), (a, t) -> a + length(t))").as("tok_chars"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("n_distinct"),
+        expr("cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) as bigint)").as("n_punct"),
+        expr(s"cast(size(array_intersect(array_distinct(split(text, ' ')), $stopArr)) as bigint)").as("n_stop_kinds"))
+      .select($"doc_id", $"source", $"n_tokens", $"tok_chars", $"n_distinct",
+        $"n_punct", $"n_stop_kinds",
+        ($"n_tokens" >= GopherMinTokens && $"n_tokens" <= GopherMaxTokens)
+          .cast("long").as("ok_len"),
+        (lit(GopherMinWordLen) * $"n_tokens" <= $"tok_chars" &&
+          $"tok_chars" <= lit(GopherMaxWordLen) * $"n_tokens")
+          .cast("long").as("ok_word_len"),
+        (lit(100L) * $"n_punct" <= lit(GopherMaxSymbolPct) * $"n_tokens")
+          .cast("long").as("ok_symbol"),
+        ($"n_stop_kinds" >= GopherMinStopwords).cast("long").as("ok_stop"),
+        (lit(100L) * ($"n_tokens" - $"n_distinct") <= lit(GopherMaxDupPct) * $"n_tokens")
+          .cast("long").as("ok_rep"))
+      .withColumn("kept",
+        ($"ok_len" * $"ok_word_len" * $"ok_symbol" * $"ok_stop" * $"ok_rep")
+          .cast("long"))
+  }
+
+  /** J7 — DATASET-CARD corpus statistics: the per-(source, language)
+    * summary table every corpus release publishes — doc/token/char
+    * counts, exact integer mean tokens per doc, and the EXACT p50 token
+    * count via the c14 integer-rank kernel (no interpolation, both
+    * engines agree bit-for-bit).
+    *
+    * 100 TB posture: one aggregate shuffle on the (source, lang) key +
+    * one rank window partitioned by the same key. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"source", $"lang", $"doc_id",
+      expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"),
+      expr("cast(length(text) as bigint)").as("n_chars"))
+    val agg = t.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"n_chars").as("n_chars"))
+    val ranked = t.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"lang").orderBy($"n_tok", $"doc_id")).cast("long"))
+    val p50 = ranked.join(agg.select($"source", $"lang", $"n_docs"), Seq("source", "lang"))
+      .filter($"rn" === expr("(50 * n_docs + 99) div 100"))
+      .select($"source", $"lang", $"n_tok".as("p50_tokens"))
+    agg.join(p50, Seq("source", "lang"))
+      .select($"source", $"lang", $"n_docs", $"n_tokens", $"n_chars",
+        expr("n_tokens div n_docs").as("mean_tokens"), $"p50_tokens")
+  }
+
   /** [[spanCorrupt]] dials: block width (tokens), mask rate (millionths —
     * the T5 15% corruption convention), and the draw seed. */
   val SpanBlockTokens = 8

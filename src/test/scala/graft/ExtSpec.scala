@@ -1123,6 +1123,29 @@ class ExtSpec extends AnyFunSuite {
       s"dup-gram mass must drop: before=$before after=$after")
   }
 
+  test("gopher gate: each rule fires alone, the clean doc passes all five") {
+    import spark.implicits._
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i")
+    val goodBody = (words(20, "alpha") ++ Seq("the", "of") ++ words(38, "beta")).mkString(" ")
+    val docs = Seq(
+      (1L, goodBody, "s"),                                     // passes all
+      (2L, (Seq("the", "of") ++ words(10, "x")).mkString(" "), "s"),  // too short
+      (3L, (Seq("the", "of") ++ words(58, "supercalifragilistic")).mkString(" "), "s"), // words too long
+      (4L, ("the of " + words(58, "y").mkString(" ")).replace("y1", "y1.!?.,;:!?.,;"), "s"), // symbol-heavy
+      (5L, words(60, "z").mkString(" "), "s"),                 // no stopwords
+      (6L, (Seq("the", "of") ++ Seq.fill(58)("dup")).mkString(" "), "s") // repetition
+    ).toDF("doc_id", "text", "source")
+    val r = ext.Pipeline.gopherGate(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(7), x.getLong(8), x.getLong(9),
+        x.getLong(10), x.getLong(11), x.getLong(12)))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)), s"clean doc: ${r(1L)}")
+    assert(r(2L)._1 == 0L && r(2L)._6 == 0L, s"length rule: ${r(2L)}")
+    assert(r(3L)._2 == 0L && r(3L)._6 == 0L, s"word-length rule: ${r(3L)}")
+    assert(r(4L)._3 == 0L && r(4L)._6 == 0L, s"symbol rule: ${r(4L)}")
+    assert(r(5L)._4 == 0L && r(5L)._6 == 0L, s"stopword rule: ${r(5L)}")
+    assert(r(6L)._5 == 0L && r(6L)._6 == 0L, s"repetition rule: ${r(6L)}")
+  }
+
   test("ppl buckets: per-language terciles are balanced and ordered by LM score") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
