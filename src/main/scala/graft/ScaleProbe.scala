@@ -175,6 +175,9 @@ object ScaleProbe {
       Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
       Head("j4_quality_clf", f => ext.TextOps.qualityClassifier(docsAt(f))),
       Head("j3_semdedup_inc", f => ext.Similarity.semDedupIncremental(embAt(f))),
+      Head("j7_span_corrupt", f => ext.Pipeline.spanCorrupt(docsAt(f))),
+      Head("j7_decontam_sem", f => ext.Similarity.semDecontam(embAt(f))),
+      Head("j7_gopher_gate", f => ext.Pipeline.gopherGate(docsAt(f))),
       Head("j3_pq_adc", f => ext.Similarity.annPq(embAt(f))),
       Head("pm_sp_batches", f =>
         pm.BatchDiscovery.discoverFull(
@@ -245,7 +248,13 @@ object ScaleProbe {
     // invariants asserted at 30x for the sqrt(N)-cell and gram-grain paths
     val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
-      val (nd, wd, qd, sd) = timed(h, deepFactor)
+      // min-of-2: the host's intermittent per-core grind (SURVEY §6,
+      // Bench's min-of-passes rationale) can inflate a single 30x run
+      // ~20-45x; the scaling invariant is about the PLAN, so a transient
+      // straggler must not fail the probe
+      val a = timed(h, deepFactor)
+      val b = timed(h, deepFactor)
+      val (nd, wd, qd, sd) = if (a._2 <= b._2) a else b
       val base = results.find(_.name == h.name).get
       println(f"${h.name}%-18s ${deepFactor}x: $nd%9d rows $wd%7.2fs quad=$qd shuf=$sd  ratio-vs-1x ${wd / base.wall1}%5.2f")
       (h.name, nd, wd, qd, sd, base)
