@@ -186,6 +186,23 @@ object ExtQueries {
     "j2_incremental" -> ((s, d) =>
       Dedup.incrementalNearDup(Tables.documents(s, d))),
 
+    // J2 — the STATE-TABLE form of the incremental lookup (round 13): the
+    // standing corpus LSH index (cap-gated band rows + corpus shingle
+    // sets) is PERSISTED as parquet once per (process, dataset) — the
+    // w18_caltable state-as-data pattern — and the graded query only
+    // shingles/signs the incoming batch and probes the index TABLE: the
+    // production nightly shape whose per-run cost scales with the batch.
+    // Hash-equal to j2_incremental (shared probe tail + shared oracle).
+    "j2_incremental_state" -> ((s, d) =>
+      Dedup.incrementalNearDupState(s, d, Tables.documents(s, d))),
+
+    // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
+    // headline signal): merged duplicated-10-gram runs surfaced as run
+    // count / longest run / total duplicated tokens + the >=50-token
+    // wholesale-copy verdict; same df>=2 fingerprints as the scrub.
+    "j2_dup_run_len" -> ((s, d) =>
+      Dedup.dupRunLength(Tables.documents(s, d))),
+
     // J7 — the curation capstones: keep/drop/split manifest and benchmark
     // decontamination, composed from the graded J1-J4 kernels.
     "j7_trainset" -> ((s, d) =>
@@ -294,6 +311,15 @@ object ExtQueries {
     // the batch, not the corpus.
     "j3_semdedup_inc" -> ((s, d) =>
       Similarity.semDedupIncremental(Tables.embeddings(s, d))),
+
+    // J3 — the STATE-TABLE form (round 13, the round-12 verdict's #1): the
+    // frozen corpus state (trained centroids + kept cap-passing cell
+    // members) is PERSISTED as parquet once per (process, dataset) and the
+    // graded query READS it — per-run cost is the batch assignment +
+    // cell-local candidate join only, the production nightly shape.
+    // Hash-equal to j3_semdedup_inc (shared batch tail + shared oracle).
+    "j3_semdedup_inc_state" -> ((s, d) =>
+      Similarity.semDedupIncrementalState(s, d, Tables.embeddings(s, d))),
 
     // J3 scale path #3 — product quantization + asymmetric distance (the
     // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
@@ -444,6 +470,35 @@ object ExtQueries {
         Tables.documents(s, d).select($"doc_id", $"source")
           .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")))
     }),
+
+    // J7 — BOUNDARY-AWARE packing (round 13): first-fit-decreasing whole
+    // documents into 512-token bins over the shuffle-order windows — no
+    // doc ever straddles a sequence; (doc -> seq, offset) + per-bin fill.
+    "j7_pack_fit" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packFit(bpeEncoded(s, d).select($"doc_id", $"n_tokens"))
+    }),
+
+    // the in-query fill-efficiency delta vs the concat-chunk layout:
+    // bins/fill for both, concat's split-doc count, fit's measured 0.
+    "j7_pack_fit_stats" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packFitStats(
+        Tables.documents(s, d).select($"doc_id", $"source")
+          .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")))
+    }),
+
+    // J7 — span corruption at the TOKEN-ID grain (round 13): the T5 prep
+    // masks AFTER tokenization — 8-ID blocks of the memoized BPE doc
+    // encodings, sentinels as reserved IDs past the vocab.
+    "j7_span_corrupt_bpe" -> ((s, d) =>
+      Pipeline.spanCorruptBpe(bpeEncoded(s, d))),
+
+    // J7 — EPOCH/REPEAT allocation mix (round 13): the data-constrained
+    // regime — temperature targets as integer epoch counts (capped at 4)
+    // plus a down-sampled remainder pass; n_copies per doc.
+    "j7_mix_epochs" -> ((s, d) =>
+      Pipeline.epochMix(Tables.documents(s, d))),
 
     // J5 — multimodal binary payload + metadata (decode stubbed).
     "j5_multimodal" -> ((s, d) => Multimodal.withPayload(Tables.documents(s, d))),
@@ -938,6 +993,127 @@ object ExtQueries {
        |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
        |FROM c""".stripMargin
 
+  /** Shared CTE chain of the FFD packing oracles (doc-grain relation
+    * `pf_out` + the `enc` counts): a RECURSIVE CTE folds every window's
+    * first-fit-decreasing state one doc per step — the exact recurrence
+    * [[Pipeline.packFit]]'s aggregate() runs row-locally — then windows'
+    * bin counts prefix-sum into global sequence ids. */
+  private def packFitCtes(rounds: Int): String = {
+    val L = Pipeline.PackSeqLen
+    val W = Pipeline.PackFitWindowDocs
+    val seed = Pipeline.ShuffleSeed
+    val ctes = bpeEncodeCtes(rounds).stripPrefix("WITH ")
+    s"""WITH RECURSIVE $ctes,
+       |enc AS (SELECT d.doc_id, CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1),
+       |pk0 AS (SELECT doc_id, n_tokens,
+       |    ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey FROM enc),
+       |pk1 AS (SELECT doc_id, n_tokens,
+       |    (CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) - 1) // $W AS wid FROM pk0),
+       |pk AS (SELECT *, CAST(row_number() OVER (PARTITION BY wid ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM pk1),
+       |wsz AS (SELECT wid, CAST(count(*) AS BIGINT) AS cnt FROM pk GROUP BY 1),
+       |st AS (
+       |  SELECT wid, CAST(0 AS BIGINT) AS step,
+       |    CAST([] AS BIGINT[]) AS rems, CAST([] AS BIGINT[]) AS dids,
+       |    CAST([] AS BIGINT[]) AS bins, CAST([] AS BIGINT[]) AS offs
+       |  FROM wsz
+       |  UNION ALL
+       |  SELECT wid, step + 1,
+       |    CASE WHEN idx > 0
+       |      THEN rems[1:CAST(idx - 1 AS INT)] || [rems[CAST(idx AS INT)] - n] || rems[CAST(idx + 1 AS INT):CAST(len(rems) AS INT)]
+       |      ELSE rems || [greatest($L - n, 0)] END,
+       |    dids || [did],
+       |    bins || [CASE WHEN idx > 0 THEN idx ELSE CAST(len(rems) + 1 AS BIGINT) END],
+       |    offs || [CASE WHEN idx > 0 THEN $L - rems[CAST(idx AS INT)] ELSE CAST(0 AS BIGINT) END]
+       |  FROM (
+       |    SELECT s.wid, s.step, s.rems, s.dids, s.bins, s.offs,
+       |      p.doc_id AS did, p.n_tokens AS n,
+       |      CAST(coalesce(list_position(list_transform(s.rems, r -> r >= p.n_tokens), true), 0) AS BIGINT) AS idx
+       |    FROM st s JOIN pk p ON p.wid = s.wid AND p.rn = s.step + 1) z),
+       |fin AS (SELECT s.* FROM st s JOIN wsz w ON w.wid = s.wid AND s.step = w.cnt),
+       |asg AS (SELECT wid, unnest(dids) AS doc_id, unnest(bins) AS bin, unnest(offs) AS off FROM fin),
+       |nb AS (SELECT wid, CAST(max(bin) AS BIGINT) AS nbins FROM asg GROUP BY 1),
+       |bb AS (SELECT wid, CAST(coalesce(sum(nbins) OVER (ORDER BY wid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS binbase FROM nb),
+       |po AS (SELECT a.doc_id, e.n_tokens, a.wid AS window_id, a.bin AS bin_in_window,
+       |    b.binbase + a.bin - 1 AS seq_id, a.off AS seq_offset
+       |  FROM asg a JOIN bb b USING (wid) JOIN enc e USING (doc_id)),
+       |pf_fill AS (SELECT seq_id, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM po GROUP BY 1),
+       |pf_out AS (SELECT po.doc_id, po.n_tokens, po.window_id, po.bin_in_window,
+       |    po.seq_id, po.seq_offset, f.bin_tokens,
+       |    (f.bin_tokens * 1000000) // $L AS fill_e6
+       |  FROM po JOIN pf_fill f USING (seq_id))""".stripMargin
+  }
+
+  private def packFitOracle(rounds: Int): String =
+    s"${packFitCtes(rounds)}\nSELECT * FROM pf_out"
+
+  /** One-row fit-vs-concat comparison over the same counts (the graded
+    * fill-efficiency delta). */
+  private def packFitStatsOracle(rounds: Int): String = {
+    val L = Pipeline.PackSeqLen
+    s"""${packFitCtes(rounds)},
+       |fitagg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(max(seq_id) + 1 AS BIGINT) AS n_bins_fit,
+       |    CAST(sum(CASE WHEN seq_offset + n_tokens > $L THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled_fit
+       |  FROM pf_out),
+       |ct AS (SELECT doc.source, e.doc_id, e.n_tokens
+       |  FROM enc e JOIN documents doc ON doc.doc_id = e.doc_id),
+       |cc AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM ct),
+       |cs AS (SELECT source,
+       |    CAST(sum(CASE WHEN tok_offset // $L <> (tok_offset + n_tokens - 1) // $L THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM cc GROUP BY 1),
+       |ca AS (SELECT CAST(sum(n_straddled) AS BIGINT) AS n_straddled_concat,
+       |    CAST(sum((src_tokens + ${L - 1}) // $L) AS BIGINT) AS n_bins_concat FROM cs)
+       |SELECT f.n_docs, f.total_tokens, f.n_bins_fit,
+       |  (f.total_tokens * 1000000) // (f.n_bins_fit * $L) AS fill_fit_e6,
+       |  c.n_bins_concat,
+       |  (f.total_tokens * 1000000) // (c.n_bins_concat * $L) AS fill_concat_e6,
+       |  c.n_straddled_concat, f.n_straddled_fit
+       |FROM fitagg f, ca c""".stripMargin
+  }
+
+  /** DuckDB twin of [[Pipeline.spanCorruptBpe]]: the encode chain's ids
+    * re-listed per doc, the same (seed, doc, block) md5 draws at the
+    * ID-block grain, sentinels = vmax + 1 + ordinal. */
+  private def spanCorruptBpeOracle(rounds: Int): String = {
+    val w = Pipeline.SpanBlockTokens
+    val seed = Pipeline.SpanSeed
+    s"""${bpeEncodeCtes(rounds)},
+       |enc AS (SELECT d.doc_id, string_split(string_agg(wi.ids, ' ' ORDER BY d.wpos), ' ') AS ids
+       |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1),
+       |vm AS (SELECT CAST(max(tok_id) AS BIGINT) AS vmax FROM symid),
+       |bl AS (SELECT doc_id, b + 1 AS k, ids[b * $w + 1 : least((b + 1) * $w, len(ids))] AS blk
+       |  FROM enc, LATERAL (SELECT unnest(generate_series(0, (len(ids) - 1) // $w)) AS b) z),
+       |mk AS (SELECT doc_id, k, blk,
+       |    CASE WHEN ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000000 < ${Pipeline.SpanMaskRateE6} THEN 1 ELSE 0 END AS m
+       |  FROM bl),
+       |mm AS (SELECT doc_id, k,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS BIGINT) AS j
+       |  FROM mk WHERE m = 1),
+       |pieces AS (SELECT mk.doc_id, mk.k, mk.m, mk.blk, mm.j,
+       |    CASE WHEN mk.m = 1 THEN CAST(v.vmax + mm.j + 1 AS VARCHAR)
+       |         ELSE array_to_string(mk.blk, ' ') END AS ipiece
+       |  FROM mk LEFT JOIN mm ON mm.doc_id = mk.doc_id AND mm.k = mk.k, vm v)
+       |SELECT p.doc_id,
+       |  CAST(len(e.ids) AS BIGINT) AS n_ids,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(p.m) AS BIGINT) AS n_masked_blocks,
+       |  CAST(coalesce(sum(CASE WHEN p.m = 1 THEN len(p.blk) END), 0) AS BIGINT) AS n_masked_ids,
+       |  (CAST(coalesce(sum(CASE WHEN p.m = 1 THEN len(p.blk) END), 0) AS BIGINT) * 1000000)
+       |    // CAST(len(e.ids) AS BIGINT) AS masked_frac_e6,
+       |  string_agg(p.ipiece, ' ' ORDER BY p.k) AS input_ids,
+       |  coalesce(string_agg(CASE WHEN p.m = 1
+       |    THEN CAST(v2.vmax + p.j + 1 AS VARCHAR) || ' ' || array_to_string(p.blk, ' ') END,
+       |    ' ' ORDER BY p.k), '') AS target_ids
+       |FROM pieces p JOIN enc e ON e.doc_id = p.doc_id, vm v2
+       |GROUP BY p.doc_id, len(e.ids)""".stripMargin
+  }
+
   /** The full SemDeDup oracle CTE chain over `cemb` = embeddings
     * filtered by `pred` — Lloyd rounds, cell assignment (relation
     * `cells`, final centroids `cvec2`/`cnorm2`, cap gate `okc`/`cellok`),
@@ -1007,6 +1183,97 @@ object ExtQueries {
         |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
         |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)""".stripMargin
 
+  /** The incremental-SemDeDup oracle — shared verbatim by j3_semdedup_inc
+    * (recompute) and j3_semdedup_inc_state (persisted state tables): both
+    * forms are defined to produce the SAME relation, so one twin grades
+    * both and a state-table drift becomes a hash mismatch. */
+  private val semDedupIncOracle: String = {
+    val cut = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
+    s"""${semDedupChain(s"vec_id < $cut")},
+      |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
+      |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
+      |  JOIN norms nm ON nm.vec_id = cl.vid AND nm.nq > 0),
+      |bemb AS (SELECT * FROM embeddings WHERE vec_id >= $cut),
+      |bqe AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+      |  FROM bemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+      |bnorms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM bqe GROUP BY 1),
+      |bcd AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+      |        FROM bqe e JOIN bnorms nv0 ON nv0.vec_id = e.vec_id AND nv0.nq > 0
+      |        JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+      |bvcos AS (SELECT d.vec_id, d.cid,
+      |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+      |  FROM bcd d JOIN bnorms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+      |bcells AS (SELECT vec_id AS vid, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM bvcos) z
+      |  WHERE rn = 1),
+      |bdots AS (SELECT b.vid, b.cid, k.mid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+      |  FROM bcells b JOIN bnorms bn ON bn.vec_id = b.vid AND bn.nq > 0
+      |  JOIN keptm k ON k.cid = b.cid
+      |  JOIN bqe x ON x.vec_id = b.vid JOIN qe y ON y.vec_id = k.mid AND y.i = x.i
+      |  GROUP BY 1, 2, 3),
+      |scored AS (SELECT d.vid, d.mid,
+      |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(bn.nq AS DOUBLE) * CAST(mn.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+      |  FROM bdots d JOIN bnorms bn ON bn.vec_id = d.vid JOIN norms mn ON mn.vec_id = d.mid),
+      |best AS (SELECT vid, mid, cos_sim_e6 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM scored) z
+      |  WHERE rn = 1)
+      |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id,
+      |  coalesce(b.mid, -1) AS best_match,
+      |  coalesce(b.cos_sim_e6, 0) AS best_cos_e6,
+      |  CAST(CASE WHEN coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6} THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM bemb be LEFT JOIN bcells bc ON bc.vid = be.vec_id
+      |LEFT JOIN best b ON b.vid = be.vec_id""".stripMargin
+  }
+
+  /** The incremental near-dup oracle — shared verbatim by j2_incremental
+    * (recompute) and j2_incremental_state (persisted LSH index tables):
+    * incoming (doc_id % 10 = 0) probes corpus band buckets (cap-gated on
+    * the corpus side only, no >=2 requirement); best verified match per
+    * incoming doc, ties to the smallest corpus id. */
+  private val incrementalNearDupOracle: String = {
+    val bandCands = (0 until Dedup.Bands).map { b =>
+      val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
+      val pos = (1 to keys.size).mkString(", ")
+      val gOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+      val cOn = keys.map(k => s"c.$k = i.$k").mkString(" AND ")
+      s"""iok$b AS (SELECT ${keys.mkString(", ")} FROM corp GROUP BY $pos
+         |  HAVING count(*) <= ${Dedup.BucketCap}),
+         |icand$b AS (SELECT i.doc_id AS doc_n, c.doc_id AS doc_c FROM inc i
+         |  JOIN iok$b g ON $gOn
+         |  JOIN corp c ON $cOn)""".stripMargin
+    }.mkString(",\n")
+    val candUnion = (0 until Dedup.Bands)
+      .map(b => s"SELECT * FROM icand$b").mkString(" UNION ALL ")
+    s"""WITH $tokCtes,
+       |inc AS (SELECT * FROM mh WHERE doc_id % 10 = 0),
+       |corp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
+       |$bandCands,
+       |cand AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
+       |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM cand c
+       |  JOIN ds x ON x.doc_id = c.doc_n
+       |  JOIN ds y ON y.doc_id = c.doc_c AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.doc_n, c.doc_c,
+       |  CAST(round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+       |    / (sa.n + sb.n - coalesce(i.ninter, 0)) * 1000000.0) AS BIGINT) AS j_e6
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
+       |  JOIN sizes sa ON sa.doc_id = c.doc_n
+       |  JOIN sizes sb ON sb.doc_id = c.doc_c),
+       |best AS (SELECT doc_n, doc_c, j_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+       |    FROM jac) z WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  coalesce(b.doc_c, -1) AS match_doc_id,
+       |  coalesce(b.j_e6, 0) AS jaccard_e6,
+       |  CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
+       |    THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
+       |WHERE d.doc_id % 10 = 0""".stripMargin
+  }
+
   /** Bigram-LM bits-per-token oracle CTEs (per-doc relation `lmout`)
     * — shared by j4_lm_bits and the CCNet perplexity buckets. */
   private val lmBitsCtes =
@@ -1050,49 +1317,11 @@ object ExtQueries {
     // Incremental lookup: incoming (doc_id % 10 = 0) probes corpus band
     // buckets (cap-gated on the corpus side only, no >=2 requirement);
     // best verified match per incoming doc, ties to smallest corpus id.
-    "j2_incremental" -> {
-      val bandCands = (0 until Dedup.Bands).map { b =>
-        val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
-        val pos = (1 to keys.size).mkString(", ")
-        val gOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
-        val cOn = keys.map(k => s"c.$k = i.$k").mkString(" AND ")
-        s"""iok$b AS (SELECT ${keys.mkString(", ")} FROM corp GROUP BY $pos
-           |  HAVING count(*) <= ${Dedup.BucketCap}),
-           |icand$b AS (SELECT i.doc_id AS doc_n, c.doc_id AS doc_c FROM inc i
-           |  JOIN iok$b g ON $gOn
-           |  JOIN corp c ON $cOn)""".stripMargin
-      }.mkString(",\n")
-      val candUnion = (0 until Dedup.Bands)
-        .map(b => s"SELECT * FROM icand$b").mkString(" UNION ALL ")
-      s"""WITH $tokCtes,
-         |inc AS (SELECT * FROM mh WHERE doc_id % 10 = 0),
-         |corp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
-         |$bandCands,
-         |cand AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
-         |ds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
-         |inter AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM cand c
-         |  JOIN ds x ON x.doc_id = c.doc_n
-         |  JOIN ds y ON y.doc_id = c.doc_c AND y.shingle = x.shingle
-         |  GROUP BY 1, 2),
-         |jac AS (SELECT c.doc_n, c.doc_c,
-         |  CAST(round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
-         |    / (sa.n + sb.n - coalesce(i.ninter, 0)) * 1000000.0) AS BIGINT) AS j_e6
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
-         |  JOIN sizes sa ON sa.doc_id = c.doc_n
-         |  JOIN sizes sb ON sb.doc_id = c.doc_c),
-         |best AS (SELECT doc_n, doc_c, j_e6 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
-         |    FROM jac) z WHERE rn = 1)
-         |SELECT d.doc_id,
-         |  coalesce(b.doc_c, -1) AS match_doc_id,
-         |  coalesce(b.j_e6, 0) AS jaccard_e6,
-         |  CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
-         |    THEN 'drop' ELSE 'keep' END AS verdict
-         |FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
-         |WHERE d.doc_id % 10 = 0""".stripMargin
-    },
+    // Shared verbatim by the recompute and state-table forms (the state
+    // form reads a persisted corpus index built from the identical
+    // per-doc row-local signatures — equality also pinned in ExtSpec).
+    "j2_incremental" -> incrementalNearDupOracle,
+    "j2_incremental_state" -> incrementalNearDupOracle,
 
     // Exact prefix-filter similarity join: the oracle mirrors the Spark
     // side CTE for CTE (global rare-first order, per-doc prefix, bucket
@@ -1331,6 +1560,37 @@ object ExtQueries {
          |    // greatest(CAST(sum(length(tok)) AS BIGINT), 1) AS removed_frac_e6,
          |  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY p), '') AS scrubbed_text
          |FROM mk GROUP BY doc_id""".stripMargin
+    },
+
+    // Maximal duplicated-run length: same df>=2 gram definition; merged
+    // runs come out as gaps-and-islands over the covered token positions
+    // (p - row_number() grouping), provably the same union-of-intervals
+    // the Spark side derives from sorted starts.
+    "j2_dup_run_len" -> {
+      val n = Dedup.DupNgramN
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS fp
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |dup AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM g) df
+         |  GROUP BY fp HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, i FROM g WHERE fp IN (SELECT fp FROM dup)),
+         |covd AS (SELECT DISTINCT s.doc_id, p FROM st s,
+         |  LATERAL (SELECT unnest(generate_series(s.i, s.i + ${n - 1})) AS p) z),
+         |isl AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM covd),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM isl GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_runs,
+         |    CAST(max(rl) AS BIGINT) AS max_run_tokens,
+         |    CAST(sum(rl) AS BIGINT) AS dup_tokens
+         |  FROM runs GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_dup_runs, 0) AS n_dup_runs,
+         |  coalesce(a.max_run_tokens, 0) AS max_run_tokens,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  CAST(CASE WHEN coalesce(a.max_run_tokens, 0) >= ${Dedup.DupRunGateTokens}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS long_dup
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
     },
 
     // Line dedup: fixed-width token chunks, same df>=2 / 60-bit-md5 /
@@ -1651,45 +1911,18 @@ object ExtQueries {
         |FROM embeddings t LEFT JOIN best b ON b.vec_id = t.vec_id
         |WHERE t.vec_id >= ${Pipeline.EvalDocs}""".stripMargin,
 
-    // Incremental SemDeDup: the corpus chain trains on vec_id % 10 <> 0;
-    // the batch is assigned to the final (cvec2/cnorm2) centroids with the
-    // same argmax tie order, then scored only against kept cap-passing
-    // corpus members of its cell (nq > 0 on both sides).
-    "j3_semdedup_inc" -> {
-      val cut = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
-      s"""${semDedupChain(s"vec_id < $cut")},
-        |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
-        |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
-        |  JOIN norms nm ON nm.vec_id = cl.vid AND nm.nq > 0),
-        |bemb AS (SELECT * FROM embeddings WHERE vec_id >= $cut),
-        |bqe AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
-        |  FROM bemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-        |bnorms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM bqe GROUP BY 1),
-        |bcd AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM bqe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
-        |bvcos AS (SELECT d.vec_id, d.cid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM bcd d JOIN bnorms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
-        |bcells AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM bvcos) z
-        |  WHERE rn = 1),
-        |bdots AS (SELECT b.vid, b.cid, k.mid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
-        |  FROM bcells b JOIN bnorms bn ON bn.vec_id = b.vid AND bn.nq > 0
-        |  JOIN keptm k ON k.cid = b.cid
-        |  JOIN bqe x ON x.vec_id = b.vid JOIN qe y ON y.vec_id = k.mid AND y.i = x.i
-        |  GROUP BY 1, 2, 3),
-        |scored AS (SELECT d.vid, d.mid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(bn.nq AS DOUBLE) * CAST(mn.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM bdots d JOIN bnorms bn ON bn.vec_id = d.vid JOIN norms mn ON mn.vec_id = d.mid),
-        |best AS (SELECT vid, mid, cos_sim_e6 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM scored) z
-        |  WHERE rn = 1)
-        |SELECT bc.vid AS vec_id, bc.cid AS cell_id,
-        |  coalesce(b.mid, -1) AS best_match,
-        |  coalesce(b.cos_sim_e6, 0) AS best_cos_e6,
-        |  CAST(CASE WHEN coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6} THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM bcells bc LEFT JOIN best b ON b.vid = bc.vid""".stripMargin
-    },
+    // Incremental SemDeDup: the corpus chain trains on the oldest 90% of
+    // ids; the batch is assigned to the final (cvec2/cnorm2) centroids
+    // with the same argmax tie order, then scored only against kept
+    // cap-passing corpus members of its cell. nq > 0 guards the batch
+    // ASSIGNMENT side too (round-13 advice: an all-zero batch embedding
+    // made bvcos NaN — DuckDB errors on CAST(nan AS BIGINT) while Spark
+    // casts to 0); zero-norm batch vectors re-enter through the final
+    // anchor on bemb as kept singletons with cell_id -1, mirroring the
+    // Spark side. Shared verbatim by the state-table form (hash-equal by
+    // construction).
+    "j3_semdedup_inc" -> semDedupIncOracle,
+    "j3_semdedup_inc_state" -> semDedupIncOracle,
 
     "j2_embed_neardup" ->
       s"""WITH qe AS (
@@ -1988,6 +2221,33 @@ object ExtQueries {
          |  CAST(CASE WHEN b.bucket < r.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM b JOIN r USING (source)""".stripMargin,
 
+    // Epoch/repeat allocation: temperature targets as integer epoch
+    // counts capped at 4 plus a down-sampled remainder pass — exact
+    // integers end to end; budget = 3x the corpus total (the
+    // data-constrained regime where sources must repeat).
+    "j7_mix_epochs" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
+         |w AS (SELECT source, total_tokens,
+         |  CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS w FROM tot),
+         |g AS (SELECT CAST(sum(w) AS BIGINT) AS wsum,
+         |  CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM w),
+         |r0 AS (SELECT source, total_tokens, w.w,
+         |  (g.corpus_tokens * ${Pipeline.EpochMixX} * w.w) // g.wsum AS target_tokens FROM w, g),
+         |r1 AS (SELECT *, CAST(least(target_tokens // greatest(total_tokens, 1),
+         |  ${Pipeline.EpochMixCap}) AS BIGINT) AS full_epochs FROM r0),
+         |r AS (SELECT *, CAST(CASE WHEN full_epochs >= ${Pipeline.EpochMixCap} THEN 0
+         |  ELSE ((target_tokens - full_epochs * total_tokens) * 1000000)
+         |    // greatest(total_tokens, 1) END AS BIGINT) AS rem_rate_e6 FROM r1),
+         |b AS (SELECT t.source, t.doc_id, t.n_tokens,
+         |  ('0x' || substr(md5('${Pipeline.MixSeed}:' || t.doc_id), 1, 8))::BIGINT % 1000000 AS bucket
+         |  FROM t)
+         |SELECT b.source, b.doc_id, b.n_tokens, r.total_tokens, r.w, r.target_tokens,
+         |  r.full_epochs, r.rem_rate_e6, b.bucket,
+         |  CAST(r.full_epochs + CASE WHEN b.bucket < r.rem_rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM b JOIN r USING (source)""".stripMargin,
+
     // KMV sketches: k smallest distinct md5 hashes per set, merge for the
     // union, floor-division estimators — sketch contents and every
     // estimate reproduce exactly.
@@ -2254,6 +2514,9 @@ object ExtQueries {
         "j4_bpe_apply" -> bpeApplyOracle(6),
         "j4_bpe_encode_docs" -> bpeEncodeDocsOracle(6),
         "j7_pack_bpe" -> bpePackOracle(6),
+        "j7_pack_fit" -> packFitOracle(6),
+        "j7_pack_fit_stats" -> packFitStatsOracle(6),
+        "j7_span_corrupt_bpe" -> spanCorruptBpeOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

@@ -294,6 +294,60 @@ object Pipeline {
         (bucket < $"rate_e6").cast("long").as("kept"))
   }
 
+  /** [[epochMix]] dials: the token budget is [[EpochMixX]] x the corpus
+    * total (the data-constrained regime — the training budget EXCEEDS the
+    * corpus, so sources must REPEAT), and repeats cap at [[EpochMixCap]]
+    * epochs (the published repeated-data dial: value decays past ~4 epochs
+    * of reuse, Muennighoff et al. 2023). */
+  val EpochMixX = 3L
+  val EpochMixCap = 4L
+
+  /** J7 — EPOCH/REPEAT allocation mix (round 13): [[temperatureMix]]
+    * extended to the data-constrained regime. Per source, the temperature
+    * target (isqrt weights, alpha = 0.5) is converted into an INTEGER
+    * epoch count plus a down-sampled remainder: full_epochs =
+    * min(target div total, cap) whole passes over the source, and the
+    * remainder target mass becomes a fractional keep rate for ONE more
+    * pass (rem_rate_e6 = 0 once the cap binds). Each document's
+    * `n_copies` = full_epochs + its md5-bucket remainder draw — the
+    * up-sampling dial that lets small high-quality sources repeat while
+    * web-scale sources stay sub-sampled, with every quantity exact
+    * integers end to end.
+    *
+    * 100 TB posture: identical to [[temperatureMix]] — one source-grain
+    * aggregate broadcast back, then a row-local verdict; the repeat count
+    * is a manifest COLUMN (the loader materializes copies), so no row is
+    * ever duplicated in this plan. */
+  def epochMix(docs: DataFrame, budgetX: Long = EpochMixX,
+               cap: Long = EpochMixCap, seed: Int = MixSeed): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val totals = tok.groupBy($"source")
+      .agg(sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"total_tokens",
+        floor(sqrt($"total_tokens".cast("double"))).cast("long").as("w"))
+    val gsum = totals.agg(sum($"w").as("wsum"),
+      sum($"total_tokens").as("corpus_tokens"))
+    val rates = totals.crossJoin(broadcast(gsum))
+      .select($"source", $"total_tokens", $"w",
+        expr(s"(corpus_tokens * $budgetX * w) div wsum").as("target_tokens"))
+      .select($"source", $"total_tokens", $"w", $"target_tokens",
+        least(expr("target_tokens div greatest(total_tokens, 1)"), lit(cap))
+          .as("full_epochs"))
+      .select($"source", $"total_tokens", $"w", $"target_tokens", $"full_epochs",
+        when($"full_epochs" >= cap, 0L)
+          .otherwise(expr(
+            "((target_tokens - full_epochs * total_tokens) * 1000000) div greatest(total_tokens, 1)"))
+          .cast("long").as("rem_rate_e6"))
+    val bucket = pmod(Dedup.md5Hash32(seed, $"doc_id".cast("string")),
+      lit(1000000L))
+    tok.join(broadcast(rates), Seq("source"))
+      .select($"source", $"doc_id", $"n_tokens", $"total_tokens", $"w",
+        $"target_tokens", $"full_epochs", $"rem_rate_e6", bucket.as("bucket"),
+        ($"full_epochs" + (bucket < $"rem_rate_e6").cast("long")).as("n_copies"))
+  }
+
   /** The EVAL-SIDE decontamination report — the view the published
     * decontamination appendices actually tabulate (GPT-3 appendix C /
     * PaLM): per BENCHMARK document, how compromised is it — how many of
@@ -563,6 +617,67 @@ object Pipeline {
         array_join($"tgt", " ").as("target_text"))
   }
 
+  /** J7 — span corruption at the TOKEN-ID grain (round 13): the real T5
+    * prep masks AFTER tokenization, so this composes [[spanCorrupt]]'s
+    * block/draw layout with the tokenizer artifact
+    * ([[TextOps.bpeEncodeDocs]] — `encoded` is its memoized output, ONE
+    * shared training pass, never re-trained here). Fixed
+    * [[SpanBlockTokens]]-ID blocks are masked by the same seeded
+    * (doc, block) md5 draws; SENTINELS ARE RESERVED IDS PAST THE
+    * VOCABULARY (vmax + 1 + j, the published convention — a real decoder
+    * extends its embedding table by the sentinel budget), emitted in
+    * `input_ids` / `target_ids` as the same space-joined ID strings the
+    * encode artifact uses. ExtSpec splices every target back into its
+    * input and reconstructs the encoded corpus ID-exactly.
+    *
+    * 100 TB posture: the vocab bound is a 1-row broadcast aggregate; all
+    * masking/splicing is row-local over the per-doc ID array — zero
+    * shuffles beyond the memoized encode. */
+  def spanCorruptBpe(encoded: DataFrame, w: Int = SpanBlockTokens,
+                     rateE6: Long = SpanMaskRateE6, seed: Int = SpanSeed): DataFrame = {
+    import encoded.sparkSession.implicits._
+    // reserved-ID base: ids are dense ranks 1..V, so vmax IS the vocab size
+    val vmaxF = encoded.agg(max(expr(
+      "array_max(transform(split(token_ids, ' '), x -> cast(x as bigint)))"))
+      .as("vmax"))
+    val draw = Dedup.md5Hash32(seed,
+      concat($"doc_id".cast("string"), lit(":"), $"k".cast("string")))
+    val blocked = encoded.crossJoin(broadcast(vmaxF))
+      .select($"doc_id", $"vmax", split($"token_ids", " ").as("ids"))
+      .select($"doc_id", $"vmax", $"ids", expr(
+        s"transform(sequence(0, (size(ids) - 1) div $w), b -> slice(ids, b * $w + 1, $w))")
+        .as("blocks"))
+    val mi = graft.Pinned.track(blocked
+      .select($"doc_id", posexplode($"blocks").as(Seq("k0", "blk")))
+      .select($"doc_id", ($"k0" + 1).as("k"))
+      .filter(pmod(draw, lit(1000000L)) < rateE6)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"k".cast("long"))).as("mi")))
+    blocked.join(mi, Seq("doc_id"), "left")
+      .select($"doc_id", $"vmax", $"ids", $"blocks",
+        coalesce($"mi", typedLit(Seq.empty[Long])).as("mi"))
+      .select($"doc_id", $"ids", $"blocks", $"mi",
+        // ordinal j is 0-based: sentinel_j = vmax + 1 + j; array_position
+        // is 1-based, so vmax + position == vmax + 1 + j
+        expr("""flatten(transform(blocks, (b, k0) ->
+               |  if(array_contains(mi, cast(k0 + 1 as bigint)),
+               |     array(cast(vmax + array_position(mi, cast(k0 + 1 as bigint)) as string)),
+               |     b)))""".stripMargin).as("inp"),
+        expr("""flatten(transform(mi, (m, j) ->
+               |  concat(array(cast(vmax + j + 1 as string)),
+               |         element_at(blocks, cast(m as int)))))""".stripMargin).as("tgt"))
+      .select($"doc_id",
+        size($"ids").cast("long").as("n_ids"),
+        size($"blocks").cast("long").as("n_blocks"),
+        size($"mi").cast("long").as("n_masked_blocks"),
+        aggregate($"mi", lit(0L),
+          (acc, m) => acc + size(element_at($"blocks", m.cast("int")))).as("n_masked_ids"),
+        expr("(aggregate(mi, cast(0 as bigint), (a, m) -> a + size(element_at(blocks, cast(m as int)))) * 1000000) div size(ids)")
+          .as("masked_frac_e6"),
+        array_join($"inp", " ").as("input_ids"),
+        array_join($"tgt", " ").as("target_ids"))
+  }
+
   /** J7 — CCNet PERPLEXITY BUCKETS: per language, split documents into
     * head / middle / tail terciles by bigram-LM bits-per-token
     * ([[TextOps.lmBits]] — the exact engine-parity score) — the published
@@ -633,6 +748,127 @@ object Pipeline {
         $"shuffle_rank", $"tok_offset",
         expr(s"tok_offset div $seqLen").as("seq_id"),
         expr(s"tok_offset % $seqLen").as("seq_offset"))
+  }
+
+  /** [[packFit]] window width (docs): the FFD fold state is bounded by the
+    * window — at most windowDocs bins over windowDocs docs fold ROW-LOCALLY
+    * — and windows pack independently in parallel, the published
+    * data-loader practice (pack within a shard; bins never span shards).
+    * 32 keeps the worst-case fold (~W² integer ops per window) trivial
+    * while leaving room for real fill gains over concat-chunk. */
+  val PackFitWindowDocs = 32L
+
+  /** J7 — BOUNDARY-AWARE sequence packing (round 13, first-fit-decreasing):
+    * where `j7_pack_bpe` concat-then-chunks (documents straddle sequence
+    * boundaries — measurable cross-doc attention contamination), this packs
+    * WHOLE documents into [[PackSeqLen]]-token bins so no doc is ever
+    * split. The corpus is ordered by the seeded [[ShuffleSeed]] md5
+    * permutation (the `j7_shuffle` training order), cut into
+    * [[PackFitWindowDocs]]-doc windows, and within each window docs place
+    * LARGEST-FIRST into the first bin with room (FFD, the classical
+    * 11/9·OPT bin-packing bound); a doc longer than the bin gets a bin of
+    * its own. One row per doc: its window, bin, global sequence id, offset
+    * within the bin, and the bin's fill — the (doc → seq, offset) manifest
+    * plus the fill-rate accounting the published loaders report.
+    *
+    * `counts` is the (doc_id, n_tokens) manifest — for the graded query,
+    * the REAL tokenizer counts from the memoized
+    * [[TextOps.bpeEncodeDocs]].
+    *
+    * 100 TB posture: ONE range shuffle on the permutation key (the
+    * two-phase [[graft.Dist.withGlobalRank]], no single-task window), one
+    * window-grain aggregate whose fold state is ≤ windowDocs bins (pure
+    * row-local integer ops — no driver-side loop, no UDF), and the global
+    * bin numbering is a cumsum over the tiny window grain. The DuckDB twin
+    * folds the identical FFD recurrence as a recursive CTE. */
+  def packFit(counts: DataFrame, seqLen: Long = PackSeqLen,
+              windowDocs: Long = PackFitWindowDocs,
+              seed: Int = ShuffleSeed): DataFrame = {
+    import counts.sparkSession.implicits._
+    val keyed = counts.select($"doc_id", $"n_tokens",
+      Dedup.md5Hash32(seed, $"doc_id".cast("string")).as("skey"))
+    val ranked = graft.Dist.withGlobalRank(keyed, "rk", Seq($"skey", $"doc_id"))
+      .select($"doc_id", $"n_tokens", expr(s"(rk - 1) div $windowDocs").as("wid"))
+    // FFD fold: items sorted largest-first (nn = -n ascending, doc_id
+    // tiebreak); state = (bin remainders, placements). The first-fit index
+    // is recomputed per field of the state struct — bounded by W bins per
+    // window, so the fold stays ~W² row-local integer ops.
+    val folded = ranked.groupBy($"wid")
+      .agg(array_sort(collect_list(
+        struct((-$"n_tokens").as("nn"), $"doc_id", $"n_tokens".as("n")))).as("items"))
+      .select($"wid", expr(
+        s"""aggregate(items,
+           |  named_struct(
+           |    'rems', cast(array() as array<bigint>),
+           |    'outs', cast(array() as array<struct<did: bigint, bin: bigint, off: bigint, n: bigint>>)),
+           |  (acc, x) -> named_struct(
+           |    'rems',
+           |      if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
+           |         transform(acc.rems, (r, i) ->
+           |           if(cast(i as bigint) = array_position(transform(acc.rems, r2 -> r2 >= x.n), true) - 1,
+           |              r - x.n, r)),
+           |         concat(acc.rems, array(greatest(cast($seqLen as bigint) - x.n, cast(0 as bigint))))),
+           |    'outs', concat(acc.outs, array(named_struct(
+           |      'did', x.doc_id,
+           |      'bin', if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
+           |               array_position(transform(acc.rems, r -> r >= x.n), true),
+           |               cast(size(acc.rems) + 1 as bigint)),
+           |      'off', if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
+           |               cast($seqLen as bigint) - element_at(acc.rems,
+           |                 cast(array_position(transform(acc.rems, r -> r >= x.n), true) as int)),
+           |               cast(0 as bigint)),
+           |      'n', x.n)))),
+           |  acc -> acc.outs)""".stripMargin).as("outs"))
+    val asg = folded.select($"wid", explode($"outs").as("o"))
+      .select($"wid", $"o.did".as("doc_id"), $"o.bin".as("bin_in_window"),
+        $"o.off".as("seq_offset"), $"o.n".as("n_tokens"))
+    // global bin numbering: exclusive prefix sum of bins-per-window over
+    // the tiny window grain (two-phase cumsum — no single-task window)
+    val nb = asg.groupBy($"wid").agg(max($"bin_in_window").as("nbins"))
+    val bb = graft.Dist.withGlobalCumSums(nb, Seq("nbins"), Seq($"wid"))
+      .select($"wid", ($"cum_nbins" - $"nbins").as("binbase"))
+    val out0 = asg.join(bb, Seq("wid"))
+      .select($"doc_id", $"n_tokens", $"wid".as("window_id"),
+        $"bin_in_window", ($"binbase" + $"bin_in_window" - 1).as("seq_id"),
+        $"seq_offset")
+    val fills = out0.groupBy($"seq_id").agg(sum($"n_tokens").as("bin_tokens"))
+    out0.join(fills, Seq("seq_id"))
+      .select($"doc_id", $"n_tokens", $"window_id", $"bin_in_window",
+        $"seq_id", $"seq_offset", $"bin_tokens",
+        expr(s"(bin_tokens * 1000000) div $seqLen").as("fill_e6"))
+  }
+
+  /** One-row comparison of [[packFit]] against the concat-chunk layout over
+    * the SAME counts — the fill-efficiency delta graded in-query: bins and
+    * fill rate for both layouts, concat-chunk's split-document count, and
+    * the measured (not asserted) fit-side straddle count — 0 unless a doc
+    * exceeds the bin and must occupy one alone. `counts` needs
+    * (source, doc_id, n_tokens): concat-chunk packs per source in doc_id
+    * order, exactly `j7_pack_bpe`'s layout. */
+  def packFitStats(counts: DataFrame, seqLen: Long = PackSeqLen,
+                   windowDocs: Long = PackFitWindowDocs,
+                   seed: Int = ShuffleSeed): DataFrame = {
+    import counts.sparkSession.implicits._
+    val fit = packFit(counts.select($"doc_id", $"n_tokens"), seqLen, windowDocs, seed)
+    val fitAgg = fit.agg(count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("total_tokens"),
+      (max($"seq_id") + 1).as("n_bins_fit"),
+      sum(when($"seq_offset" + $"n_tokens" > seqLen, 1L).otherwise(0L))
+        .as("n_straddled_fit"))
+    val concatAgg = packSequencesFrom(counts, seqLen)
+      .select($"source", $"n_tokens",
+        (expr(s"tok_offset div $seqLen") =!=
+          expr(s"(tok_offset + n_tokens - 1) div $seqLen")).cast("long").as("straddle"))
+      .groupBy($"source")
+      .agg(sum($"straddle").as("n_straddled"), sum($"n_tokens").as("src_tokens"))
+      .agg(sum($"n_straddled").as("n_straddled_concat"),
+        sum(expr(s"(src_tokens + ${seqLen - 1}) div $seqLen")).as("n_bins_concat"))
+    fitAgg.crossJoin(broadcast(concatAgg))
+      .select($"n_docs", $"total_tokens", $"n_bins_fit",
+        expr(s"(total_tokens * 1000000) div (n_bins_fit * $seqLen)").as("fill_fit_e6"),
+        $"n_bins_concat",
+        expr(s"(total_tokens * 1000000) div (n_bins_concat * $seqLen)").as("fill_concat_e6"),
+        $"n_straddled_concat", $"n_straddled_fit")
   }
 
   val QualityDropPct = 10L

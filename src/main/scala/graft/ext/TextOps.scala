@@ -227,8 +227,16 @@ object TextOps {
         expr("least(n_punct, 7)").as("v4")))
     val slice = feats.filter($"doc_id" % LangTrainMod === 0)
     // 1-row training state: gold threshold (slice mean composite) and
-    // class counts under it
-    val thrF = slice.agg(expr("sum(score) div count(1)").as("thr"))
+    // class counts under it. DIV-CONVENTION GUARD (round-13 advice): Spark's
+    // `div` truncates toward zero while the oracle's DuckDB `//` FLOORS —
+    // they diverge whenever the slice's score sum is negative (possible for
+    // a degenerate all-punctuation corpus: the punct penalty can exceed the
+    // saturating length + diversity terms). Subtracting the nonnegative
+    // pmod first makes the numerator exactly divisible, so truncation IS
+    // floor for any sign — bit-identical to the old form on nonnegative
+    // sums (every harness corpus) and engine-parity-safe on the rest.
+    val thrF = slice.agg(
+      expr("(sum(score) - pmod(sum(score), count(1))) div count(1)").as("thr"))
     val lab = slice.crossJoin(broadcast(thrF))
       .select($"doc_id", ($"score" > $"thr").cast("long").as("hq"),
         $"v1", $"v2", $"v3", $"v4")

@@ -29,10 +29,45 @@ object SchemaQueries {
     * serialize within one process. */
   private val procToken: String = ProcessHandle.current().pid().toString
 
-  /** Staging dir for a dataset-keyed tmp layout, isolated per process. */
-  def stagingDir(prefix: String, d: String): String =
-    sys.props("java.io.tmpdir") + s"/${prefix}_p${procToken}_" +
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Bounded-tmp-growth discipline (round-13 advice): per-PID staging dirs
+    * are written fresh by every JVM, so without cleanup repeated bench /
+    * verify runs accumulate parquet copies in java.io.tmpdir indefinitely.
+    * Two measures: (a) every dir this JVM creates is removed by a shutdown
+    * hook; (b) on first staging use, stale `graft_*_p<pid>_*` dirs whose
+    * owning process is GONE are swept (covers kill -9'd runs the hook
+    * never saw). Live PIDs are never touched. */
+  private val ownDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val cleanupInit = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val StalePat = """graft_.*_p(\d+)_.*""".r
+  private def initCleanup(): Unit =
+    if (cleanupInit.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        ownDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty).foreach { f =>
+          f.getName match {
+            case StalePat(pid) if pid != procToken &&
+                !ProcessHandle.of(pid.toLong).isPresent =>
+              deleteRecursively(f)
+            case _ => ()
+          }
+        }
+    }
+
+  /** Staging dir for a dataset-keyed tmp layout, isolated per process and
+    * registered for exit-time removal. */
+  def stagingDir(prefix: String, d: String): String = {
+    initCleanup()
+    val dir = sys.props("java.io.tmpdir") + s"/${prefix}_p${procToken}_" +
       new java.io.File(d).getName
+    ownDirs.add(dir)
+    dir
+  }
 
   private val partDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

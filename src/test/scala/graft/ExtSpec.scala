@@ -1250,4 +1250,148 @@ class ExtSpec extends AnyFunSuite {
     // clusters (they share no cell with each other)
     assert(got(0L)._2 != got(2L)._2, "cross-cell pair must not merge sets")
   }
+
+  test("state-table forms equal their recompute twins (semdedup inc + lsh inc)") {
+    val d = "/root/testdata/sf0.001"
+    // semantic: frozen centroids + kept members persisted, batch-side read
+    val semRe = ext.Similarity.semDedupIncremental(Tables.embeddings(spark, d))
+      .collect().map(_.toSeq).toSet
+    val semSt = ext.Similarity.semDedupIncrementalState(spark, d,
+      Tables.embeddings(spark, d)).collect().map(_.toSeq).toSet
+    assert(semSt == semRe, "semdedup state form must be row-identical to recompute")
+    // lexical: standing LSH band index + shingle sets persisted
+    val lshRe = ext.Dedup.incrementalNearDup(Tables.documents(spark, d))
+      .collect().map(_.toSeq).toSet
+    val lshSt = ext.Dedup.incrementalNearDupState(spark, d,
+      Tables.documents(spark, d)).collect().map(_.toSeq).toSet
+    assert(lshSt == lshRe, "lsh state form must be row-identical to recompute")
+  }
+
+  test("packFit: whole docs never straddle; FFD beats concat-chunk on the crafted mix") {
+    import spark.implicits._
+    // six docs that FFD packs PERFECTLY (300+212 = 512 three times) while
+    // concat-chunk in doc order (300,300,300,212,212,212) splits docs at
+    // every boundary; plus one oversized doc that must get a bin alone
+    val counts = Seq((0L, 300L), (1L, 300L), (2L, 300L),
+      (3L, 212L), (4L, 212L), (5L, 212L), (6L, 600L))
+      .toDF("doc_id", "n_tokens")
+    val got = ext.Pipeline.packFit(counts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L), "bijection over docs")
+    // no doc straddles: offset + n <= seqLen except the oversized loner
+    val sizes = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (_, off, _)) <- got if id != 6L)
+      assert(off + sizes(id) <= 512L, s"doc $id straddles")
+    // the oversized doc sits alone at offset 0
+    assert(got(6L)._2 == 0L)
+    assert(!got.exists { case (id, (seq, _, _)) => id != 6L && seq == got(6L)._1 },
+      "oversized doc must occupy its bin alone")
+    // perfect fill on the three paired bins: each 300 shares a bin with a 212
+    val binTok = got.filter(_._1 != 6L).values.map(v => v._1 -> v._3).toMap
+    assert(binTok.values.forall(_ == 512L), s"paired bins must fill exactly: $binTok")
+    // the stats row records the delta vs concat-chunk
+    val stats = ext.Pipeline.packFitStats(
+      counts.select(org.apache.spark.sql.functions.lit("s").as("source"),
+        $"doc_id", $"n_tokens")).collect().head
+    assert(stats.getAs[Long]("n_straddled_fit") == 1L,   // only the oversized loner
+      s"fit straddles: $stats")
+    assert(stats.getAs[Long]("n_straddled_concat") >= 2L, s"concat must split docs: $stats")
+    assert(stats.getAs[Long]("fill_fit_e6") >= stats.getAs[Long]("fill_concat_e6"),
+      s"FFD fill must not lose to concat-chunk: $stats")
+  }
+
+  test("epoch mix: tiny source hits the 4-epoch cap; dominant source gets whole epochs + remainder") {
+    import spark.implicits._
+    def doc(src: String, id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "), src)
+    // small = 1 doc x 4 tokens, big = 60 docs x 100 tokens (total 6000):
+    // isqrt weights 2 / 77, wsum 79, corpus 6004, budget 3x = 18012 ->
+    // target_small = 456 -> 114 epochs, CAPPED at 4, remainder zeroed;
+    // target_big = 17556 -> 2 full epochs + rem 926000/1e6
+    val docs = (Seq(doc("small", 1000L, 4)) ++
+      (0L until 60L).map(i => doc("big", i, 100)))
+      .toDF("doc_id", "text", "source")
+    val got = ext.Pipeline.epochMix(docs).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(9)))).toMap
+    val (tS, fS, rS, nS) = (got(1000L)._1, got(1000L)._2, got(1000L)._3, got(1000L)._4)
+    assert((tS, fS, rS, nS) == ((456L, 4L, 0L, 4L)), s"capped source: ${got(1000L)}")
+    val (tB, fB, rB, _) = (got(0L)._1, got(0L)._2, got(0L)._3, got(0L)._4)
+    assert((tB, fB, rB) == ((17556L, 2L, 926000L)), s"dominant source: ${got(0L)}")
+    // every big-source doc repeats 2 or 3 times; remainder draws land both ways
+    val copies = got.filter(_._1 != 1000L).values.map(_._4).toSet
+    assert(copies == Set(2L, 3L), s"remainder must split the draws: $copies")
+  }
+
+  test("epoch mix: a below-proportional large source lands in the fractional (0-epoch) regime") {
+    import spark.implicits._
+    def doc(src: String, id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "), src)
+    // budgetX = 1 with 4 small sources whose sqrt-weights together double
+    // the large source's: large source target (533) < its total (800) ->
+    // zero whole epochs, purely down-sampled at 666250/1e6; small sources
+    // get exactly 1 full epoch + 330000/1e6 remainder
+    val docs = ((0L until 8L).map(i => doc("large", i, 100)) ++
+      (0 until 4).flatMap(s => (0L until 2L).map(i => doc(s"s$s", 100L + s * 10 + i, 100))))
+      .toDF("doc_id", "text", "source")
+    val got = ext.Pipeline.epochMix(docs, budgetX = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got.contains(("large", 533L, 0L, 666250L)), s"large source regime: $got")
+    assert(got.contains(("s0", 266L, 1L, 330000L)), s"small source regime: $got")
+  }
+
+  test("span corruption (token-ID grain): splicing targets back reconstructs the encoding") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val rules = ext.TextOps.bpeTrain(docs)
+    val encoded = ext.TextOps.bpeEncodeDocs(docs, ext.TextOps.bpeApply(docs, rules))
+    val orig = encoded.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("token_ids")).toMap
+    val vmax = orig.values.flatMap(_.split(" ")).map(_.toLong).max
+    val rows = ext.Pipeline.spanCorruptBpe(encoded).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(6), r.getString(7)))).toMap
+    assert(rows.keySet == orig.keySet, "one row per encoded doc")
+    for ((id, (nm, inp, tgt)) <- rows) {
+      // sentinels are exactly the reserved IDs past the vocab: vmax+1+j
+      val spans = scala.collection.mutable.Map[Long, List[String]]()
+      var cur = -1L
+      tgt.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val v = tok.toLong
+        if (v > vmax) { cur = v; spans(cur) = Nil }
+        else spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nm, s"doc $id: ${spans.size} spans vs $nm masked")
+      assert(spans.keySet.forall(s => s > vmax && s <= vmax + 1 + nm),
+        s"doc $id: sentinel ids must be the reserved range: ${spans.keySet}")
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).flatMap { tok =>
+        if (tok.toLong > vmax) spans(tok.toLong) else Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id does not reconstruct at the ID grain")
+    }
+  }
+
+  test("dup run length: one long run vs scattered short runs; totals match the scrub") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val longBlock = words("c", 60)      // one 60-token copied block
+    val shortA = words("a", 10)         // three scattered 10-token blocks
+    val shortB = words("b", 10)
+    val shortC = words("d", 10)
+    val docs = Seq(
+      (0L, s"${words("u", 12)} $longBlock ${words("v", 12)}"),
+      (1L, s"${words("x", 12)} $longBlock ${words("y", 12)}"),
+      (2L, s"$shortA ${words("p", 15)} $shortB ${words("q", 15)} $shortC"),
+      (3L, s"$shortA ${words("r", 15)} $shortB ${words("s", 15)} $shortC"))
+      .toDF("doc_id", "text")
+    val got = ext.Dedup.dupRunLength(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // docs 0/1: exactly one 60-token run -> wholesale-copy verdict
+    assert(got(0L) == ((1L, 60L, 60L, 1L)), s"long run: ${got(0L)}")
+    assert(got(1L) == ((1L, 60L, 60L, 1L)), s"long run: ${got(1L)}")
+    // docs 2/3: three scattered 10-token runs, none >= 50 -> no verdict
+    assert(got(2L) == ((3L, 10L, 30L, 0L)), s"scattered runs: ${got(2L)}")
+    assert(got(3L)._4 == 0L, s"scattered runs must not flag: ${got(3L)}")
+    // dup_tokens IS the scrub's n_removed (one shared duplicated-set definition)
+    val removed = ext.Dedup.scrubSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, (_, _, dup, _)) => dup == removed(id) },
+      s"dup_tokens must equal scrub n_removed: $got vs $removed")
+  }
 }

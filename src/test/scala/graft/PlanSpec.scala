@@ -273,13 +273,23 @@ class PlanSpec extends AnyFunSuite {
     //                  decontam fingerprint-side shape, embedding form)
     //   j7_ppl_buckets inherits j4_lm_bits' 1-row vocabulary-size
     //                  broadcast (the smoothing denominator V)
+    //   j3_semdedup_inc_state  the 1-row id-cutoff aggregate only (the
+    //                  corpus/batch split); the centroid side is a READ
+    //                  state TABLE joined broadcast-hash, not nested-loop
+    //   j7_mix_epochs  1-row (wsum, corpus_tokens) aggregate broadcast
+    //                  (the j7_mix_temp shape plus the budget numerator)
+    //   j7_span_corrupt_bpe  1-row vocab-max aggregate broadcast (the
+    //                  reserved-sentinel base — j4_lm_bits' V shape)
+    //   j7_pack_fit_stats  1-row x 1-row summary cross (fit aggregate vs
+    //                  concat-chunk aggregate, the comparison row itself)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
-      "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc",
+      "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
-      "j7_ppl_buckets")
+      "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
+      "j7_pack_fit_stats")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
