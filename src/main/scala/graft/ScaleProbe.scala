@@ -176,6 +176,13 @@ object ScaleProbe {
       Head("j4_quality_clf", f => ext.TextOps.qualityClassifier(docsAt(f))),
       Head("j3_semdedup_inc", f => ext.Similarity.semDedupIncremental(embAt(f))),
       Head("j7_span_corrupt", f => ext.Pipeline.spanCorrupt(docsAt(f))),
+      // round-13 addition: the FFD packing pipeline (global rank, window
+      // folds, bin-count cumsum) over whitespace counts — the orchestration
+      // shape is what scales; the BPE counts feeding the graded query are
+      // the memoized encode artifact
+      Head("j7_pack_fit", f => ext.Pipeline.packFit(
+        docsAt(f).selectExpr("doc_id",
+          "cast(size(split(text, ' ')) as bigint) as n_tokens"))),
       Head("j7_decontam_sem", f => ext.Similarity.semDecontam(embAt(f))),
       Head("j7_gopher_gate", f => ext.Pipeline.gopherGate(docsAt(f))),
       Head("j3_pq_adc", f => ext.Similarity.annPq(embAt(f))),
@@ -245,8 +252,11 @@ object ScaleProbe {
     val deepFactor = 3 * factor
     // round-12: the two round-11 heads with the steepest 10x ratios join
     // the second decade (verdict #8) — cell-cap and quadratic-join
-    // invariants asserted at 30x for the sqrt(N)-cell and gram-grain paths
-    val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans")
+    // invariants asserted at 30x for the sqrt(N)-cell and gram-grain paths.
+    // round-13: j5_phash_hamming joins (the steepest new 10x ratio — real
+    // PNG decode + banded hamming verify at 30x).
+    val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans",
+      "j5_phash_hamming")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
       // min-of-2: the host's intermittent per-core grind (SURVEY §6,
       // Bench's min-of-passes rationale) can inflate a single 30x run
@@ -281,6 +291,47 @@ object ScaleProbe {
     val scrubA = scrubWall(320, 1000)
     val scrubB = scrubWall(160, 2000)
 
+    // STATE-FORM cost separation (round 13, the round-12 verdict's #1):
+    // hold the ingest BATCH FIXED (50 vectors) while the standing corpus
+    // grows FACTORx. The id layout leaves a gap between corpus and batch
+    // ids so corpusPct = 50 puts the cutoff inside the gap — the split is
+    // exact at every factor. The state form (persisted centroids + kept
+    // members, built once per factor OUTSIDE the timed window) must stay
+    // ~flat — it pays |batch| x sqrt(corpus-cells) assignment only — while
+    // the recompute form re-derives the corpus clustering in-query and
+    // grows with the corpus. This is the nightly-job bill the state tables
+    // exist to avoid, measured.
+    val semBatchN = 50
+    def embStateProbe(f: Int): DataFrame = {
+      val c = embAt(f) // corpus: dense ids 0 .. f*stride-1
+      val corpusMax = f * embStride
+      val gap = 2L * (corpusMax + semBatchN)
+      val b = emb0.filter($"vec_id" < semBatchN)
+        .select(($"vec_id" + gap).as("vec_id"), $"embedding", $"label")
+      c.unionByName(b)
+    }
+    def semWall(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      Pinned.release(spark); s
+    }
+    def semStatePoint(f: Int): (Double, Double) = {
+      // warmup also BUILDS the state tables for this factor's key
+      semWall(ext.Similarity.semDedupIncrementalState(spark,
+        s"graft_probe_semstate_f$f", embStateProbe(f), corpusPct = 50L))
+      val st = (1 to 2).map(_ => semWall(
+        ext.Similarity.semDedupIncrementalState(spark,
+          s"graft_probe_semstate_f$f", embStateProbe(f), corpusPct = 50L))).min
+      semWall(ext.Similarity.semDedupIncremental(embStateProbe(f), corpusPct = 50L))
+      val re = (1 to 2).map(_ => semWall(
+        ext.Similarity.semDedupIncremental(embStateProbe(f), corpusPct = 50L))).min
+      (st, re)
+    }
+    val (semSt1, semRe1) = semStatePoint(1)
+    val (semStF, semReF) = semStatePoint(factor)
+    println(f"semdedup_inc fixed batch: state $semSt1%.2fs -> $semStF%.2fs (x${semStF / semSt1}%.2f) | recompute $semRe1%.2fs -> $semReF%.2fs (x${semReF / semRe1}%.2f)")
+
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -298,6 +349,10 @@ object ScaleProbe {
       failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinD at ${deepFactor}x"
     if (scrubB >= 1.6 * scrubA)
       failed ::= f"scrub worst case scales with doc length at fixed mass: ${scrubB / scrubA}%.2f (len 1000 -> 2000)"
+    if (semStF >= semReF)
+      failed ::= f"semdedup state form not cheaper than recompute at ${factor}x fixed batch: $semStF%.2f >= $semReF%.2f"
+    if (semStF >= (factor / 2.0) * semSt1)
+      failed ::= f"semdedup state form scales with the corpus at fixed batch: x${semStF / semSt1}%.2f at ${factor}x"
     deepRes.foreach { case (name, _, wd, qd, _, base) =>
       if (qd > base.quad1)
         failed ::= s"$name: quadratic join shapes grew ${base.quad1} -> $qd at ${deepFactor}x"
@@ -314,7 +369,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()
