@@ -615,6 +615,85 @@ object Dedup {
       .withColumn("long_dup", ($"max_run_tokens" >= gateTokens).cast("long"))
   }
 
+  /** J2 — LONG-RUN scrub (round 13, the Lee et al. 2022 TRANSFORM behind
+    * [[dupRunLength]]'s verdict): remove only the merged duplicated runs of
+    * at least [[DupRunGateTokens]] tokens — wholesale copying — while
+    * KEEPING the short duplicated spans [[scrubSpans]] would also strip
+    * (the published argument: short shared n-grams are natural language,
+    * stripping them harms fluency; the ≥50-token convention targets real
+    * duplication). Same gram fingerprints, df >= 2 set, merged runs, and
+    * MassiveText char accounting as the rest of the family — so the three
+    * decision surfaces (fraction, stat, both transforms) can never
+    * disagree about what "duplicated" means — and the same row-local
+    * gap-slicing reconstruction: the only change is the run-length filter
+    * before the gaps are derived.
+    *
+    * Scale shape: identical to [[scrubSpans]] — one gram-grain shuffle,
+    * starts back per doc on the same key, O(dup-starts + kept tokens)
+    * row-local reconstruction. */
+  def scrubLongRuns(docs: DataFrame, n: Int = DupNgramN,
+                    gateTokens: Long = DupRunGateTokens): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pf = ngramArrays(docs, n).select($"doc_id", expr(
+      "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
+      .as("pfps"))
+    val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
+    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+      .select($"fp")
+    val starts = pf.select($"doc_id", posexplode($"pfps").as(Seq("i0", "fp")))
+      .join(dup, Seq("fp"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("ss"))
+    // collapse barrier (the winnow rule), as in scrubSpans
+    val base = graft.Pinned.track(
+      docs.select($"doc_id", split($"text", " ").as("toks"))
+        .join(starts, Seq("doc_id"), "left")
+        .select($"doc_id", $"toks",
+          coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
+    // merged runs as (rs, re) intervals, then the LENGTH GATE — everything
+    // after the filter is scrubSpans' gap slicing over the surviving runs.
+    // Same two expression guards as the siblings (descending sequence(1,0)
+    // on empty input; lagged element_at index pinned >= 1).
+    val withRuns = base.select($"doc_id", $"toks",
+        expr(s"""case when size(ss) = 0 then array()
+                |else filter(sequence(1, size(ss)),
+                |  i -> i = 1 OR element_at(ss, i) > element_at(ss, greatest(i - 1, 1)) + $n) end""".stripMargin)
+          .as("ni"), $"ss")
+      .select($"doc_id", $"toks", expr(
+        s"""case when size(ni) = 0 then array() else
+           |filter(transform(sequence(1, size(ni)), k -> named_struct(
+           |  'rs', element_at(ss, element_at(ni, k)),
+           |  're', element_at(ss, if(k = size(ni), size(ss), element_at(ni, if(k = size(ni), 1, k + 1)) - 1)) + ${n - 1})),
+           |  r -> r.re - r.rs + 1 >= $gateTokens) end""".stripMargin).as("runs"))
+    val withGaps = withRuns.select($"doc_id", $"toks",
+      size($"runs").cast("long").as("n_long_runs"),
+      expr(
+        s"""transform(sequence(0, size(runs)), j -> named_struct(
+           |  'gs', if(j = 0, cast(1 as bigint),
+           |    element_at(runs, j).re + 1),
+           |  'ge', if(j = size(runs), cast(size(toks) as bigint),
+           |    element_at(runs, j + 1).rs - 1)))""".stripMargin).as("gaps"))
+    val kept = expr(
+      """flatten(transform(gaps, g ->
+        |  slice(toks, cast(g.gs as int), greatest(cast(g.ge - g.gs + 1 as int), 0))))""".stripMargin)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, t) => acc + length(t))
+    withGaps
+      .select($"doc_id", $"toks", $"n_long_runs", kept.as("kept"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        $"n_long_runs",
+        (size($"toks") - size($"kept")).cast("long").as("n_removed"),
+        charSum($"toks").as("n_chars"),
+        (charSum($"toks") - charSum($"kept")).as("removed_chars"),
+        array_join($"kept", " ").as("scrubbed_text"))
+      .select($"doc_id", $"n_tokens", $"n_long_runs", $"n_removed", $"n_chars",
+        $"removed_chars",
+        expr("(removed_chars * 1000000) div greatest(n_chars, 1)")
+          .as("removed_frac_e6"),
+        $"scrubbed_text")
+  }
+
   /** Line width (tokens) for [[lineDedup]]. The harness corpus carries no
     * newline structure, so a "line" is a fixed run of 5 consecutive
     * tokens — deliberately SHORTER than [[DupNgramN]] so the two grains

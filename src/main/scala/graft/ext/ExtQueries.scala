@@ -203,6 +203,13 @@ object ExtQueries {
     "j2_dup_run_len" -> ((s, d) =>
       Dedup.dupRunLength(Tables.documents(s, d))),
 
+    // J2 — the LONG-RUN scrub TRANSFORM (Lee et al. 2022's convention):
+    // remove only merged duplicated runs >= 50 tokens (wholesale copying),
+    // KEEPING the short shared spans the full scrub strips — the published
+    // fluency-preserving dedup transform.
+    "j2_scrub_long_runs" -> ((s, d) =>
+      Dedup.scrubLongRuns(Tables.documents(s, d))),
+
     // J7 — the curation capstones: keep/drop/split manifest and benchmark
     // decontamination, composed from the graded J1-J4 kernels.
     "j7_trainset" -> ((s, d) =>
@@ -1591,6 +1598,45 @@ object ExtQueries {
          |  CAST(CASE WHEN coalesce(a.max_run_tokens, 0) >= ${Dedup.DupRunGateTokens}
          |    THEN 1 ELSE 0 END AS BIGINT) AS long_dup
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+    },
+
+    // Long-run scrub: the islands form of the dup-run oracle, with the
+    // run-length gate applied to each island before coverage — only
+    // positions inside >= 50-token islands are removed.
+    "j2_scrub_long_runs" -> {
+      val n = Dedup.DupNgramN
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS fp
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) z),
+         |dup AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM g) df
+         |  GROUP BY fp HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, i FROM g WHERE fp IN (SELECT fp FROM dup)),
+         |covd AS (SELECT DISTINCT s.doc_id, p FROM st s,
+         |  LATERAL (SELECT unnest(generate_series(s.i, s.i + ${n - 1})) AS p) z),
+         |isl AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM covd),
+         |big AS (SELECT doc_id, grp FROM isl GROUP BY doc_id, grp
+         |  HAVING count(*) >= ${Dedup.DupRunGateTokens}),
+         |nlr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_long_runs FROM big GROUP BY 1),
+         |covL AS (SELECT i.doc_id, i.p FROM isl i
+         |  JOIN big b ON b.doc_id = i.doc_id AND b.grp = i.grp),
+         |tok AS (SELECT doc_id, p, toks[p] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) z),
+         |mk AS (SELECT tk.doc_id, tk.p, tk.tok,
+         |    CASE WHEN cl.p IS NOT NULL THEN 1 ELSE 0 END AS covered
+         |  FROM tok tk LEFT JOIN covL cl ON cl.doc_id = tk.doc_id AND cl.p = tk.p)
+         |SELECT m.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  coalesce(any_value(nl.n_long_runs), 0) AS n_long_runs,
+         |  CAST(sum(m.covered) AS BIGINT) AS n_removed,
+         |  CAST(sum(length(m.tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN m.covered = 1 THEN length(m.tok) ELSE 0 END) AS BIGINT) AS removed_chars,
+         |  (CAST(sum(CASE WHEN m.covered = 1 THEN length(m.tok) ELSE 0 END) AS BIGINT) * 1000000)
+         |    // greatest(CAST(sum(length(m.tok)) AS BIGINT), 1) AS removed_frac_e6,
+         |  coalesce(string_agg(CASE WHEN m.covered = 0 THEN m.tok END, ' ' ORDER BY m.p), '') AS scrubbed_text
+         |FROM mk m LEFT JOIN nlr nl ON nl.doc_id = m.doc_id
+         |GROUP BY m.doc_id""".stripMargin
     },
 
     // Line dedup: fixed-width token chunks, same df>=2 / 60-bit-md5 /

@@ -1367,6 +1367,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("long-run scrub: removes the wholesale copy, keeps short boilerplate the full scrub strips") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val longBlock = words("c", 60)
+    val shortA = words("a", 10)
+    val docs = Seq(
+      (0L, s"${words("u", 12)} $longBlock ${words("v", 12)}"),
+      (1L, s"${words("x", 12)} $longBlock ${words("y", 12)}"),
+      (2L, s"$shortA ${words("p", 15)}"),
+      (3L, s"$shortA ${words("r", 15)}"))
+      .toDF("doc_id", "text")
+    val got = ext.Dedup.scrubLongRuns(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(7)))).toMap
+    // docs 0/1: the 60-token run is removed, the unique flanks survive
+    assert(got(0L) == ((1L, 60L, s"${words("u", 12)} ${words("v", 12)}")), s"${got(0L)}")
+    assert(got(1L)._1 == 1L && got(1L)._2 == 60L)
+    // docs 2/3: the 10-token duplicated block is BELOW the gate — text
+    // passes through unchanged, where the full scrub strips it
+    assert(got(2L) == ((0L, 0L, s"$shortA ${words("p", 15)}")), s"${got(2L)}")
+    val full = ext.Dedup.scrubSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full(2L) == 10L, s"the full scrub must strip the short block: $full")
+  }
+
   test("dup run length: one long run vs scattered short runs; totals match the scrub") {
     import spark.implicits._
     def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
