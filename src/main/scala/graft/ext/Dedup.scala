@@ -836,6 +836,48 @@ object Dedup {
       dropE6)
   }
 
+  /** Row-local (doc_id, dshings, h0..h{n-1}, band, sig) band rows WITHOUT
+    * the tracked persists — for STREAMING callers ([[graft.streaming
+    * .StreamOps.incProbeStream]]): persist is illegal on a streaming
+    * Dataset, and every signature here is a pure row-local expression
+    * anyway. Carries the full minhash vector and the shingle set on every
+    * band row so the consumer can both dedup candidates row-locally (the
+    * smallest-matching-band witness) and verify exact Jaccard without a
+    * second stateful join. Bit-identical signatures to [[shingleBands]]. */
+  private[graft] def bandRowsWithSets(docs: DataFrame, bands: Int = Bands,
+                                      rows: Int = RowsPerBand): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigCols = (0 until bands * rows).map(s =>
+      array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
+    val mh = shingleFpArrays(docs)
+      .select(($"doc_id" +: $"dshings" +: sigCols): _*)
+    val hCols = (0 until bands * rows).map(s => col(s"h$s"))
+    val bsCol = explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
+    }: _*)).as("bs")
+    mh.select(($"doc_id" +: $"dshings" +: hCols) :+ bsCol: _*)
+      .select(($"doc_id" +: $"dshings" +: hCols) :+
+        $"bs.band".as("band") :+ $"bs.sig".as("sig"): _*)
+  }
+
+  /** The STATIC probe index for the streaming ingest path: the corpus
+    * side's cap-gated band rows carrying everything a verify needs —
+    * (doc_c, band, sig, corpus minhashes ch*, shingle set shb). Built in
+    * batch (persists fine); the stream side equi-joins it per band. */
+  private[graft] def corpusProbeIndex(corpusDocs: DataFrame, bands: Int = Bands,
+                                      rows: Int = RowsPerBand,
+                                      bucketCap: Int = BucketCap): DataFrame = {
+    import corpusDocs.sparkSession.implicits._
+    val br = graft.Pinned.track(bandRowsWithSets(corpusDocs, bands, rows))
+    val ok = br.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= bucketCap).select($"band", $"sig")
+    val chCols = (0 until bands * rows).map(s => col(s"h$s").as(s"ch$s"))
+    br.join(ok, Seq("band", "sig"), "left_semi")
+      .select(($"doc_id".as("doc_c") +: $"dshings".as("shb") +: chCols) :+
+        $"band" :+ $"sig": _*)
+  }
+
   /** The batch-side probe shared by [[incrementalNearDup]] (recompute) and
     * [[incrementalNearDupState]] (state tables): the incoming band rows
     * equi-join the standing cap-gated index, exact Jaccard verifies

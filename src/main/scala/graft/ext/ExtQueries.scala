@@ -666,7 +666,15 @@ object ExtQueries {
     // is attributionJoinStream, equality + late-drop pinned in
     // StreamingSpec): click -> purchase attribution within 30 minutes.
     "st_join" -> ((s, d) =>
-      graft.streaming.StreamOps.attributionJoin(Tables.events(s, d)))
+      graft.streaming.StreamOps.attributionJoin(Tables.events(s, d))),
+
+    // I + J2 — STREAM-STATIC incremental ingest probe (round 13): incoming
+    // docs (as a stream in the incProbeStream twin) probe the standing
+    // corpus LSH index table; one row per verified candidate pair, exact
+    // Jaccard + verdict; candidate dedup is a row-local smallest-matching-
+    // band witness, so the streaming form is append-mode with ZERO state.
+    "st_inc_probe" -> ((s, d) =>
+      graft.streaming.StreamOps.incProbe(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1237,7 +1245,13 @@ object ExtQueries {
     * incoming (doc_id % 10 = 0) probes corpus band buckets (cap-gated on
     * the corpus side only, no >=2 requirement); best verified match per
     * incoming doc, ties to the smallest corpus id. */
-  private val incrementalNearDupOracle: String = {
+  /** The chain shared by all three incremental-probe oracles (relation
+    * `jac` at the verified candidate-PAIR grain): incoming (doc_id % 10
+    * = 0) probes cap-gated corpus band buckets, exact Jaccard per distinct
+    * pair. `j2_incremental`(`_state`) reduce it to best-per-doc;
+    * `st_inc_probe` grades the pair grain itself (the append-mode
+    * streaming output — best-match is rank-at-serve there). */
+  private val incProbeChain: String = {
     val bandCands = (0 until Dedup.Bands).map { b =>
       val keys = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
       val pos = (1 to keys.size).mkString(", ")
@@ -1268,7 +1282,13 @@ object ExtQueries {
        |  FROM cand c
        |  LEFT JOIN inter i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
        |  JOIN sizes sa ON sa.doc_id = c.doc_n
-       |  JOIN sizes sb ON sb.doc_id = c.doc_c),
+       |  JOIN sizes sb ON sb.doc_id = c.doc_c)""".stripMargin
+  }
+
+  /** Best-per-doc reduction over the shared chain — j2_incremental and its
+    * state-table twin. */
+  private val incrementalNearDupOracle: String =
+    s"""$incProbeChain,
        |best AS (SELECT doc_n, doc_c, j_e6 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
        |    FROM jac) z WHERE rn = 1)
@@ -1279,7 +1299,13 @@ object ExtQueries {
        |    THEN 'drop' ELSE 'keep' END AS verdict
        |FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
        |WHERE d.doc_id % 10 = 0""".stripMargin
-  }
+
+  /** The verified-pair grain itself — st_inc_probe's oracle. */
+  private val incProbePairOracle: String =
+    s"""$incProbeChain
+       |SELECT doc_n, doc_c, j_e6,
+       |  CASE WHEN j_e6 >= ${Dedup.IncrementalDropE6} THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM jac""".stripMargin
 
   /** Bigram-LM bits-per-token oracle CTEs (per-doc relation `lmout`)
     * — shared by j4_lm_bits and the CCNet perplexity buckets. */
@@ -1329,6 +1355,7 @@ object ExtQueries {
     // per-doc row-local signatures — equality also pinned in ExtSpec).
     "j2_incremental" -> incrementalNearDupOracle,
     "j2_incremental_state" -> incrementalNearDupOracle,
+    "st_inc_probe" -> incProbePairOracle,
 
     // Exact prefix-filter similarity join: the oracle mirrors the Spark
     // side CTE for CTE (global rare-first order, per-doc prefix, bucket

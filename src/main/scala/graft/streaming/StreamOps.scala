@@ -464,4 +464,69 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(graft.Det.instantAsUtcNtz($"w.start").as("win_start"), $"event_type", $"n")
   }
+
+  /** J2/I — INCREMENTAL ingest probe (round 13): the STREAM-STATIC join
+    * shape of the nightly dedup ingest — incoming documents arrive as a
+    * stream and probe the STANDING corpus LSH index (a static table, the
+    * same artifact `j2_incremental_state` persists); one row per verified
+    * (incoming, corpus) candidate pair with its exact Jaccard and drop
+    * verdict. This is the batch twin; [[incProbeStream]] is the
+    * readStream form, pinned row-identical in StreamingSpec.
+    *
+    * Fully APPEND-mode and STATELESS by construction: candidate dedup (a
+    * pair can share a bucket in several bands) is not a stateful
+    * `distinct` but a row-local smallest-matching-band WITNESS — a band-b
+    * match is emitted iff no earlier band also matches, decidable from
+    * the two rows' carried minhash vectors — and the verify is a
+    * row-local `array_intersect` over the carried shingle sets. The
+    * per-doc best-match reduction is rank-at-serve (the [[topkPerWindow]]
+    * convention; `j2_incremental` grades that reduction in batch).
+    *
+    * 100 TB posture: the static side is the maintained, cap-gated index
+    * table; the stream side is shingled/signed row-locally; each
+    * micro-batch runs one hash join against the static relation — the
+    * canonical stream-static enrichment, no watermark needed because no
+    * state is kept. */
+  def incProbe(docs: DataFrame, mod: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val idx = graft.ext.Dedup.corpusProbeIndex(docs.filter($"doc_id" % mod =!= 0))
+    incProbeJoin(
+      graft.ext.Dedup.bandRowsWithSets(docs.filter($"doc_id" % mod === 0)), idx)
+  }
+
+  /** Streaming form of [[incProbe]]: `incoming` is a STREAMING documents
+    * frame (doc_id, text, ...); `corpusIndex` the static
+    * [[graft.ext.Dedup.corpusProbeIndex]] relation. */
+  def incProbeStream(incoming: DataFrame, corpusIndex: DataFrame): DataFrame =
+    incProbeJoin(graft.ext.Dedup.bandRowsWithSets(incoming), corpusIndex)
+
+  /** The shared probe: equi-join on (band, sig), witness dedup, row-local
+    * exact-Jaccard verify + verdict — identical on batch and streaming
+    * `incoming` band rows. */
+  private def incProbeJoin(incoming: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    import incoming.sparkSession.implicits._
+    val bands = graft.ext.Dedup.Bands
+    val rows = graft.ext.Dedup.RowsPerBand
+    // emit a matched pair only from its SMALLEST matching band: for every
+    // earlier band, at least one of that band's minhashes must differ —
+    // exact dedup of multi-band candidates with zero state
+    val witness = (0 until bands).map { b =>
+      val earlierMiss = (0 until b).map { bp =>
+        (0 until rows).map(r =>
+          col(s"h${bp * rows + r}") =!= col(s"ch${bp * rows + r}"))
+          .reduce(_ || _)
+      }
+      earlierMiss.foldLeft($"band" === b)(_ && _)
+    }.reduce(_ || _)
+    incoming.join(corpusIndex, Seq("band", "sig"))
+      .filter(witness)
+      .select($"doc_id".as("doc_n"), $"doc_c",
+        size(array_intersect($"dshings", $"shb")).as("ninter"),
+        size($"dshings").as("na"), size($"shb").as("nb"))
+      .select($"doc_n", $"doc_c",
+        round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter") * 1000000.0)
+          .cast("long").as("j_e6"))
+      .withColumn("verdict",
+        when($"j_e6" >= graft.ext.Dedup.IncrementalDropE6, "drop").otherwise("keep"))
+  }
 }

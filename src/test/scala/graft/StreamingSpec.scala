@@ -433,4 +433,34 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("stream-static incremental probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val expected = StreamOps.incProbe(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the probe must find candidate pairs on the harness corpus")
+    // static side: the standing corpus index (batch-built, as a nightly
+    // job maintains it); stream side: the incoming carve arriving as files
+    val idx = ext.Dedup.corpusProbeIndex(docs.filter($"doc_id" % 10 =!= 0))
+    val staged = java.nio.file.Files.createTempDirectory("graft_incprobe").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.incProbeStream(stream, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_incprobe_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_incprobe_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
 }
