@@ -467,6 +467,23 @@ object ExtQueries {
     // materializes, feeding j7_pack's sequence packing.
     "j4_bpe_encode_docs" -> ((s, d) => bpeEncoded(s, d)),
 
+    // J4 — tokenizer FERTILITY per language (round 13): tokens-per-word of
+    // the trained BPE by language — the published multilingual tokenizer-
+    // efficiency metric (high-fertility languages pay more sequence budget
+    // per word; the dataset-card companion to j7_corpus_stats). From the
+    // memoized document-grain encoding; exact integer millionths.
+    "j4_fertility" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id", $"lang")
+        .join(bpeEncoded(s, d).select($"doc_id", $"n_words", $"n_tokens"), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_tokens").as("n_tokens"))
+        .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+          expr("(n_tokens * 1000000) div n_words").as("fertility_e6"))
+    }),
+
     // J7 — sequence packing over the REAL tokenizer counts (the
     // tokenize→pack closure): j7_pack's 512-token packing with
     // n_tokens from the document-grain BPE encoding instead of
@@ -1007,6 +1024,19 @@ object ExtQueries {
        |  tok_offset // ${Pipeline.PackSeqLen} AS seq_id,
        |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
        |FROM c""".stripMargin
+
+  /** Tokenizer fertility per language over the encode chain. */
+  private def fertilityOracle(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)},
+       |enc AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1)
+       |SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       |  (CAST(sum(e.n_tokens) AS BIGINT) * 1000000) // CAST(sum(e.n_words) AS BIGINT) AS fertility_e6
+       |FROM enc e JOIN documents doc ON doc.doc_id = e.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** Shared CTE chain of the FFD packing oracles (doc-grain relation
     * `pf_out` + the `enc` counts): a RECURSIVE CTE folds every window's
@@ -2590,6 +2620,7 @@ object ExtQueries {
         "j7_pack_fit" -> packFitOracle(6),
         "j7_pack_fit_stats" -> packFitStatsOracle(6),
         "j7_span_corrupt_bpe" -> spanCorruptBpeOracle(6),
+        "j4_fertility" -> fertilityOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

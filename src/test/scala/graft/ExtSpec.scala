@@ -1391,6 +1391,28 @@ class ExtSpec extends AnyFunSuite {
     assert(full(2L) == 10L, s"the full scrub must strip the short block: $full")
   }
 
+  test("tokenizer fertility: a longer-word language pays more tokens per word") {
+    import spark.implicits._
+    // lang A repeats two short words (one merge covers them); lang B's
+    // words are long and unique, so they stay many symbols after the same
+    // merge budget -> strictly higher tokens-per-word
+    val docs = Seq(
+      (0L, "aa bb aa bb aa bb", "A"),
+      (1L, "aa bb aa bb", "A"),
+      (2L, "qwxyzkj mnpvtr qwxyzkj", "B"),
+      (3L, "zzkwvpq rstuvnm", "B"))
+      .toDF("doc_id", "text", "lang")
+    val rules = ext.TextOps.bpeTrain(docs)
+    val enc = ext.TextOps.bpeEncodeDocs(docs, ext.TextOps.bpeApply(docs, rules))
+    val fert = docs.select($"doc_id", $"lang")
+      .join(enc.select($"doc_id", $"n_words", $"n_tokens"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("w"), sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2) * 1000000L / r.getLong(1))).toMap
+    assert(fert("B") > fert("A"),
+      s"long unique words must cost more tokens per word: $fert")
+  }
+
   test("dup run length: one long run vs scattered short runs; totals match the scrub") {
     import spark.implicits._
     def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
