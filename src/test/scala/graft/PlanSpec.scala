@@ -325,6 +325,36 @@ class PlanSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("packFit: range shuffles are exactly the two ranks (doc-grain permutation + window-grain bin cumsum)") {
+    // the FFD packing's only wide movements of data must be the two
+    // Dist two-phase ranks: the permutation rank over the DOC grain and
+    // the bin-count cumsum over the (tiny) WINDOW grain. Any third range
+    // shuffle means the fold or numbering regressed to a re-sort. The
+    // walk descends into InMemoryRelations (Dist pins its local-rank
+    // frame, hiding the exchange from the outer plan) and dedupes
+    // structurally (the pinned frame is scanned by two branches).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val pf = ext.Pipeline.packFit(Tables.documents(spark, sfDir).selectExpr(
+      "doc_id", "cast(size(split(text, ' ')) as bigint) as n_tokens"))
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val ranges = walk(pf.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.distinct
+    assert(ranges.size == 2,
+      s"expected exactly the two Dist range shuffles, got ${ranges.size}:\n${ranges.mkString("\n")}")
+    graft.Pinned.release(spark)
+  }
+
   test("whole surface: no single-partition window over unbounded grains") {
     // A Window with no partitionSpec moves its whole input through ONE task
     // — the classic 100 TB scale-killer (round-1's W8/W13 shape). Since the
