@@ -161,6 +161,10 @@ object ScaleProbe {
       // row-local reconstruction) and SemDeDup (sqrt(N) cells — the
       // intra-cell pair stage must scale ~N*sqrt(N), never quadratic)
       Head("j2_scrub_spans", f => ext.Dedup.scrubSpans(docsAt(f))),
+      // round-13: the >=50-token long-run scrub shares the scrub chain
+      // (one extra row-local run filter) — measured, not argued, since it
+      // is a top-5 bench query
+      Head("j2_scrub_long_runs", f => ext.Dedup.scrubLongRuns(docsAt(f))),
       Head("j3_semdedup", f => ext.Similarity.semDedup(embAt(f))),
       // round-12 additions: the line-grain dedup transform, the 64-bit
       // banded image near-dup (real PNG decode under it), the global
