@@ -328,6 +328,13 @@ object ExtQueries {
     "j3_semdedup_inc_state" -> ((s, d) =>
       Similarity.semDedupIncrementalState(s, d, Tables.embeddings(s, d))),
 
+    // J3 — the state UPSERT (round 13): the nightly job's WRITE step — the
+    // post-ingest kept-member index (standing members + kept batch vectors
+    // in their cells, is_new-flagged), graded against the same oracle
+    // chain as the verdict twins so read and write paths cannot disagree.
+    "j3_semdedup_inc_upsert" -> ((s, d) =>
+      Similarity.semDedupIncrementalUpsert(s, d, Tables.embeddings(s, d))),
+
     // J3 scale path #3 — product quantization + asymmetric distance (the
     // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
     // tables, exact integer arithmetic end-to-end).
@@ -1232,7 +1239,10 @@ object ExtQueries {
     * (recompute) and j3_semdedup_inc_state (persisted state tables): both
     * forms are defined to produce the SAME relation, so one twin grades
     * both and a state-table drift becomes a hash mismatch. */
-  private val semDedupIncOracle: String = {
+  /** The incremental-SemDeDup oracle CHAIN (corpus state `keptm`, batch
+    * cells `bcells`, best matches `best`) — three finals read it: the
+    * verdict twins (j3_semdedup_inc / _state) and the state UPSERT. */
+  private val semDedupIncCtes: String = {
     val cut = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
     s"""${semDedupChain(s"vec_id < $cut")},
       |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
@@ -1261,14 +1271,29 @@ object ExtQueries {
       |  FROM bdots d JOIN bnorms bn ON bn.vec_id = d.vid JOIN norms mn ON mn.vec_id = d.mid),
       |best AS (SELECT vid, mid, cos_sim_e6 FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM scored) z
-      |  WHERE rn = 1)
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val semDedupIncOracle: String =
+    s"""$semDedupIncCtes
       |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id,
       |  coalesce(b.mid, -1) AS best_match,
       |  coalesce(b.cos_sim_e6, 0) AS best_cos_e6,
       |  CAST(CASE WHEN coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6} THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM bemb be LEFT JOIN bcells bc ON bc.vid = be.vec_id
       |LEFT JOIN best b ON b.vid = be.vec_id""".stripMargin
-  }
+
+  /** The state UPSERT — the nightly job's WRITE step: the post-ingest
+    * kept-member index = the standing kept members plus the batch's kept
+    * vectors in their assigned cells. */
+  private val semDedupIncUpsertOracle: String =
+    s"""$semDedupIncCtes
+      |SELECT mid AS vec_id, cid AS cell_id, CAST(0 AS BIGINT) AS is_new FROM keptm
+      |UNION ALL
+      |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id, CAST(1 AS BIGINT) AS is_new
+      |FROM bemb be LEFT JOIN bcells bc ON bc.vid = be.vec_id
+      |LEFT JOIN best b ON b.vid = be.vec_id
+      |WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}""".stripMargin
 
   /** The incremental near-dup oracle — shared verbatim by j2_incremental
     * (recompute) and j2_incremental_state (persisted LSH index tables):
@@ -2026,6 +2051,7 @@ object ExtQueries {
     // construction).
     "j3_semdedup_inc" -> semDedupIncOracle,
     "j3_semdedup_inc_state" -> semDedupIncOracle,
+    "j3_semdedup_inc_upsert" -> semDedupIncUpsertOracle,
 
     "j2_embed_neardup" ->
       s"""WITH qe AS (

@@ -678,6 +678,35 @@ object Similarity {
     semIncBatch(batch, cents, keptM, thresholdE6)
   }
 
+  /** J3 — the state UPSERT (round 13): the nightly job's WRITE step,
+    * closing the read–probe–write loop. Emits the POST-INGEST kept-member
+    * index: the standing kept members (is_new = 0) plus the batch's kept
+    * vectors in their assigned cells (is_new = 1; zero-norm singletons
+    * carry cell_id -1 — degenerate vectors are never index candidates). A
+    * production run writes this relation back as the next night's
+    * `kept_members` state table; here it is graded against the SAME
+    * oracle chain as the verdict twins, so the read and write paths can
+    * never disagree about the state's contents. Cells pushed over
+    * [[SemCellCap]] by ingest are re-gated by the next full pass (the cap
+    * is a pairing guard, not an index invariant). */
+  def semDedupIncrementalUpsert(s: org.apache.spark.sql.SparkSession, key: String,
+                                emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                                iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                                corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val Seq(cents, keptM) = StateStore.tables(s, "graft_j3_semstate", key,
+      Seq("centroids", "kept_members")) {
+      val (corpus, _) = semIncSplit(emb, corpusPct)
+      val (c, k) = semIncCorpusState(corpus, thresholdE6, iters, cellCap)
+      Seq(c, k)
+    }
+    val (_, batch) = semIncSplit(emb, corpusPct)
+    val verdicts = semIncBatch(batch, cents, keptM, thresholdE6)
+    keptM.select($"mid".as("vec_id"), $"cid".as("cell_id"), lit(0L).as("is_new"))
+      .unionByName(verdicts.filter($"kept" === 1L)
+        .select($"vec_id", $"cell_id", lit(1L).as("is_new")))
+  }
+
   /** Brute-force cosine top-k of every vec_id < nQueries against the
     * corpus: broadcast the queries, scan the corpus once — the exact
     * re-rank baseline, shardable by corpus partition at 100 TB. */

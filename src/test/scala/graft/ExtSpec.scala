@@ -1251,6 +1251,30 @@ class ExtSpec extends AnyFunSuite {
     assert(got(0L)._2 != got(2L)._2, "cross-cell pair must not merge sets")
   }
 
+  test("semdedup state upsert: dropped paraphrase never enters the index, novel vector does") {
+    import spark.implicits._
+    // the incremental-semdedup fixture: corpus ids 0..8, batch 9 (a
+    // paraphrase of kept member 0 — dropped) and 10 (novel — kept)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.707f, 0.707f)), (5L, Seq(0.95f, 0.05f)),
+      (6L, Seq(0.05f, 0.95f)), (7L, Seq(0.8f, 0.2f)), (8L, Seq(0.2f, 0.8f)),
+      (9L, Seq(0.92f, 0.08f)), (10L, Seq(-1.0f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val up = ext.Similarity.semDedupIncrementalUpsert(spark, "spec_upsert_fixture", emb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!up.contains(9L), s"dropped paraphrase must not enter the index: $up")
+    assert(up.contains(10L) && up(10L)._2 == 1L, s"novel vector joins, flagged new: $up")
+    // the standing members are exactly the state-table kept set, is_new 0
+    val verdicts = ext.Similarity.semDedupIncrementalState(spark,
+      "spec_upsert_fixture", emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(verdicts(9L) == 0L && verdicts(10L) == 1L)
+    val standing = up.filter(_._2._2 == 0L).keySet
+    assert(standing.nonEmpty && standing.subsetOf((0L to 8L).toSet),
+      s"standing members come from the corpus: $standing")
+  }
+
   test("state-table forms equal their recompute twins (semdedup inc + lsh inc)") {
     val d = "/root/testdata/sf0.001"
     // semantic: frozen centroids + kept members persisted, batch-side read

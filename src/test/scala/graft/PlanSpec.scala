@@ -276,6 +276,8 @@ class PlanSpec extends AnyFunSuite {
     //   j3_semdedup_inc_state  the 1-row id-cutoff aggregate only (the
     //                  corpus/batch split); the centroid side is a READ
     //                  state TABLE joined broadcast-hash, not nested-loop
+    //   j3_semdedup_inc_upsert  same 1-row cutoff broadcast (the write
+    //                  step over the same read state tables)
     //   j7_mix_epochs  1-row (wsum, corpus_tokens) aggregate broadcast
     //                  (the j7_mix_temp shape plus the budget numerator)
     //   j7_span_corrupt_bpe  1-row vocab-max aggregate broadcast (the
@@ -284,6 +286,7 @@ class PlanSpec extends AnyFunSuite {
     //                  concat-chunk aggregate, the comparison row itself)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
+      "j3_semdedup_inc_upsert",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
