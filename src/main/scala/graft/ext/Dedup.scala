@@ -952,6 +952,49 @@ object Dedup {
       corpIdx, corpSh, dropE6)
   }
 
+  /** J2 — the lexical state UPSERT (round 13): the LSH-index WRITE step,
+    * closing the read–probe–write loop on the lexical side as
+    * [[graft.ext.Similarity.semDedupIncrementalUpsert]] does on the
+    * semantic one. Emits the POST-INGEST band index at the flattened
+    * (doc_id, band, k0..k{rows-1}, is_new) grain: the standing cap-gated
+    * corpus rows (is_new = 0) plus every band row of the batch documents
+    * the probe KEEPS (is_new = 1 — dropped near-duplicates never enter
+    * the index; sub-shingle docs are kept but unindexable and contribute
+    * no rows, identically on both engines). Graded against the same
+    * probe chain as the verdict twins, so read and write paths cannot
+    * disagree about the index contents. */
+  def incrementalNearDupUpsert(s: org.apache.spark.sql.SparkSession, key: String,
+                               docs: DataFrame, mod: Int = 10,
+                               bands: Int = Bands, rows: Int = RowsPerBand,
+                               bucketCap: Int = BucketCap,
+                               dropE6: Long = IncrementalDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(corpIdx, corpSh) = StateStore.tables(s, "graft_j2_incstate", key,
+      Seq("band_index", "shingle_sets")) {
+      val (sa, bandSig) = shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)
+      val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" <= bucketCap).select($"band", $"sig")
+      Seq(
+        bandSig.join(ok, Seq("band", "sig"), "left_semi")
+          .select($"doc_id".as("doc_c"), $"band", $"sig"),
+        sa.select($"doc_id".as("doc_c"), $"dshings".as("shb")))
+    }
+    val incDocs = docs.filter($"doc_id" % mod === 0)
+    val (saN, bandN) = shingleBands(incDocs, bands, rows)
+    val verdicts = incProbeTail(incDocs.select($"doc_id"),
+      bandN.select($"doc_id".as("doc_n"), $"band", $"sig"),
+      saN.select($"doc_id".as("doc_n"), $"dshings".as("sha")),
+      corpIdx, corpSh, dropE6)
+    val keptIds = verdicts.filter($"verdict" === "keep").select($"doc_id")
+    def flat(df: DataFrame, idCol: String, isNew: Long): DataFrame =
+      df.select((col(idCol).as("doc_id") +: col("band").cast("long").as("band") +:
+        (0 until rows).map(r => col(s"sig.k$r").as(s"k$r"))) :+
+        lit(isNew).as("is_new"): _*)
+    flat(corpIdx, "doc_c", 0L)
+      .unionByName(flat(
+        bandN.join(keptIds, Seq("doc_id"), "left_semi"), "doc_id", 1L))
+  }
+
   /** Jaccard threshold for the EXACT n-gram similarity join
     * ([[jaccardNgramPairs]]). Lower than [[NearDupGroupJaccard]]: the exact
     * join has no candidate-miss risk, so it can afford a wider net. */

@@ -196,6 +196,13 @@ object ExtQueries {
     "j2_incremental_state" -> ((s, d) =>
       Dedup.incrementalNearDupState(s, d, Tables.documents(s, d))),
 
+    // J2 — the lexical state UPSERT (round 13): the LSH-index WRITE step —
+    // the post-ingest band index (standing cap-gated rows + kept batch
+    // docs' band rows, is_new-flagged), graded against the same probe
+    // chain as the verdict twins.
+    "j2_incremental_upsert" -> ((s, d) =>
+      Dedup.incrementalNearDupUpsert(s, d, Tables.documents(s, d))),
+
     // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
     // headline signal): merged duplicated-10-gram runs surfaced as run
     // count / longest run / total duplicated tokens + the >=50-token
@@ -1355,6 +1362,31 @@ object ExtQueries {
        |FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
        |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** The lexical state UPSERT — the post-ingest band index: cap-gated
+    * standing rows plus every band row of the kept batch docs. */
+  private val incUpsertOracle: String = {
+    val rows = Dedup.RowsPerBand
+    val corpSelects = (0 until Dedup.Bands).map { b =>
+      val keys = (0 until rows).map(r => s"h${b * rows + r}")
+      val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      val proj = keys.zipWithIndex.map { case (k, r) => s"c.$k AS k$r" }.mkString(", ")
+      s"""SELECT c.doc_id, CAST($b AS BIGINT) AS band, $proj, CAST(0 AS BIGINT) AS is_new
+         |FROM corp c JOIN iok$b g ON $gOn""".stripMargin
+    }
+    val batchSelects = (0 until Dedup.Bands).map { b =>
+      val proj = (0 until rows).map(r => s"i.h${b * rows + r} AS k$r").mkString(", ")
+      s"""SELECT i.doc_id, CAST($b AS BIGINT) AS band, $proj, CAST(1 AS BIGINT) AS is_new
+         |FROM inc i JOIN keptb kb ON kb.doc_id = i.doc_id""".stripMargin
+    }
+    s"""$incProbeChain,
+       |best AS (SELECT doc_n, doc_c, j_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+       |    FROM jac) z WHERE rn = 1),
+       |keptb AS (SELECT d.doc_id FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
+       |  WHERE d.doc_id % 10 = 0 AND coalesce(b.j_e6, 0) < ${Dedup.IncrementalDropE6})
+       |${(corpSelects ++ batchSelects).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** The verified-pair grain itself — st_inc_probe's oracle. */
   private val incProbePairOracle: String =
     s"""$incProbeChain
@@ -1410,6 +1442,7 @@ object ExtQueries {
     // per-doc row-local signatures — equality also pinned in ExtSpec).
     "j2_incremental" -> incrementalNearDupOracle,
     "j2_incremental_state" -> incrementalNearDupOracle,
+    "j2_incremental_upsert" -> incUpsertOracle,
     "st_inc_probe" -> incProbePairOracle,
 
     // Exact prefix-filter similarity join: the oracle mirrors the Spark

@@ -1275,6 +1275,34 @@ class ExtSpec extends AnyFunSuite {
       s"standing members come from the corpus: $standing")
   }
 
+  test("lsh state upsert: dropped dup never indexed, kept doc joins, sub-shingle doc kept but unindexable") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // incoming carve = ids 0, 10, 20: doc 0 duplicates corpus doc 1 (drop),
+    // doc 10 is unique (keep -> indexed), doc 20 has < 3 tokens (keep, but
+    // no shingles -> contributes no index rows)
+    val base = words("c", 30)
+    val docs = Seq(
+      (0L, base), (1L, base),
+      (10L, words("u", 30)),
+      (20L, "only two"),
+      (2L, words("p", 30)), (3L, words("q", 30)))
+      .toDF("doc_id", "text")
+    val up = ext.Dedup.incrementalNearDupUpsert(spark, "spec_lsh_upsert", docs)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val byDoc = up.groupBy(_._1)
+    assert(!byDoc.contains(0L), s"dropped duplicate must not enter the index: $up")
+    assert(byDoc(10L).forall(_._2 == 1L) && byDoc(10L).nonEmpty,
+      s"kept unique doc joins the index flagged new: $up")
+    assert(!byDoc.contains(20L), s"sub-shingle doc contributes no index rows: $up")
+    assert(byDoc.contains(1L) && byDoc(1L).forall(_._2 == 0L),
+      s"standing corpus rows keep is_new = 0: $up")
+    // verdicts agree: 0 dropped, 10 and 20 kept
+    val v = ext.Dedup.incrementalNearDupState(spark, "spec_lsh_upsert", docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(v == Map(0L -> "drop", 10L -> "keep", 20L -> "keep"), s"$v")
+  }
+
   test("state-table forms equal their recompute twins (semdedup inc + lsh inc)") {
     val d = "/root/testdata/sf0.001"
     // semantic: frozen centroids + kept members persisted, batch-side read
