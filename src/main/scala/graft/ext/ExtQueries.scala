@@ -286,6 +286,13 @@ object ExtQueries {
     "j3_knn_filtered" -> ((s, d) =>
       Similarity.knnCosineFiltered(Tables.embeddings(s, d))),
 
+    // J3 — HARD-NEGATIVE mining (DPR/Contriever): per query vector, the
+    // top-k most-similar vectors with a DIFFERENT label — the filtered
+    // search with the predicate inverted; the contrastive-training
+    // counterpart of j3_knn_filtered.
+    "j3_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
+
     // J3 scale path — LSH-bucketed ANN (candidates restricted to bucket-mates).
     "j3_lsh_ann" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d))),
@@ -1940,6 +1947,29 @@ object ExtQueries {
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
         |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
         |SELECT qid, vid, CAST(lb.label AS BIGINT) AS label, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |JOIN lab lb ON lb.vec_id = z.vid
+        |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
+
+    // Hard negatives: the filtered-search kernel with the label predicate
+    // INVERTED (candidates must carry a different label than the query).
+    "j3_hard_negatives" ->
+      s"""WITH qe AS (
+        |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qe a
+        |  JOIN lab la ON la.vec_id = a.vec_id
+        |  JOIN lab lb ON lb.label <> la.label
+        |  JOIN qe b ON b.vec_id = lb.vec_id AND b.i = a.i
+        |  WHERE a.vec_id < ${Similarity.KnnQueries} AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |sims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
+        |SELECT qid, vid, CAST(lb.label AS BIGINT) AS neg_label, cos_sim_e6, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
         |JOIN lab lb ON lb.vec_id = z.vid
         |WHERE rn <= ${Similarity.KnnK}""".stripMargin,

@@ -795,6 +795,41 @@ object Similarity {
       .select($"qid", $"vid", $"label", $"cos_sim_e6", $"rank")
   }
 
+  /** J3 — HARD-NEGATIVE mining for contrastive training (the DPR /
+    * Contriever / sentence-transformers convention): for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the highest-scoring candidates the encoder must learn to
+    * push away, which is exactly what makes them worth more than random
+    * negatives. [[knnCosineFiltered]] with the label predicate INVERTED
+    * (`label != query's label`); same pre-filter semantics (the predicate
+    * restricts candidates before scoring, so k survivors are guaranteed
+    * whenever any other label exists), same exact-integer e6 scoring.
+    *
+    * Scale: identical shape to the filtered search — queries broadcast,
+    * one corpus scan, per-query top-k window; on a label-partitioned
+    * corpus the inequality prunes only the query's own partition, so the
+    * negative pool stays corpus-wide, as the mining pass requires. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = KnnQueries,
+                    k: Int = KnnK): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = emb.select($"vec_id", $"label", qvec($"embedding").as("qv"))
+      .withColumn("nq", idot($"qv", $"qv"))
+    val queries = broadcast(b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"qv".as("qa"), $"nq".as("na")))
+    b.select($"vec_id".as("vid"), $"label", $"qv".as("va"), $"nq".as("nb"))
+      .join(queries, $"qid" =!= $"vid" && $"label" =!= $"qlabel")
+      .select($"qid", $"vid", $"label".cast("long").as("neg_label"),
+        round(idot($"qa", $"va").cast("double") /
+          sqrt($"na".cast("double") * $"nb".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy($"cos_sim_e6".desc, $"vid")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"vid", $"neg_label", $"cos_sim_e6", $"rank")
+  }
+
   /** Top outliers per [[centroidOutliers]] group. */
   val OutlierK = 16
 

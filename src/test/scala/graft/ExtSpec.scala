@@ -532,6 +532,27 @@ class ExtSpec extends AnyFunSuite {
       "ranked by cosine within the filtered set (5 excluded despite top sim)")
   }
 
+  test("hard negatives: all candidates carry a DIFFERENT label; hardest first") {
+    import spark.implicits._
+    // label 1: the query + a near-identical twin that MUST be excluded
+    // (same label — it's a positive, not a negative);
+    // label 2/3: the negative pool, incl. the HARD one (highest cosine)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.99f, 0.01f, 0.0f), 1), // near-dup of the query — same label, excluded
+      (6L, Array(0.9f, 0.1f, 0.0f), 2),   // the HARD negative: top sim among other labels
+      (7L, Array(0.0f, 1.0f, 0.0f), 3),   // orthogonal negative
+      (8L, Array(-1.0f, 0.0f, 0.0f), 2))  // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(r.length == 3, "pre-filter must fill k from other-label candidates")
+    assert(r.forall(_.getAs[Long]("neg_label") != 1L),
+      "no negative may share the query's label")
+    assert(r.map(_.getAs[Long]("vid")).toSeq == Seq(6L, 7L, 8L),
+      "negatives ranked hardest-first (5 excluded despite top sim — it's a positive)")
+  }
+
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
     import spark.implicits._
     // deterministic pseudo-random corpus (hash-derived floats)
