@@ -785,6 +785,88 @@ object Dedup {
         $"deduped_text")
   }
 
+  /** [[bloomLineProbe]] parameters: k = 3 independent md5 hash functions
+    * (the seed namespace 41–43 is reserved to the Bloom pass), a fixed
+    * 2^19-bit array (~10 bits per item for the sf0.1 corpus's ~50k
+    * distinct lines → ~25% fill, ~1.5% false-positive rate at k = 3 —
+    * measurably nonzero at the bench scale, negligible below it), and
+    * the 80% duplicated-line doc-drop decision point. */
+  val BloomSeeds: Seq[Int] = Seq(41, 42, 43)
+  val BloomBits: Int = 1 << 19
+  val BloomDropE6: Long = 800000L
+
+  /** J2 — BLOOM-FILTER line-membership probe: the bounded-memory
+    * ingest-time dedup filter (the Dolma pattern — a Bloom filter over
+    * the standing corpus's paragraph/line grain answers "seen before?"
+    * for every incoming line without storing the corpus). Each corpus
+    * line inserts k = [[BloomSeeds]].size md5-derived positions into an
+    * `mBits`-bit array; a batch line is a BLOOM duplicate iff all k of
+    * its positions are set. No false negatives by construction; false
+    * positives at the published (1-e^(-kn/m))^k rate — and because the
+    * filter is deterministic (md5, fixed seeds), the oracle reproduces
+    * every verdict bit-for-bit, FPs included.
+    *
+    * Emits one row per incoming doc: distinct-line count, BLOOM-dup
+    * count, EXACT-dup count (the ground-truth twin, kept in-query so the
+    * sketch's error is measurable — `n_false_pos` is the filter's actual
+    * FP count on this corpus, the j6-sketch self-check discipline), the
+    * bloom-verdict duplicate fraction, and the ≥ [[BloomDropE6]] drop
+    * decision made on the FILTER's answer — FPs included — exactly as
+    * the production op, which never has the exact set, decides.
+    *
+    * 100 TB posture: the whole standing state is the position set —
+    * AT MOST m rows (m bits as a bitmap) no matter how large the corpus
+    * grows, vs the exact line set that grows with the corpus. A fleet
+    * implementation broadcasts the m/8-byte bitmap (2^19 bits = 64 KiB
+    * here; Dolma's production filters run tens of GB, mmap'd per
+    * executor) and the probe is then row-local; this declarative form
+    * keeps the same bound as one equi-join on the integer position
+    * grain. Sizing at scale is m ≈ 10–15 bits per expected item —
+    * beyond RAM, the standard move is sharding the filter by a hash
+    * prefix of the line (each shard its own bounded bitmap). The carve
+    * (doc_id % mod) mirrors [[incrementalNearDup]]'s batch split. */
+  def bloomLineProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                     mBits: Int = BloomBits, seeds: Seq[Int] = BloomSeeds,
+                     dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    // distinct 5-token lines per doc — the lineDedup grain (trailing
+    // partial line included; slice truncates at the array end)
+    def docLines(df: DataFrame): DataFrame = df
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(array_distinct(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $w), " +
+          s"b -> array_join(slice(toks, b * $w + 1, $w), ' '))"))).as("line"))
+    def kPositions: Column = array(
+      seeds.map(sd => pmod(md5Hash32(sd, $"line"), lit(mBits.toLong))): _*)
+    val corpus = docLines(docs.filter($"doc_id" % mod =!= 0))
+    val batch = docLines(docs.filter($"doc_id" % mod === 0))
+    // the STANDING STATE: the set positions — bounded by mBits rows
+    // regardless of corpus size (the whole point of the filter)
+    val positions = corpus.select(explode(kPositions).as("p"))
+      .distinct().withColumn("hit", lit(1))
+    // the exact twin (unbounded state — kept ONLY for FP accounting)
+    val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
+    val probe = batch
+      .select($"doc_id", $"line", explode(kPositions).as("p"))
+      .join(positions, Seq("p"), "left")
+      // bloom hit iff ALL k positions are set (min over the k markers)
+      .groupBy($"doc_id", $"line")
+      .agg(min(coalesce($"hit", lit(0))).as("bloom"))
+    probe
+      .join(corpusLines, Seq("line"), "left")
+      .select($"doc_id", $"bloom", coalesce($"ex", lit(0)).as("exact"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"bloom").cast("long").as("n_bloom_dup"),
+        sum($"exact").cast("long").as("n_exact_dup"))
+      .select($"doc_id", $"n_lines", $"n_bloom_dup", $"n_exact_dup",
+        ($"n_bloom_dup" - $"n_exact_dup").as("n_false_pos"),
+        expr("(n_bloom_dup * 1000000) div greatest(n_lines, 1)")
+          .as("bloom_dup_frac_e6"))
+      .withColumn("drop_doc",
+        when($"bloom_dup_frac_e6" >= dropE6, 1L).otherwise(0L))
+  }
+
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
     * same 0.9 decision point as [[NearDupGroupJaccard]]. */
   val IncrementalDropE6 = 900000L

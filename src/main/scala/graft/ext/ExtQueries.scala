@@ -207,6 +207,15 @@ object ExtQueries {
     // headline signal): merged duplicated-10-gram runs surfaced as run
     // count / longest run / total duplicated tokens + the >=50-token
     // wholesale-copy verdict; same df>=2 fingerprints as the scrub.
+    // J2 — BLOOM-FILTER line-membership probe (the Dolma bounded-memory
+    // ingest filter): k=3 md5 positions in a fixed 2^19-bit array over the
+    // corpus's distinct lines; batch lines probe it. State is bounded by m
+    // regardless of corpus size; the exact twin stays in-query so the
+    // filter's false positives are MEASURED, not assumed. Deterministic →
+    // the oracle reproduces every verdict (FPs included) bit-for-bit.
+    "j2_bloom_probe" -> ((s, d) =>
+      Dedup.bloomLineProbe(Tables.documents(s, d))),
+
     "j2_dup_run_len" -> ((s, d) =>
       Dedup.dupRunLength(Tables.documents(s, d))),
 
@@ -1785,6 +1794,43 @@ object ExtQueries {
          |    // greatest(CAST(sum(lchars) AS BIGINT), 1) AS removed_frac_e6,
          |  coalesce(string_agg(CASE WHEN rm = 0 THEN array_to_string(lt, ' ') END, ' ' ORDER BY b), '') AS deduped_text
          |FROM mk GROUP BY doc_id""".stripMargin
+    },
+
+    // Bloom probe: same line grain as j2_line_dedup; k seeded md5
+    // positions mod m; bloom hit = min over the k membership markers;
+    // exact twin = plain line-set membership; verdicts on the FILTER's
+    // answer (FPs included), mirroring the Spark side exactly.
+    "j2_bloom_probe" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomBits
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |pos AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 <> 0),
+         |cl AS (SELECT DISTINCT line FROM ln WHERE doc_id % 10 <> 0),
+         |probe AS (SELECT l.doc_id, l.line,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hit AS (SELECT doc_id, line,
+         |    min(CASE WHEN p IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS bloom
+         |  FROM probe GROUP BY 1, 2),
+         |ex AS (SELECT doc_id, line, bloom,
+         |    CASE WHEN line IN (SELECT line FROM cl) THEN 1 ELSE 0 END AS exact
+         |  FROM hit)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(bloom) AS BIGINT) AS n_bloom_dup,
+         |  CAST(sum(exact) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(bloom) - sum(exact) AS BIGINT) AS n_false_pos,
+         |  (CAST(sum(bloom) AS BIGINT) * 1000000) // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6,
+         |  CAST(CASE WHEN (CAST(sum(bloom) AS BIGINT) * 1000000)
+         |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
+         |FROM ex GROUP BY doc_id""".stripMargin
     },
 
     "j7_decontam_ngram" -> {

@@ -1144,6 +1144,34 @@ class ExtSpec extends AnyFunSuite {
       s"dup-gram mass must drop: before=$before after=$after")
   }
 
+  test("bloom probe: no false negatives; saturated tiny filter FPs measured; production m clean") {
+    import spark.implicits._
+    // corpus (doc_id % 10 != 0): doc 1's line is the known duplicate;
+    // docs 2..9 are distinct-word filler (2 lines each -> 17 corpus lines,
+    // 51 position inserts — saturates an 8-bit filter)
+    val filler = (2L to 9L).map { d =>
+      (d, (1 to 10).map(i => s"w${d}_$i").mkString(" "))
+    }
+    val docs = (Seq(
+      (1L, "a b c d e"),
+      // batch doc 10: one EXACT corpus dup line + one novel line
+      (10L, "a b c d e x1 x2 x3 x4 x5")
+    ) ++ filler).toDF("doc_id", "text")
+    def row(m: Int) = ext.Dedup.bloomLineProbe(docs, mBits = m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // tiny m = 8: 51 inserts occupy every slot, so the NOVEL line is a
+    // false positive — the filter says dup, the exact twin says no, and
+    // the drop verdict fires on the filter's (wrong) answer, exactly as
+    // the production op (which has no exact set) would decide
+    val tiny = row(8)(10L)
+    assert(tiny == ((2L, 2L, 1L, 1L, 1000000L, 1L)), s"tiny-m: $tiny")
+    // production m = 2^19: the dup line hits (no false negatives — every
+    // inserted line's positions are all set), the novel line misses
+    val prod = row(ext.Dedup.BloomBits)(10L)
+    assert(prod == ((2L, 1L, 1L, 0L, 500000L, 0L)), s"prod-m: $prod")
+  }
+
   test("gopher gate: each rule fires alone, the clean doc passes all five") {
     import spark.implicits._
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i")
