@@ -719,6 +719,42 @@ class ExtSpec extends AnyFunSuite {
     assert(eq.subsetOf(ham.keySet), s"equality pairs not covered: ${eq -- ham.keySet}")
   }
 
+  test("phash groups: re-encoded copies cluster; unrelated image stays singleton") {
+    import spark.implicits._
+    // same fixture family as the hamming spec: 1/2 are the PNG + its JPEG
+    // re-encode (hamming 1-3), 3/4 pixel-identical re-saves (hamming 0),
+    // 5 an unrelated texture (hamming ~32 to everything)
+    def noiseImg(seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (seed + 7L * x + 13L * y) * 6364136223846793005L + 1442695040888963407L
+        val g = ((v >>> 33) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val src = noiseImg(1L)
+    val payloads = Seq(
+      (1L, enc(src, "png")), (2L, enc(src, "jpg")),
+      (3L, enc(noiseImg(9L), "png")), (4L, enc(noiseImg(9L), "png")),
+      (5L, enc(noiseImg(99L), "png"))
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.aHashHammingPairs(payloads).select($"doc_a", $"doc_b")
+    val g = Dedup.ccGroupsConverged(payloads.select($"doc_id".as("v")), pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g(1L) == ((1L, 1L)) && g(2L) == ((1L, 0L)),
+      s"re-encoded copy must join its source's cluster: $g")
+    assert(g(3L) == ((3L, 1L)) && g(4L) == ((3L, 0L)),
+      s"pixel-identical re-saves must cluster: $g")
+    assert(g(5L) == ((5L, 1L)), s"unrelated image must stay a canonical singleton: $g")
+  }
+
   test("near-dup bucket cap drops boilerplate mega-buckets (no quadratic pairs)") {
     import spark.implicits._
     // 2000 identical docs would fill one band bucket and emit ~2M pairs;
