@@ -174,6 +174,11 @@ object ScaleProbe {
       // here it is recomputed in-query, so the sublinear bound covers
       // the WHOLE chain).
       Head("j2_line_dedup", f => ext.Dedup.lineDedup(docsAt(f))),
+      // round-13: the Bloom ingest filter — wall must stay sublinear AND
+      // the standing position set must stay under the m-bit bound (the
+      // dedicated tripwire below); inflated copies perturb every token,
+      // so corpus lines genuinely multiply
+      Head("j2_bloom_probe", f => ext.Dedup.bloomLineProbe(docsAt(f))),
       Head("j5_phash_hamming", f =>
         ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docsAt(f)))),
       Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
@@ -248,6 +253,21 @@ object ScaleProbe {
         .agg(max($"nb")).head.getLong(0)
     val binsWin1 = maxBinsPerWin(1)
     val binsWinF = maxBinsPerWin(factor)
+
+    // Bloom bounded-state: the filter's whole standing state is the set-
+    // position set, which may approach but NEVER exceed the m-bit bound —
+    // while the exact line set it replaces grows with the corpus. The
+    // measured pair (positions vs distinct lines) at 1x/FACTORx is the
+    // sketch's memory story in numbers.
+    def bloomState(f: Int): (Long, Long) = {
+      val corpusLines = ext.Dedup.bloomDocLines(
+        docsAt(f).filter($"doc_id" % 10 =!= 0))
+      val pos = ext.Dedup.bloomPositionSet(corpusLines).count()
+      val lines = corpusLines.select($"line").distinct().count()
+      (pos, lines)
+    }
+    val (bloomPos1, bloomLines1) = bloomState(1)
+    val (bloomPosF, bloomLinesF) = bloomState(factor)
 
     // SECOND DECADE (round-10 verdict #7): the two cheapest heads run a
     // further 3x past the primary factor (30x of sf0.1 = 3 decades above
@@ -343,6 +363,8 @@ object ScaleProbe {
       failed ::= s"bucket cap overflow at ${factor}x: $maxBucketF > ${ext.Dedup.BucketCap}"
     if (binsWinF > binsWin1)
       failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinF at ${factor}x (state not at the bin grain)"
+    if (bloomPosF > ext.Dedup.BloomBits)
+      failed ::= s"bloom position set exceeded the m-bit bound at ${factor}x: $bloomPosF > ${ext.Dedup.BloomBits}"
     results.foreach { r =>
       if (r.quadF > r.quad1)
         failed ::= s"${r.name}: quadratic join shapes grew ${r.quad1} -> ${r.quadF} at ${factor}x"
@@ -373,7 +395,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_bits":${ext.Dedup.BloomBits},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

@@ -825,25 +825,39 @@ object Dedup {
     * beyond RAM, the standard move is sharding the filter by a hash
     * prefix of the line (each shard its own bounded bitmap). The carve
     * (doc_id % mod) mirrors [[incrementalNearDup]]'s batch split. */
+  /** Distinct [[LineTokens]]-token lines per doc — the lineDedup grain
+    * (trailing partial line included; slice truncates at the array end).
+    * Exposed for [[graft.ScaleProbe]]'s bounded-state measurement. */
+  private[graft] def bloomDocLines(df: DataFrame, w: Int = LineTokens): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(array_distinct(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $w), " +
+          s"b -> array_join(slice(toks, b * $w + 1, $w), ' '))"))).as("line"))
+  }
+
+  /** The filter's WHOLE standing state: the distinct set positions —
+    * bounded by `mBits` rows regardless of corpus size (the point of
+    * the sketch). Exposed for the probe's bounded-state tripwire. */
+  private[graft] def bloomPositionSet(corpusLines: DataFrame,
+                                      mBits: Int = BloomBits,
+                                      seeds: Seq[Int] = BloomSeeds): DataFrame = {
+    import corpusLines.sparkSession.implicits._
+    corpusLines.select(explode(array(
+        seeds.map(sd => pmod(md5Hash32(sd, $"line"), lit(mBits.toLong))): _*)).as("p"))
+      .distinct()
+  }
+
   def bloomLineProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                      mBits: Int = BloomBits, seeds: Seq[Int] = BloomSeeds,
                      dropE6: Long = BloomDropE6): DataFrame = {
     import docs.sparkSession.implicits._
-    // distinct 5-token lines per doc — the lineDedup grain (trailing
-    // partial line included; slice truncates at the array end)
-    def docLines(df: DataFrame): DataFrame = df
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", explode(array_distinct(expr(
-        s"transform(sequence(0, (size(toks) - 1) div $w), " +
-          s"b -> array_join(slice(toks, b * $w + 1, $w), ' '))"))).as("line"))
     def kPositions: Column = array(
       seeds.map(sd => pmod(md5Hash32(sd, $"line"), lit(mBits.toLong))): _*)
-    val corpus = docLines(docs.filter($"doc_id" % mod =!= 0))
-    val batch = docLines(docs.filter($"doc_id" % mod === 0))
-    // the STANDING STATE: the set positions — bounded by mBits rows
-    // regardless of corpus size (the whole point of the filter)
-    val positions = corpus.select(explode(kPositions).as("p"))
-      .distinct().withColumn("hit", lit(1))
+    val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
+    val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
+    val positions = bloomPositionSet(corpus, mBits, seeds)
+      .withColumn("hit", lit(1))
     // the exact twin (unbounded state — kept ONLY for FP accounting)
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val probe = batch

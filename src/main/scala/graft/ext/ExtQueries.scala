@@ -348,6 +348,12 @@ object ExtQueries {
     "j3_ivf_np1" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), nProbes = 1)),
 
+    // J3 — ANN recall@k graded in-query (the ann-benchmarks metric): per
+    // query, |IVF top-k ∩ brute-force top-k| / k — the approximate path's
+    // QUALITY as a driver-hash-graded artifact next to its cost dial.
+    "j3_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(Tables.embeddings(s, d))),
+
     // J3 — SEMANTIC dedup (SemDeDup): sqrt(N) embedding cells from the
     // Lloyd coarse quantizer, intra-cell exact-integer cosine near-sets,
     // keep-one-per-set (min vec_id) — the published complement to the
@@ -832,7 +838,15 @@ object ExtQueries {
     * the j3_ivf_ann / j3_ivf_np1 oracles are generated from ONE chain so
     * the probe dial cannot desync the twins. */
   private def ivfOracle(nProbes: Int): String =
-      s"""WITH qe AS (
+    s"""WITH ${ivfCtes(nProbes)}
+       |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+       |WHERE rn <= ${Similarity.AnnK}""".stripMargin
+
+  /** The IVF oracle's CTE chain (ending in `sims`), shared by the two
+    * probe-dial twins and the j3_ann_recall ground-truth compare. */
+  private def ivfCtes(nProbes: Int): String =
+      s"""qe AS (
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
@@ -886,10 +900,7 @@ object ExtQueries {
         |         GROUP BY 1, 2),
         |sims AS (SELECT qid, vid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)
-        |SELECT qid, vid, cos_sim_e6, CAST(rn AS BIGINT) AS rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
-        |WHERE rn <= ${Similarity.AnnK}""".stripMargin
+        |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)""".stripMargin
 
   /** Quality-gate oracle CTEs (per-doc relation `gate` with the kept
     * verdict) — shared by j7_quality_gate and the kept-set consumers
@@ -2182,6 +2193,29 @@ object ExtQueries {
     // per query — the graded second point of the IVF recall/cost trade
     // (ExtSpec measures recall@3 of both points against brute force).
     "j3_ivf_np1" -> ivfOracle(1),
+
+    // ANN recall: the IVF chain's top-k compared against the brute-force
+    // exact top-k computed from the same qe/norms CTEs.
+    "j3_ann_recall" ->
+      s"""WITH ${ivfCtes(Similarity.IvfProbes)},
+        |ivfk AS (SELECT qid, vid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+        |  WHERE rn <= ${Similarity.AnnK}),
+        |bdots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qe a JOIN qe b ON b.i = a.i AND a.vec_id < ${Similarity.AnnQueries} AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |bsims AS (SELECT qid, vid,
+        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+        |  FROM bdots JOIN norms na ON na.vec_id = bdots.qid JOIN norms nb ON nb.vec_id = bdots.vid),
+        |bk AS (SELECT qid, vid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM bsims) z
+        |  WHERE rn <= ${Similarity.AnnK})
+        |SELECT b.qid,
+        |  CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  (CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // greatest(CAST(count(*) AS BIGINT), 1) AS recall_e6
+        |FROM bk b LEFT JOIN ivfk i ON i.qid = b.qid AND i.vid = b.vid
+        |GROUP BY b.qid""".stripMargin,
 
 
     // SemDeDup: the IVF Lloyd chain (2 unrolled rounds, matching

@@ -830,6 +830,34 @@ object Similarity {
       .select($"qid", $"vid", $"neg_label", $"cos_sim_e6", $"rank")
   }
 
+  /** J3 — ANN RECALL@k graded IN-QUERY (the ann-benchmarks convention,
+    * the number every vector store publishes for its nprobe dial): per
+    * query, the fraction of the brute-force exact top-k that the trained
+    * IVF index actually returned. Until now the recall was pinned in
+    * ExtSpec only; this makes the quality of the approximate path a
+    * driver-hash-graded artifact next to its cost dial (`j3_ivf_ann` /
+    * `j3_ivf_np1`). Ground truth and index run in one plan; exact
+    * integer recall in millionths, denominator = the truth rows actually
+    * available (min(k, corpus-1) — k at any real scale).
+    *
+    * Scale: the truth side is the bounded-query brute-force baseline
+    * (the same allowlisted broadcast as j3_knn_cosine — at fleet scale
+    * ground truth comes from a held-out sample exactly like this); the
+    * compare is one tiny (nQueries x k) join. */
+  def annRecall(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK,
+                nProbes: Int = IvfProbes): DataFrame = {
+    import emb.sparkSession.implicits._
+    val truth = knnCosine(emb, nQueries, k).select($"qid", $"vid")
+    val approx = annIvf(emb, nQueries, k, nProbes = nProbes)
+      .select($"qid", $"vid").withColumn("hit", lit(1L))
+    truth.join(approx, Seq("qid", "vid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("kk"),
+        sum(coalesce($"hit", lit(0L))).cast("long").as("n_hits"))
+      .select($"qid", $"n_hits",
+        expr("(n_hits * 1000000) div greatest(kk, 1)").as("recall_e6"))
+  }
+
   /** Top outliers per [[centroidOutliers]] group. */
   val OutlierK = 16
 

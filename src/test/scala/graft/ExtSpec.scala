@@ -582,6 +582,31 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= np1Recall, s"multi-probe trails single-probe: $recall < $np1Recall")
   }
 
+  test("ann recall: graded per-query recall matches the set-overlap definition") {
+    import spark.implicits._
+    // same deterministic pseudo-random corpus as the IVF spec
+    val emb = spark.range(0L, 500L).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => (pmod(xxhash64($"id" * 1000 + i), lit(2001)) - 1000).cast("float") / 1000f)
+        .as("embedding"))
+    val r = Similarity.annRecall(emb, nQueries = 10, k = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.size == 10, s"one row per query: ${r.size}")
+    // the graded number IS the set overlap the IVF spec computes by hand
+    val exact = Similarity.knnCosine(emb, nQueries = 10, k = 3)
+      .select($"qid", $"vid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ivf = Similarity.annIvf(emb, nQueries = 10, k = 3)
+      .select($"qid", $"vid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    r.foreach { case (q, (hits, recallE6)) =>
+      val want = exact.filter(_._1 == q).count(ivf.contains)
+      assert(hits == want.toLong, s"q$q: hits $hits != set overlap $want")
+      assert(recallE6 == hits * 1000000L / 3L, s"q$q: recall_e6 inconsistent")
+    }
+    // and the corpus-level mean is the usable-recall bound the IVF spec pins
+    val mean = r.values.map(_._2).sum / r.size
+    assert(mean >= 200000L, s"mean graded recall collapsed: $mean")
+  }
+
   test("PQ/ADC: shortlist re-rank recovers usable exact-L2 recall; ranks by exact d2") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

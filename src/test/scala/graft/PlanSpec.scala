@@ -284,6 +284,13 @@ class PlanSpec extends AnyFunSuite {
     //                  reserved-sentinel base — j4_lm_bits' V shape)
     //   j7_pack_fit_stats  1-row x 1-row summary cross (fit aggregate vs
     //                  concat-chunk aggregate, the comparison row itself)
+    //   j3_hard_negatives  the bounded KnnQueries(50)-row query sample
+    //                  broadcast (j3_knn_cosine's shape; the label
+    //                  INEQUALITY leaves no equi key, by design — the
+    //                  negative pool is corpus-wide)
+    //   j3_ann_recall  composes j3_knn_cosine's bounded query-sample
+    //                  broadcast (the ground-truth side) with
+    //                  j3_ivf_ann's allowlisted stride/centroid folds
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
       "j3_semdedup_inc_upsert",
@@ -292,7 +299,7 @@ class PlanSpec extends AnyFunSuite {
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
-      "j7_pack_fit_stats")
+      "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
