@@ -870,6 +870,33 @@ object Dedup {
         when($"bloom_dup_frac_e6" >= dropE6, 1L).otherwise(0L))
   }
 
+  /** J2 — the Bloom filter's WRITE step (the ingest job's other half,
+    * closing the read–probe–write loop like [[incrementalNearDupUpsert]]
+    * and the semantic upsert): the post-ingest position set = the
+    * standing positions (is_new = 0) plus the positions contributed by
+    * the KEPT batch docs' lines that were not already set (is_new = 1).
+    * Dropped docs (the ≥ [[BloomDropE6]] bloom verdict) never insert —
+    * the discipline every ingest filter runs, since indexing a dropped
+    * duplicate would only re-assert what the filter already knows.
+    * Still bounded by `mBits` rows after any number of ingests — the
+    * sketch's invariant survives the write path. Deterministic md5, so
+    * the oracle reproduces the inserted set bit-for-bit. */
+  def bloomUpsert(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                  mBits: Int = BloomBits, seeds: Seq[Int] = BloomSeeds,
+                  dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val standing = bloomPositionSet(
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), mBits, seeds)
+    val kept = bloomLineProbe(docs, mod, w, mBits, seeds, dropE6)
+      .filter($"drop_doc" === 0L).select($"doc_id")
+    val newPos = bloomPositionSet(
+        bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
+          .join(kept, Seq("doc_id"), "left_semi"), mBits, seeds)
+      .join(standing, Seq("p"), "left_anti")
+    standing.withColumn("is_new", lit(0L))
+      .unionByName(newPos.withColumn("is_new", lit(1L)))
+  }
+
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
     * same 0.9 decision point as [[NearDupGroupJaccard]]. */
   val IncrementalDropE6 = 900000L

@@ -259,6 +259,12 @@ object ExtQueries {
     "j2_bloom_probe" -> ((s, d) =>
       Dedup.bloomLineProbe(Tables.documents(s, d))),
 
+    // J2 — the Bloom WRITE step: post-ingest position set (standing
+    // is_new=0 + kept batch docs' novel positions is_new=1; dropped docs
+    // never insert) — still bounded by m rows after any ingest.
+    "j2_bloom_upsert" -> ((s, d) =>
+      Dedup.bloomUpsert(Tables.documents(s, d))),
+
     "j2_dup_run_len" -> ((s, d) =>
       Dedup.dupRunLength(Tables.documents(s, d),
         starts0 = Some(dupStartsFrame(s, d)))),
@@ -1930,6 +1936,39 @@ object ExtQueries {
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
          |FROM ex GROUP BY doc_id""".stripMargin
+    },
+
+    // Bloom upsert: the probe chain's per-doc verdicts gate which batch
+    // docs insert; the emitted set is standing ∪ kept-novel positions.
+    "j2_bloom_upsert" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomBits
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |pos AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 <> 0),
+         |probe AS (SELECT l.doc_id, l.line,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hit AS (SELECT doc_id, line,
+         |    min(CASE WHEN p IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS bloom
+         |  FROM probe GROUP BY 1, 2),
+         |kept AS (SELECT doc_id FROM hit GROUP BY doc_id
+         |  HAVING (CAST(sum(bloom) AS BIGINT) * 1000000)
+         |    // greatest(CAST(count(*) AS BIGINT), 1) < ${Dedup.BloomDropE6}),
+         |np AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s)
+         |  WHERE l.doc_id % 10 = 0 AND l.doc_id IN (SELECT doc_id FROM kept))
+         |SELECT p, CAST(0 AS BIGINT) AS is_new FROM pos
+         |UNION ALL
+         |SELECT p, CAST(1 AS BIGINT) AS is_new FROM np
+         |WHERE p NOT IN (SELECT p FROM pos)""".stripMargin
     },
 
     "j7_decontam_ngram" -> {

@@ -1233,6 +1233,45 @@ class ExtSpec extends AnyFunSuite {
     assert(prod == ((2L, 1L, 1L, 0L, 500000L, 0L)), s"prod-m: $prod")
   }
 
+  test("bloom upsert: dropped doc never inserts; kept doc's novel positions flagged new") {
+    import spark.implicits._
+    // corpus: 4 distinct lines. batch doc 10: 4 corpus-dup lines + 1 novel
+    // (80% dup -> DROPPED; its novel line "n1.." must NOT enter the set).
+    // batch doc 20: 1 dup + 4 novel (20% -> KEPT; novels enter is_new=1).
+    val corpusText = (1 to 4).flatMap(l => (1 to 5).map(i => s"c${l}_$i")).mkString(" ")
+    val docs = Seq(
+      (1L, corpusText),
+      (10L, ((1 to 4).flatMap(l => (1 to 5).map(i => s"c${l}_$i")) ++
+        (1 to 5).map(i => s"n$i")).mkString(" ")),
+      (20L, ((1 to 5).map(i => s"c1_$i") ++
+        (1 to 20).map(i => s"k$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val up = ext.Dedup.bloomUpsert(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val standing = ext.Dedup.bloomPositionSet(
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" === 1L)))
+      .collect().map(_.getLong(0)).toSet
+    def posOf(line: String): Set[Long] = ext.Dedup.BloomSeeds.map(sd =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$sd:$line").take(8), 16)
+        % ext.Dedup.BloomBits).toSet
+    // standing positions all is_new = 0
+    standing.foreach(p => assert(up(p) == 0L, s"standing pos $p flagged new"))
+    // doc 10 is dropped: its novel line's positions are absent (unless a
+    // position collides with the standing set, where it is is_new=0)
+    posOf((1 to 5).map(i => s"n$i").mkString(" ")).foreach { p =>
+      assert(!up.contains(p) || standing.contains(p),
+        s"dropped doc's novel position $p entered the index")
+    }
+    // doc 20 is kept: each novel line's positions present; new ones flagged
+    val kLines = (0 until 4).map(b => (1 to 20).slice(b * 5, b * 5 + 5)
+      .map(i => s"k$i").mkString(" "))
+    kLines.flatMap(posOf).foreach { p =>
+      assert(up.contains(p), s"kept doc's position $p missing")
+      assert(up(p) == (if (standing.contains(p)) 0L else 1L), s"pos $p flag wrong")
+    }
+  }
+
   test("gopher gate: each rule fires alone, the clean doc passes all five") {
     import spark.implicits._
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i")
