@@ -378,6 +378,12 @@ object ExtQueries {
     "j3_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d))),
 
+    // the dial's LOW point: recall at nprobe = 1 — with j3_ann_recall this
+    // grades BOTH ends of the published recall/cost trade (ExtSpec pins
+    // multi >= single on the same corpus).
+    "j3_ann_recall_np1" -> ((s, d) =>
+      Similarity.annRecall(Tables.embeddings(s, d), nProbes = 1)),
+
     // J3 — SEMANTIC dedup (SemDeDup): sqrt(N) embedding cells from the
     // Lloyd coarse quantizer, intra-cell exact-integer cosine near-sets,
     // keep-one-per-set (min vec_id) — the published complement to the
@@ -490,6 +496,13 @@ object ExtQueries {
     // J7 — CCNet PERPLEXITY BUCKETS: per-language head/middle/tail
     // terciles by bigram-LM bits-per-token (keep head, sample middle,
     // drop tail — the published CCNet split).
+    // J7 — CURRICULUM/anneal training order: generic tercile first, the
+    // CCNet head LAST (quality rises toward the end of the token budget),
+    // seeded shuffle within each stage; exact global rank + token prefix
+    // sum via the two-phase distributed cumsum.
+    "j7_curriculum" -> ((s, d) =>
+      Pipeline.curriculum(Tables.documents(s, d))),
+
     "j7_ppl_buckets" -> ((s, d) =>
       Pipeline.pplBuckets(Tables.documents(s, d))),
 
@@ -925,6 +938,30 @@ object ExtQueries {
         |sims AS (SELECT qid, vid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
         |  FROM dots JOIN norms na ON na.vec_id = dots.qid JOIN norms nb ON nb.vec_id = dots.vid)""".stripMargin
+
+  /** ANN-recall oracle, parameterized by the probe dial: the IVF chain's
+    * top-k compared against the brute-force exact top-k computed from the
+    * same qe/norms CTEs. */
+  private def annRecallOracle(nProbes: Int): String =
+    s"""WITH ${ivfCtes(nProbes)},
+      |ivfk AS (SELECT qid, vid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
+      |  WHERE rn <= ${Similarity.AnnK}),
+      |bdots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      |  FROM qe a JOIN qe b ON b.i = a.i AND a.vec_id < ${Similarity.AnnQueries} AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |bsims AS (SELECT qid, vid,
+      |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+      |  FROM bdots JOIN norms na ON na.vec_id = bdots.qid JOIN norms nb ON nb.vec_id = bdots.vid),
+      |bk AS (SELECT qid, vid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM bsims) z
+      |  WHERE rn <= ${Similarity.AnnK})
+      |SELECT b.qid,
+      |  CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  (CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // greatest(CAST(count(*) AS BIGINT), 1) AS recall_e6
+      |FROM bk b LEFT JOIN ivfk i ON i.qid = b.qid AND i.vid = b.vid
+      |GROUP BY b.qid""".stripMargin
 
   /** Quality-gate oracle CTEs (per-doc relation `gate` with the kept
     * verdict) — shared by j7_quality_gate and the kept-set consumers
@@ -2253,26 +2290,8 @@ object ExtQueries {
 
     // ANN recall: the IVF chain's top-k compared against the brute-force
     // exact top-k computed from the same qe/norms CTEs.
-    "j3_ann_recall" ->
-      s"""WITH ${ivfCtes(Similarity.IvfProbes)},
-        |ivfk AS (SELECT qid, vid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM sims) z
-        |  WHERE rn <= ${Similarity.AnnK}),
-        |bdots AS (SELECT a.vec_id AS qid, b.vec_id AS vid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-        |  FROM qe a JOIN qe b ON b.i = a.i AND a.vec_id < ${Similarity.AnnQueries} AND a.vec_id <> b.vec_id
-        |  GROUP BY 1, 2),
-        |bsims AS (SELECT qid, vid,
-        |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM bdots JOIN norms na ON na.vec_id = bdots.qid JOIN norms nb ON nb.vec_id = bdots.vid),
-        |bk AS (SELECT qid, vid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim_e6 DESC, vid) AS rn FROM bsims) z
-        |  WHERE rn <= ${Similarity.AnnK})
-        |SELECT b.qid,
-        |  CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |  (CAST(sum(CASE WHEN i.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-        |    // greatest(CAST(count(*) AS BIGINT), 1) AS recall_e6
-        |FROM bk b LEFT JOIN ivfk i ON i.qid = b.qid AND i.vid = b.vid
-        |GROUP BY b.qid""".stripMargin,
+    "j3_ann_recall" -> annRecallOracle(Similarity.IvfProbes),
+    "j3_ann_recall_np1" -> annRecallOracle(1),
 
 
     // SemDeDup: the IVF Lloyd chain (2 unrolled rounds, matching
@@ -2520,6 +2539,33 @@ object ExtQueries {
 
     // CCNet buckets: the lmout chain + per-language rank with the
     // explicit integer tercile formula (no engine ntile semantics).
+    // Curriculum: the ppl-bucket chain's kept terciles staged
+    // middle-first / head-last, ordered by (stage, md5 key, doc_id) with
+    // an exact rank + exclusive token prefix sum.
+    "j7_curriculum" ->
+      s"""$lmBitsCtes,
+         |sc2 AS (SELECT d.doc_id, d.lang, l.bits_per_token FROM documents d
+         |  JOIN lmout l ON l.doc_id = d.doc_id),
+         |rk AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM sc2),
+         |bk AS (SELECT doc_id, lang, ((rn - 1) * 3) // n + 1 AS bucket FROM rk),
+         |kept AS (SELECT b.doc_id, b.lang,
+         |    CASE WHEN b.bucket = 1 THEN 'head' ELSE 'middle' END AS bucket_label,
+         |    CAST(3 - b.bucket AS BIGINT) AS stage,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5('${Pipeline.ShuffleSeed}:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT AS shuffle_key
+         |  FROM bk b JOIN documents d ON d.doc_id = b.doc_id WHERE b.bucket <= 2),
+         |o AS (SELECT doc_id, lang, bucket_label, stage, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id) AS BIGINT) AS curriculum_rank,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY stage, shuffle_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM kept)
+         |SELECT doc_id, lang, bucket_label, stage, n_tokens, curriculum_rank,
+         |  tok_offset, tok_offset // ${Pipeline.PackSeqLen} AS seq_id
+         |FROM o""".stripMargin,
+
     "j7_ppl_buckets" ->
       s"""$lmBitsCtes,
          |sc2 AS (SELECT d.doc_id, d.lang, l.bits_per_token FROM documents d

@@ -750,6 +750,43 @@ object Pipeline {
         expr(s"tok_offset % $seqLen").as("seq_offset"))
   }
 
+  /** J7 — CURRICULUM / ANNEAL training order (round 13): the published
+    * end-of-training data-ordering dial (the OLMo/MiniCPM anneal-phase
+    * layout; LLaMA-3 likewise up-weights its highest-quality data late in
+    * training): order the kept corpus so the GENERIC tercile (CCNet
+    * 'middle') trains first and the highest-quality tercile ('head')
+    * trains LAST — quality rises toward the end of the token budget —
+    * with the seeded md5 permutation INSIDE each stage so stages stay
+    * internally decorrelated. Composes two graded surfaces: the CCNet
+    * perplexity terciles ([[pplBuckets]]; 'tail' is dropped, per the
+    * published keep policy) define the stages, and [[globalShuffle]]'s
+    * permutation key orders within a stage. `curriculum_rank` is the
+    * exact global training position and `tok_offset` the exclusive token
+    * prefix sum in that order, both from [[graft.Dist.withGlobalCumSums]]'
+    * two-phase distributed cumsum — ONE range shuffle on
+    * (stage, shuffle_key), no single-task window anywhere. */
+  def curriculum(docs: DataFrame, seed: Int = ShuffleSeed,
+                 seqLen: Long = PackSeqLen): DataFrame = {
+    import docs.sparkSession.implicits._
+    val kept = pplBuckets(docs).filter($"bucket" <= 2L)
+      .select($"doc_id", $"lang", $"bucket", $"bucket_label",
+        // middle (bucket 2) -> stage 1 first; head (bucket 1) -> stage 2 last
+        (lit(3L) - $"bucket").as("stage"))
+    val toks = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val staged = kept.join(toks, Seq("doc_id"))
+      .withColumn("shuffle_key", Dedup.md5Hash32(seed, $"doc_id".cast("string")))
+      .withColumn("one", lit(1L))
+    graft.Dist.withGlobalCumSums(staged, Seq("one", "n_tokens"),
+        Seq($"stage", $"shuffle_key", $"doc_id"))
+      .select($"doc_id", $"lang", $"bucket_label", $"stage", $"n_tokens",
+        $"cum_one".as("curriculum_rank"),
+        ($"cum_n_tokens" - $"n_tokens").as("tok_offset"))
+      .select($"doc_id", $"lang", $"bucket_label", $"stage", $"n_tokens",
+        $"curriculum_rank", $"tok_offset",
+        expr(s"tok_offset div $seqLen").as("seq_id"))
+  }
+
   /** [[packFit]] window width (docs): the FFD fold state is bounded by the
     * window — at most windowDocs bins over windowDocs docs fold ROW-LOCALLY
     * — and windows pack independently in parallel, the published

@@ -159,6 +159,31 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum: stages ordered middle-then-head, bijective ranks, exact prefix sum") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = ext.Pipeline.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val n = got.length
+    assert(n > 0)
+    // the tail tercile is DROPPED; stage 1 = middle, stage 2 = head
+    assert(got.forall(t => (t._3 == 1L) == (t._2 == "middle")
+      && (t._3 == 2L) == (t._2 == "head")), "stage/bucket mapping")
+    // ANNEAL ordering: every middle-stage doc trains before every head doc
+    val maxMiddle = got.filter(_._3 == 1L).map(_._5).max
+    val minHead = got.filter(_._3 == 2L).map(_._5).min
+    assert(maxMiddle < minHead,
+      s"head must train last: max middle rank $maxMiddle >= min head rank $minHead")
+    // bijection + exclusive token prefix sum in rank order
+    assert(got.map(_._5).sorted.toSeq == (1L to n).toSeq, "ranks not a bijection")
+    val inOrder = got.sortBy(_._5)
+    val prefix = inOrder.map(_._4).scanLeft(0L)(_ + _).init
+    assert(inOrder.map(_._6).toSeq == prefix.toSeq,
+      "tok_offset is not the exclusive prefix sum in curriculum order")
+    graft.Pinned.release(spark)
+  }
+
   test("semdedup: near-sets are exactly the same-cell cosine>=threshold components") {
     import spark.implicits._
     // The Lloyd assignment is oracle-checked; here take the emitted cells

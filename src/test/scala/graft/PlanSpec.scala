@@ -299,7 +299,8 @@ class PlanSpec extends AnyFunSuite {
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
-      "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall")
+      "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall",
+      "j3_ann_recall_np1")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
