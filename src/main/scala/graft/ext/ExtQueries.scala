@@ -796,7 +796,15 @@ object ExtQueries {
     // Jaccard + verdict; candidate dedup is a row-local smallest-matching-
     // band witness, so the streaming form is append-mode with ZERO state.
     "st_inc_probe" -> ((s, d) =>
-      graft.streaming.StreamOps.incProbe(Tables.documents(s, d)))
+      graft.streaming.StreamOps.incProbe(Tables.documents(s, d))),
+
+    // I + J2 — STREAM-STATIC Bloom ingest probe: incoming docs' lines (as
+    // a stream in the bloomProbeStream twin) probe the standing position
+    // set + exact line set; per-line bloom/exact/false-positive verdicts.
+    // The "all k positions set" test is k stream-static hash joins over
+    // carried position COLUMNS — append-mode with ZERO state.
+    "st_bloom" -> ((s, d) =>
+      graft.streaming.StreamOps.bloomProbe(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1602,6 +1610,34 @@ object ExtQueries {
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "st_inc_probe" -> incProbePairOracle,
+
+    // Stream-static bloom probe: the j2_bloom_probe chain emitted at the
+    // (doc, line) grain the filter actually answers.
+    "st_bloom" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomBits
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |pos AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 <> 0),
+         |cl AS (SELECT DISTINCT line FROM ln WHERE doc_id % 10 <> 0),
+         |probe AS (SELECT l.doc_id, l.line,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hit AS (SELECT doc_id, line,
+         |    CAST(min(CASE WHEN p IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS BIGINT) AS bloom
+         |  FROM probe GROUP BY 1, 2)
+         |SELECT h.doc_id, h.line, h.bloom,
+         |  CAST(CASE WHEN h.line IN (SELECT line FROM cl) THEN 1 ELSE 0 END AS BIGINT) AS exact,
+         |  CAST(CASE WHEN h.bloom = 1 AND h.line NOT IN (SELECT line FROM cl)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+         |FROM hit h""".stripMargin
+    },
 
     // Exact prefix-filter similarity join: the oracle mirrors the Spark
     // side CTE for CTE (global rare-first order, per-doc prefix, bucket

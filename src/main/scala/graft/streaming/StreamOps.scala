@@ -529,4 +529,57 @@ object StreamOps {
       .withColumn("verdict",
         when($"j_e6" >= graft.ext.Dedup.IncrementalDropE6, "drop").otherwise("keep"))
   }
+
+  /** J2/I — BLOOM ingest probe, stream-static form: incoming documents
+    * arrive as a stream, their lines probe the STANDING Bloom position
+    * set (a static table bounded by m rows — the artifact a nightly
+    * [[graft.ext.Dedup.bloomUpsert]] maintains) plus the exact line set
+    * for FP accounting. One output row per distinct (doc, line) with the
+    * filter's verdict, the exact verdict, and the false-positive flag.
+    *
+    * Fully APPEND-mode and STATELESS: the "all k positions set" test is
+    * not a stateful aggregation — each line carries its k md5 positions
+    * as COLUMNS and runs k stream-static hash joins (k = 3, a constant),
+    * so the verdict is row-local within the micro-batch; no watermark,
+    * no state store. This is the streaming twin of the doc-grain batch
+    * probe (`j2_bloom_probe` grades the per-doc roll-up; here the grain
+    * is the pair the filter actually answers). */
+  def bloomProbe(docs: DataFrame, mod: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val corpus = graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))
+    bloomProbeJoin(
+      graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0)),
+      graft.ext.Dedup.bloomPositionSet(corpus),
+      corpus.select($"line").distinct())
+  }
+
+  /** Streaming form of [[bloomProbe]]: `incoming` is a STREAMING
+    * documents frame; `positions` / `corpusLines` the static state
+    * relations. */
+  def bloomProbeStream(incoming: DataFrame, positions: DataFrame,
+                       corpusLines: DataFrame): DataFrame =
+    bloomProbeJoin(graft.ext.Dedup.bloomDocLines(incoming), positions, corpusLines)
+
+  private def bloomProbeJoin(lines: DataFrame, positions: DataFrame,
+                             corpusLines: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
+    val seeds = graft.ext.Dedup.BloomSeeds
+    val m = graft.ext.Dedup.BloomBits
+    val withPos = seeds.zipWithIndex.foldLeft(lines) { case (df, (sd, i)) =>
+      df.withColumn(s"p$i",
+        pmod(graft.ext.Dedup.md5Hash32(sd, $"line"), lit(m.toLong)))
+    }
+    val joined = seeds.indices.foldLeft(withPos) { (df, i) =>
+      df.join(positions.select($"p".as(s"p$i"), lit(1L).as(s"hit$i")),
+        Seq(s"p$i"), "left")
+    }
+    joined
+      .join(corpusLines.withColumn("ex", lit(1L)), Seq("line"), "left")
+      .select($"doc_id", $"line",
+        when(seeds.indices.map(i => col(s"hit$i").isNotNull).reduce(_ && _), 1L)
+          .otherwise(0L).as("bloom"),
+        coalesce($"ex", lit(0L)).as("exact"))
+      .withColumn("false_pos",
+        when($"bloom" === 1L && $"exact" === 0L, 1L).otherwise(0L))
+  }
 }

@@ -463,4 +463,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
     } finally q.stop()
   }
+
+  test("stream-static bloom probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val expected = StreamOps.bloomProbe(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the probe must emit line verdicts on the harness corpus")
+    // static side: the standing position set + exact line set (the
+    // artifacts a nightly bloomUpsert maintains); stream side: the
+    // incoming carve arriving as files
+    val corpus = ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0))
+    val positions = ext.Dedup.bloomPositionSet(corpus)
+    val corpusLines = corpus.select($"line").distinct()
+    val staged = java.nio.file.Files.createTempDirectory("graft_stbloom").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.bloomProbeStream(stream, positions, corpusLines)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stbloom_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_stbloom_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
 }
