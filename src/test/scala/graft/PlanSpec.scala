@@ -273,6 +273,9 @@ class PlanSpec extends AnyFunSuite {
     //                  decontam fingerprint-side shape, embedding form)
     //   j7_ppl_buckets inherits j4_lm_bits' 1-row vocabulary-size
     //                  broadcast (the smoothing denominator V)
+    //   j7_curriculum  same inherited 1-row V broadcast (it stages the
+    //                  ppl-bucket terciles; the order itself is one range
+    //                  shuffle through Dist)
     //   j3_semdedup_inc_state  the 1-row id-cutoff aggregate only (the
     //                  corpus/batch split); the centroid side is a READ
     //                  state TABLE joined broadcast-hash, not nested-loop
@@ -300,7 +303,7 @@ class PlanSpec extends AnyFunSuite {
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall",
-      "j3_ann_recall_np1")
+      "j3_ann_recall_np1", "j7_curriculum")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
