@@ -897,6 +897,46 @@ object Dedup {
       .unionByName(newPos.withColumn("is_new", lit(1L)))
   }
 
+  /** J2 — Bloom filter STATS row: the filter's error MODEL graded against
+    * its measured behavior in one row — the published FP-rate formula
+    * (1-e^(-kn/m))^k evaluated WITHOUT exp: the fill fraction is measured
+    * directly (set positions / m, exact millionths), so predicted FPR is
+    * just fill^k — and the measured FPR is the probe's actual
+    * false-positive count over the novel batch lines. The pack_fit_stats
+    * convention: the op's quality claim is itself a graded artifact, so a
+    * mis-sized filter (fill drifting toward 1) is visible in-gate, which
+    * is exactly the dial a production ingest filter monitors. */
+  def bloomStats(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                 mBits: Int = BloomBits, seeds: Seq[Int] = BloomSeeds,
+                 dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(seeds.size == 3, s"bloomStats: fill^k is unrolled for k = 3, got ${seeds.size}")
+    val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
+    val nPos = bloomPositionSet(corpus, mBits, seeds)
+      .agg(count(lit(1)).as("n_set_positions"))
+    val nLines = corpus.select($"line").distinct()
+      .agg(count(lit(1)).as("n_corpus_lines"))
+    val probe = bloomLineProbe(docs, mod, w, mBits, seeds, dropE6)
+      .agg(sum($"n_lines").as("n_batch_lines"),
+        sum($"n_bloom_dup").as("n_bloom_hits"),
+        sum($"n_exact_dup").as("n_exact_dups"),
+        sum($"n_false_pos").as("n_false_pos"))
+    // three 1-row aggregates — bounded broadcasts, the pack_fit_stats shape
+    nPos.crossJoin(broadcast(nLines)).crossJoin(broadcast(probe))
+      .select(lit(mBits.toLong).as("m_bits"),
+        lit(seeds.size.toLong).as("k_hashes"),
+        $"n_corpus_lines", $"n_set_positions",
+        expr(s"(n_set_positions * 1000000) div $mBits").as("fill_e6"),
+        $"n_batch_lines", $"n_bloom_hits", $"n_exact_dups", $"n_false_pos",
+        ($"n_batch_lines" - $"n_exact_dups").as("n_novel"))
+      .select(col("*"),
+        // fill^k in millionths, exact integers (k = 3 by contract)
+        expr("(((fill_e6 * fill_e6) div 1000000) * fill_e6) div 1000000")
+          .as("predicted_fpr_e6"),
+        expr("(n_false_pos * 1000000) div greatest(n_novel, 1)")
+          .as("measured_fpr_e6"))
+  }
+
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
     * same 0.9 decision point as [[NearDupGroupJaccard]]. */
   val IncrementalDropE6 = 900000L

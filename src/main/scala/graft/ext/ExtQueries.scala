@@ -265,6 +265,12 @@ object ExtQueries {
     "j2_bloom_upsert" -> ((s, d) =>
       Dedup.bloomUpsert(Tables.documents(s, d))),
 
+    // J2 — the Bloom STATS row: the published FP model graded against the
+    // measured behavior — predicted FPR = fill^k from the MEASURED fill
+    // (no exp needed), vs the probe's actual FP rate on novel lines.
+    "j2_bloom_stats" -> ((s, d) =>
+      Dedup.bloomStats(Tables.documents(s, d))),
+
     "j2_dup_run_len" -> ((s, d) =>
       Dedup.dupRunLength(Tables.documents(s, d),
         starts0 = Some(dupStartsFrame(s, d)))),
@@ -2009,6 +2015,47 @@ object ExtQueries {
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
          |FROM ex GROUP BY doc_id""".stripMargin
+    },
+
+    // Bloom stats: one row — measured fill, fill^3 as the predicted FPR,
+    // measured FPR from the same probe chain.
+    "j2_bloom_stats" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomBits
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |pos AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 <> 0),
+         |cl AS (SELECT DISTINCT line FROM ln WHERE doc_id % 10 <> 0),
+         |probe AS (SELECT l.doc_id, l.line,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hit AS (SELECT doc_id, line,
+         |    min(CASE WHEN p IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS bloom,
+         |    min(CASE WHEN line IN (SELECT line FROM cl) THEN 1 ELSE 0 END) AS exact
+         |  FROM probe GROUP BY 1, 2),
+         |agg AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT line FROM ln WHERE doc_id % 10 <> 0) q) AS n_corpus_lines,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_set_positions,
+         |    CAST(count(*) AS BIGINT) AS n_batch_lines,
+         |    CAST(sum(bloom) AS BIGINT) AS n_bloom_hits,
+         |    CAST(sum(exact) AS BIGINT) AS n_exact_dups,
+         |    CAST(sum(bloom) - sum(exact) AS BIGINT) AS n_false_pos
+         |  FROM hit)
+         |SELECT CAST($m AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+         |  n_corpus_lines, n_set_positions,
+         |  (n_set_positions * 1000000) // $m AS fill_e6,
+         |  n_batch_lines, n_bloom_hits, n_exact_dups, n_false_pos,
+         |  n_batch_lines - n_exact_dups AS n_novel,
+         |  ((((n_set_positions * 1000000) // $m) * ((n_set_positions * 1000000) // $m) // 1000000)
+         |    * ((n_set_positions * 1000000) // $m)) // 1000000 AS predicted_fpr_e6,
+         |  (n_false_pos * 1000000) // greatest(n_batch_lines - n_exact_dups, 1) AS measured_fpr_e6
+         |FROM agg""".stripMargin
     },
 
     // Bloom upsert: the probe chain's per-doc verdicts gate which batch

@@ -1233,6 +1233,28 @@ class ExtSpec extends AnyFunSuite {
     assert(prod == ((2L, 1L, 1L, 0L, 500000L, 0L)), s"prod-m: $prod")
   }
 
+  test("bloom stats: saturated filter predicts AND measures FPR 1.0; counts consistent") {
+    import spark.implicits._
+    val filler = (2L to 9L).map { d =>
+      (d, (1 to 10).map(i => s"w${d}_$i").mkString(" "))
+    }
+    val docs = (Seq(
+      (1L, "a b c d e"),
+      (10L, "a b c d e x1 x2 x3 x4 x5")
+    ) ++ filler).toDF("doc_id", "text")
+    // m = 8: 51 inserts saturate every slot -> fill 1e6, predicted fpr
+    // fill^3 = 1e6, and the one novel batch line IS a false positive ->
+    // measured fpr 1e6: the model and the measurement agree at the
+    // degenerate point exactly
+    val r = ext.Dedup.bloomStats(docs, mBits = 8).collect()(0)
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("fill_e6") == 1000000L && g("predicted_fpr_e6") == 1000000L,
+      s"saturated fill/prediction: $r")
+    assert(g("n_novel") == 1L && g("n_false_pos") == 1L
+      && g("measured_fpr_e6") == 1000000L, s"measured fpr: $r")
+    assert(g("n_bloom_hits") == g("n_exact_dups") + g("n_false_pos"), s"count identity: $r")
+  }
+
   test("bloom upsert: dropped doc never inserts; kept doc's novel positions flagged new") {
     import spark.implicits._
     // corpus: 4 distinct lines. batch doc 10: 4 corpus-dup lines + 1 novel
