@@ -276,6 +276,8 @@ class PlanSpec extends AnyFunSuite {
     //   j7_curriculum  same inherited 1-row V broadcast (it stages the
     //                  ppl-bucket terciles; the order itself is one range
     //                  shuffle through Dist)
+    //   j2_bloom_stats three 1-row summary aggregates crossed into the
+    //                  one stats row (the j7_pack_fit_stats shape)
     //   j3_semdedup_inc_state  the 1-row id-cutoff aggregate only (the
     //                  corpus/batch split); the centroid side is a READ
     //                  state TABLE joined broadcast-hash, not nested-loop
@@ -303,7 +305,7 @@ class PlanSpec extends AnyFunSuite {
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall",
-      "j3_ann_recall_np1", "j7_curriculum")
+      "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
