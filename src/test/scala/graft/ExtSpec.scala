@@ -553,6 +553,34 @@ class ExtSpec extends AnyFunSuite {
       "negatives ranked hardest-first (5 excluded despite top sim — it's a positive)")
   }
 
+  test("hard negatives: single-label corpus yields an empty pool, not a crash or filler") {
+    import spark.implicits._
+    // every vector shares the query's label -> the pre-filter leaves no
+    // candidates; the correct answer is ZERO rows (no silent fallback to
+    // same-label "negatives")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (5L, Array(0.9f, 0.1f), 7),
+      (6L, Array(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(emb, nQueries = 1, k = 3).count() == 0L)
+  }
+
+  test("bloom probe on the harness corpus: superset invariant (no false negatives)") {
+    import spark.implicits._
+    // every exact duplicate MUST be a bloom hit on real data, per doc —
+    // the no-false-negatives law, checked corpus-wide not just on the
+    // crafted fixture
+    val r = ext.Dedup.bloomLineProbe(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .agg(sum(when($"n_bloom_dup" < $"n_exact_dup", 1L).otherwise(0L)).as("viol"),
+        sum($"n_false_pos").as("fp"), sum($"n_exact_dup").as("ex"))
+      .collect()(0)
+    assert(r.getLong(0) == 0L, "a doc reported fewer bloom hits than exact dups")
+    assert(r.getLong(1) >= 0L && r.getLong(2) > 0L,
+      "the harness corpus must carry exact line dups for the invariant to bite")
+  }
+
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
     import spark.implicits._
     // deterministic pseudo-random corpus (hash-derived floats)
