@@ -268,6 +268,7 @@ object ScaleProbe {
     }
     val (bloomPos1, bloomLines1) = bloomState(1)
     val (bloomPosF, bloomLinesF) = bloomState(factor)
+    val (bloomPosD, bloomLinesD) = bloomState(3 * factor)
 
     // SECOND DECADE (round-10 verdict #7): the two cheapest heads run a
     // further 3x past the primary factor (30x of sf0.1 = 3 decades above
@@ -278,9 +279,13 @@ object ScaleProbe {
     // the second decade (verdict #8) — cell-cap and quadratic-join
     // invariants asserted at 30x for the sqrt(N)-cell and gram-grain paths.
     // round-13: j5_phash_hamming joins (the steepest new 10x ratio — real
-    // PNG decode + banded hamming verify at 30x).
+    // PNG decode + banded hamming verify at 30x), and j2_bloom_probe —
+    // at 30x the corpus lines outgrow the filter's sizing, so the
+    // position set SATURATES AT the m bound without ever exceeding it
+    // (the strongest form of the bounded-state claim; the measured fill
+    // below records it).
     val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans",
-      "j5_phash_hamming")
+      "j5_phash_hamming", "j2_bloom_probe")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
       // min-of-2: the host's intermittent per-core grind (SURVEY §6,
       // Bench's min-of-passes rationale) can inflate a single 30x run
@@ -365,6 +370,8 @@ object ScaleProbe {
       failed ::= s"drift register rows per window grew $binsWin1 -> $binsWinF at ${factor}x (state not at the bin grain)"
     if (bloomPosF > ext.Dedup.BloomBits)
       failed ::= s"bloom position set exceeded the m-bit bound at ${factor}x: $bloomPosF > ${ext.Dedup.BloomBits}"
+    if (bloomPosD > ext.Dedup.BloomBits)
+      failed ::= s"bloom position set exceeded the m-bit bound at ${deepFactor}x: $bloomPosD > ${ext.Dedup.BloomBits}"
     results.foreach { r =>
       if (r.quadF > r.quad1)
         failed ::= s"${r.name}: quadratic join shapes grew ${r.quad1} -> ${r.quadF} at ${factor}x"
@@ -395,7 +402,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_bits":${ext.Dedup.BloomBits},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()
