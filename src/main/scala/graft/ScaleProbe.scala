@@ -192,6 +192,10 @@ object ScaleProbe {
       Head("j7_pack_fit", f => ext.Pipeline.packFit(
         docsAt(f).selectExpr("doc_id",
           "cast(size(split(text, ' ')) as bigint) as n_tokens"))),
+      // round-14: the anneal-order capstone (lm-bits chain + tercile
+      // staging + two-phase rank/cumsum over ONE range shuffle) — the
+      // heaviest new round-13 head after pack_fit, measured not argued
+      Head("j7_curriculum", f => ext.Pipeline.curriculum(docsAt(f))),
       Head("j7_decontam_sem", f => ext.Similarity.semDecontam(embAt(f))),
       Head("j7_gopher_gate", f => ext.Pipeline.gopherGate(docsAt(f))),
       Head("j3_pq_adc", f => ext.Similarity.annPq(embAt(f))),
@@ -270,6 +274,23 @@ object ScaleProbe {
     val (bloomPosF, bloomLinesF) = bloomState(factor)
     val (bloomPosD, bloomLinesD) = bloomState(3 * factor)
 
+    // SCALABLE-Bloom lifecycle (round-14, the round-13 verdict's #1): where
+    // the single fixed-m filter saturates AT its bound at 30x (the numbers
+    // above), the sliced filter must instead GROW ITS SLICE COUNT while
+    // every slice's fill stays at the ~50%-at-cap design point — per-slice
+    // fill bounded, total state O(slices x m), no slice ever near FPR 1.
+    def bloomScaleState(f: Int): (Long, Long) = {
+      val st = ext.Dedup.bloomScaleStats(docsAt(f))
+        .agg(count(lit(1)).as("n_slices"), max($"fill_e6").as("max_fill"))
+        .head
+      Pinned.release(spark)
+      (st.getLong(0), st.getLong(1))
+    }
+    val (slices1, sliceFill1) = bloomScaleState(1)
+    val (slicesF, sliceFillF) = bloomScaleState(factor)
+    val (slicesD, sliceFillD) = bloomScaleState(3 * factor)
+    println(s"bloom slices 1x/${factor}x/${3 * factor}x: $slices1/$slicesF/$slicesD, max fill_e6 $sliceFill1/$sliceFillF/$sliceFillD")
+
     // SECOND DECADE (round-10 verdict #7): the two cheapest heads run a
     // further 3x past the primary factor (30x of sf0.1 = 3 decades above
     // the smallest gate scale), turning the "overheads amortize" claim
@@ -284,8 +305,12 @@ object ScaleProbe {
     // position set SATURATES AT the m bound without ever exceeding it
     // (the strongest form of the bounded-state claim; the measured fill
     // below records it).
+    // round-14: j7_pack_fit (x1.55 at 10x — the steepest J7 ratio) and
+    // j7_curriculum join the second decade (round-13 verdict #6): the
+    // window-grain FFD fold and the range-shuffle cumsum must hold their
+    // bounds two decades above the gate scale.
     val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans",
-      "j5_phash_hamming", "j2_bloom_probe")
+      "j5_phash_hamming", "j2_bloom_probe", "j7_pack_fit", "j7_curriculum")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
       // min-of-2: the host's intermittent per-core grind (SURVEY §6,
       // Bench's min-of-passes rationale) can inflate a single 30x run
@@ -372,6 +397,11 @@ object ScaleProbe {
       failed ::= s"bloom position set exceeded the m-bit bound at ${factor}x: $bloomPosF > ${ext.Dedup.BloomBits}"
     if (bloomPosD > ext.Dedup.BloomBits)
       failed ::= s"bloom position set exceeded the m-bit bound at ${deepFactor}x: $bloomPosD > ${ext.Dedup.BloomBits}"
+    // fill at cap = 1-e^(-3*7500/32768) = 49.7%; 520000 leaves rounding room
+    if (sliceFillD > 520000L)
+      failed ::= s"scalable-bloom slice fill exceeded the design point at ${deepFactor}x: $sliceFillD"
+    if (slicesD <= slices1)
+      failed ::= s"scalable-bloom slice count did not grow with the corpus: $slices1 -> $slicesD"
     results.foreach { r =>
       if (r.quadF > r.quad1)
         failed ::= s"${r.name}: quadratic join shapes grew ${r.quad1} -> ${r.quadF} at ${factor}x"
@@ -402,7 +432,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"slice_bits":${ext.Dedup.BloomSliceBits},"slice_cap":${ext.Dedup.BloomSliceCap},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

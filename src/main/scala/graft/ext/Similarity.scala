@@ -668,14 +668,90 @@ object Similarity {
                                emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
                                iters: Int = IvfIters, cellCap: Int = SemCellCap,
                                corpusPct: Long = SemIncCorpusPct): DataFrame = {
-    val Seq(cents, keptM) = StateStore.tables(s, "graft_j3_semstate", key,
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
+    val (_, batch) = semIncSplit(emb, corpusPct)
+    semIncBatch(batch, cents, keptM, thresholdE6)
+  }
+
+  /** The persisted (centroids, kept_members) state pair — the one
+    * [[StateStore]] builder all semantic state consumers share (state /
+    * upsert / stream-probe), so no two paths can persist diverging state
+    * for the same dataset. */
+  private[graft] def semStateTables(s: org.apache.spark.sql.SparkSession,
+                                    key: String, emb: DataFrame,
+                                    thresholdE6: Long = SemDedupCosE6,
+                                    iters: Int = IvfIters,
+                                    cellCap: Int = SemCellCap,
+                                    corpusPct: Long = SemIncCorpusPct): Seq[DataFrame] =
+    StateStore.tables(s, "graft_j3_semstate", key,
       Seq("centroids", "kept_members")) {
       val (corpus, _) = semIncSplit(emb, corpusPct)
       val (c, k) = semIncCorpusState(corpus, thresholdE6, iters, cellCap)
       Seq(c, k)
     }
+
+  /** J3/I — the semantic family's STREAM-STATIC ingest probe (round-13
+    * verdict #2, closing the round-13 gap: lexical had `st_inc_probe`,
+    * Bloom had `st_bloom`, semantic stopped at batch state tables):
+    * incoming vectors probe the PERSISTED centroid + kept-member tables
+    * as static frames; one output row per (incoming vector, same-cell
+    * kept member) candidate with its exact-integer cosine and per-pair
+    * verdict — the append-mode pair grain; the per-vector best-match
+    * reduction is rank-at-serve (the `topkPerWindow` convention), and
+    * `j3_semdedup_inc_state` grades that reduction in batch.
+    *
+    * Fully APPEND-mode and STATELESS by construction: the nearest-cell
+    * assignment is not a stateful argmin but a ROW-LOCAL `array_min` fold
+    * over the packed centroid array (the centroid table is bounded at
+    * √N rows, collapsed to ONE broadcast row and equi-joined on a literal
+    * key — a guaranteed stream-static BroadcastHashJoin), with the
+    * `struct(-ccos, cid)` ordering reproducing the batch side's
+    * rounded-cosine argmax + min-cid tiebreak bit-for-bit; the candidate
+    * score is then one stream-static equi-join on cell id. No watermark,
+    * no state store.
+    *
+    * 100 TB posture: the static sides are the maintained state tables
+    * (√N centroids broadcast; kept members a bounded cap × cells
+    * relation); each micro-batch pays |batch| × √N assignment plus the
+    * cell-local candidate join — the same bill as the batch state form. */
+  private[graft] def semProbeJoin(incoming: DataFrame, cents: DataFrame,
+                                  keptM: DataFrame,
+                                  thresholdE6: Long = SemDedupCosE6): DataFrame = {
+    import incoming.sparkSession.implicits._
+    val packed = broadcast(cents
+      .agg(collect_list(struct($"cid", $"cv", $"nc")).as("cents"))
+      .withColumn("one", lit(1)))
+    val bb = base(incoming).filter($"nq" > 0L).withColumn("one", lit(1))
+    val assigned = bb.join(packed, Seq("one"))
+      .select($"vec_id", $"qv", $"nq",
+        array_min(transform($"cents", c =>
+          struct(
+            (-round(idot($"qv", c.getField("cv")).cast("double") /
+              sqrt($"nq".cast("double") * c.getField("nc").cast("double")) *
+              1000000d).cast("long")).as("negc"),
+            c.getField("cid").as("cid")))).getField("cid").as("cid"))
+    assigned
+      .join(keptM, Seq("cid"))
+      .select($"vec_id", $"mid",
+        round(idot($"qv", $"mv").cast("double") /
+          sqrt($"nq".cast("double") * $"mn".cast("double")) * 1000000d)
+          .cast("long").as("cos_sim_e6"))
+      .withColumn("verdict",
+        when($"cos_sim_e6" >= thresholdE6, "drop").otherwise("keep"))
+  }
+
+  /** The batch twin of [[semProbeJoin]] over the persisted state tables —
+    * the graded `st_sem_probe` form (the stream form is pinned
+    * row-identical in StreamingSpec). */
+  def semProbeBatch(s: org.apache.spark.sql.SparkSession, key: String,
+                    emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                    iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                    corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
     val (_, batch) = semIncSplit(emb, corpusPct)
-    semIncBatch(batch, cents, keptM, thresholdE6)
+    semProbeJoin(batch, cents, keptM, thresholdE6)
   }
 
   /** J3 — the state UPSERT (round 13): the nightly job's WRITE step,
@@ -694,12 +770,8 @@ object Similarity {
                                 iters: Int = IvfIters, cellCap: Int = SemCellCap,
                                 corpusPct: Long = SemIncCorpusPct): DataFrame = {
     import emb.sparkSession.implicits._
-    val Seq(cents, keptM) = StateStore.tables(s, "graft_j3_semstate", key,
-      Seq("centroids", "kept_members")) {
-      val (corpus, _) = semIncSplit(emb, corpusPct)
-      val (c, k) = semIncCorpusState(corpus, thresholdE6, iters, cellCap)
-      Seq(c, k)
-    }
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
     val (_, batch) = semIncSplit(emb, corpusPct)
     val verdicts = semIncBatch(batch, cents, keptM, thresholdE6)
     keptM.select($"mid".as("vec_id"), $"cid".as("cell_id"), lit(0L).as("is_new"))

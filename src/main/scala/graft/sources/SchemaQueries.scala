@@ -40,19 +40,29 @@ object SchemaQueries {
     * Two measures: (a) every dir this JVM creates is removed by a shutdown
     * hook; (b) on first staging use, stale `graft_*_p<pid>_*` dirs whose
     * owning process is GONE are swept (covers kill -9'd runs the hook
-    * never saw). Live PIDs are never touched. */
+    * never saw). Live PIDs are never touched — and (round-14 advice) a
+    * GONE verdict alone is not trusted either: in containers with hidepid
+    * /proc (live PIDs invisible to ProcessHandle) a concurrent run's dirs
+    * would read as orphaned mid-run, so the sweep additionally requires
+    * the dir to be older than [[StaleSweepAgeMs]]. A dir that is both
+    * PID-orphaned and a day old is safely dead under either failure mode
+    * (PID reuse by an unrelated long-lived process keeps a dir at most
+    * until its mtime ages past the bound on the next sweep). */
   private val ownDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cleanupInit = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val StalePat = """graft_.*_p(\d+)_.*""".r
+  private val StaleSweepAgeMs = 24L * 3600L * 1000L
   private def initCleanup(): Unit =
     if (cleanupInit.compareAndSet(false, true)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         ownDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
+      val cutoff = System.currentTimeMillis() - StaleSweepAgeMs
       Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
         .getOrElse(Array.empty).foreach { f =>
           f.getName match {
             case StalePat(pid) if pid != procToken &&
-                !ProcessHandle.of(pid.toLong).isPresent =>
+                !ProcessHandle.of(pid.toLong).isPresent &&
+                f.lastModified() < cutoff =>
               deleteRecursively(f)
             case _ => ()
           }

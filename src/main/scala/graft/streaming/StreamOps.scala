@@ -487,9 +487,11 @@ object StreamOps {
     * micro-batch runs one hash join against the static relation — the
     * canonical stream-static enrichment, no watermark needed because no
     * state is kept. */
-  def incProbe(docs: DataFrame, mod: Int = 10): DataFrame = {
+  def incProbe(docs: DataFrame, mod: Int = 10,
+               bucketCap: Int = graft.ext.Dedup.BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
-    val idx = graft.ext.Dedup.corpusProbeIndex(docs.filter($"doc_id" % mod =!= 0))
+    val idx = graft.ext.Dedup.corpusProbeIndex(docs.filter($"doc_id" % mod =!= 0),
+      bucketCap = bucketCap)
     incProbeJoin(
       graft.ext.Dedup.bandRowsWithSets(docs.filter($"doc_id" % mod === 0)), idx)
   }
@@ -508,13 +510,17 @@ object StreamOps {
     val bands = graft.ext.Dedup.Bands
     val rows = graft.ext.Dedup.RowsPerBand
     // emit a matched pair only from its SMALLEST matching band: for every
-    // earlier band, at least one of that band's minhashes must differ —
-    // exact dedup of multi-band candidates with zero state
+    // earlier band, at least one of that band's minhashes must differ OR
+    // that band's corpus bucket was cap-gated out of the index (round-14
+    // advice: a hash-equal earlier band whose bucket the cap removed never
+    // produced a join row, so it must not suppress this one — the oracle's
+    // per-band cap-gated candidate union emits the pair) — exact dedup of
+    // multi-band candidates with zero state
     val witness = (0 until bands).map { b =>
       val earlierMiss = (0 until b).map { bp =>
         (0 until rows).map(r =>
           col(s"h${bp * rows + r}") =!= col(s"ch${bp * rows + r}"))
-          .reduce(_ || _)
+          .reduce(_ || _) || element_at($"cgated", bp + 1) === 1L
       }
       earlierMiss.foldLeft($"band" === b)(_ && _)
     }.reduce(_ || _)
@@ -529,6 +535,20 @@ object StreamOps {
       .withColumn("verdict",
         when($"j_e6" >= graft.ext.Dedup.IncrementalDropE6, "drop").otherwise("keep"))
   }
+
+  /** J3/I — SEMANTIC ingest probe, stream-static form (round-13 verdict
+    * #2): incoming vectors arrive as a stream and probe the persisted
+    * centroid + kept-member STATE TABLES as static frames — one row per
+    * (vector, same-cell kept member) candidate with its exact-integer
+    * cosine and verdict. Append-mode with ZERO state: cell assignment is
+    * a row-local array_min over the packed (bounded, √N-row) centroid
+    * table joined on a literal key, candidate scoring one stream-static
+    * equi-join on cell id; best-match is rank-at-serve, graded in batch
+    * by `j3_semdedup_inc_state`. See
+    * [[graft.ext.Similarity.semProbeJoin]] for the full contract. */
+  def semProbeStream(incoming: DataFrame, cents: DataFrame,
+                     keptM: DataFrame): DataFrame =
+    graft.ext.Similarity.semProbeJoin(incoming, cents, keptM)
 
   /** J2/I — BLOOM ingest probe, stream-static form: incoming documents
     * arrive as a stream, their lines probe the STANDING Bloom position

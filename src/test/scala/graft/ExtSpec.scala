@@ -581,6 +581,109 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("cross-modal manifest: an image re-encode with unique text is dropped") {
+    import spark.implicits._
+    // two docs with UNIQUE texts that pass every text gate; the image
+    // cluster frame says doc 2's image is a re-encode of doc 1's (same
+    // cluster, non-canonical) — the text-only manifest keeps both, the
+    // cross-modal gate drops doc 2
+    def goodText(tag: String) =
+      (1 to 12).map(i => s"${tag}word$i the of").mkString(" ") // 36 toks, stopwords
+    val docs = Seq(
+      (1L, goodText("a"), "en", "web"),
+      (2L, goodText("b"), "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val imgGroups = Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L) // doc 2: same image cluster, not canonical
+    ).toDF("doc_id", "cluster_id", "is_canonical")
+    val old = ext.Pipeline.trainsetManifest(docs)
+      .select($"doc_id", $"keep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old == Map(1L -> 1L, 2L -> 1L),
+      s"both docs must pass the text-only gates: $old")
+    val mm = ext.Pipeline.trainsetManifestMm(docs, imgGroups0 = Some(imgGroups))
+      .select($"doc_id", $"img_ok", $"keep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mm(1L) == ((1L, 1L)), s"canonical image must stay kept: $mm")
+    assert(mm(2L) == ((0L, 0L)),
+      s"image re-encode with unique text must be dropped by the cross-modal gate: $mm")
+  }
+
+  test("image keep-best: the higher-resolution member wins over the min-id member") {
+    import spark.implicits._
+    // cluster {1, 5}: doc 5 decodes LARGER than doc 1 — the quality key
+    // must pick 5 where the min-id canonical (j5_phash_groups) picks 1
+    val groups = Seq((1L, 1L), (5L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val decoded = Seq((1L, 4L, 3L), (5L, 18L, 7L), (9L, 12L, 4L))
+      .toDF("doc_id", "width", "height")
+    val got = ext.Multimodal.keepBestImages(groups, decoded)
+      .select($"doc_id", $"best_doc_id", $"kept_best").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((5L, 0L)) && got(5L) == ((5L, 1L)),
+      s"highest pixel area must win within the cluster: $got")
+    assert(got(9L) == ((9L, 1L)), s"singleton keeps itself: $got")
+    // harness law: exactly one survivor per cluster
+    val perCluster = ext.Multimodal.keepBestImages(
+        ext.Dedup.ccGroupsConverged(
+          Tables.documents(spark, "/root/testdata/sf0.001").select($"doc_id".as("v")),
+          ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(
+            Tables.documents(spark, "/root/testdata/sf0.001"))).select($"doc_a", $"doc_b")),
+        ext.Multimodal.decodeImages(ext.Multimodal.pngFixture(
+          Tables.documents(spark, "/root/testdata/sf0.001"))))
+      .groupBy($"cluster_id").agg(sum($"kept_best").as("nk"))
+      .filter($"nk" =!= 1L).count()
+    assert(perCluster == 0L, "every cluster must keep exactly one survivor")
+  }
+
+  test("scalable bloom: no false negatives across slice boundaries; slices honor the cap") {
+    import spark.implicits._
+    // 5 corpus docs x 2 distinct 5-token lines = 10 distinct lines; cap=4
+    // forces 3 slices (4/4/2). The batch doc repeats one line from the
+    // FIRST arrival (doc 1, slice 0) and one from the LAST (doc 5, a
+    // later slice) plus a novel line — membership must hit across the
+    // boundary from both slices with zero false negatives.
+    def lineOf(d: Int, j: Int) = (1 to 5).map(t => s"d${d}w$j$t").mkString(" ")
+    val corpus = (1 to 5).map(d => (d.toLong, s"${lineOf(d, 0)} ${lineOf(d, 1)}"))
+    val batch = Seq((10L, s"${lineOf(1, 0)} ${lineOf(5, 1)} novel one two three four"))
+    val docs = (corpus ++ batch).toDF("doc_id", "text")
+    val sl = ext.Dedup.bloomSliceLines(
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sl.values.toSet.size == 3, s"expected 3 slices, got ${sl.values.toSet}")
+    assert(sl(lineOf(1, 0)) != sl(lineOf(5, 1)),
+      "fixture must place the two probed duplicates in DIFFERENT slices")
+    val probe = ext.Dedup.bloomScaleProbe(docs, cap = 4L).collect()
+    assert(probe.length == 1)
+    val r = probe.head
+    assert(r.getAs[Long]("n_exact_dup") == 2L, s"expected 2 exact dups: $r")
+    assert(r.getAs[Long]("n_false_neg") == 0L,
+      s"sliced filter missed an inserted line across a slice boundary: $r")
+    assert(r.getAs[Long]("n_bloom_dup") >= 2L, s"bloom must flag both dups: $r")
+    val stats = ext.Dedup.bloomScaleStats(docs, cap = 4L).collect()
+    assert(stats.length == 3, s"expected 3 slice rows: ${stats.mkString(";")}")
+    assert(stats.map(_.getAs[Long]("n_lines")).sorted.toSeq == Seq(2L, 4L, 4L),
+      s"slice admissions must honor the cap: ${stats.mkString(";")}")
+    stats.foreach(s => assert(s.getAs[Long]("n_set_positions") <=
+      s.getAs[Long]("n_lines") * 3, s"more positions than k*lines: $s"))
+  }
+
+  test("scalable bloom on the harness corpus: per-slice fill below the design point") {
+    import spark.implicits._
+    // corpus-wide law at real data: exact dups are never missed, and no
+    // slice's fill exceeds the ~50%-at-cap design point by construction
+    val probe = ext.Dedup.bloomScaleProbe(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .agg(sum($"n_false_neg").as("fn"), sum($"n_exact_dup").as("ex")).collect()(0)
+    assert(probe.getLong(0) == 0L, "sliced filter produced a false negative")
+    assert(probe.getLong(1) > 0L, "fixture corpus must carry exact dups")
+    val fills = ext.Dedup.bloomScaleStats(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"fill_e6").collect().map(_.getLong(0))
+    assert(fills.nonEmpty)
+    // 1-e^(-3*7500/32768) = 49.7% at cap; a healthy margin for the assert
+    fills.foreach(f => assert(f <= 520000L, s"slice fill $f above the design point"))
+  }
+
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
     import spark.implicits._
     // deterministic pseudo-random corpus (hash-derived floats)

@@ -296,6 +296,11 @@ class PlanSpec extends AnyFunSuite {
     //   j3_ann_recall  composes j3_knn_cosine's bounded query-sample
     //                  broadcast (the ground-truth side) with
     //                  j3_ivf_ann's allowlisted stride/centroid folds
+    //   st_sem_probe   the ONE-row packed centroid-array broadcast (the
+    //                  append-mode row-local assignment fold — the whole
+    //                  point is collapsing the bounded sqrt(N) centroid
+    //                  table into a single broadcast row) plus the 1-row
+    //                  id-cutoff aggregate (corpus/batch split)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
       "j3_semdedup_inc_upsert",
@@ -305,7 +310,7 @@ class PlanSpec extends AnyFunSuite {
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall",
-      "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats")
+      "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats", "st_sem_probe")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

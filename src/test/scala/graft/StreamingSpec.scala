@@ -464,6 +464,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static semantic probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val expected = ext.Similarity.semProbeBatch(spark, dir, emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the probe must find same-cell candidates on the harness corpus")
+    // static side: the persisted state tables (the artifacts the nightly
+    // j3 upsert maintains); stream side: the incoming carve as files
+    val Seq(cents, keptM) = ext.Similarity.semStateTables(spark, dir, emb)
+    val cutoff = emb.agg(expr("(max(vec_id) + 1) * 90 div 100")).head.getLong(0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_semprobe").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$staged/embeddings.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .parquet(staged)
+      .filter($"vec_id" >= cutoff)
+    val q = StreamOps.semProbeStream(stream, cents, keptM)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_semprobe_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_semprobe_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+    // rank-at-serve closure: the pair grain's top-1 per vector (cos DESC,
+    // mid ASC) must reproduce j3_semdedup_inc_state's best match exactly
+    val served = ext.Similarity.semProbeBatch(spark, dir, emb)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"cos_sim_e6".desc, $"mid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"mid", $"cos_sim_e6")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val state = ext.Similarity.semDedupIncrementalState(spark, dir, emb)
+      .filter($"best_match" =!= -1L)
+      .select($"vec_id", $"best_match", $"best_cos_e6")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state.nonEmpty && served == state,
+      s"rank-at-serve over the pair grain diverged from the batch best-match (${served.size} vs ${state.size})")
+  }
+
+  test("inc-probe witness: a cap-gated earlier band does not suppress a later match") {
+    import spark.implicits._
+    // Fixture (md5-searched; hashes shown are the 4 minhash seeds 0..3):
+    //   core trigram "alpha beta g1038" hashes LOW on all 4 seeds, so each
+    //   doc's band signatures are the core's unless its suffix shingle
+    //   "beta g1038 wNNNN" hashes lower.
+    //   A=w0000 (incoming) and B=w0001 (corpus) keep the core signature in
+    //   BOTH bands; C=w0005 and D=w0006 (corpus) keep band 0 but flip
+    //   band 1 (to two DIFFERENT sigs). With bucketCap=2 the band-0 corpus
+    //   bucket {B,C,D} (count 3) is gated OUT of the index while B's
+    //   band-1 bucket (count 1) passes — so the (A,B) pair exists ONLY via
+    //   band 1, and its band-0 minhashes still all match. The round-13
+    //   hash-only witness suppressed exactly this pair; the oracle's
+    //   cap-gated per-band candidate union emits it.
+    val docs = Seq(
+      (10L, "alpha beta g1038 w0000"), // incoming (doc_id % 10 == 0)
+      (1L, "alpha beta g1038 w0001"),  // corpus: matches A in band 0 AND 1
+      (2L, "alpha beta g1038 w0005"),  // corpus: band 0 only
+      (3L, "alpha beta g1038 w0006")   // corpus: band 0 only (different band-1 sig from C)
+    ).toDF("doc_id", "text")
+    val got = StreamOps.incProbe(docs, mod = 10, bucketCap = 2)
+      .select($"doc_n", $"doc_c", $"j_e6", $"verdict").collect()
+    assert(got.length == 1, s"expected exactly the band-1 pair, got ${got.mkString(";")}")
+    val r = got.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L,
+      s"expected pair (10, 1), got (${r.getLong(0)}, ${r.getLong(1)})")
+    // Jaccard({core, beta+w0000}, {core, beta+w0001}) = 1/3
+    assert(r.getLong(2) == 333333L && r.getString(3) == "keep", s"unexpected verify: $r")
+    // and with the cap admitting the band-0 bucket, the SAME pair is
+    // emitted from band 0 instead — still exactly once
+    val unGated = StreamOps.incProbe(docs, mod = 10, bucketCap = 3)
+      .select($"doc_n", $"doc_c").collect()
+    assert(unGated.count(x => x.getLong(0) == 10L && x.getLong(1) == 1L) == 1,
+      s"ungated probe must emit (10,1) exactly once: ${unGated.mkString(";")}")
+  }
+
   test("stream-static bloom probe equals the batch probe (append mode, zero state)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
