@@ -640,6 +640,21 @@ object ExtQueries {
           .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")))
     }),
 
+    // J7 — the packing WINDOW dial's wide point (round 14): the same FFD
+    // fold at W=256 — fill approaches global FFD as the window grows.
+    "j7_pack_fit_w256" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packFit(bpeEncoded(s, d).select($"doc_id", $"n_tokens"),
+        windowDocs = Pipeline.PackFitWindowDial)
+    }),
+
+    // the one-row W dial: fill at W=32 vs W=256 over the same counts —
+    // the shard-local fill loss quantified (delta >= 0 pinned in ExtSpec).
+    "j7_pack_fit_wdial" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packFitWindowDial(bpeEncoded(s, d).select($"doc_id", $"n_tokens"))
+    }),
+
     // J7 — span corruption at the TOKEN-ID grain (round 13): the T5 prep
     // masks AFTER tokenization — 8-ID blocks of the memoized BPE doc
     // encodings, sentinels as reserved IDs past the vocab.
@@ -1264,30 +1279,35 @@ object ExtQueries {
        |FROM enc e JOIN documents doc ON doc.doc_id = e.doc_id
        |GROUP BY 1""".stripMargin
 
-  /** Shared CTE chain of the FFD packing oracles (doc-grain relation
-    * `pf_out` + the `enc` counts): a RECURSIVE CTE folds every window's
-    * first-fit-decreasing state one doc per step — the exact recurrence
-    * [[Pipeline.packFit]]'s aggregate() runs row-locally — then windows'
-    * bin counts prefix-sum into global sequence ids. */
-  private def packFitCtes(rounds: Int): String = {
-    val L = Pipeline.PackSeqLen
-    val W = Pipeline.PackFitWindowDocs
+  /** Shared PREFIX of the FFD packing oracles: the encode chain, per-doc
+    * counts `enc`, and the seeded permutation keys `pk0`. */
+  private def packFitPrefix(rounds: Int): String = {
     val seed = Pipeline.ShuffleSeed
     val ctes = bpeEncodeCtes(rounds).stripPrefix("WITH ")
     s"""WITH RECURSIVE $ctes,
        |enc AS (SELECT d.doc_id, CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens
        |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1),
        |pk0 AS (SELECT doc_id, n_tokens,
-       |    ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey FROM enc),
-       |pk1 AS (SELECT doc_id, n_tokens,
+       |    ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey FROM enc)""".stripMargin
+  }
+
+  /** Window-parameterized tail of the FFD packing oracle (doc-grain
+    * relation `pf_out$sfx`): a RECURSIVE CTE folds every window's
+    * first-fit-decreasing state one doc per step — the exact recurrence
+    * [[Pipeline.packFit]]'s aggregate() runs row-locally — then windows'
+    * bin counts prefix-sum into global sequence ids. Every CTE carries
+    * `sfx` so two window widths can fold in ONE statement (the W dial). */
+  private def packFitChain(W: Long, sfx: String): String = {
+    val L = Pipeline.PackSeqLen
+    s"""pk1$sfx AS (SELECT doc_id, n_tokens,
        |    (CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) - 1) // $W AS wid FROM pk0),
-       |pk AS (SELECT *, CAST(row_number() OVER (PARTITION BY wid ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM pk1),
-       |wsz AS (SELECT wid, CAST(count(*) AS BIGINT) AS cnt FROM pk GROUP BY 1),
-       |st AS (
+       |pk$sfx AS (SELECT *, CAST(row_number() OVER (PARTITION BY wid ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM pk1$sfx),
+       |wsz$sfx AS (SELECT wid, CAST(count(*) AS BIGINT) AS cnt FROM pk$sfx GROUP BY 1),
+       |st$sfx AS (
        |  SELECT wid, CAST(0 AS BIGINT) AS step,
        |    CAST([] AS BIGINT[]) AS rems, CAST([] AS BIGINT[]) AS dids,
        |    CAST([] AS BIGINT[]) AS bins, CAST([] AS BIGINT[]) AS offs
-       |  FROM wsz
+       |  FROM wsz$sfx
        |  UNION ALL
        |  SELECT wid, step + 1,
        |    CASE WHEN idx > 0
@@ -1300,24 +1320,55 @@ object ExtQueries {
        |    SELECT s.wid, s.step, s.rems, s.dids, s.bins, s.offs,
        |      p.doc_id AS did, p.n_tokens AS n,
        |      CAST(coalesce(list_position(list_transform(s.rems, r -> r >= p.n_tokens), true), 0) AS BIGINT) AS idx
-       |    FROM st s JOIN pk p ON p.wid = s.wid AND p.rn = s.step + 1) z),
-       |fin AS (SELECT s.* FROM st s JOIN wsz w ON w.wid = s.wid AND s.step = w.cnt),
-       |asg AS (SELECT wid, unnest(dids) AS doc_id, unnest(bins) AS bin, unnest(offs) AS off FROM fin),
-       |nb AS (SELECT wid, CAST(max(bin) AS BIGINT) AS nbins FROM asg GROUP BY 1),
-       |bb AS (SELECT wid, CAST(coalesce(sum(nbins) OVER (ORDER BY wid
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS binbase FROM nb),
-       |po AS (SELECT a.doc_id, e.n_tokens, a.wid AS window_id, a.bin AS bin_in_window,
+       |    FROM st$sfx s JOIN pk$sfx p ON p.wid = s.wid AND p.rn = s.step + 1) z),
+       |fin$sfx AS (SELECT s.* FROM st$sfx s JOIN wsz$sfx w ON w.wid = s.wid AND s.step = w.cnt),
+       |asg$sfx AS (SELECT wid, unnest(dids) AS doc_id, unnest(bins) AS bin, unnest(offs) AS off FROM fin$sfx),
+       |nb$sfx AS (SELECT wid, CAST(max(bin) AS BIGINT) AS nbins FROM asg$sfx GROUP BY 1),
+       |bb$sfx AS (SELECT wid, CAST(coalesce(sum(nbins) OVER (ORDER BY wid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS binbase FROM nb$sfx),
+       |po$sfx AS (SELECT a.doc_id, e.n_tokens, a.wid AS window_id, a.bin AS bin_in_window,
        |    b.binbase + a.bin - 1 AS seq_id, a.off AS seq_offset
-       |  FROM asg a JOIN bb b USING (wid) JOIN enc e USING (doc_id)),
-       |pf_fill AS (SELECT seq_id, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM po GROUP BY 1),
-       |pf_out AS (SELECT po.doc_id, po.n_tokens, po.window_id, po.bin_in_window,
-       |    po.seq_id, po.seq_offset, f.bin_tokens,
+       |  FROM asg$sfx a JOIN bb$sfx b USING (wid) JOIN enc e USING (doc_id)),
+       |pf_fill$sfx AS (SELECT seq_id, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM po$sfx GROUP BY 1),
+       |pf_out$sfx AS (SELECT po$sfx.doc_id, po$sfx.n_tokens, po$sfx.window_id, po$sfx.bin_in_window,
+       |    po$sfx.seq_id, po$sfx.seq_offset, f.bin_tokens,
        |    (f.bin_tokens * 1000000) // $L AS fill_e6
-       |  FROM po JOIN pf_fill f USING (seq_id))""".stripMargin
+       |  FROM po$sfx JOIN pf_fill$sfx f USING (seq_id))""".stripMargin
   }
+
+  private def packFitCtes(rounds: Int): String =
+    s"${packFitPrefix(rounds)},\n${packFitChain(Pipeline.PackFitWindowDocs, "")}"
 
   private def packFitOracle(rounds: Int): String =
     s"${packFitCtes(rounds)}\nSELECT * FROM pf_out"
+
+  /** The manifest at the WIDE window point of the dial. */
+  private def packFitW256Oracle(rounds: Int): String =
+    s"${packFitPrefix(rounds)},\n${packFitChain(Pipeline.PackFitWindowDial, "")}\nSELECT * FROM pf_out"
+
+  /** One-row window-width dial: both chains folded in one statement,
+    * fill at W=32 vs W=256 over the same counts (the shard-local fill
+    * loss the loaders accept, quantified — wider windows approach global
+    * FFD, so fill_delta_e6 >= 0 is the expected direction, pinned in
+    * ExtSpec). */
+  private def packFitWdialOracle(rounds: Int): String = {
+    val L = Pipeline.PackSeqLen
+    s"""${packFitPrefix(rounds)},
+       |${packFitChain(Pipeline.PackFitWindowDocs, "")},
+       |${packFitChain(Pipeline.PackFitWindowDial, "_wl")},
+       |fa AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(max(seq_id) + 1 AS BIGINT) AS n_bins_w_small FROM pf_out),
+       |fb AS (SELECT CAST(max(seq_id) + 1 AS BIGINT) AS n_bins_w_large FROM pf_out_wl)
+       |SELECT CAST(${Pipeline.PackFitWindowDocs} AS BIGINT) AS w_small,
+       |  CAST(${Pipeline.PackFitWindowDial} AS BIGINT) AS w_large,
+       |  a.total_tokens, a.n_bins_w_small,
+       |  (a.total_tokens * 1000000) // (a.n_bins_w_small * $L) AS fill_w_small_e6,
+       |  b.n_bins_w_large,
+       |  (a.total_tokens * 1000000) // (b.n_bins_w_large * $L) AS fill_w_large_e6,
+       |  ((a.total_tokens * 1000000) // (b.n_bins_w_large * $L))
+       |    - ((a.total_tokens * 1000000) // (a.n_bins_w_small * $L)) AS fill_delta_e6
+       |FROM fa a, fb b""".stripMargin
+  }
 
   /** One-row fit-vs-concat comparison over the same counts (the graded
     * fill-efficiency delta). */
@@ -3211,6 +3262,8 @@ object ExtQueries {
         "j7_pack_bpe" -> bpePackOracle(6),
         "j7_pack_fit" -> packFitOracle(6),
         "j7_pack_fit_stats" -> packFitStatsOracle(6),
+        "j7_pack_fit_w256" -> packFitW256Oracle(6),
+        "j7_pack_fit_wdial" -> packFitWdialOracle(6),
         "j7_span_corrupt_bpe" -> spanCorruptBpeOracle(6),
         "j4_fertility" -> fertilityOracle(6),
 

@@ -828,6 +828,12 @@ object Pipeline {
     * while leaving room for real fill gains over concat-chunk. */
   val PackFitWindowDocs = 32L
 
+  /** The dial's WIDE window point ([[packFitWindowDial]]): fill approaches
+    * global FFD as the window grows (more candidates per bin), at a W²
+    * fold-cost the loaders trade off — 256 is the published shard-buffer
+    * ballpark and keeps the worst-case fold bounded (~65k integer ops). */
+  val PackFitWindowDial = 256L
+
   /** J7 — BOUNDARY-AWARE sequence packing (round 13, first-fit-decreasing):
     * where `j7_pack_bpe` concat-then-chunks (documents straddle sequence
     * boundaries — measurable cross-doc attention contamination), this packs
@@ -939,6 +945,36 @@ object Pipeline {
         $"n_bins_concat",
         expr(s"(total_tokens * 1000000) div (n_bins_concat * $seqLen)").as("fill_concat_e6"),
         $"n_straddled_concat", $"n_straddled_fit")
+  }
+
+  /** J7 — the packing WINDOW-WIDTH dial (round-13 verdict #5, the
+    * nprobe/banding-dial pattern): [[packFit]] graded at W =
+    * [[PackFitWindowDocs]] and W = [[PackFitWindowDial]] over the SAME
+    * counts, one row with both fills and the delta — the shard-local fill
+    * loss a loader accepts by packing within small windows, quantified
+    * in-gate. fill(W_large) >= fill(W_small) is the expected direction
+    * (wider windows approach global FFD) and is pinned in ExtSpec, not
+    * asserted in-query — a pathological count distribution CAN invert FFD
+    * locality, and the dial's job is to MEASURE, not assume. */
+  def packFitWindowDial(counts: DataFrame, seqLen: Long = PackSeqLen,
+                        wSmall: Long = PackFitWindowDocs,
+                        wLarge: Long = PackFitWindowDial,
+                        seed: Int = ShuffleSeed): DataFrame = {
+    import counts.sparkSession.implicits._
+    val a = packFit(counts, seqLen, wSmall, seed)
+      .agg(sum($"n_tokens").as("total_tokens"),
+        (max($"seq_id") + 1).as("n_bins_w_small"))
+    val b = packFit(counts, seqLen, wLarge, seed)
+      .agg((max($"seq_id") + 1).as("n_bins_w_large"))
+    a.crossJoin(broadcast(b))
+      .select(lit(wSmall).as("w_small"), lit(wLarge).as("w_large"),
+        $"total_tokens", $"n_bins_w_small",
+        expr(s"(total_tokens * 1000000) div (n_bins_w_small * $seqLen)")
+          .as("fill_w_small_e6"),
+        $"n_bins_w_large",
+        expr(s"(total_tokens * 1000000) div (n_bins_w_large * $seqLen)")
+          .as("fill_w_large_e6"))
+      .withColumn("fill_delta_e6", $"fill_w_large_e6" - $"fill_w_small_e6")
   }
 
   val QualityDropPct = 10L

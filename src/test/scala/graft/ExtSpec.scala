@@ -581,6 +581,20 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("packFit window dial: the wide window fills at least as well on the harness corpus") {
+    import spark.implicits._
+    val counts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as bigint) as n_tokens")
+    val r = ext.Pipeline.packFitWindowDial(counts).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("w_small") == 32L && row.getAs[Long]("w_large") == 256L)
+    assert(row.getAs[Long]("fill_delta_e6") >= 0L,
+      s"W=256 must fill at least as well as W=32 on real counts: $row")
+    assert(row.getAs[Long]("n_bins_w_large") <= row.getAs[Long]("n_bins_w_small"),
+      s"wider windows must not need MORE bins: $row")
+  }
+
   test("cross-modal manifest: an image re-encode with unique text is dropped") {
     import spark.implicits._
     // two docs with UNIQUE texts that pass every text gate; the image

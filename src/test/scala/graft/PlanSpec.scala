@@ -289,6 +289,8 @@ class PlanSpec extends AnyFunSuite {
     //                  reserved-sentinel base — j4_lm_bits' V shape)
     //   j7_pack_fit_stats  1-row x 1-row summary cross (fit aggregate vs
     //                  concat-chunk aggregate, the comparison row itself)
+    //   j7_pack_fit_wdial  the same 1-row x 1-row cross over the two
+    //                  window widths (the W dial's comparison row)
     //   j3_hard_negatives  the bounded KnnQueries(50)-row query sample
     //                  broadcast (j3_knn_cosine's shape; the label
     //                  INEQUALITY leaves no equi key, by design — the
@@ -309,8 +311,9 @@ class PlanSpec extends AnyFunSuite {
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
-      "j7_pack_fit_stats", "j3_hard_negatives", "j3_ann_recall",
-      "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats", "st_sem_probe")
+      "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
+      "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
+      "st_sem_probe")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
