@@ -1020,6 +1020,28 @@ object Dedup {
     * slice construction guarantees to be 0 (every inserted line's k
     * positions live in its own slice); the column makes the guarantee a
     * graded artifact rather than a comment. */
+  /** Sliced-filter MEMBERSHIP at the (doc, line) grain: the distinct rows
+    * whose line has all k positions set in SOME single slice — the shared
+    * kernel of [[bloomScaleProbe]] (verdicts) and [[bloomScaleUpsert]]
+    * (member lines never re-insert). */
+  private def bloomScaleMembers(lines: DataFrame, slicePos: DataFrame,
+                                mBits: Int, seeds: Seq[Int]): DataFrame = {
+    import lines.sparkSession.implicits._
+    val probe = lines.select($"doc_id", $"line", explode(array(
+        seeds.zipWithIndex.map { case (sd, i) =>
+          struct(lit(i).as("sd"),
+            pmod(md5Hash32(sd, $"line"), lit(mBits.toLong)).as("p"))
+        }: _*)).as("e"))
+      .select($"doc_id", $"line", $"e.sd".as("sd"), $"e.p".as("p"))
+    // per (line, slice): how many of the k seeds hit — a slice-grain
+    // membership vote; the line is a dup iff some slice collects all k
+    probe.join(slicePos, Seq("p"))
+      .groupBy($"doc_id", $"line", $"slice")
+      .agg(countDistinct($"sd").as("nk"))
+      .filter($"nk" === seeds.size)
+      .select($"doc_id", $"line").distinct()
+  }
+
   def bloomScaleProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                       mBits: Int = BloomSliceBits, seeds: Seq[Int] = BloomSeeds,
                       cap: Long = BloomSliceCap,
@@ -1029,19 +1051,7 @@ object Dedup {
     val slicePos = bloomSlicePositions(bloomSliceLines(corpus, cap), mBits, seeds)
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
-    val probe = batch.select($"doc_id", $"line", explode(array(
-        seeds.zipWithIndex.map { case (sd, i) =>
-          struct(lit(i).as("sd"),
-            pmod(md5Hash32(sd, $"line"), lit(mBits.toLong)).as("p"))
-        }: _*)).as("e"))
-      .select($"doc_id", $"line", $"e.sd".as("sd"), $"e.p".as("p"))
-    // per (line, slice): how many of the k seeds hit — a slice-grain
-    // membership vote; the line is a dup iff some slice collects all k
-    val hits = probe.join(slicePos, Seq("p"))
-      .groupBy($"doc_id", $"line", $"slice")
-      .agg(countDistinct($"sd").as("nk"))
-      .filter($"nk" === seeds.size)
-      .select($"doc_id", $"line").distinct()
+    val hits = bloomScaleMembers(batch, slicePos, mBits, seeds)
       .withColumn("bh", lit(1))
     batch
       .join(hits, Seq("doc_id", "line"), "left")
@@ -1062,6 +1072,68 @@ object Dedup {
           .as("bloom_dup_frac_e6"))
       .withColumn("drop_doc",
         when($"bloom_dup_frac_e6" >= dropE6, 1L).otherwise(0L))
+  }
+
+  /** The sliced filter's NEW-LINE slice assignment (the write path's
+    * core): kept batch docs' non-member lines, in deterministic arrival
+    * order (first batch doc, line), fill the ACTIVE slice's remaining
+    * capacity and then open fresh slices every [[BloomSliceCap]] lines —
+    * exactly the Almeida insert discipline at batch grain. The 1-row
+    * (s_last, n_last) headroom aggregate is broadcast; an empty standing
+    * state degrades to slice 0 onward (s_last -1, headroom 0). Exposed
+    * for the ExtSpec capacity-continuity pin. */
+  private[graft] def bloomScaleNewLineSlices(docs: DataFrame, mod: Int = 10,
+                                             w: Int = LineTokens,
+                                             mBits: Int = BloomSliceBits,
+                                             seeds: Seq[Int] = BloomSeeds,
+                                             cap: Long = BloomSliceCap,
+                                             dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
+    val sliceLines = bloomSliceLines(corpus, cap)
+    val slicePos = bloomSlicePositions(sliceLines, mBits, seeds)
+    val act = sliceLines.groupBy($"slice").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max($"slice"), lit(-1L)).as("s_last"),
+        coalesce(max(struct($"slice", $"n")).getField("n"), lit(cap)).as("n_last"))
+    val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
+    val members = bloomScaleMembers(batch, slicePos, mBits, seeds)
+    val kept = bloomScaleProbe(docs, mod, w, mBits, seeds, cap, dropE6)
+      .filter($"drop_doc" === 0L).select($"doc_id")
+    val newLines = batch
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(members, Seq("doc_id", "line"), "left_anti")
+      .groupBy($"line").agg(min($"doc_id").as("first_doc"))
+    graft.Dist.withGlobalRank(newLines, "rn", Seq($"first_doc", $"line"))
+      .crossJoin(broadcast(act))
+      .select($"line",
+        when($"rn" <= lit(cap) - $"n_last", $"s_last")
+          .otherwise($"s_last" + 1L +
+            expr(s"(rn - ($cap - n_last) - 1) div $cap")).as("slice"))
+  }
+
+  /** J2 — the SCALABLE Bloom filter's WRITE step, closing the sliced
+    * family's read–probe–write loop (parity with [[bloomUpsert]] on the
+    * fixed filter and the lexical/semantic upserts): the post-ingest
+    * state = the standing (slice, position) rows (is_new = 0) plus the
+    * positions contributed by the kept batch docs' NON-MEMBER lines
+    * (is_new = 1) — member lines never re-insert, dropped docs never
+    * insert, and new lines land per [[bloomScaleNewLineSlices]], so no
+    * slice is ever filled past its capacity's design point by the write
+    * path either. Still O(slices × m) rows after any number of ingests,
+    * per-slice bounded by m. */
+  def bloomScaleUpsert(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                       mBits: Int = BloomSliceBits, seeds: Seq[Int] = BloomSeeds,
+                       cap: Long = BloomSliceCap,
+                       dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val standing = bloomSlicePositions(bloomSliceLines(
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap), mBits, seeds)
+    val newPos = bloomSlicePositions(
+        bloomScaleNewLineSlices(docs, mod, w, mBits, seeds, cap, dropE6),
+        mBits, seeds)
+      .join(standing, Seq("slice", "p"), "left_anti")
+    standing.withColumn("is_new", lit(0L))
+      .unionByName(newPos.withColumn("is_new", lit(1L)))
   }
 
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —

@@ -281,6 +281,13 @@ object ExtQueries {
     "j2_bloom_scale_probe" -> ((s, d) =>
       Dedup.bloomScaleProbe(Tables.documents(s, d))),
 
+    // J2 — the sliced filter's WRITE step (read-probe-write parity with
+    // the fixed-filter upsert): standing (slice, p) rows + kept batch
+    // docs' non-member lines inserted via the active slice's headroom,
+    // rolling fresh slices at capacity — the Almeida insert discipline.
+    "j2_bloom_scale_upsert" -> ((s, d) =>
+      Dedup.bloomScaleUpsert(Tables.documents(s, d))),
+
     // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
     // headline signal): merged duplicated-10-gram runs surfaced as run
     // count / longest run / total duplicated tokens + the >=50-token
@@ -2273,6 +2280,62 @@ object ExtQueries {
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
          |FROM ex GROUP BY doc_id""".stripMargin
+    },
+
+    // Sliced-filter upsert: standing (slice, p) rows + kept docs'
+    // non-member lines assigned via the active slice's headroom (max_by
+    // gives the last slice's line count), then fresh slices at capacity.
+    "j2_bloom_scale_upsert" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomSliceBits
+      val cap = Dedup.BloomSliceCap
+      val k = Dedup.BloomSeeds.size
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |sl AS (SELECT line,
+         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
+         |  FROM cl0),
+         |spos AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM sl l, generate_series($s0, $s1) s(s)),
+         |sn AS (SELECT slice, CAST(count(*) AS BIGINT) AS n FROM sl GROUP BY 1),
+         |act AS (SELECT coalesce(max(slice), -1) AS s_last,
+         |    coalesce(max_by(n, slice), $cap) AS n_last FROM sn),
+         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
+         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
+         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0),
+         |pd AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  GROUP BY 1),
+         |kept AS (SELECT doc_id FROM pd
+         |  WHERE (n_dup * 1000000) // greatest(n_lines, 1) < ${Dedup.BloomDropE6}),
+         |nl0 AS (SELECT b.line, min(b.doc_id) AS first_doc
+         |  FROM bl b JOIN kept kk ON kk.doc_id = b.doc_id
+         |  LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  WHERE h.line IS NULL GROUP BY 1),
+         |rk AS (SELECT line, CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) AS rn FROM nl0),
+         |asg AS (SELECT r.line,
+         |    CASE WHEN r.rn <= $cap - a.n_last THEN a.s_last
+         |         ELSE a.s_last + 1 + (r.rn - ($cap - a.n_last) - 1) // $cap END AS slice
+         |  FROM rk r, act a),
+         |np0 AS (SELECT DISTINCT a.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || a.line), 1, 8))::BIGINT % $m AS p
+         |  FROM asg a, generate_series($s0, $s1) s(s)),
+         |np AS (SELECT n.slice, n.p FROM np0 n
+         |  LEFT JOIN spos sp ON sp.slice = n.slice AND sp.p = n.p WHERE sp.p IS NULL)
+         |SELECT slice, p, CAST(0 AS BIGINT) AS is_new FROM spos
+         |UNION ALL
+         |SELECT slice, p, CAST(1 AS BIGINT) AS is_new FROM np""".stripMargin
     },
 
     // Bloom upsert: the probe chain's per-doc verdicts gate which batch

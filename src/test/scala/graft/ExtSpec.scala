@@ -681,6 +681,33 @@ class ExtSpec extends AnyFunSuite {
       s.getAs[Long]("n_lines") * 3, s"more positions than k*lines: $s"))
   }
 
+  test("scalable bloom upsert: new lines fill the active slice's headroom then roll") {
+    import spark.implicits._
+    // same 3-slice corpus as the probe fixture (cap=4 -> slices 4/4/2, so
+    // the active slice 2 has headroom 2); the batch doc carries 1 member
+    // line + 3 novel lines -> novel ranks 1,2 land in slice 2, rank 3
+    // opens slice 3 — the Almeida insert discipline at batch grain
+    def lineOf(d: Int, j: Int) = (1 to 5).map(t => s"d${d}w$j$t").mkString(" ")
+    val corpus = (1 to 5).map(d => (d.toLong, s"${lineOf(d, 0)} ${lineOf(d, 1)}"))
+    val novel = Seq("na1 na2 na3 na4 na5", "nb1 nb2 nb3 nb4 nb5", "nc1 nc2 nc3 nc4 nc5")
+    val batch = Seq((10L, (lineOf(1, 0) +: novel).mkString(" ")))
+    val docs = (corpus ++ batch).toDF("doc_id", "text")
+    val asg = ext.Dedup.bloomScaleNewLineSlices(docs, cap = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(asg == Map(novel(0) -> 2L, novel(1) -> 2L, novel(2) -> 3L),
+      s"headroom-then-roll assignment violated: $asg")
+    val up = ext.Dedup.bloomScaleUpsert(docs, cap = 4L)
+    val standing = ext.Dedup.bloomSlicePositions(ext.Dedup.bloomSliceLines(
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap = 4L)).count()
+    assert(up.filter($"is_new" === 0L).count() == standing,
+      "standing rows must pass through unchanged")
+    val newSlices = up.filter($"is_new" === 1L)
+      .select($"slice").distinct().collect().map(_.getLong(0)).toSet
+    assert(newSlices == Set(2L, 3L), s"inserts must land in slices 2 and 3: $newSlices")
+    // the member line contributed nothing: at most 3 lines x 3 positions
+    assert(up.filter($"is_new" === 1L).count() <= 9L)
+  }
+
   test("scalable bloom on the harness corpus: per-slice fill below the design point") {
     import spark.implicits._
     // corpus-wide law at real data: exact dups are never missed, and no
