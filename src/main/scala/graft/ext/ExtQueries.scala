@@ -310,6 +310,13 @@ object ExtQueries {
       Pipeline.trainsetManifest(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)))),
 
+    // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
+    // the train/val/test split — what splitting before deduplicating
+    // ships; per-cluster member/split counts + the leak verdict.
+    "j7_split_leak" -> ((s, d) =>
+      Pipeline.splitLeakAudit(Tables.documents(s, d),
+        groups0 = Some(neardupGroups(s, d)))),
+
     // J7 — the CROSS-MODAL manifest (round 14): the text gates AND the
     // image near-dup gate (j5_phash_groups canonical) — a doc whose image
     // is a re-encode of another's is dropped even when its text is unique.
@@ -1825,6 +1832,26 @@ object ExtQueries {
          |       WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
          |       ELSE 'train' END AS split
          |FROM g""".stripMargin,
+
+    // Split-leakage audit: the CC chain + the manifest's md5 split,
+    // aggregated per multi-member cluster.
+    "j7_split_leak" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |sp AS (SELECT doc_id, cluster_id,
+         |    CASE WHEN b = ${Pipeline.SplitBuckets - 1} THEN 'test'
+         |         WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id, cluster_id,
+         |      ('0x' || substr(md5('${Pipeline.SplitSeed}:' || doc_id), 1, 8))::BIGINT
+         |        % ${Pipeline.SplitBuckets} AS b
+         |    FROM comp) z)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(CASE WHEN count(DISTINCT split) > 1 THEN 1 ELSE 0 END AS BIGINT) AS leak
+         |FROM sp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // The CROSS-MODAL manifest: the j7_trainset chain joined with the
     // j5_phash_groups image-cluster chain (i-prefixed CTEs — both are

@@ -102,6 +102,45 @@ object Pipeline {
         $"split")
   }
 
+  /** J7 — SPLIT-LEAKAGE audit (round 14): near-duplicate clusters whose
+    * members straddle the train/val/test split — the contamination a
+    * pipeline ships when it splits BEFORE deduplicating (a val/test doc
+    * with a near-duplicate in train leaks the answer; the published
+    * dedup-then-split ordering exists exactly for this). One row per
+    * multi-member cluster: member count, per-split counts, and the leak
+    * verdict (members in more than one split). The audit composes two
+    * graded kernels — the near-dup clusters and the manifest's md5
+    * split — so it costs one cluster-grain aggregate over frames the
+    * dedup family already bounds.
+    *
+    * The deterministic md5 split makes the audit's finding REAL, not an
+    * artifact: the split is independent of content, so any near-dup
+    * cluster with >= 2 members has a (1 - sum(p_s^2))-ish chance of
+    * straddling — on the harness corpus leaks exist at every SF, and the
+    * audit is the query a pipeline runs to QUANTIFY what enforcing
+    * canonical-only keep (j7_trainset's dup_ok gate) prevents. */
+  def splitLeakAudit(docs: DataFrame, groups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val groups = groups0.getOrElse(Dedup.nearDupGroups(docs))
+      .select($"doc_id", $"cluster_id")
+    val bucket = pmod(Dedup.md5Hash32(SplitSeed, $"doc_id".cast("string")),
+      lit(SplitBuckets))
+    groups
+      .withColumn("split",
+        when(bucket === SplitBuckets - 1, "test")
+          .when(bucket === SplitBuckets - 2, "val")
+          .otherwise("train"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"),
+        countDistinct($"split").as("n_splits"))
+      .filter($"n_members" >= 2L)
+      .select($"cluster_id", $"n_members", $"n_train", $"n_val", $"n_test",
+        ($"n_splits" > 1L).cast("long").as("leak"))
+  }
+
   /** Per-language sampling rates for [[stratifiedSample]] (percent kept):
     * the training-mix composition dial — downsample dominant languages,
     * keep the tail. Unlisted languages fall back to 100 (keep all). */

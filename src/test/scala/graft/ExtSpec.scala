@@ -581,6 +581,29 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("split-leak audit: a cluster straddling train and test is flagged; singletons excluded") {
+    import spark.implicits._
+    // md5('7:'||id) % 20 buckets: id 24 -> 19 (test), ids 1,2 -> train
+    // (computed offline). Cluster {1, 24} straddles -> leak; cluster
+    // {2, 3} is train-only -> no leak; singleton 5 emits no row.
+    val groups = Seq((1L, 1L), (24L, 1L), (2L, 2L), (3L, 2L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val docs = groups.select($"doc_id", lit("x y z").as("text"))
+    val got = ext.Pipeline.splitLeakAudit(docs, groups0 = Some(groups))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_train"),
+          r.getAs[Long]("n_test"), r.getAs[Long]("leak"))).toMap
+    assert(got.keySet == Set(1L, 2L), s"only multi-member clusters emit rows: $got")
+    assert(got(1L) == ((2L, 1L, 1L, 1L)), s"straddling cluster must flag leak: $got")
+    assert(got(2L) == ((2L, 2L, 0L, 0L)), s"single-split cluster must not flag: $got")
+    // corpus-wide law: leak = 1 exactly when more than one split is hit
+    val bad = ext.Pipeline.splitLeakAudit(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(($"leak" === 1L) =!=
+        (greatest($"n_train", $"n_val", $"n_test") < $"n_members")).count()
+    assert(bad == 0L, "leak flag must equal the more-than-one-split predicate")
+  }
+
   test("packFit window dial: the wide window fills at least as well on the harness corpus") {
     import spark.implicits._
     val counts = Tables.documents(spark, "/root/testdata/sf0.001")
