@@ -871,6 +871,13 @@ object ExtQueries {
     "st_bloom" -> ((s, d) =>
       graft.streaming.StreamOps.bloomProbe(Tables.documents(s, d))),
 
+    // I + J2 — STREAM-STATIC scalable-Bloom ingest probe (round 14):
+    // incoming docs' lines probe the SLICED filter; the all-k-in-one-
+    // slice test is row-local via the static (position -> slice array)
+    // relation + k hash joins + array_intersect — append-mode, ZERO state.
+    "st_bloom_scale" -> ((s, d) =>
+      graft.streaming.StreamOps.bloomScaleProbeLines(Tables.documents(s, d))),
+
     // I + J3 — STREAM-STATIC semantic ingest probe (round 14): incoming
     // vectors (as a stream in the semProbeStream twin) probe the PERSISTED
     // centroid + kept-member state tables; one row per same-cell candidate
@@ -2307,6 +2314,41 @@ object ExtQueries {
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
          |FROM ex GROUP BY doc_id""".stripMargin
+    },
+
+    // Stream-static sliced probe: the scale chain at the (doc, line)
+    // grain the filter actually answers.
+    "st_bloom_scale" -> {
+      val w = Dedup.LineTokens
+      val m = Dedup.BloomSliceBits
+      val cap = Dedup.BloomSliceCap
+      val k = Dedup.BloomSeeds.size
+      val s0 = Dedup.BloomSeeds.head
+      val s1 = Dedup.BloomSeeds.last
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ln AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |sl AS (SELECT line,
+         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
+         |  FROM cl0),
+         |spos AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM sl l, generate_series($s0, $s1) s(s)),
+         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
+         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
+         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
+         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
+         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0)
+         |SELECT b.doc_id, b.line,
+         |  CAST(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS bloom,
+         |  CAST(CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS BIGINT) AS exact,
+         |  CAST(CASE WHEN h.line IS NOT NULL AND b.line NOT IN (SELECT line FROM cl0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+         |FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line""".stripMargin
     },
 
     // Sliced-filter upsert: standing (slice, p) rows + kept docs'

@@ -536,6 +536,67 @@ object StreamOps {
         when($"j_e6" >= graft.ext.Dedup.IncrementalDropE6, "drop").otherwise("keep"))
   }
 
+  /** J2/I — SCALABLE-Bloom ingest probe, stream-static form (round 14):
+    * incoming docs' lines probe the SLICED filter with zero state. The
+    * "all k positions set in SOME one slice" test is made row-local by a
+    * static-side pre-aggregation: the standing (slice, position) state is
+    * collapsed to (position → sorted slice ARRAY) rows, the stream side
+    * carries its k positions as columns and runs k stream-static hash
+    * joins, and membership is `array_intersect` of the k attached
+    * slice-sets being non-empty — ∃ slice containing all k positions,
+    * exactly [[graft.ext.Dedup.bloomScaleProbe]]'s membership, with no
+    * stateful (line, slice) aggregation. Per-(doc, line) bloom/exact/FP
+    * verdicts, the `st_bloom` shape on the sliced family. */
+  def bloomScaleProbeLines(docs: DataFrame, mod: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val corpus = graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))
+    bloomScaleJoin(
+      graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0)),
+      bloomScalePosSlices(corpus),
+      corpus.select($"line").distinct())
+  }
+
+  /** The static (position → sorted slice array) relation the sliced
+    * stream probe joins — built in batch from the standing slice state
+    * (bounded by slices × m rows; each array bounded by the slice count). */
+  def bloomScalePosSlices(corpusLines: DataFrame): DataFrame = {
+    import corpusLines.sparkSession.implicits._
+    graft.ext.Dedup.bloomSlicePositions(
+        graft.ext.Dedup.bloomSliceLines(corpusLines))
+      .groupBy($"p").agg(sort_array(collect_list($"slice")).as("slices"))
+  }
+
+  /** Streaming form of [[bloomScaleProbeLines]]: `incoming` is a STREAMING
+    * documents frame; `posSlices` / `corpusLines` the static relations. */
+  def bloomScaleProbeStream(incoming: DataFrame, posSlices: DataFrame,
+                            corpusLines: DataFrame): DataFrame =
+    bloomScaleJoin(graft.ext.Dedup.bloomDocLines(incoming), posSlices, corpusLines)
+
+  private def bloomScaleJoin(lines: DataFrame, posSlices: DataFrame,
+                             corpusLines: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
+    val seeds = graft.ext.Dedup.BloomSeeds
+    val m = graft.ext.Dedup.BloomSliceBits
+    val withPos = seeds.zipWithIndex.foldLeft(lines) { case (df, (sd, i)) =>
+      df.withColumn(s"p$i",
+        pmod(graft.ext.Dedup.md5Hash32(sd, $"line"), lit(m.toLong)))
+    }
+    val joined = seeds.indices.foldLeft(withPos) { (df, i) =>
+      df.join(posSlices.select($"p".as(s"p$i"), $"slices".as(s"sl$i")),
+        Seq(s"p$i"), "left")
+    }
+    val common = seeds.indices.map(i =>
+        coalesce(col(s"sl$i"), typedLit(Seq.empty[Long])))
+      .reduce((a, b) => array_intersect(a, b))
+    joined
+      .join(corpusLines.withColumn("ex", lit(1L)), Seq("line"), "left")
+      .select($"doc_id", $"line",
+        when(size(common) > 0, 1L).otherwise(0L).as("bloom"),
+        coalesce($"ex", lit(0L)).as("exact"))
+      .withColumn("false_pos",
+        when($"bloom" === 1L && $"exact" === 0L, 1L).otherwise(0L))
+  }
+
   /** J3/I — SEMANTIC ingest probe, stream-static form (round-13 verdict
     * #2): incoming vectors arrive as a stream and probe the persisted
     * centroid + kept-member STATE TABLES as static frames — one row per

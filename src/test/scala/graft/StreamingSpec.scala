@@ -464,6 +464,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static sliced-bloom probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val expected = StreamOps.bloomScaleProbeLines(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the sliced probe must emit line verdicts")
+    // the batch form must also agree with the doc-grain graded rollup
+    val perDoc = StreamOps.bloomScaleProbeLines(docs)
+      .groupBy($"doc_id")
+      .agg(sum($"bloom").as("nb"), sum($"exact").as("ne"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val graded = ext.Dedup.bloomScaleProbe(docs)
+      .select($"doc_id", $"n_bloom_dup", $"n_exact_dup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perDoc == graded, "line-grain rollup diverged from the graded doc grain")
+    val corpus = ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0))
+    val posSlices = StreamOps.bloomScalePosSlices(corpus)
+    val corpusLines = corpus.select($"line").distinct()
+    val staged = java.nio.file.Files.createTempDirectory("graft_stbscale").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.bloomScaleProbeStream(stream, posSlices, corpusLines)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stbscale_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_stbscale_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("stream-static semantic probe equals the batch probe (append mode, zero state)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
