@@ -447,6 +447,13 @@ object ExtQueries {
     "j3_semdedup_inc" -> ((s, d) =>
       Similarity.semDedupIncremental(Tables.embeddings(s, d))),
 
+    // J8/J3 — embedding drift at the QUANTIZER-CELL grain (round 14): PSI
+    // of the batch's cell-occupancy histogram vs the standing corpus's
+    // over the frozen centroids — catches topic/mode shift that leaves
+    // every per-dimension mean in place; j8_psi's smoothing + decimal sum.
+    "j8_cell_psi" -> ((s, d) =>
+      Similarity.cellDrift(Tables.embeddings(s, d))),
+
     // J3 — the STATE-TABLE form (round 13, the round-12 verdict's #1): the
     // frozen corpus state (trained centroids + kept cap-passing cell
     // members) is PERSISTED as parquet once per (process, dataset) and the
@@ -2770,6 +2777,27 @@ object ExtQueries {
     // anchor on bemb as kept singletons with cell_id -1, mirroring the
     // Spark side. Shared verbatim by the state-table form (hash-equal by
     // construction).
+    // Cell-grain embedding PSI: the shared incremental chain's corpus
+    // (`cells`) and batch (`bcells`) assignments histogrammed over the
+    // trained centroid bins (`cnorm2`), j8_psi's smoothed decimal sum.
+    "j8_cell_psi" ->
+      s"""$semDedupIncCtes,
+        |ca0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |cb0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS cb FROM bcells GROUP BY 1),
+        |binned AS (SELECT n.cid, coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        |  FROM cnorm2 n LEFT JOIN ca0 a ON a.cid = n.cid LEFT JOIN cb0 b ON b.cid = n.cid),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM binned)
+        |SELECT t.na AS n_corpus, t.nb AS n_batch, t.n_cells,
+        |  CAST(sum(CAST(round(
+        |    (CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells)
+        |      - CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))
+        |    * ln((CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells))
+        |      / (CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS psi
+        |FROM binned b, tot t
+        |GROUP BY t.na, t.nb, t.n_cells""".stripMargin,
+
     "j3_semdedup_inc" -> semDedupIncOracle,
     "j3_semdedup_inc_state" -> semDedupIncOracle,
     "j3_semdedup_inc_upsert" -> semDedupIncUpsertOracle,

@@ -779,6 +779,43 @@ object Similarity {
         .select($"vec_id", $"cell_id", lit(1L).as("is_new")))
   }
 
+  /** J8/J3 — EMBEDDING drift at the QUANTIZER-CELL grain (round 14): PSI
+    * of the batch's cell-occupancy histogram against the standing
+    * corpus's, over the frozen centroids the incremental family already
+    * maintains — the production "did the embedding distribution move?"
+    * monitor. Per-dimension mean drift ([[graft.ext.Drift.embDrift]])
+    * catches encoder/normalization bugs; the CELL histogram catches
+    * topic/mode shift that leaves every marginal mean in place (a new
+    * cluster of content lands in one cell). Bin universe = the trained
+    * centroid table (bounded √N, broadcast); same Laplace smoothing +
+    * decimal-exact term sum as [[graft.ext.Drift.psiDrift]], so the one
+    * inventoried libm-ln convention is shared, not duplicated.
+    *
+    * 100 TB posture: two |population| × √N broadcast assignment passes
+    * (the batch one is the same bill the incremental probe already
+    * pays), two bounded cell-grain aggregates, one 1-row total. */
+  def cellDrift(emb: DataFrame, iters: Int = IvfIters,
+                corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (corpus, batch) = semIncSplit(emb, corpusPct)
+    val bc = base(corpus)
+    val (cents, cells) = semCells(bc, corpus, iters)
+    val bcells = assignCells(centCos(base(batch).filter($"nq" > 0L), cents))
+    val binned = cents.select($"cid")
+      .join(cells.groupBy($"cid").agg(count(lit(1)).as("ca")), Seq("cid"), "left")
+      .join(bcells.groupBy($"cid").agg(count(lit(1)).as("cb")), Seq("cid"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = binned.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+      count(lit(1)).as("n_cells"))
+    val pa = ($"ca" + 1L).cast("double") / ($"na" + $"n_cells").cast("double")
+    val pb = ($"cb" + 1L).cast("double") / ($"nb" + $"n_cells").cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select($"na", $"nb", $"n_cells",
+        round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)").as("term6"))
+      .groupBy($"na".as("n_corpus"), $"nb".as("n_batch"), $"n_cells")
+      .agg(sum($"term6").cast("double").as("psi"))
+  }
+
   /** Brute-force cosine top-k of every vec_id < nQueries against the
     * corpus: broadcast the queries, scan the corpus once — the exact
     * re-rank baseline, shardable by corpus partition at 100 TB. */

@@ -581,6 +581,31 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("cell PSI: a mode-shifted batch scores higher drift than a same-distribution batch") {
+    import spark.implicits._
+    // two well-separated modes on dim 1; corpus alternates modes, so the
+    // trained cells split them. Batch A continues alternating (same
+    // distribution); batch B lands entirely in mode 1 (topic shift whose
+    // PER-DIMENSION mean moves far less than its cell histogram).
+    def vecs(ids: Seq[Long], mode: Long => Long) = ids.map { i =>
+      (i, Seq.tabulate(8)(d =>
+        (if (d == 0) (if (mode(i) == 0) -0.9f else 0.9f) else 0.01f * ((i + d) % 7))))
+    }
+    val corpus = vecs(0L until 360L, _ % 2)
+    val same = vecs(360L until 400L, _ % 2)
+    val shifted = vecs(360L until 400L, _ => 1L)
+    def psiOf(batch: Seq[(Long, Seq[Float])]): Double =
+      ext.Similarity.cellDrift((corpus ++ batch).toDF("vec_id", "embedding"))
+        .collect()(0).getAs[Double]("psi")
+    val psiSame = psiOf(same)
+    val psiShift = psiOf(shifted)
+    info(f"cell PSI same-dist=$psiSame%.4f mode-shifted=$psiShift%.4f")
+    assert(psiShift > psiSame,
+      f"mode shift must raise cell PSI: $psiShift%.4f <= $psiSame%.4f")
+    assert(psiSame >= 0.0 && psiShift > 0.1,
+      f"shifted batch must register substantial drift: $psiShift%.4f")
+  }
+
   test("split-leak audit: a cluster straddling train and test is flagged; singletons excluded") {
     import spark.implicits._
     // md5('7:'||id) % 20 buckets: id 24 -> 19 (test), ids 1,2 -> train
