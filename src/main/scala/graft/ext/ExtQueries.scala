@@ -310,6 +310,15 @@ object ExtQueries {
       Pipeline.trainsetManifest(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)))),
 
+    // J7 — the CURATION FUNNEL (round 14): the data-card accounting
+    // table — docs in/out + surviving tokens per gate under the prefix
+    // of gates (exact dedup -> near-dup -> image -> lang -> length ->
+    // quality -> decontam); composes the graded verdicts, no new logic.
+    "j7_funnel" -> ((s, d) =>
+      Pipeline.curationFunnel(Tables.documents(s, d),
+        groups0 = Some(neardupGroups(s, d)),
+        imgGroups0 = Some(phashGroups(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -1846,6 +1855,74 @@ object ExtQueries {
          |       WHEN b = ${Pipeline.SplitBuckets - 2} THEN 'val'
          |       ELSE 'train' END AS split
          |FROM g""".stripMargin,
+
+    // The curation funnel: both CC chains + quality + exact-dup window +
+    // renamed 13-gram decontam CTEs, cumulative prefix flags, one agg
+    // row fanned out to the stage table (unions generated from the SAME
+    // Pipeline.FunnelStages list the op uses).
+    "j7_funnel" -> {
+      val n = Pipeline.DecontamN
+      val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
+        "quality_ok", "decontam_ok")
+      val cums = flagCols.indices.map(i =>
+        flagCols.take(i + 1).mkString(" * ") + s" AS f${i + 1}").mkString(", ")
+      val aggCols = flagCols.indices.map(i =>
+        s"CAST(sum(f${i + 1}) AS BIGINT) AS n${i + 1}, " +
+          s"CAST(sum(f${i + 1} * n_tokens) AS BIGINT) AS t${i + 1}").mkString(", ")
+      val unions = ("corpus" +: Pipeline.FunnelStages).zipWithIndex.map {
+        case (nm, i) =>
+          s"""SELECT CAST($i AS BIGINT) AS stage_no, '$nm' AS stage,
+             |  n${math.max(i - 1, 0)} AS docs_in, n$i AS docs_out, t$i AS tokens_out FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $ccCtes,
+         |$ahashHamCtes,
+         |ihp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+         |iedges AS (SELECT doc_a, doc_b FROM ihp
+         |  UNION ALL SELECT doc_b, doc_a FROM ihp),
+         |ireach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION SELECT e.doc_a AS v, r.l FROM ireach r JOIN iedges e ON e.doc_b = r.v),
+         |icomp AS (SELECT v AS doc_id, min(l) AS icluster FROM ireach GROUP BY v),
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |q AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+         |      / len(string_split(text, ' ')), 6) AS stop_ratio
+         |  FROM documents),
+         |ex AS (SELECT doc_id,
+         |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+         |      THEN 1 ELSE 0 END AS exact_ok
+         |  FROM documents),
+         |dg AS (SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) z,
+         |  LATERAL (SELECT unnest(generate_series(1, len(tk) - ${n - 1})) AS i) zz),
+         |dfp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM dg),
+         |de AS (SELECT DISTINCT fp FROM dfp WHERE doc_id < ${Pipeline.EvalDocs}),
+         |dc AS (SELECT DISTINCT doc_id FROM dfp
+         |  WHERE doc_id >= ${Pipeline.EvalDocs} AND fp IN (SELECT fp FROM de)),
+         |flags AS (SELECT d.doc_id, q.n_tokens, e.exact_ok,
+         |    CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS dup_ok,
+         |    CASE WHEN ic.doc_id = ic.icluster THEN 1 ELSE 0 END AS img_ok,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN q.n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
+         |      THEN 1 ELSE 0 END AS len_ok,
+         |    CASE WHEN q.stop_ratio >= ${Pipeline.MinStopRatio} THEN 1 ELSE 0 END AS quality_ok,
+         |    CASE WHEN d.doc_id < ${Pipeline.EvalDocs} THEN 0
+         |         WHEN d.doc_id IN (SELECT doc_id FROM dc) THEN 0
+         |         ELSE 1 END AS decontam_ok
+         |  FROM documents d
+         |  JOIN comp c ON c.doc_id = d.doc_id
+         |  JOIN icomp ic ON ic.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN ex e ON e.doc_id = d.doc_id),
+         |cum AS (SELECT doc_id, n_tokens, $cums FROM flags),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(n_tokens) AS BIGINT) AS t0, $aggCols FROM cum)
+         |$unions""".stripMargin
+    },
 
     // Split-leakage audit: the CC chain + the manifest's md5 split,
     // aggregated per multi-member cluster.

@@ -141,6 +141,65 @@ object Pipeline {
         ($"n_splits" > 1L).cast("long").as("leak"))
   }
 
+  /** [[curationFunnel]] gate order — shared by the op and its oracle
+    * generator so the two stage lists can never drift. */
+  val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",
+    "language", "length", "quality", "decontam")
+
+  /** J7 — the CURATION FUNNEL (round 14): the data-card accounting table
+    * every published pipeline ships — one row per gate with documents
+    * in/out and surviving tokens under the PREFIX of gates applied in
+    * order: corpus → exact dedup (md5-canonical) → text near-dup
+    * canonical → image near-dup canonical → language → token-length band
+    * → stopword-ratio floor → benchmark decontamination (the eval slice
+    * itself leaves the train set here, by definition, along with any
+    * train doc sharing a 13-gram with it). Every flag is a graded
+    * kernel's verdict — the funnel adds NO new decision logic, only the
+    * end-to-end attribution of where the corpus mass goes.
+    *
+    * Scale posture: the component flags are the bounded frames the gates
+    * already produce; the funnel itself is one doc-grain join chain, one
+    * aggregate to a single row, and a row-local explode to the 8-row
+    * stage table. */
+  def curationFunnel(docs: DataFrame, groups0: Option[DataFrame] = None,
+                     imgGroups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val mm = trainsetManifestMm(docs, groups0, imgGroups0)
+      .select($"doc_id", $"dup_ok", $"img_ok", $"lang_ok", $"len_ok", $"quality_ok")
+    val eh = docs.select($"doc_id", md5($"text".cast("binary")).as("h"))
+    val exactOk = eh
+      .join(eh.groupBy($"h").agg(min($"doc_id").as("kid")), Seq("h"))
+      .select($"doc_id", ($"doc_id" === $"kid").cast("long").as("exact_ok"))
+    val dec = decontamNgram(docs).select($"doc_id", $"contaminated")
+    val flags = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(exactOk, Seq("doc_id"))
+      .join(mm, Seq("doc_id"))
+      .join(dec, Seq("doc_id"), "left")
+      .withColumn("decontam_ok",
+        when($"doc_id" < EvalDocs, 0L)
+          .otherwise(lit(1L) - coalesce($"contaminated", lit(0L))))
+    val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
+      "quality_ok", "decontam_ok")
+    val withCum = flagCols.zipWithIndex.foldLeft(flags) { case (df, (c, i)) =>
+      df.withColumn(s"f${i + 1}",
+        if (i == 0) col(c) else col(s"f$i") * col(c))
+    }
+    val aggs = Seq(count(lit(1)).as("n0"), sum($"n_tokens").as("t0")) ++
+      flagCols.indices.flatMap(i => Seq(
+        sum(col(s"f${i + 1}")).as(s"n${i + 1}"),
+        sum(col(s"f${i + 1}") * $"n_tokens").as(s"t${i + 1}")))
+    val row = withCum.agg(aggs.head, aggs.tail: _*)
+    val stages = "corpus" +: FunnelStages
+    row.select(explode(array(stages.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i.toLong).as("stage_no"), lit(nm).as("stage"),
+          col(s"n${math.max(i - 1, 0)}").as("docs_in"),
+          col(s"n$i").as("docs_out"),
+          col(s"t$i").as("tokens_out"))
+      }: _*)).as("s"))
+      .select($"s.*")
+  }
+
   /** Per-language sampling rates for [[stratifiedSample]] (percent kept):
     * the training-mix composition dial — downsample dominant languages,
     * keep the tail. Unlisted languages fall back to 100 (keep all). */

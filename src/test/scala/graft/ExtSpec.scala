@@ -581,6 +581,29 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("curation funnel: stages chain, counts are monotone, eval slice leaves at decontam") {
+    import spark.implicits._
+    val rows = ext.Pipeline.curationFunnel(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .orderBy($"stage_no").collect()
+    assert(rows.length == 8 && rows.head.getAs[String]("stage") == "corpus")
+    assert(rows.head.getAs[Long]("docs_out") == 500L, "corpus row must count every doc")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("docs_in") == a.getAs[Long]("docs_out"),
+        s"stage ${b.getAs[String]("stage")} docs_in must chain from the previous stage")
+      assert(b.getAs[Long]("docs_out") <= b.getAs[Long]("docs_in"),
+        s"a gate can only drop: $b")
+      assert(b.getAs[Long]("tokens_out") <= a.getAs[Long]("tokens_out"),
+        s"surviving tokens must be monotone: $b")
+    }
+    val dec = rows.find(_.getAs[String]("stage") == "decontam").get
+    // the 20-doc eval slice is still present entering decontam and leaves
+    // there by definition (plus any contaminated train doc)
+    assert(dec.getAs[Long]("docs_in") - dec.getAs[Long]("docs_out") >= 1L,
+      s"decontam must drop at least the surviving eval docs: $dec")
+    assert(rows.last.getAs[Long]("docs_out") > 0L, "a usable train set must survive")
+  }
+
   test("cell PSI: a mode-shifted batch scores higher drift than a same-distribution batch") {
     import spark.implicits._
     // two well-separated modes on dim 1; corpus alternates modes, so the
