@@ -999,10 +999,11 @@ object Dedup {
     * is the same bound as one equi-join per probe. */
   def bloomScaleStats(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                       mBits: Int = BloomSliceBits, seeds: Seq[Int] = BloomSeeds,
-                      cap: Long = BloomSliceCap): DataFrame = {
+                      cap: Long = BloomSliceCap,
+                      sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val sl = bloomSliceLines(
-      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap)
+    val sl = sliceLines0.getOrElse(bloomSliceLines(
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap))
     val nl = sl.groupBy($"slice").agg(count(lit(1)).as("n_lines"))
     val np = bloomSlicePositions(sl, mBits, seeds)
       .groupBy($"slice").agg(count(lit(1)).as("n_set_positions"))
@@ -1045,10 +1046,12 @@ object Dedup {
   def bloomScaleProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                       mBits: Int = BloomSliceBits, seeds: Seq[Int] = BloomSeeds,
                       cap: Long = BloomSliceCap,
-                      dropE6: Long = BloomDropE6): DataFrame = {
+                      dropE6: Long = BloomDropE6,
+                      sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
-    val slicePos = bloomSlicePositions(bloomSliceLines(corpus, cap), mBits, seeds)
+    val slicePos = bloomSlicePositions(
+      sliceLines0.getOrElse(bloomSliceLines(corpus, cap)), mBits, seeds)
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val hits = bloomScaleMembers(batch, slicePos, mBits, seeds)
@@ -1087,17 +1090,19 @@ object Dedup {
                                              mBits: Int = BloomSliceBits,
                                              seeds: Seq[Int] = BloomSeeds,
                                              cap: Long = BloomSliceCap,
-                                             dropE6: Long = BloomDropE6): DataFrame = {
+                                             dropE6: Long = BloomDropE6,
+                                             sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
-    val sliceLines = bloomSliceLines(corpus, cap)
+    val sliceLines = sliceLines0.getOrElse(bloomSliceLines(corpus, cap))
     val slicePos = bloomSlicePositions(sliceLines, mBits, seeds)
     val act = sliceLines.groupBy($"slice").agg(count(lit(1)).as("n"))
       .agg(coalesce(max($"slice"), lit(-1L)).as("s_last"),
         coalesce(max(struct($"slice", $"n")).getField("n"), lit(cap)).as("n_last"))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val members = bloomScaleMembers(batch, slicePos, mBits, seeds)
-    val kept = bloomScaleProbe(docs, mod, w, mBits, seeds, cap, dropE6)
+    val kept = bloomScaleProbe(docs, mod, w, mBits, seeds, cap, dropE6,
+        Some(sliceLines))
       .filter($"drop_doc" === 0L).select($"doc_id")
     val newLines = batch
       .join(kept, Seq("doc_id"), "left_semi")
@@ -1124,12 +1129,15 @@ object Dedup {
   def bloomScaleUpsert(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                        mBits: Int = BloomSliceBits, seeds: Seq[Int] = BloomSeeds,
                        cap: Long = BloomSliceCap,
-                       dropE6: Long = BloomDropE6): DataFrame = {
+                       dropE6: Long = BloomDropE6,
+                       sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val standing = bloomSlicePositions(bloomSliceLines(
-      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap), mBits, seeds)
+    val sl = sliceLines0.getOrElse(bloomSliceLines(
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap))
+    val standing = bloomSlicePositions(sl, mBits, seeds)
     val newPos = bloomSlicePositions(
-        bloomScaleNewLineSlices(docs, mod, w, mBits, seeds, cap, dropE6),
+        bloomScaleNewLineSlices(docs, mod, w, mBits, seeds, cap, dropE6,
+          Some(sl)),
         mBits, seeds)
       .join(standing, Seq("slice", "p"), "left_anti")
     standing.withColumn("is_new", lit(0L))

@@ -547,22 +547,24 @@ object StreamOps {
     * exactly [[graft.ext.Dedup.bloomScaleProbe]]'s membership, with no
     * stateful (line, slice) aggregation. Per-(doc, line) bloom/exact/FP
     * verdicts, the `st_bloom` shape on the sliced family. */
-  def bloomScaleProbeLines(docs: DataFrame, mod: Int = 10): DataFrame = {
+  def bloomScaleProbeLines(docs: DataFrame, mod: Int = 10,
+                           sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))
     bloomScaleJoin(
       graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0)),
-      bloomScalePosSlices(corpus),
+      bloomScalePosSlices(corpus, sliceLines0),
       corpus.select($"line").distinct())
   }
 
   /** The static (position → sorted slice array) relation the sliced
     * stream probe joins — built in batch from the standing slice state
     * (bounded by slices × m rows; each array bounded by the slice count). */
-  def bloomScalePosSlices(corpusLines: DataFrame): DataFrame = {
+  def bloomScalePosSlices(corpusLines: DataFrame,
+                          sliceLines0: Option[DataFrame] = None): DataFrame = {
     import corpusLines.sparkSession.implicits._
     graft.ext.Dedup.bloomSlicePositions(
-        graft.ext.Dedup.bloomSliceLines(corpusLines))
+        sliceLines0.getOrElse(graft.ext.Dedup.bloomSliceLines(corpusLines)))
       .groupBy($"p").agg(sort_array(collect_list($"slice")).as("slices"))
   }
 
