@@ -127,6 +127,26 @@ object ExtQueries {
     })
   }
 
+  /** The FFD packing manifests feed multiple graded consumers per window
+    * width (W=32: j7_pack_fit, the concat-comparison stats row, and the
+    * dial; W=256: j7_pack_fit_w256 and the dial) — memoize each width's
+    * manifest once per (session, dataset), the shared-stage discipline. */
+  private val packFit32Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val packFit256Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def packFitFrame(s: SparkSession, d: String, wide: Boolean): DataFrame = {
+    val cache = if (wide) packFit256Cache else packFit32Cache
+    graft.pm.PmQueries.evictOthers(cache, s, d)
+    cache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      graft.Pinned.stageEager(Pipeline.packFit(
+        bpeEncoded(s, d).select($"doc_id", $"n_tokens"),
+        windowDocs =
+          if (wide) Pipeline.PackFitWindowDial else Pipeline.PackFitWindowDocs))
+    })
+  }
+
   /** The scalable-Bloom (line, slice) state frame feeds FOUR graded
     * queries (stats, probe, upsert, stream probe) and the upsert reads it
     * three times internally — the distinct + two-phase rank behind it
@@ -674,10 +694,7 @@ object ExtQueries {
     // J7 — BOUNDARY-AWARE packing (round 13): first-fit-decreasing whole
     // documents into 512-token bins over the shuffle-order windows — no
     // doc ever straddles a sequence; (doc -> seq, offset) + per-bin fill.
-    "j7_pack_fit" -> ((s, d) => {
-      import s.implicits._
-      Pipeline.packFit(bpeEncoded(s, d).select($"doc_id", $"n_tokens"))
-    }),
+    "j7_pack_fit" -> ((s, d) => packFitFrame(s, d, wide = false)),
 
     // the in-query fill-efficiency delta vs the concat-chunk layout:
     // bins/fill for both, concat's split-doc count, fit's measured 0.
@@ -685,22 +702,21 @@ object ExtQueries {
       import s.implicits._
       Pipeline.packFitStats(
         Tables.documents(s, d).select($"doc_id", $"source")
-          .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")))
+          .join(bpeEncoded(s, d).select($"doc_id", $"n_tokens"), Seq("doc_id")),
+        fit0 = Some(packFitFrame(s, d, wide = false)))
     }),
 
     // J7 — the packing WINDOW dial's wide point (round 14): the same FFD
     // fold at W=256 — fill approaches global FFD as the window grows.
-    "j7_pack_fit_w256" -> ((s, d) => {
-      import s.implicits._
-      Pipeline.packFit(bpeEncoded(s, d).select($"doc_id", $"n_tokens"),
-        windowDocs = Pipeline.PackFitWindowDial)
-    }),
+    "j7_pack_fit_w256" -> ((s, d) => packFitFrame(s, d, wide = true)),
 
     // the one-row W dial: fill at W=32 vs W=256 over the same counts —
     // the shard-local fill loss quantified (delta >= 0 pinned in ExtSpec).
     "j7_pack_fit_wdial" -> ((s, d) => {
       import s.implicits._
-      Pipeline.packFitWindowDial(bpeEncoded(s, d).select($"doc_id", $"n_tokens"))
+      Pipeline.packFitWindowDial(bpeEncoded(s, d).select($"doc_id", $"n_tokens"),
+        fitSmall0 = Some(packFitFrame(s, d, wide = false)),
+        fitLarge0 = Some(packFitFrame(s, d, wide = true)))
     }),
 
     // J7 — span corruption at the TOKEN-ID grain (round 13): the T5 prep

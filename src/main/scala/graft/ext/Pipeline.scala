@@ -1021,9 +1021,11 @@ object Pipeline {
     * order, exactly `j7_pack_bpe`'s layout. */
   def packFitStats(counts: DataFrame, seqLen: Long = PackSeqLen,
                    windowDocs: Long = PackFitWindowDocs,
-                   seed: Int = ShuffleSeed): DataFrame = {
+                   seed: Int = ShuffleSeed,
+                   fit0: Option[DataFrame] = None): DataFrame = {
     import counts.sparkSession.implicits._
-    val fit = packFit(counts.select($"doc_id", $"n_tokens"), seqLen, windowDocs, seed)
+    val fit = fit0.getOrElse(
+      packFit(counts.select($"doc_id", $"n_tokens"), seqLen, windowDocs, seed))
     val fitAgg = fit.agg(count(lit(1)).as("n_docs"),
       sum($"n_tokens").as("total_tokens"),
       (max($"seq_id") + 1).as("n_bins_fit"),
@@ -1057,12 +1059,14 @@ object Pipeline {
   def packFitWindowDial(counts: DataFrame, seqLen: Long = PackSeqLen,
                         wSmall: Long = PackFitWindowDocs,
                         wLarge: Long = PackFitWindowDial,
-                        seed: Int = ShuffleSeed): DataFrame = {
+                        seed: Int = ShuffleSeed,
+                        fitSmall0: Option[DataFrame] = None,
+                        fitLarge0: Option[DataFrame] = None): DataFrame = {
     import counts.sparkSession.implicits._
-    val a = packFit(counts, seqLen, wSmall, seed)
+    val a = fitSmall0.getOrElse(packFit(counts, seqLen, wSmall, seed))
       .agg(sum($"n_tokens").as("total_tokens"),
         (max($"seq_id") + 1).as("n_bins_w_small"))
-    val b = packFit(counts, seqLen, wLarge, seed)
+    val b = fitLarge0.getOrElse(packFit(counts, seqLen, wLarge, seed))
       .agg((max($"seq_id") + 1).as("n_bins_w_large"))
     a.crossJoin(broadcast(b))
       .select(lit(wSmall).as("w_small"), lit(wLarge).as("w_large"),
