@@ -663,6 +663,14 @@ object ExtQueries {
     // materializes, feeding j7_pack's sequence packing.
     "j4_bpe_encode_docs" -> ((s, d) => bpeEncoded(s, d)),
 
+    // J4 — BPE DECODE round-trip (round 14): every doc's token-ID
+    // sequence decoded back through the inverse symbol table and compared
+    // character-for-character to the original [a-z]+ word stream — the
+    // tokenizer's losslessness as a graded in-row law (roundtrip_ok).
+    "j4_bpe_decode" -> ((s, d) =>
+      TextOps.bpeDecodeDocs(Tables.documents(s, d), bpeEncoded(s, d),
+        bpeApplied(s, d))),
+
     // J4 — tokenizer FERTILITY per language (round 13): tokens-per-word of
     // the trained BPE by language — the published multilingual tokenizer-
     // efficiency metric (high-fertility languages pay more sequence budget
@@ -1337,6 +1345,24 @@ object ExtQueries {
        |  tok_offset // ${Pipeline.PackSeqLen} AS seq_id,
        |  tok_offset % ${Pipeline.PackSeqLen} AS seq_offset
        |FROM c""".stripMargin
+
+  /** BPE decode round-trip: the encode chain re-inverted through symid,
+    * character-stream equality against the original word stream. */
+  private def bpeDecodeOracle(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)},
+       |enc0 AS (SELECT d.doc_id, CAST(sum(wi.n_tokens) AS BIGINT) AS n_tokens,
+       |    string_agg(wi.ids, ' ' ORDER BY d.wpos) AS token_ids
+       |  FROM dw d JOIN wids wi ON wi.w = d.w GROUP BY 1),
+       |tid AS (SELECT doc_id, n_tokens, g.p, string_split(token_ids, ' ')[g.p] AS t
+       |  FROM enc0, LATERAL (SELECT unnest(generate_series(1, len(string_split(token_ids, ' ')))) AS p) g),
+       |dec AS (SELECT t.doc_id, t.n_tokens,
+       |    string_agg(si.sym, '' ORDER BY t.p) AS detok
+       |  FROM tid t JOIN symid si ON CAST(si.tok_id AS VARCHAR) = t.t GROUP BY 1, 2),
+       |orig AS (SELECT doc_id, array_to_string(regexp_extract_all(text, '[a-z]+'), '') AS o
+       |  FROM documents)
+       |SELECT d.doc_id, d.n_tokens, CAST(strlen(d.detok) AS BIGINT) AS n_chars,
+       |  CAST(CASE WHEN d.detok = o.o THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+       |FROM dec d JOIN orig o ON o.doc_id = d.doc_id""".stripMargin
 
   /** Tokenizer fertility per language over the encode chain. */
   private def fertilityOracle(rounds: Int): String =
@@ -3538,6 +3564,7 @@ object ExtQueries {
         "j7_pack_fit_wdial" -> packFitWdialOracle(6),
         "j7_span_corrupt_bpe" -> spanCorruptBpeOracle(6),
         "j4_fertility" -> fertilityOracle(6),
+        "j4_bpe_decode" -> bpeDecodeOracle(6),
 
 "j5_audio" ->
       s"""WITH d AS (SELECT doc_id, (doc_id % 4 + 1) * ${Multimodal.AudioWindow} AS n FROM documents),

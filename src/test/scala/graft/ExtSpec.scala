@@ -581,6 +581,34 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("BPE decode: every harness doc round-trips losslessly; a corrupt table is caught") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = ext.TextOps.bpeTrain(docs)
+    val applied = ext.TextOps.bpeApply(docs, rules)
+    val enc = ext.TextOps.bpeEncodeDocs(docs, applied)
+    val rt = ext.TextOps.bpeDecodeDocs(docs, enc, applied)
+    val bad = rt.filter($"roundtrip_ok" =!= 1L).count()
+    assert(bad == 0L, s"$bad docs failed the tokenizer round-trip")
+    // n_chars must equal the original word-character mass per doc
+    val mism = rt.join(docs.select($"doc_id",
+        length(concat_ws("", expr("regexp_extract_all(text, '[a-z]+', 0)")))
+          .cast("long").as("wc")), Seq("doc_id"))
+      .filter($"n_chars" =!= $"wc").count()
+    assert(mism == 0L, "decoded character mass diverged from the word stream")
+    // negative control: swapping two symbols' spellings must be CAUGHT —
+    // the law is falsifiable, not vacuous
+    val syms = applied.select(explode(split($"toks", " ")).as("s")).distinct()
+      .orderBy($"s").limit(2).collect().map(_.getString(0))
+    assert(syms.length == 2)
+    val corrupted = applied.withColumn("toks",
+      regexp_replace($"toks", java.util.regex.Pattern.quote(syms(0)),
+        syms(0) + syms(0)))
+    val badRt = ext.TextOps.bpeDecodeDocs(docs, enc, corrupted)
+      .filter($"roundtrip_ok" === 0L).count()
+    assert(badRt > 0L, "a corrupted symbol table must break the round-trip")
+  }
+
   test("curation funnel: stages chain, counts are monotone, eval slice leaves at decontam") {
     import spark.implicits._
     val rows = ext.Pipeline.curationFunnel(
