@@ -49,6 +49,92 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scalable bloom: slice assignment is arrival-prefix-stable and never misses a member") {
+    import spark.implicits._
+    // two laws over random corpora: (1) PREFIX STABILITY — appending docs
+    // with strictly later ids never changes an existing line's slice
+    // (arrival rank of earlier lines is fixed, so sealed slices are
+    // immutable, the property that makes them broadcastable bitmaps);
+    // (2) NO FALSE NEGATIVES — every probed line that IS a corpus line
+    // reads as a member, whatever the cap.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    def doc(id: Long, nLines: Int) = (id, (1 to nLines).flatMap(_ =>
+      Seq.fill(5)(vocab(rnd.nextInt(vocab.length)))).mkString(" "))
+    for (sample <- 1 to 4) {
+      val cap = 2L + rnd.nextInt(4)
+      val base = (1 to (4 + rnd.nextInt(4))).map(i => doc(i.toLong, 1 + rnd.nextInt(3)))
+      val more = (20 to (22 + rnd.nextInt(3))).map(i => doc(i.toLong, 1 + rnd.nextInt(3)))
+      def slices(ds: Seq[(Long, String)]): Map[String, Long] =
+        ext.Dedup.bloomSliceLines(
+            ext.Dedup.bloomDocLines(ds.toDF("doc_id", "text")), cap)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val s1 = slices(base)
+      val s2 = slices(base ++ more)
+      s1.foreach { case (line, sl) =>
+        assert(s2(line) == sl,
+          s"[sample $sample cap=$cap] later arrivals moved line '$line': $sl -> ${s2(line)}")
+      }
+      // FN-free: probe the corpus against itself (mod carve: corpus ids
+      // 1..9/21.. are % 10 != 0; give the probe doc id 10 with a corpus line)
+      val corpusLine = s1.keys.head
+      val all = (base ++ more) :+ (10L -> corpusLine)
+      val probe = ext.Dedup.bloomScaleProbe(all.toDF("doc_id", "text"), cap = cap)
+        .agg(sum($"n_false_neg")).head.getLong(0)
+      assert(probe == 0L, s"[sample $sample cap=$cap] sliced filter missed a member")
+      graft.Pinned.release(spark)
+    }
+  }
+
+  test("BPE decode inverts encode for random word-soup corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val chars = "abcdef"
+    for (sample <- 1 to 3) {
+      val vocabWords = (1 to (5 + rnd.nextInt(5))).map(_ =>
+        (1 to (2 + rnd.nextInt(5))).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+      val docs = (1 to (5 + rnd.nextInt(5))).map { id =>
+        (id.toLong, (1 to (3 + rnd.nextInt(8)))
+          .map(_ => vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val rules = ext.TextOps.bpeTrain(docs)
+      val applied = ext.TextOps.bpeApply(docs, rules)
+      val enc = ext.TextOps.bpeEncodeDocs(docs, applied)
+      val bad = ext.TextOps.bpeDecodeDocs(docs, enc, applied)
+        .filter($"roundtrip_ok" =!= 1L).count()
+      assert(bad == 0L, s"[sample $sample] round-trip failed on a random corpus")
+      graft.Pinned.release(spark)
+    }
+  }
+
+  test("stream probe's row-local cell assignment equals the batch argmax on random vectors") {
+    import spark.implicits._
+    // the bit-exactness claim behind st_sem_probe, tested beyond harness
+    // data: for random embeddings, the packed-array array_min fold must
+    // reproduce semDedupIncremental's per-vector (cell via best match)
+    // decisions — same rounded cosine, same min-cid tiebreak.
+    val rnd = new scala.util.Random(20260817L)
+    for (sample <- 1 to 3) {
+      val n = 120 + rnd.nextInt(80)
+      val emb = spark.range(0L, n).select($"id".as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          i => (pmod(xxhash64($"id" * lit(7919 + sample) + i), lit(2001)) - 1000)
+            .cast("float") / 1000f).as("embedding"))
+      val pair = ext.Similarity.semProbeBatch(spark, s"prop_semprobe_${sample}_$n", emb)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"vec_id").orderBy($"cos_sim_e6".desc, $"mid")))
+        .filter($"rn" === 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = ext.Similarity.semDedupIncremental(emb)
+        .filter($"best_match" =!= -1L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(pair == batch,
+        s"[sample $sample n=$n] row-local assignment diverged (${pair.size} vs ${batch.size})")
+      graft.Pinned.release(spark)
+    }
+  }
+
   test("dup-ngram fraction equals brute force for random corpora") {
     import spark.implicits._
     // Small vocab + short docs force heavy cross-doc gram sharing — the
