@@ -1144,6 +1144,40 @@ object Dedup {
       .unionByName(newPos.withColumn("is_new", lit(1L)))
   }
 
+  /** J2/J7 — SOURCE-overlap matrix (round 14): exact Jaccard of every
+    * source pair's distinct shingle-fingerprint sets — the dataset-card
+    * number ("how much of source X duplicates source Y?") that decides
+    * whether two crawls should be mixed, deduped against each other, or
+    * one dropped; the corpus-level complement to the doc-grain near-dup
+    * passes. Emits the full upper triangle including zero-overlap pairs,
+    * so the matrix shape is stable under content changes.
+    *
+    * 100 TB posture: one (source, fp) distinct pass, one fp-grain
+    * equi-self-join whose per-fp fan-out is bounded by |sources|² (no
+    * hot-key cap needed — the key's multiplicity is the SOURCE count,
+    * never the doc count), and a broadcast |sources|²-row matrix
+    * assembly. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fps = shingleFpArrays(docs)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", explode($"dshings").as("fp")).distinct()
+    val sizes = fps.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = fps.select($"fp", $"source".as("sa"))
+      .join(fps.select($"fp", $"source".as("sb")), Seq("fp"))
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("ninter"))
+    sizes.select($"source".as("source_a"), $"n".as("n_a"))
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+        $"source_a" < $"source_b")
+      .join(inter.select($"sa".as("source_a"), $"sb".as("source_b"), $"ninter"),
+        Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        $"ninter".as("n_shared"),
+        expr("(ninter * 1000000) div (n_a + n_b - ninter)").as("jaccard_e6"))
+  }
+
   /** Verdict threshold (Jaccard millionths) for [[incrementalNearDup]] —
     * same 0.9 decision point as [[NearDupGroupJaccard]]. */
   val IncrementalDropE6 = 900000L

@@ -204,6 +204,13 @@ object ExtQueries {
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
     "j2_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
 
+    // J2/J7 — SOURCE-overlap matrix (round 14): exact Jaccard of every
+    // source pair's distinct shingle-fp sets — the dataset-card number
+    // deciding whether two crawls get mixed, cross-deduped, or dropped;
+    // full upper triangle incl. zero-overlap pairs.
+    "j2_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))),
+
     // J2 — CROSS-document duplicated-10-gram fraction + the >30% scrub
     // verdict (the MassiveText/RefinedWeb boilerplate signal; catches
     // heavy partial duplication no whole-doc near-dup pass flags).
@@ -1875,6 +1882,22 @@ object ExtQueries {
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= ${Dedup.JaccardJoinThreshold}""".stripMargin,
+
+    // Source-overlap matrix: distinct (source, fp) grain, fp-grain
+    // self-join, upper triangle with zero pairs from the size cross.
+    "j2_source_overlap" ->
+      s"""WITH $shCtes,
+         |ds AS (SELECT DISTINCT d.source,
+         |    ('0x' || substr(md5(sh.shingle), 1, 15))::BIGINT AS fp
+         |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+         |it AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ninter
+         |  FROM ds a JOIN ds b ON b.fp = a.fp AND a.source < b.source GROUP BY 1, 2)
+         |SELECT x.source AS source_a, y.source AS source_b, x.n AS n_a, y.n AS n_b,
+         |  coalesce(i.ninter, 0) AS n_shared,
+         |  (coalesce(i.ninter, 0) * 1000000) // (x.n + y.n - coalesce(i.ninter, 0)) AS jaccard_e6
+         |FROM sz x JOIN sz y ON x.source < y.source
+         |LEFT JOIN it i ON i.sa = x.source AND i.sb = y.source""".stripMargin,
 
     // Exact connected components via recursive reachability (the oracle is
     // round-count-independent: if the Spark side's unrolled propagation ran

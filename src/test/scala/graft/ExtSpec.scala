@@ -581,6 +581,26 @@ class ExtSpec extends AnyFunSuite {
       "the harness corpus must carry exact line dups for the invariant to bite")
   }
 
+  test("source overlap: hand-computed Jaccard; zero-overlap pairs present in the matrix") {
+    import spark.implicits._
+    // source A: shingles {a b c, b c d}; source B shares exactly {b c d}
+    // plus its own {c d e}; source C shares nothing. |A|=2 |B|=2 |C|=1,
+    // A∩B=1 -> J=1/3; A∩C=B∩C=0 but the pairs must still emit rows.
+    val docs = Seq(
+      (1L, "a b c d", "A"),      // shingles: abc, bcd
+      (2L, "b c d e", "B"),      // shingles: bcd, cde
+      (3L, "x y z", "C")         // shingle: xyz
+    ).toDF("doc_id", "text", "source")
+    val got = ext.Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),
+      s"full upper triangle expected: ${got.keySet}")
+    assert(got(("A", "B")) == ((2L, 2L, 1L, 333333L)), s"A-B overlap wrong: $got")
+    assert(got(("A", "C")) == ((2L, 1L, 0L, 0L)), s"zero pair must emit: $got")
+    assert(got(("B", "C")) == ((2L, 1L, 0L, 0L)), s"zero pair must emit: $got")
+  }
+
   test("BPE decode: every harness doc round-trips losslessly; a corrupt table is caught") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

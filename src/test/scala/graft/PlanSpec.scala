@@ -298,6 +298,9 @@ class PlanSpec extends AnyFunSuite {
     //   j3_ann_recall  composes j3_knn_cosine's bounded query-sample
     //                  broadcast (the ground-truth side) with
     //                  j3_ivf_ann's allowlisted stride/centroid folds
+    //   j2_source_overlap  the |sources|-row size table crossed with
+    //                  itself on the < inequality (upper-triangle matrix
+    //                  assembly — both sides bounded by the source count)
     //   j2_bloom_scale_upsert  the 1-row (s_last, n_last) active-slice
     //                  headroom aggregate broadcast onto the ranked new
     //                  lines (the j7_mix_temp 1-row-denominator shape)
@@ -319,7 +322,8 @@ class PlanSpec extends AnyFunSuite {
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
-      "st_sem_probe", "j8_cell_psi", "j2_bloom_scale_upsert")
+      "st_sem_probe", "j8_cell_psi", "j2_bloom_scale_upsert",
+      "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
