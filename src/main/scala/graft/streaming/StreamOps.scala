@@ -536,64 +536,79 @@ object StreamOps {
         when($"j_e6" >= graft.ext.Dedup.IncrementalDropE6, "drop").otherwise("keep"))
   }
 
-  /** J2/I — SCALABLE-Bloom ingest probe, stream-static form (round 14):
-    * incoming docs' lines probe the SLICED filter with zero state. The
-    * "all k positions set in SOME one slice" test is made row-local by a
-    * static-side pre-aggregation: the standing (slice, position) state is
-    * collapsed to (position → sorted slice ARRAY) rows, the stream side
-    * carries its k positions as columns and runs k stream-static hash
-    * joins, and membership is `array_intersect` of the k attached
-    * slice-sets being non-empty — ∃ slice containing all k positions,
-    * exactly [[graft.ext.Dedup.bloomScaleProbe]]'s membership, with no
-    * stateful (line, slice) aggregation. Per-(doc, line) bloom/exact/FP
-    * verdicts, the `st_bloom` shape on the sliced family. */
+  /** J2/I — SCALABLE-Bloom ingest probe, stream-static form (geometric
+    * Almeida construction, round 15): incoming docs' lines probe the
+    * SLICED filter with zero state. The per-slice (m_i, k_i) dials vary,
+    * so the round-14 k-column join trick no longer applies; instead the
+    * standing state is collapsed to the shape a fleet ships anyway —
+    * each sealed slice as an immutable PACKED BITMAP (array<long>, m_i
+    * bits) with its dials — gathered into ONE broadcast row (the
+    * `st_sem_probe` packed-table convention). Membership is then fully
+    * ROW-LOCAL: `exists` over the slice array of a `forall` over that
+    * slice's k_i md5-head positions tested with the native
+    * [[graft.functions.BloomBitTest]] — ∃ slice containing all k_i of
+    * its own positions, exactly [[graft.ext.Dedup.bloomScaleProbe]]'s
+    * membership, with no stateful aggregation, no watermark, no state
+    * store, and O(sum_i k_i) = O(log^2 corpus) hash work per line.
+    * Per-(doc, line) bloom/exact/FP verdicts, the `st_bloom` shape. */
   def bloomScaleProbeLines(docs: DataFrame, mod: Int = 10,
                            sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))
     bloomScaleJoin(
       graft.ext.Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0)),
-      bloomScalePosSlices(corpus, sliceLines0),
+      bloomScaleFilters(corpus, sliceLines0),
       corpus.select($"line").distinct())
   }
 
-  /** The static (position → sorted slice array) relation the sliced
-    * stream probe joins — built in batch from the standing slice state
-    * (bounded by slices × m rows; each array bounded by the slice count). */
-  def bloomScalePosSlices(corpusLines: DataFrame,
-                          sliceLines0: Option[DataFrame] = None): DataFrame = {
+  /** The static ONE-ROW packed-filter relation the sliced stream probe
+    * joins: every standing slice as (slice, m, k, bits) with `bits` the
+    * slice's m-bit set packed into m/64 longs — built in batch from the
+    * standing (slice, position) state via a bounded per-(slice, word)
+    * `bit_or` aggregate, total size O(sum_i m_i) bits regardless of
+    * corpus size. */
+  def bloomScaleFilters(corpusLines: DataFrame,
+                        sliceLines0: Option[DataFrame] = None,
+                        cap0: Long = graft.ext.Dedup.BloomSliceCap0): DataFrame = {
     import corpusLines.sparkSession.implicits._
-    graft.ext.Dedup.bloomSlicePositions(
-        sliceLines0.getOrElse(graft.ext.Dedup.bloomSliceLines(corpusLines)))
-      .groupBy($"p").agg(sort_array(collect_list($"slice")).as("slices"))
+    val slicePos = graft.ext.Dedup.bloomSlicePositions(
+      sliceLines0.getOrElse(graft.ext.Dedup.bloomSliceLines(corpusLines, cap0)), cap0)
+    val words = slicePos
+      .select($"slice", shiftright($"p", 6).as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("b"))
+      .groupBy($"slice", $"w").agg(expr("bit_or(b)").as("wv"))
+    val packed = words.groupBy($"slice")
+      .agg(map_from_entries(collect_list(struct($"w", $"wv"))).as("wm"))
+      .join(broadcast(graft.ext.Dedup.bloomParamsDf(corpusLines.sparkSession, cap0)
+        .select($"slice", $"m", $"k")), Seq("slice"))
+      .select($"slice", $"m", $"k",
+        expr("transform(sequence(0, greatest(m div 64, 1) - 1), " +
+          "w -> coalesce(wm[w], cast(0 as bigint)))").as("bits"))
+    packed.agg(sort_array(collect_list(struct($"slice", $"m", $"k", $"bits")))
+        .as("filters"))
+      .withColumn("one", lit(1))
   }
 
   /** Streaming form of [[bloomScaleProbeLines]]: `incoming` is a STREAMING
-    * documents frame; `posSlices` / `corpusLines` the static relations. */
-  def bloomScaleProbeStream(incoming: DataFrame, posSlices: DataFrame,
+    * documents frame; `filters` / `corpusLines` the static relations. */
+  def bloomScaleProbeStream(incoming: DataFrame, filters: DataFrame,
                             corpusLines: DataFrame): DataFrame =
-    bloomScaleJoin(graft.ext.Dedup.bloomDocLines(incoming), posSlices, corpusLines)
+    bloomScaleJoin(graft.ext.Dedup.bloomDocLines(incoming), filters, corpusLines)
 
-  private def bloomScaleJoin(lines: DataFrame, posSlices: DataFrame,
+  private def bloomScaleJoin(lines: DataFrame, filters: DataFrame,
                              corpusLines: DataFrame): DataFrame = {
     import lines.sparkSession.implicits._
-    val seeds = graft.ext.Dedup.BloomSeeds
-    val m = graft.ext.Dedup.BloomSliceBits
-    val withPos = seeds.zipWithIndex.foldLeft(lines) { case (df, (sd, i)) =>
-      df.withColumn(s"p$i",
-        pmod(graft.ext.Dedup.md5Hash32(sd, $"line"), lit(m.toLong)))
-    }
-    val joined = seeds.indices.foldLeft(withPos) { (df, i) =>
-      df.join(posSlices.select($"p".as(s"p$i"), $"slices".as(s"sl$i")),
-        Seq(s"p$i"), "left")
-    }
-    val common = seeds.indices.map(i =>
-        coalesce(col(s"sl$i"), typedLit(Seq.empty[Long])))
-      .reduce((a, b) => array_intersect(a, b))
-    joined
+    val member = exists($"filters", f =>
+      forall(
+        transform(sequence(lit(0), f.getField("k") - 1), j =>
+          pmod(graft.functions.Md5Head60(concat(j.cast("string"), lit(":"), $"line")),
+            f.getField("m"))),
+        p => graft.functions.BloomBitTest(f.getField("bits"), p)))
+    lines.withColumn("one", lit(1))
+      .join(broadcast(filters), Seq("one"))
       .join(corpusLines.withColumn("ex", lit(1L)), Seq("line"), "left")
       .select($"doc_id", $"line",
-        when(size(common) > 0, 1L).otherwise(0L).as("bloom"),
+        when(member, 1L).otherwise(0L).as("bloom"),
         coalesce($"ex", lit(0L)).as("exact"))
       .withColumn("false_pos",
         when($"bloom" === 1L && $"exact" === 0L, 1L).otherwise(0L))

@@ -73,6 +73,19 @@ object GraftHash {
     val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** First 60 md5 bits (15 hex chars) of the UTF-8 input as a non-negative
+    * long — bit-identical to DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    * 60 bits (not 64) keeps the value inside BIGINT on both engines with no
+    * sign games; used where a 32-bit space is too small for the modulus
+    * (the scalable-Bloom slices size m geometrically past 2^31). The 15th
+    * hex char is the HIGH nibble of digest byte 7. */
+  def md5Head60(bytes: Array[Byte]): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 }
 
 /** Catalyst node for [[graft.functions.Md5Head32]]: the leading 32 bits of
@@ -94,4 +107,61 @@ case class Md5Head32Expr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Md5Head32Expr =
     copy(child = newChild)
+}
+
+/** Catalyst node for [[graft.functions.Md5Head60]]: the leading 60 bits of
+  * the md5 of a string, as a long. See [[GraftHash.md5Head60]] for the
+  * exact equivalence contract with the DuckDB oracle form. */
+case class Md5Head60Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_head60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftHash.md5Head60(s.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftbridge.GraftHash.md5Head60($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Head60Expr =
+    copy(child = newChild)
+}
+
+/** Catalyst node for [[graft.functions.BloomBitTest]]: bit `p` of a packed
+  * little-endian-word bitmap (`array<long>`, word w = bits p*64..p*64+63,
+  * bit b of word w = position w*64+b) — `(bits[p >>> 6] & (1L << (p & 63)))
+  * != 0`, with out-of-range positions reading as unset. Exists because the
+  * DataFrame lambda API has no variable-distance shift (`shiftleft(c, n)`
+  * takes a literal), and the scalable-Bloom stream probe tests k per-slice
+  * positions inside a higher-order `forall`. */
+case class BloomBitTestExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_bit_test"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val bits = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[Long]
+    val w = (p >>> 6).toInt
+    p >= 0 && w < bits.numElements() && !bits.isNullAt(w) &&
+      (bits.getLong(w) & (1L << (p & 63L).toInt)) != 0L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) => {
+      val w = ctx.freshName("w")
+      s"""
+         |final int $w = (int) ($p >>> 6);
+         |${ev.value} = $p >= 0L && $w < $a.numElements() && !$a.isNullAt($w)
+         |  && ($a.getLong($w) & (1L << (int) ($p & 63L))) != 0L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomBitTestExpr =
+    copy(left = newLeft, right = newRight)
 }

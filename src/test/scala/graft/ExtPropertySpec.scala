@@ -79,7 +79,7 @@ class ExtPropertySpec extends AnyFunSuite {
       // 1..9/21.. are % 10 != 0; give the probe doc id 10 with a corpus line)
       val corpusLine = s1.keys.head
       val all = (base ++ more) :+ (10L -> corpusLine)
-      val probe = ext.Dedup.bloomScaleProbe(all.toDF("doc_id", "text"), cap = cap)
+      val probe = ext.Dedup.bloomScaleProbe(all.toDF("doc_id", "text"), cap0 = cap)
         .agg(sum($"n_false_neg")).head.getLong(0)
       assert(probe == 0L, s"[sample $sample cap=$cap] sliced filter missed a member")
       graft.Pinned.release(spark)

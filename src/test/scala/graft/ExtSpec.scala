@@ -768,63 +768,71 @@ class ExtSpec extends AnyFunSuite {
     assert(perCluster == 0L, "every cluster must keep exactly one survivor")
   }
 
-  test("scalable bloom: no false negatives across slice boundaries; slices honor the cap") {
+  test("scalable bloom: no false negatives across slice boundaries; slices honor geometric caps") {
     import spark.implicits._
-    // 5 corpus docs x 2 distinct 5-token lines = 10 distinct lines; cap=4
-    // forces 3 slices (4/4/2). The batch doc repeats one line from the
-    // FIRST arrival (doc 1, slice 0) and one from the LAST (doc 5, a
-    // later slice) plus a novel line — membership must hit across the
-    // boundary from both slices with zero false negatives.
+    // 5 corpus docs x 2 distinct 5-token lines = 10 distinct lines;
+    // cap0=4 gives geometric capacities 4/8/16..., so ranks 1-4 seal
+    // slice 0 and ranks 5-10 sit in slice 1 (6 of its 8). The batch doc
+    // repeats one line from the FIRST arrival (doc 1, slice 0) and one
+    // from the LAST (doc 5, slice 1) plus a novel line — membership must
+    // hit across the boundary from both slices, under each slice's OWN
+    // (m, k), with zero false negatives.
     def lineOf(d: Int, j: Int) = (1 to 5).map(t => s"d${d}w$j$t").mkString(" ")
     val corpus = (1 to 5).map(d => (d.toLong, s"${lineOf(d, 0)} ${lineOf(d, 1)}"))
     val batch = Seq((10L, s"${lineOf(1, 0)} ${lineOf(5, 1)} novel one two three four"))
     val docs = (corpus ++ batch).toDF("doc_id", "text")
     val sl = ext.Dedup.bloomSliceLines(
-      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap = 4L)
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap0 = 4L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sl.values.toSet.size == 3, s"expected 3 slices, got ${sl.values.toSet}")
+    assert(sl.values.toSet.size == 2, s"expected 2 slices, got ${sl.values.toSet}")
     assert(sl(lineOf(1, 0)) != sl(lineOf(5, 1)),
       "fixture must place the two probed duplicates in DIFFERENT slices")
-    val probe = ext.Dedup.bloomScaleProbe(docs, cap = 4L).collect()
+    val probe = ext.Dedup.bloomScaleProbe(docs, cap0 = 4L).collect()
     assert(probe.length == 1)
     val r = probe.head
     assert(r.getAs[Long]("n_exact_dup") == 2L, s"expected 2 exact dups: $r")
     assert(r.getAs[Long]("n_false_neg") == 0L,
       s"sliced filter missed an inserted line across a slice boundary: $r")
     assert(r.getAs[Long]("n_bloom_dup") >= 2L, s"bloom must flag both dups: $r")
-    val stats = ext.Dedup.bloomScaleStats(docs, cap = 4L).collect()
-    assert(stats.length == 3, s"expected 3 slice rows: ${stats.mkString(";")}")
-    assert(stats.map(_.getAs[Long]("n_lines")).sorted.toSeq == Seq(2L, 4L, 4L),
-      s"slice admissions must honor the cap: ${stats.mkString(";")}")
+    val stats = ext.Dedup.bloomScaleStats(docs, cap0 = 4L).collect()
+    assert(stats.length == 2, s"expected 2 slice rows: ${stats.mkString(";")}")
+    assert(stats.map(_.getAs[Long]("n_lines")).sorted.toSeq == Seq(4L, 6L),
+      s"slice admissions must honor the geometric caps: ${stats.mkString(";")}")
+    // error tightening: k grows by 1 per slice from k0
+    assert(stats.sortBy(_.getAs[Long]("slice_id")).map(_.getAs[Long]("k_hashes")).toSeq ==
+      Seq(ext.Dedup.BloomSliceK0.toLong, ext.Dedup.BloomSliceK0 + 1L),
+      s"k must grow per slice: ${stats.mkString(";")}")
     stats.foreach(s => assert(s.getAs[Long]("n_set_positions") <=
-      s.getAs[Long]("n_lines") * 3, s"more positions than k*lines: $s"))
+      s.getAs[Long]("n_lines") * s.getAs[Long]("k_hashes"),
+      s"more positions than k*lines: $s"))
   }
 
   test("scalable bloom upsert: new lines fill the active slice's headroom then roll") {
     import spark.implicits._
-    // same 3-slice corpus as the probe fixture (cap=4 -> slices 4/4/2, so
-    // the active slice 2 has headroom 2); the batch doc carries 1 member
-    // line + 3 novel lines -> novel ranks 1,2 land in slice 2, rank 3
-    // opens slice 3 — the Almeida insert discipline at batch grain
+    // same 2-slice corpus as the probe fixture (cap0=4 -> geometric caps
+    // 4/8/16, 10 standing lines, so the active slice 1 has headroom 2);
+    // the batch doc carries 1 member line + 3 novel lines -> novel
+    // virtual ranks 11,12 land in slice 1, rank 13 opens slice 2 — the
+    // Almeida insert discipline at batch grain
     def lineOf(d: Int, j: Int) = (1 to 5).map(t => s"d${d}w$j$t").mkString(" ")
     val corpus = (1 to 5).map(d => (d.toLong, s"${lineOf(d, 0)} ${lineOf(d, 1)}"))
     val novel = Seq("na1 na2 na3 na4 na5", "nb1 nb2 nb3 nb4 nb5", "nc1 nc2 nc3 nc4 nc5")
     val batch = Seq((10L, (lineOf(1, 0) +: novel).mkString(" ")))
     val docs = (corpus ++ batch).toDF("doc_id", "text")
-    val asg = ext.Dedup.bloomScaleNewLineSlices(docs, cap = 4L)
+    val asg = ext.Dedup.bloomScaleNewLineSlices(docs, cap0 = 4L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(asg == Map(novel(0) -> 2L, novel(1) -> 2L, novel(2) -> 3L),
+    assert(asg == Map(novel(0) -> 1L, novel(1) -> 1L, novel(2) -> 2L),
       s"headroom-then-roll assignment violated: $asg")
-    val up = ext.Dedup.bloomScaleUpsert(docs, cap = 4L)
+    val up = ext.Dedup.bloomScaleUpsert(docs, cap0 = 4L)
     val standing = ext.Dedup.bloomSlicePositions(ext.Dedup.bloomSliceLines(
-      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap = 4L)).count()
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)), cap0 = 4L), cap0 = 4L).count()
     assert(up.filter($"is_new" === 0L).count() == standing,
       "standing rows must pass through unchanged")
     val newSlices = up.filter($"is_new" === 1L)
       .select($"slice").distinct().collect().map(_.getLong(0)).toSet
-    assert(newSlices == Set(2L, 3L), s"inserts must land in slices 2 and 3: $newSlices")
-    // the member line contributed nothing: at most 3 lines x 3 positions
-    assert(up.filter($"is_new" === 1L).count() <= 9L)
+    assert(newSlices == Set(1L, 2L), s"inserts must land in slices 1 and 2: $newSlices")
+    // the member line contributed nothing: at most 2 lines x k1=9 + 1 x k2=10
+    assert(up.filter($"is_new" === 1L).count() <= 28L)
   }
 
   test("scalable bloom on the harness corpus: per-slice fill below the design point") {
@@ -840,8 +848,40 @@ class ExtSpec extends AnyFunSuite {
         Tables.documents(spark, "/root/testdata/sf0.001"))
       .select($"fill_e6").collect().map(_.getLong(0))
     assert(fills.nonEmpty)
-    // 1-e^(-3*7500/32768) = 49.7% at cap; a healthy margin for the assert
+    // per-slice sizing (m >= k*cap/ln2) bounds fill at cap to 50%; a
+    // healthy rounding margin for the assert
     fills.foreach(f => assert(f <= 520000L, s"slice fill $f above the design point"))
+  }
+
+  test("bloom FPR-bound convention: measured within the model, model within budget, both families") {
+    import spark.implicits._
+    // The round-14 lesson: a deterministic-hash oracle reproduces WRONG
+    // verdicts, so fitness-for-purpose needs its own pin. Every
+    // probabilistic membership op carries an in-query model-vs-measured
+    // row; this test is the spec'd ceiling on BOTH Bloom families at the
+    // harness corpus: measured FPR <= 3x predicted + 0.2% absolute
+    // sampling slack, and (sliced family) the predicted COMPOUND error
+    // inside the telescoped 2^(1-k0) budget (13123 e6 worst-case with
+    // every slice full at the power-of-two sizing) with zero false
+    // negatives. ScaleProbe asserts the same bound at 10x/30x.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def fprBound(name: String, predicted: Long, measured: Long): Unit =
+      assert(measured <= 3 * predicted + 2000,
+        s"$name: measured FPR $measured blew past the model $predicted (e6)")
+    val fixed = ext.Dedup.bloomStats(docs).collect()(0)
+    fprBound("fixed bloom",
+      fixed.getAs[Long]("predicted_fpr_e6"), fixed.getAs[Long]("measured_fpr_e6"))
+    val sliced = ext.Dedup.bloomScaleStatsCompound(docs).collect()(0)
+    fprBound("sliced bloom",
+      sliced.getAs[Long]("predicted_fpr_e6"), sliced.getAs[Long]("measured_fpr_e6"))
+    assert(sliced.getAs[Long]("predicted_fpr_e6") <= 13200L,
+      s"sliced compound model outside the telescoped budget: $sliced")
+    assert(sliced.getAs[Long]("n_false_neg") == 0L, s"sliced false negatives: $sliced")
+    // count identity at the compound grain
+    assert(sliced.getAs[Long]("n_bloom_hits") ==
+      sliced.getAs[Long]("n_exact_dups") + sliced.getAs[Long]("n_false_pos")
+        - sliced.getAs[Long]("n_false_neg"),
+      s"compound count identity violated: $sliced")
   }
 
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {

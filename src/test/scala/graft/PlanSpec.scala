@@ -301,9 +301,20 @@ class PlanSpec extends AnyFunSuite {
     //   j2_source_overlap  the |sources|-row size table crossed with
     //                  itself on the < inequality (upper-triangle matrix
     //                  assembly — both sides bounded by the source count)
-    //   j2_bloom_scale_upsert  the 1-row (s_last, n_last) active-slice
-    //                  headroom aggregate broadcast onto the ranked new
-    //                  lines (the j7_mix_temp 1-row-denominator shape)
+    //   j2_bloom_scale / j2_bloom_scale_probe / j2_bloom_scale_stats /
+    //   st_bloom_scale  the geometric dial-table range join (rank in
+    //                  (lo, hi] against the explicit-broadcast 40-row
+    //                  params VALUES frame — a non-equi band has no hash
+    //                  key by nature) and, in the probe chains, the
+    //                  lines x standing-slices cross (bounded by the
+    //                  O(log corpus) slice count, <= 40 rows, explicit
+    //                  broadcast); j2_bloom_scale_stats adds the 1-row
+    //                  lifecycle x 1-row probe-totals cross (the
+    //                  j2_bloom_stats summary-row shape)
+    //   j2_bloom_scale_upsert  the same dial-table range join plus the
+    //                  1-row standing-line-count aggregate broadcast onto
+    //                  the ranked new lines (the j7_mix_temp
+    //                  1-row-denominator shape)
     //   j8_cell_psi    j3_semdedup_inc's stride/centroid/cutoff folds
     //                  (it histograms the same frozen-cell assignments)
     //                  plus the 1-row totals broadcast (the psiDrift shape)
@@ -323,6 +334,8 @@ class PlanSpec extends AnyFunSuite {
       "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
       "st_sem_probe", "j8_cell_psi", "j2_bloom_scale_upsert",
+      "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_stats",
+      "st_bloom_scale",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -481,7 +481,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(perDoc == graded, "line-grain rollup diverged from the graded doc grain")
     val corpus = ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0))
-    val posSlices = StreamOps.bloomScalePosSlices(corpus)
+    val filters = StreamOps.bloomScaleFilters(corpus)
     val corpusLines = corpus.select($"line").distinct()
     val staged = java.nio.file.Files.createTempDirectory("graft_stbscale").toString
     java.nio.file.Files.copy(
@@ -491,7 +491,7 @@ class StreamingSpec extends AnyFunSuite {
       .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .parquet(staged)
       .filter($"doc_id" % 10 === 0)
-    val q = StreamOps.bloomScaleProbeStream(stream, posSlices, corpusLines)
+    val q = StreamOps.bloomScaleProbeStream(stream, filters, corpusLines)
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_stbscale_test")
       .start()
