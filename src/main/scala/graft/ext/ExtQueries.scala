@@ -522,6 +522,14 @@ object ExtQueries {
     "j8_cell_psi" -> ((s, d) =>
       Similarity.cellDrift(Tables.embeddings(s, d))),
 
+    // J8/J3 — the cell-PSI STATE form (round-14 verdict #3): batch
+    // histogram vs the PERSISTED standing histogram over the PERSISTED
+    // frozen centroids — the nightly monitor's actual bill (one batch
+    // assignment, no Lloyd retrain, no corpus pass). Bit-identical to
+    // j8_cell_psi (ExtSpec pins it; same oracle chain grades both).
+    "j8_cell_psi_state" -> ((s, d) =>
+      Similarity.cellDriftState(s, d, Tables.embeddings(s, d))),
+
     // J3 — the STATE-TABLE form (round 13, the round-12 verdict's #1): the
     // frozen corpus state (trained centroids + kept cap-passing cell
     // members) is PERSISTED as parquet once per (process, dataset) and the
@@ -1846,6 +1854,27 @@ object ExtQueries {
   }
 
 
+  /** Shared oracle for j8_cell_psi AND j8_cell_psi_state: the state form
+    * reads persisted artifacts whose build is the recompute chain, so one
+    * deterministic SQL twin grades both (the semDedupIncOracle pattern). */
+  private val oracleSqlCellPsi: String =
+    s"""$semDedupIncCtes,
+      |ca0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS ca FROM cells GROUP BY 1),
+      |cb0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS cb FROM bcells GROUP BY 1),
+      |binned AS (SELECT n.cid, coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+      |  FROM cnorm2 n LEFT JOIN ca0 a ON a.cid = n.cid LEFT JOIN cb0 b ON b.cid = n.cid),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(count(*) AS BIGINT) AS n_cells FROM binned)
+      |SELECT t.na AS n_corpus, t.nb AS n_batch, t.n_cells,
+      |  CAST(sum(CAST(round(
+      |    (CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells)
+      |      - CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))
+      |    * ln((CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells))
+      |      / (CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS psi
+      |FROM binned b, tot t
+      |GROUP BY t.na, t.nb, t.n_cells""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "j1_dedup_docs" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -2948,26 +2977,11 @@ object ExtQueries {
     // Cell-grain embedding PSI: the shared incremental chain's corpus
     // (`cells`) and batch (`bcells`) assignments histogrammed over the
     // trained centroid bins (`cnorm2`), j8_psi's smoothed decimal sum.
-    "j8_cell_psi" ->
-      s"""$semDedupIncCtes,
-        |ca0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS ca FROM cells GROUP BY 1),
-        |cb0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS cb FROM bcells GROUP BY 1),
-        |binned AS (SELECT n.cid, coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
-        |  FROM cnorm2 n LEFT JOIN ca0 a ON a.cid = n.cid LEFT JOIN cb0 b ON b.cid = n.cid),
-        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-        |    CAST(count(*) AS BIGINT) AS n_cells FROM binned)
-        |SELECT t.na AS n_corpus, t.nb AS n_batch, t.n_cells,
-        |  CAST(sum(CAST(round(
-        |    (CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells)
-        |      - CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))
-        |    * ln((CAST(b.ca + 1 AS DOUBLE) / (t.na + t.n_cells))
-        |      / (CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.n_cells))), 6) AS DECIMAL(18,6)))
-        |    AS DOUBLE) AS psi
-        |FROM binned b, tot t
-        |GROUP BY t.na, t.nb, t.n_cells""".stripMargin,
+    "j8_cell_psi" -> oracleSqlCellPsi,
 
     "j3_semdedup_inc" -> semDedupIncOracle,
     "j3_semdedup_inc_state" -> semDedupIncOracle,
+    "j8_cell_psi_state" -> oracleSqlCellPsi,
     "j3_semdedup_inc_upsert" -> semDedupIncUpsertOracle,
     "st_sem_probe" -> semProbePairOracle,
 

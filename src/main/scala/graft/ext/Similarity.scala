@@ -781,28 +781,86 @@ object Similarity {
 
   /** J8/J3 — EMBEDDING drift at the QUANTIZER-CELL grain (round 14): PSI
     * of the batch's cell-occupancy histogram against the standing
-    * corpus's, over the frozen centroids the incremental family already
-    * maintains — the production "did the embedding distribution move?"
+    * corpus's — the production "did the embedding distribution move?"
     * monitor. Per-dimension mean drift ([[graft.ext.Drift.embDrift]])
     * catches encoder/normalization bugs; the CELL histogram catches
     * topic/mode shift that leaves every marginal mean in place (a new
-    * cluster of content lands in one cell). Bin universe = the trained
-    * centroid table (bounded √N, broadcast); same Laplace smoothing +
+    * cluster of content lands in one cell). Bin universe = the centroid
+    * table (bounded √N, broadcast); same Laplace smoothing +
     * decimal-exact term sum as [[graft.ext.Drift.psiDrift]], so the one
     * inventoried libm-ln convention is shared, not duplicated.
     *
-    * 100 TB posture: two |population| × √N broadcast assignment passes
-    * (the batch one is the same bill the incremental probe already
-    * pays), two bounded cell-grain aggregates, one 1-row total. */
+    * This is the RECOMPUTE twin (kept as the graded definition, the
+    * `j3_semdedup_inc` precedent): the quantizer is retrained
+    * in-query — deterministically, so the output is bit-identical to
+    * the state form — NOT read from the persisted state. The production
+    * nightly shape is [[cellDriftState]], which reads the persisted
+    * centroids and standing histogram and pays only the batch
+    * assignment (round-14 advice: this doc previously claimed the
+    * frozen state was read here; it is not — the state form is where
+    * that happens).
+    *
+    * 100 TB posture (recompute twin): two |population| × √N broadcast
+    * assignment passes plus the Lloyd retrain; two bounded cell-grain
+    * aggregates, one 1-row total. */
   def cellDrift(emb: DataFrame, iters: Int = IvfIters,
                 corpusPct: Long = SemIncCorpusPct): DataFrame = {
     import emb.sparkSession.implicits._
     val (corpus, batch) = semIncSplit(emb, corpusPct)
     val bc = base(corpus)
     val (cents, cells) = semCells(bc, corpus, iters)
+    cellPsi(cents, cells.groupBy($"cid").agg(count(lit(1)).as("ca")), batch)
+  }
+
+  /** J8/J3 — the cell-PSI STATE form (round-14 verdict #3, the nightly
+    * monitor a pipeline actually schedules): PSI of the batch histogram
+    * against the PERSISTED standing histogram over the PERSISTED frozen
+    * centroids — one bounded-table read + one |batch| × √N broadcast
+    * assignment + two cell-grain aggregates, no Lloyd retrain, no
+    * corpus pass. The standing histogram is its own write-once state
+    * table ([[cellHistTable]]), built from the SAME [[semStateTables]]
+    * centroids every other semantic state consumer reads, so the
+    * quantizer cannot fork between the dedup index and the drift
+    * monitor. Output is bit-identical to [[cellDrift]] (ExtSpec pins
+    * it; the shared DuckDB oracle grades both). */
+  def cellDriftState(s: org.apache.spark.sql.SparkSession, key: String,
+                     emb: DataFrame, iters: Int = IvfIters,
+                     corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val Seq(cents, _) = semStateTables(s, key, emb, iters = iters,
+      corpusPct = corpusPct)
+    val ca = cellHistTable(s, key, emb, iters, corpusPct)
+    val (_, batch) = semIncSplit(emb, corpusPct)
+    cellPsi(cents, ca, batch)
+  }
+
+  /** The persisted standing cell-occupancy histogram (cid, ca) — the
+    * drift monitor's third state artifact, derived from the persisted
+    * [[semStateTables]] centroids by ONE corpus assignment pass at
+    * state-build time (the expression is verbatim [[semCells]]' final
+    * assignment, so the histogram equals the recompute twin's). */
+  private[graft] def cellHistTable(s: org.apache.spark.sql.SparkSession,
+                                   key: String, emb: DataFrame,
+                                   iters: Int = IvfIters,
+                                   corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    StateStore.tables(s, "graft_j8_cellpsi", key, Seq("cell_hist")) {
+      val Seq(cents, _) = semStateTables(s, key, emb, iters = iters,
+        corpusPct = corpusPct)
+      val (corpus, _) = semIncSplit(emb, corpusPct)
+      Seq(assignCells(centCos(base(corpus), cents))
+        .groupBy($"cid").agg(count(lit(1)).as("ca")))
+    }.head
+  }
+
+  /** Shared PSI tail of [[cellDrift]] / [[cellDriftState]]: bin universe
+    * = the centroid table, Laplace-smoothed decimal-exact term sum. */
+  private def cellPsi(cents: DataFrame, ca0: DataFrame,
+                      batch: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
     val bcells = assignCells(centCos(base(batch).filter($"nq" > 0L), cents))
     val binned = cents.select($"cid")
-      .join(cells.groupBy($"cid").agg(count(lit(1)).as("ca")), Seq("cid"), "left")
+      .join(ca0, Seq("cid"), "left")
       .join(bcells.groupBy($"cid").agg(count(lit(1)).as("cb")), Seq("cid"), "left")
       .na.fill(0L, Seq("ca", "cb"))
     val totals = binned.agg(sum($"ca").as("na"), sum($"cb").as("nb"),

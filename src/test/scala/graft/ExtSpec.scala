@@ -1819,6 +1819,13 @@ class ExtSpec extends AnyFunSuite {
     val lshSt = ext.Dedup.incrementalNearDupState(spark, d,
       Tables.documents(spark, d)).collect().map(_.toSeq).toSet
     assert(lshSt == lshRe, "lsh state form must be row-identical to recompute")
+    // drift monitor: persisted centroids + standing histogram, batch-only
+    // assignment (round-14 verdict #3)
+    val psiRe = ext.Similarity.cellDrift(Tables.embeddings(spark, d))
+      .collect().map(_.toSeq).toSet
+    val psiSt = ext.Similarity.cellDriftState(spark, d,
+      Tables.embeddings(spark, d)).collect().map(_.toSeq).toSet
+    assert(psiSt == psiRe, "cell-PSI state form must be row-identical to recompute")
   }
 
   test("packFit: whole docs never straddle; FFD beats concat-chunk on the crafted mix") {

@@ -318,6 +318,10 @@ class PlanSpec extends AnyFunSuite {
     //   j8_cell_psi    j3_semdedup_inc's stride/centroid/cutoff folds
     //                  (it histograms the same frozen-cell assignments)
     //                  plus the 1-row totals broadcast (the psiDrift shape)
+    //   j8_cell_psi_state  the state form: 1-row id-cutoff aggregate (the
+    //                  corpus/batch split) + the same 1-row totals
+    //                  broadcast; centroids/histogram are READ state
+    //                  tables (the j3_semdedup_inc_state shape)
     //   st_sem_probe   the ONE-row packed centroid-array broadcast (the
     //                  append-mode row-local assignment fold — the whole
     //                  point is collapsing the bounded sqrt(N) centroid
@@ -333,7 +337,7 @@ class PlanSpec extends AnyFunSuite {
       "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
-      "st_sem_probe", "j8_cell_psi", "j2_bloom_scale_upsert",
+      "st_sem_probe", "j8_cell_psi", "j8_cell_psi_state", "j2_bloom_scale_upsert",
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_stats",
       "st_bloom_scale",
       "j2_source_overlap")
