@@ -378,6 +378,15 @@ object ExtQueries {
         groups0 = Some(neardupGroups(s, d)),
         imgGroups0 = Some(phashGroups(s, d)))),
 
+    // J7 — the FULL-gate funnel (round-14 verdict #4): the base funnel
+    // plus the Gopher rule bundle and the CCNet perplexity tercile gate
+    // (head+middle kept) — the data-card table over EVERY graded gate,
+    // stage list and oracle generated from the same FunnelStagesFull Seq.
+    "j7_funnel_full" -> ((s, d) =>
+      Pipeline.curationFunnelFull(Tables.documents(s, d),
+        groups0 = Some(neardupGroups(s, d)),
+        imgGroups0 = Some(phashGroups(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -1854,6 +1863,127 @@ object ExtQueries {
   }
 
 
+  /** Funnel oracle generator — stage list and cumulative-flag SQL both
+    * derive from Pipeline.FunnelStages / FunnelStagesFull, the same Seqs
+    * the ops explode, so op and twin cannot drift. `full` appends the
+    * Gopher-bundle and CCNet-perplexity gates (round-14 verdict #4); the
+    * lm chain is lm_-prefixed because ccCtes owns `toks` and the funnel
+    * chain owns `agg`/`sc`. */
+  private def funnelOracleSql(full: Boolean): String = {
+    val n = Pipeline.DecontamN
+    val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
+      "quality_ok", "decontam_ok") ++
+      (if (full) Seq("gopher_ok", "ppl_ok") else Nil)
+    val stages0 = if (full) Pipeline.FunnelStagesFull else Pipeline.FunnelStages
+    val cums = flagCols.indices.map(i =>
+      flagCols.take(i + 1).mkString(" * ") + s" AS f${i + 1}").mkString(", ")
+    val aggCols = flagCols.indices.map(i =>
+      s"CAST(sum(f${i + 1}) AS BIGINT) AS n${i + 1}, " +
+        s"CAST(sum(f${i + 1} * n_tokens) AS BIGINT) AS t${i + 1}").mkString(", ")
+    val unions = ("corpus" +: stages0).zipWithIndex.map {
+      case (nm, i) =>
+        s"""SELECT CAST($i AS BIGINT) AS stage_no, '$nm' AS stage,
+           |  n${math.max(i - 1, 0)} AS docs_in, n$i AS docs_out, t$i AS tokens_out FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val gopherStops = "['the', 'a', 'or', 'and', 'of', 'to', 'in', 'is']"
+    val extraCtes = if (!full) "" else s"""
+       |gf AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS g_ntok,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS g_chars,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS g_dist,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS g_punct,
+       |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), $gopherStops)) AS BIGINT) AS g_stopk
+       |  FROM documents),
+       |gg AS (SELECT doc_id,
+       |    CASE WHEN g_ntok BETWEEN ${Pipeline.GopherMinTokens} AND ${Pipeline.GopherMaxTokens}
+       |        AND ${Pipeline.GopherMinWordLen} * g_ntok <= g_chars
+       |        AND g_chars <= ${Pipeline.GopherMaxWordLen} * g_ntok
+       |        AND 100 * g_punct <= ${Pipeline.GopherMaxSymbolPct} * g_ntok
+       |        AND g_stopk >= ${Pipeline.GopherMinStopwords}
+       |        AND 100 * (g_ntok - g_dist) <= ${Pipeline.GopherMaxDupPct} * g_ntok
+       |      THEN 1 ELSE 0 END AS gopher_ok
+       |  FROM gf),
+       |lm_toks AS (SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) g),
+       |lm_bgall AS (SELECT doc_id, w1, w2 FROM (
+       |    SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+       |    FROM lm_toks) z WHERE w2 IS NOT NULL),
+       |lm_docbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM lm_bgall GROUP BY 1, 2, 3),
+       |lm_cb AS (SELECT w1, w2, count(*) AS c2 FROM lm_bgall GROUP BY 1, 2),
+       |lm_cl AS (SELECT w1, count(*) AS c1 FROM lm_bgall GROUP BY 1),
+       |lm_voc AS (SELECT count(DISTINCT tok) AS v FROM lm_toks),
+       |lm_sc AS (SELECT doc_id, m,
+       |    CAST(-round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+       |      / CAST(${TextOps.Ln2} AS DOUBLE), 6) AS DECIMAL(18,6)) * m AS bits6
+       |  FROM lm_docbg JOIN lm_cb USING (w1, w2) JOIN lm_cl USING (w1) CROSS JOIN lm_voc),
+       |lm_agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, sum(bits6) AS bits6
+       |  FROM lm_sc GROUP BY 1),
+       |lm_out AS (SELECT d.doc_id, d.lang,
+       |    coalesce(round(CAST(a.bits6 AS DOUBLE) / a.n_bigrams, 6), 0.0) AS bits_per_token
+       |  FROM documents d LEFT JOIN lm_agg a USING (doc_id)),
+       |lm_rk AS (SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nn
+       |  FROM lm_out),
+       |ppl AS (SELECT doc_id,
+       |    CASE WHEN ((rn - 1) * 3) // nn + 1 <= 2 THEN 1 ELSE 0 END AS ppl_ok
+       |  FROM lm_rk),"""
+    // interpolated before the outer stripMargin; margin-less lines pass
+    // through with their literal indent
+    val extraJoins = if (!full) "" else
+      "\n  JOIN gg ON gg.doc_id = d.doc_id\n  JOIN ppl ON ppl.doc_id = d.doc_id"
+    val extraFlagSel = if (!full) "" else
+      ",\n    gg.gopher_ok AS gopher_ok,\n    ppl.ppl_ok AS ppl_ok"
+    s"""WITH RECURSIVE $ccCtes,
+       |$ahashHamCtes,
+       |ihp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+       |iedges AS (SELECT doc_a, doc_b FROM ihp
+       |  UNION ALL SELECT doc_b, doc_a FROM ihp),
+       |ireach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+       |  UNION SELECT e.doc_a AS v, r.l FROM ireach r JOIN iedges e ON e.doc_b = r.v),
+       |icomp AS (SELECT v AS doc_id, min(l) AS icluster FROM ireach GROUP BY v),
+       |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),$extraCtes
+       |q AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 6) AS stop_ratio
+       |  FROM documents),
+       |ex AS (SELECT doc_id,
+       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+       |      THEN 1 ELSE 0 END AS exact_ok
+       |  FROM documents),
+       |dg AS (SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) z,
+       |  LATERAL (SELECT unnest(generate_series(1, len(tk) - ${n - 1})) AS i) zz),
+       |dfp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM dg),
+       |de AS (SELECT DISTINCT fp FROM dfp WHERE doc_id < ${Pipeline.EvalDocs}),
+       |dc AS (SELECT DISTINCT doc_id FROM dfp
+       |  WHERE doc_id >= ${Pipeline.EvalDocs} AND fp IN (SELECT fp FROM de)),
+       |flags AS (SELECT d.doc_id, q.n_tokens, e.exact_ok,
+       |    CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS dup_ok,
+       |    CASE WHEN ic.doc_id = ic.icluster THEN 1 ELSE 0 END AS img_ok,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+       |    CASE WHEN q.n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
+       |      THEN 1 ELSE 0 END AS len_ok,
+       |    CASE WHEN q.stop_ratio >= ${Pipeline.MinStopRatio} THEN 1 ELSE 0 END AS quality_ok,
+       |    CASE WHEN d.doc_id < ${Pipeline.EvalDocs} THEN 0
+       |         WHEN d.doc_id IN (SELECT doc_id FROM dc) THEN 0
+       |         ELSE 1 END AS decontam_ok$extraFlagSel
+       |  FROM documents d
+       |  JOIN comp c ON c.doc_id = d.doc_id
+       |  JOIN icomp ic ON ic.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN ex e ON e.doc_id = d.doc_id$extraJoins),
+       |cum AS (SELECT doc_id, n_tokens, $cums FROM flags),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(n_tokens) AS BIGINT) AS t0, $aggCols FROM cum)
+       |$unions""".stripMargin
+  }
+
   /** Shared oracle for j8_cell_psi AND j8_cell_psi_state: the state form
     * reads persisted artifacts whose build is the recompute chain, so one
     * deterministic SQL twin grades both (the semDedupIncOracle pattern). */
@@ -2022,69 +2152,8 @@ object ExtQueries {
     // renamed 13-gram decontam CTEs, cumulative prefix flags, one agg
     // row fanned out to the stage table (unions generated from the SAME
     // Pipeline.FunnelStages list the op uses).
-    "j7_funnel" -> {
-      val n = Pipeline.DecontamN
-      val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
-        "quality_ok", "decontam_ok")
-      val cums = flagCols.indices.map(i =>
-        flagCols.take(i + 1).mkString(" * ") + s" AS f${i + 1}").mkString(", ")
-      val aggCols = flagCols.indices.map(i =>
-        s"CAST(sum(f${i + 1}) AS BIGINT) AS n${i + 1}, " +
-          s"CAST(sum(f${i + 1} * n_tokens) AS BIGINT) AS t${i + 1}").mkString(", ")
-      val unions = ("corpus" +: Pipeline.FunnelStages).zipWithIndex.map {
-        case (nm, i) =>
-          s"""SELECT CAST($i AS BIGINT) AS stage_no, '$nm' AS stage,
-             |  n${math.max(i - 1, 0)} AS docs_in, n$i AS docs_out, t$i AS tokens_out FROM agg""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE $ccCtes,
-         |$ahashHamCtes,
-         |ihp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
-         |    AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
-         |iedges AS (SELECT doc_a, doc_b FROM ihp
-         |  UNION ALL SELECT doc_b, doc_a FROM ihp),
-         |ireach AS (SELECT doc_id AS v, doc_id AS l FROM documents
-         |  UNION SELECT e.doc_a AS v, r.l FROM ireach r JOIN iedges e ON e.doc_b = r.v),
-         |icomp AS (SELECT v AS doc_id, min(l) AS icluster FROM ireach GROUP BY v),
-         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
-         |q AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    round(CAST(len(list_filter(string_split(text, ' '),
-         |      x -> x IN ('the', 'a', 'or', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
-         |      / len(string_split(text, ' ')), 6) AS stop_ratio
-         |  FROM documents),
-         |ex AS (SELECT doc_id,
-         |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-         |      THEN 1 ELSE 0 END AS exact_ok
-         |  FROM documents),
-         |dg AS (SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS gram
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) z,
-         |  LATERAL (SELECT unnest(generate_series(1, len(tk) - ${n - 1})) AS i) zz),
-         |dfp AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM dg),
-         |de AS (SELECT DISTINCT fp FROM dfp WHERE doc_id < ${Pipeline.EvalDocs}),
-         |dc AS (SELECT DISTINCT doc_id FROM dfp
-         |  WHERE doc_id >= ${Pipeline.EvalDocs} AND fp IN (SELECT fp FROM de)),
-         |flags AS (SELECT d.doc_id, q.n_tokens, e.exact_ok,
-         |    CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS dup_ok,
-         |    CASE WHEN ic.doc_id = ic.icluster THEN 1 ELSE 0 END AS img_ok,
-         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
-         |    CASE WHEN q.n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
-         |      THEN 1 ELSE 0 END AS len_ok,
-         |    CASE WHEN q.stop_ratio >= ${Pipeline.MinStopRatio} THEN 1 ELSE 0 END AS quality_ok,
-         |    CASE WHEN d.doc_id < ${Pipeline.EvalDocs} THEN 0
-         |         WHEN d.doc_id IN (SELECT doc_id FROM dc) THEN 0
-         |         ELSE 1 END AS decontam_ok
-         |  FROM documents d
-         |  JOIN comp c ON c.doc_id = d.doc_id
-         |  JOIN icomp ic ON ic.doc_id = d.doc_id
-         |  JOIN q ON q.doc_id = d.doc_id
-         |  JOIN ex e ON e.doc_id = d.doc_id),
-         |cum AS (SELECT doc_id, n_tokens, $cums FROM flags),
-         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-         |    CAST(sum(n_tokens) AS BIGINT) AS t0, $aggCols FROM cum)
-         |$unions""".stripMargin
-    },
+    "j7_funnel" -> funnelOracleSql(full = false),
+    "j7_funnel_full" -> funnelOracleSql(full = true),
 
     // Split-leakage audit: the CC chain + the manifest's md5 split,
     // aggregated per multi-member cluster.

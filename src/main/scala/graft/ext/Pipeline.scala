@@ -146,6 +146,13 @@ object Pipeline {
   val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",
     "language", "length", "quality", "decontam")
 
+  /** [[curationFunnelFull]] gate order (round-14 verdict #4): the base
+    * funnel plus the two graded gates the published pipelines put IN the
+    * funnel — the Gopher A1.1 rule bundle ([[gopherGate]]) and the CCNet
+    * perplexity gate ([[pplBuckets]] head+middle, tail dropped) — so the
+    * data-card table covers EVERY graded gate. */
+  val FunnelStagesFull: Seq[String] = FunnelStages ++ Seq("gopher", "ppl_head_mid")
+
   /** J7 — the CURATION FUNNEL (round 14): the data-card accounting table
     * every published pipeline ships — one row per gate with documents
     * in/out and surviving tokens under the PREFIX of gates applied in
@@ -162,7 +169,40 @@ object Pipeline {
     * aggregate to a single row, and a row-local explode to the 8-row
     * stage table. */
   def curationFunnel(docs: DataFrame, groups0: Option[DataFrame] = None,
-                     imgGroups0: Option[DataFrame] = None): DataFrame = {
+                     imgGroups0: Option[DataFrame] = None): DataFrame =
+    funnelOver(docs, groups0, imgGroups0, extraFlags = None,
+      extraCols = Nil, stages0 = FunnelStages)
+
+  /** J7 — the FULL-gate funnel (round-14 verdict #4): [[curationFunnel]]
+    * extended with the Gopher rule bundle and the CCNet perplexity gate
+    * (head+middle kept, tail dropped — the Wenzek et al. deployment), so
+    * the accounting table spans every graded gate in the repo. Both
+    * added flags are the gates' own graded verdicts ([[gopherGate]]
+    * `kept`, [[pplBuckets]] bucket <= 2) — the funnel still adds no
+    * decision logic. Cost over the base funnel: one zero-shuffle map
+    * pass (Gopher) and the lm-bits chain (bigram-grain shuffles, shared
+    * with j7_ppl_buckets' own run via the session cache), one extra
+    * doc-grain join each. */
+  def curationFunnelFull(docs: DataFrame, groups0: Option[DataFrame] = None,
+                         imgGroups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
+      .join(pplBuckets(docs)
+        .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
+        Seq("doc_id"))
+    funnelOver(docs, groups0, imgGroups0, extraFlags = Some(extra),
+      extraCols = Seq("gopher_ok", "ppl_ok"), stages0 = FunnelStagesFull)
+  }
+
+  /** Shared funnel core: the base gate flags (exact/near-dup/image/lang/
+    * length/quality/decontam), optional extra flag columns appended at
+    * the tail, cumulative prefix flags, ONE aggregate row, and the
+    * row-local explode to the stage table. */
+  private def funnelOver(docs: DataFrame, groups0: Option[DataFrame],
+                         imgGroups0: Option[DataFrame],
+                         extraFlags: Option[DataFrame],
+                         extraCols: Seq[String],
+                         stages0: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
     val mm = trainsetManifestMm(docs, groups0, imgGroups0)
       .select($"doc_id", $"dup_ok", $"img_ok", $"lang_ok", $"len_ok", $"quality_ok")
@@ -171,7 +211,7 @@ object Pipeline {
       .join(eh.groupBy($"h").agg(min($"doc_id").as("kid")), Seq("h"))
       .select($"doc_id", ($"doc_id" === $"kid").cast("long").as("exact_ok"))
     val dec = decontamNgram(docs).select($"doc_id", $"contaminated")
-    val flags = docs
+    val flags0 = docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
       .join(exactOk, Seq("doc_id"))
       .join(mm, Seq("doc_id"))
@@ -179,8 +219,11 @@ object Pipeline {
       .withColumn("decontam_ok",
         when($"doc_id" < EvalDocs, 0L)
           .otherwise(lit(1L) - coalesce($"contaminated", lit(0L))))
+    val flags = extraFlags.fold(flags0)(e => flags0.join(e, Seq("doc_id")))
     val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
-      "quality_ok", "decontam_ok")
+      "quality_ok", "decontam_ok") ++ extraCols
+    require(flagCols.size == stages0.size,
+      s"funnel stages (${stages0.size}) and flags (${flagCols.size}) diverged")
     val withCum = flagCols.zipWithIndex.foldLeft(flags) { case (df, (c, i)) =>
       df.withColumn(s"f${i + 1}",
         if (i == 0) col(c) else col(s"f$i") * col(c))
@@ -190,7 +233,7 @@ object Pipeline {
         sum(col(s"f${i + 1}")).as(s"n${i + 1}"),
         sum(col(s"f${i + 1}") * $"n_tokens").as(s"t${i + 1}")))
     val row = withCum.agg(aggs.head, aggs.tail: _*)
-    val stages = "corpus" +: FunnelStages
+    val stages = "corpus" +: stages0
     row.select(explode(array(stages.zipWithIndex.map { case (nm, i) =>
         struct(lit(i.toLong).as("stage_no"), lit(nm).as("stage"),
           col(s"n${math.max(i - 1, 0)}").as("docs_in"),

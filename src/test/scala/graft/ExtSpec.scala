@@ -652,6 +652,35 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("docs_out") > 0L, "a usable train set must survive")
   }
 
+  test("full-gate funnel: wider list chains and is a prefix-extension of the base funnel") {
+    import spark.implicits._
+    val base = ext.Pipeline.curationFunnel(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .orderBy($"stage_no").collect()
+    val rows = ext.Pipeline.curationFunnelFull(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .orderBy($"stage_no").collect()
+    assert(rows.length == 1 + ext.Pipeline.FunnelStagesFull.size)
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      "corpus" +: ext.Pipeline.FunnelStagesFull,
+      "stage order must come from the shared Seq")
+    // the shared prefix is bit-identical to the base funnel (same gates,
+    // same order — the full list only APPENDS)
+    rows.take(base.length).zip(base).foreach { case (f, b) =>
+      assert(f == b, s"full funnel diverged from the base on shared stage: $f vs $b")
+    }
+    // chaining + monotonicity over the wider list
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("docs_in") == a.getAs[Long]("docs_out"),
+        s"stage ${b.getAs[String]("stage")} docs_in must chain")
+      assert(b.getAs[Long]("docs_out") <= b.getAs[Long]("docs_in"),
+        s"a gate can only drop: $b")
+      assert(b.getAs[Long]("tokens_out") <= a.getAs[Long]("tokens_out"),
+        s"surviving tokens must be monotone: $b")
+    }
+    assert(rows.last.getAs[Long]("docs_out") > 0L, "a usable train set must survive")
+  }
+
   test("cell PSI: a mode-shifted batch scores higher drift than a same-distribution batch") {
     import spark.implicits._
     // two well-separated modes on dim 1; corpus alternates modes, so the
