@@ -47,11 +47,21 @@ object SchemaQueries {
     * the dir to be older than [[StaleSweepAgeMs]]. A dir that is both
     * PID-orphaned and a day old is safely dead under either failure mode
     * (PID reuse by an unrelated long-lived process keeps a dir at most
-    * until its mtime ages past the bound on the next sweep). */
+    * until its mtime ages past the bound on the next sweep). Age is the
+    * MAX mtime across the dir TREE (round-15 advice): writes to files
+    * inside a staging dir do not bump the top-level dir's mtime, so a
+    * hidepid-concealed run alive past 24h would otherwise read as stale
+    * while still writing. */
   private val ownDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cleanupInit = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val StalePat = """graft_.*_p(\d+)_.*""".r
   private val StaleSweepAgeMs = 24L * 3600L * 1000L
+
+  /** Newest mtime anywhere in the tree — the liveness signal the sweep
+    * trusts (a parquet write touches leaf files, not the root dir). */
+  private def newestMtime(f: java.io.File): Long =
+    (f.lastModified() +:
+      Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
   private def initCleanup(): Unit =
     if (cleanupInit.compareAndSet(false, true)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -62,7 +72,7 @@ object SchemaQueries {
           f.getName match {
             case StalePat(pid) if pid != procToken &&
                 !ProcessHandle.of(pid.toLong).isPresent &&
-                f.lastModified() < cutoff =>
+                newestMtime(f) < cutoff =>
               deleteRecursively(f)
             case _ => ()
           }
