@@ -387,6 +387,16 @@ object ExtQueries {
         groups0 = Some(neardupGroups(s, d)),
         imgGroups0 = Some(phashGroups(s, d)))),
 
+    // J7 — per-gate MARGINAL attribution (the prefix funnel's complement,
+    // round-14 verdict #7): for each gate over the FULL set, docs/tokens
+    // failing it while passing every OTHER gate — the ordering-free
+    // "dropped by g alone" column a data card publishes next to the
+    // funnel, from the same flag frame and graded verdicts.
+    "j7_funnel_marginal" -> ((s, d) =>
+      Pipeline.funnelMarginal(Tables.documents(s, d),
+        groups0 = Some(neardupGroups(s, d)),
+        imgGroups0 = Some(phashGroups(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -1869,7 +1879,7 @@ object ExtQueries {
     * Gopher-bundle and CCNet-perplexity gates (round-14 verdict #4); the
     * lm chain is lm_-prefixed because ccCtes owns `toks` and the funnel
     * chain owns `agg`/`sc`. */
-  private def funnelOracleSql(full: Boolean): String = {
+  private def funnelOracleSql(full: Boolean, marginal: Boolean = false): String = {
     val n = Pipeline.DecontamN
     val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
       "quality_ok", "decontam_ok") ++
@@ -1877,14 +1887,29 @@ object ExtQueries {
     val stages0 = if (full) Pipeline.FunnelStagesFull else Pipeline.FunnelStages
     val cums = flagCols.indices.map(i =>
       flagCols.take(i + 1).mkString(" * ") + s" AS f${i + 1}").mkString(", ")
-    val aggCols = flagCols.indices.map(i =>
+    val prefixAggCols = flagCols.indices.map(i =>
       s"CAST(sum(f${i + 1}) AS BIGINT) AS n${i + 1}, " +
         s"CAST(sum(f${i + 1} * n_tokens) AS BIGINT) AS t${i + 1}").mkString(", ")
-    val unions = ("corpus" +: stages0).zipWithIndex.map {
-      case (nm, i) =>
+    // marginal mode: ordering-free per-gate attribution over the same
+    // flags CTE — fail count, fail-while-all-others-pass, and its tokens
+    val marginalAggCols = flagCols.zipWithIndex.map { case (c, i) =>
+      val others = flagCols.filter(_ != c).mkString(" * ")
+      s"CAST(sum(1 - $c) AS BIGINT) AS fail$i, " +
+        s"CAST(sum((1 - $c) * $others) AS BIGINT) AS alone$i, " +
+        s"CAST(sum((1 - $c) * $others * n_tokens) AS BIGINT) AS alonet$i"
+    }.mkString(", ")
+    val aggCols = if (marginal) marginalAggCols else prefixAggCols
+    val cumOrFlags = if (marginal) "flags" else "cum"
+    val unions =
+      if (marginal) stages0.zipWithIndex.map { case (nm, i) =>
+        s"""SELECT CAST($i AS BIGINT) AS stage_no, '$nm' AS stage,
+           |  fail$i AS docs_failing, alone$i AS docs_dropped_alone,
+           |  alonet$i AS tokens_dropped_alone FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      else ("corpus" +: stages0).zipWithIndex.map { case (nm, i) =>
         s"""SELECT CAST($i AS BIGINT) AS stage_no, '$nm' AS stage,
            |  n${math.max(i - 1, 0)} AS docs_in, n$i AS docs_out, t$i AS tokens_out FROM agg""".stripMargin
-    }.mkString("\nUNION ALL\n")
+      }.mkString("\nUNION ALL\n")
     val gopherStops = "['the', 'a', 'or', 'and', 'of', 'to', 'in', 'is']"
     val extraCtes = if (!full) "" else s"""
        |gf AS (SELECT doc_id,
@@ -1980,7 +2005,7 @@ object ExtQueries {
        |  JOIN ex e ON e.doc_id = d.doc_id$extraJoins),
        |cum AS (SELECT doc_id, n_tokens, $cums FROM flags),
        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-       |    CAST(sum(n_tokens) AS BIGINT) AS t0, $aggCols FROM cum)
+       |    CAST(sum(n_tokens) AS BIGINT) AS t0, $aggCols FROM $cumOrFlags)
        |$unions""".stripMargin
   }
 
@@ -2154,6 +2179,7 @@ object ExtQueries {
     // Pipeline.FunnelStages list the op uses).
     "j7_funnel" -> funnelOracleSql(full = false),
     "j7_funnel_full" -> funnelOracleSql(full = true),
+    "j7_funnel_marginal" -> funnelOracleSql(full = true, marginal = true),
 
     // Split-leakage audit: the CC chain + the manifest's md5 split,
     // aggregated per multi-member cluster.

@@ -194,15 +194,54 @@ object Pipeline {
       extraCols = Seq("gopher_ok", "ppl_ok"), stages0 = FunnelStagesFull)
   }
 
+  /** J7 — per-gate MARGINAL attribution (round-14 verdict #7, the other
+    * half of the data-card convention): the funnel's prefix accounting
+    * charges each doc to the FIRST gate that drops it, which understates
+    * gates late in the order; this table answers the ordering-free
+    * question — for each gate, how many docs (and tokens) fail it while
+    * passing every OTHER gate ("dropped by g alone" — the docs only a
+    * change to g could save), next to the gate's raw failure count. Over
+    * the FULL gate set, same graded verdicts, no new decision logic.
+    *
+    * 100 TB posture: the same one-pass flag frame as the funnels, a
+    * row-local all-others-pass product per gate, ONE aggregate row,
+    * row-local explode to the |gates| table. */
+  def funnelMarginal(docs: DataFrame, groups0: Option[DataFrame] = None,
+                     imgGroups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
+      .join(pplBuckets(docs)
+        .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
+        Seq("doc_id"))
+    val (flags, flagCols) = funnelFlags(docs, groups0, imgGroups0,
+      Some(extra), Seq("gopher_ok", "ppl_ok"))
+    val aggs = flagCols.zipWithIndex.flatMap { case (c, i) =>
+      val othersPass = flagCols.filter(_ != c).map(col).reduce(_ * _)
+      Seq(
+        sum(lit(1L) - col(c)).as(s"fail$i"),
+        sum((lit(1L) - col(c)) * othersPass).as(s"alone$i"),
+        sum((lit(1L) - col(c)) * othersPass * $"n_tokens").as(s"alonet$i"))
+    }
+    flags.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(FunnelStagesFull.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i.toLong).as("stage_no"), lit(nm).as("stage"),
+          col(s"fail$i").as("docs_failing"),
+          col(s"alone$i").as("docs_dropped_alone"),
+          col(s"alonet$i").as("tokens_dropped_alone"))
+      }: _*)).as("s"))
+      .select($"s.*")
+  }
+
   /** Shared funnel core: the base gate flags (exact/near-dup/image/lang/
     * length/quality/decontam), optional extra flag columns appended at
     * the tail, cumulative prefix flags, ONE aggregate row, and the
     * row-local explode to the stage table. */
-  private def funnelOver(docs: DataFrame, groups0: Option[DataFrame],
-                         imgGroups0: Option[DataFrame],
-                         extraFlags: Option[DataFrame],
-                         extraCols: Seq[String],
-                         stages0: Seq[String]): DataFrame = {
+  /** The per-doc gate-flag frame shared by the funnels and the marginal
+    * attribution: (doc_id, n_tokens, one 0/1 column per gate). */
+  private def funnelFlags(docs: DataFrame, groups0: Option[DataFrame],
+                          imgGroups0: Option[DataFrame],
+                          extraFlags: Option[DataFrame],
+                          extraCols: Seq[String]): (DataFrame, Seq[String]) = {
     import docs.sparkSession.implicits._
     val mm = trainsetManifestMm(docs, groups0, imgGroups0)
       .select($"doc_id", $"dup_ok", $"img_ok", $"lang_ok", $"len_ok", $"quality_ok")
@@ -220,8 +259,18 @@ object Pipeline {
         when($"doc_id" < EvalDocs, 0L)
           .otherwise(lit(1L) - coalesce($"contaminated", lit(0L))))
     val flags = extraFlags.fold(flags0)(e => flags0.join(e, Seq("doc_id")))
-    val flagCols = Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
-      "quality_ok", "decontam_ok") ++ extraCols
+    (flags, Seq("exact_ok", "dup_ok", "img_ok", "lang_ok", "len_ok",
+      "quality_ok", "decontam_ok") ++ extraCols)
+  }
+
+  private def funnelOver(docs: DataFrame, groups0: Option[DataFrame],
+                         imgGroups0: Option[DataFrame],
+                         extraFlags: Option[DataFrame],
+                         extraCols: Seq[String],
+                         stages0: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (flags, flagCols) =
+      funnelFlags(docs, groups0, imgGroups0, extraFlags, extraCols)
     require(flagCols.size == stages0.size,
       s"funnel stages (${stages0.size}) and flags (${flagCols.size}) diverged")
     val withCum = flagCols.zipWithIndex.foldLeft(flags) { case (df, (c, i)) =>

@@ -681,6 +681,27 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("docs_out") > 0L, "a usable train set must survive")
   }
 
+  test("funnel marginal: alone <= failing per gate, and saves are bounded by total drops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = ext.Pipeline.funnelMarginal(docs).orderBy($"stage_no").collect()
+    assert(m.map(_.getAs[String]("stage")).toSeq == ext.Pipeline.FunnelStagesFull,
+      "one row per full-set gate, in the shared Seq's order")
+    m.foreach { r =>
+      assert(r.getAs[Long]("docs_dropped_alone") <= r.getAs[Long]("docs_failing"),
+        s"alone cannot exceed the gate's raw failure count: $r")
+    }
+    // every alone-dropped doc is a distinct dropped doc (it passes all
+    // other gates, so it cannot be alone-dropped by two gates): the sum
+    // is bounded by the corpus minus the full funnel's survivors
+    val full = ext.Pipeline.curationFunnelFull(docs).orderBy($"stage_no").collect()
+    val dropped = full.head.getAs[Long]("docs_out") - full.last.getAs[Long]("docs_out")
+    assert(m.map(_.getAs[Long]("docs_dropped_alone")).sum <= dropped,
+      "alone-drops must be disjoint and within total drops")
+    assert(m.exists(_.getAs[Long]("docs_failing") > 0L),
+      "fixture corpus must exercise at least one gate")
+  }
+
   test("cell PSI: a mode-shifted batch scores higher drift than a same-distribution batch") {
     import spark.implicits._
     // two well-separated modes on dim 1; corpus alternates modes, so the
