@@ -3739,18 +3739,22 @@ object ExtQueries {
         |  CAST(CASE WHEN src_w >= src_h THEN src_h * 224 // src_w ELSE 224 END AS BIGINT) AS out_h
         |FROM s""".stripMargin,
 
+    // payload_bytes is the storedPng closed form h*(3w+1) + 68 — the
+    // writer's byte length is part of the oracle contract, so a fixture
+    // encoder change that alters the layout breaks the hash here.
     "j5_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 13 + 3 AS width, doc_id % 7 + 2 AS height FROM documents)
         |SELECT d.doc_id, CAST(d.width AS BIGINT) AS width, CAST(d.height AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
         |  CAST(sum((d.doc_id + 7 * gx.x + 13 * gy.y + 29 * gc.c) % 256) AS BIGINT) AS pixel_sum,
+        |  CAST(d.height * (3 * d.width + 1) + 68 AS BIGINT) AS payload_bytes,
         |  'imageio' AS decoder
         |FROM dims d,
         |  LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) gx,
         |  LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) gy,
         |  LATERAL (SELECT unnest(generate_series(0, 2)) AS c) gc
-        |GROUP BY 1, 2, 3""".stripMargin,
+        |GROUP BY 1, 2, 3, 6""".stripMargin,
 
     // 2x2 adaptive mean-pool over the same closed-form pixel field: cell
     // (py, px) covers rows [py*h//2, (py+1)*h//2), floor-mean of the
@@ -3871,15 +3875,18 @@ object ExtQueries {
         |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
         |g AS (SELECT c.doc_id, c.cluster_id,
-        |    CAST((c.doc_id % 13 + 3) * (c.doc_id % 7 + 2) AS BIGINT) AS pixel_area
+        |    CAST((c.doc_id % 13 + 3) * (c.doc_id % 7 + 2) AS BIGINT) AS pixel_area,
+        |    CAST((c.doc_id % 7 + 2) * (3 * (c.doc_id % 13 + 3) + 1) + 68 AS BIGINT) AS payload_bytes
         |  FROM comp c),
+        |g2 AS (SELECT *, (payload_bytes * 1000000) // pixel_area AS bpp_e6 FROM g),
         |best AS (SELECT cluster_id, doc_id AS best_doc_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
-        |      ORDER BY pixel_area DESC, doc_id) AS rn FROM g) z
+        |      ORDER BY pixel_area DESC, bpp_e6 DESC, doc_id) AS rn FROM g2) z
         |  WHERE rn = 1)
-        |SELECT g.doc_id, g.cluster_id, g.pixel_area, b.best_doc_id,
+        |SELECT g.doc_id, g.cluster_id, g.pixel_area, g.payload_bytes, g.bpp_e6,
+        |  b.best_doc_id,
         |  CAST(CASE WHEN g.doc_id = b.best_doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept_best
-        |FROM g JOIN best b ON b.cluster_id = g.cluster_id""".stripMargin,
+        |FROM g2 g JOIN best b ON b.cluster_id = g.cluster_id""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

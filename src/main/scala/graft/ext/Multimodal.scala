@@ -90,11 +90,69 @@ object Multimodal {
     spark.createDataFrame(rdd, featSchema)
   }
 
+  /** Minimal deterministic PNG writer: 8-bit RGB (color type 2), one
+    * STORED (uncompressed) deflate block, fixed chunk layout — so the
+    * payload byte LENGTH has the closed form h*(3w+1) + 68 (8 signature
+    * + 25 IHDR + [12 + 2 zlib header + 5 stored-block header + raw +
+    * 4 adler] IDAT + 12 IEND, raw = h scanlines of 1 filter byte + 3w
+    * samples). That closed form is what lets the oracle grade
+    * byte-derived columns (the keep-best bytes-per-pixel key);
+    * ImageIO.write's deflate output is implementation-defined — pixels
+    * would match but lengths would not. Requires raw <= 65535 (one
+    * stored block), far above the fixture's w <= 15, h <= 8. */
+  private def storedPng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter type None
+      i += 1
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    require(raw.length <= 65535, s"fixture image too large for one stored block: ${raw.length}")
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      dos.writeInt(body.length)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      dos.write(tb); dos.write(body); dos.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)             // bit depth 8, truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.array())
+    val z = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+    z.put(0x78.toByte).put(0x01.toByte)        // zlib CMF/FLG ((120*256+1) % 31 == 0)
+    z.put(1.toByte)                            // BFINAL=1, BTYPE=00 (stored)
+    z.put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+    z.put(((~raw.length) & 0xff).toByte).put((((~raw.length) >> 8) & 0xff).toByte)
+    z.put(raw)
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    z.putInt(ad.getValue.toInt)
+    chunk("IDAT", z.array())
+    chunk("IEND", Array.emptyByteArray)
+    dos.flush()
+    bos.toByteArray
+  }
+
   /** Synthetic PNG payloads: per doc, a (doc_id%13+3) × (doc_id%7+2) RGB
     * image whose channel-c pixel at (x, y) is (doc_id + 7x + 13y + 29c) mod
-    * 256, encoded with the JDK PNG writer per partition. The formula is the
-    * oracle contract for [[decodeImages]] — DuckDB recomputes the expected
-    * stats from doc_id alone (see ExtQueries `j5_decode`). */
+    * 256, encoded with [[storedPng]] per partition. Both the pixel formula
+    * AND the byte length h*(3w+1) + 68 are oracle contracts — DuckDB
+    * recomputes the expected stats from doc_id alone (see ExtQueries
+    * `j5_decode` / `j5_keep_best`). */
   def pngFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -102,21 +160,9 @@ object Multimodal {
       it.map { id =>
         val w = (id % 13 + 3).toInt
         val h = (id % 7 + 2).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            def v(c: Int): Int = (((id + 7L * x + 13L * y + 29L * c) % 256).toInt + 256) % 256
-            img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (id, bos.toByteArray)
+        def v(x: Int, y: Int, c: Int): Int =
+          (((id + 7L * x + 13L * y + 29L * c) % 256).toInt + 256) % 256
+        (id, storedPng(w, h, (x, y) => (v(x, y, 0), v(x, y, 1), v(x, y, 2))))
       }
     }.toDF("doc_id", "payload")
   }
@@ -156,27 +202,31 @@ object Multimodal {
             }
             y += 1
           }
-          (id, w.toLong, h.toLong, img.getRaster.getNumBands.toLong, sum, "imageio")
+          (id, w.toLong, h.toLong, img.getRaster.getNumBands.toLong, sum,
+            bytes.length.toLong, "imageio")
         } else {
           val w = (bytes.length % 64) + 1
-          (id, w.toLong, (bytes.length / w + 1).toLong, 1L, bytes.length.toLong, "stub")
+          (id, w.toLong, (bytes.length / w + 1).toLong, 1L, bytes.length.toLong,
+            bytes.length.toLong, "stub")
         }
       }
-    }.toDF("doc_id", "width", "height", "channels", "pixel_sum", "decoder")
+    }.toDF("doc_id", "width", "height", "channels", "pixel_sum",
+      "payload_bytes", "decoder")
   }
 
   /** J5 — image survivor selection within perceptual-hash clusters
     * (round-13 verdict #4, parity with the text family's `j2_keep_best`):
     * within each near-dup image cluster keep the member with the largest
-    * DECODED pixel area (the published keep-the-highest-resolution
-    * convention for image dedup; a production key inserts
-    * bytes-per-pixel — least-compressed — between area and the id
-    * tiebreak, but the payload byte length has no closed form the oracle
-    * can recompute, so the graded key is area then min doc_id). `groups`
-    * is the image-cluster frame (`j5_phash_groups`), `decoded` the
-    * [[decodeImages]] output — the REAL decoded dimensions, so a codec
-    * defect that mis-reads dimensions flips survivor choices and breaks
-    * the hash against the closed-form oracle.
+    * DECODED pixel area, ties to the HIGHEST bytes-per-pixel (the
+    * least-compressed member — the full published production key, graded
+    * since round 15: [[storedPng]] gives the payload length a closed form
+    * the oracle recomputes, so the MEASURED byte count from ingest is a
+    * hash-graded column), final tie to min doc_id. `groups` is the
+    * image-cluster frame (`j5_phash_groups`), `decoded` the
+    * [[decodeImages]] output — REAL decoded dimensions and the real
+    * payload byte count, so a codec defect that mis-reads dimensions OR
+    * a writer defect that changes the encoded length flips survivor
+    * choices and breaks the hash against the closed-form oracle.
     *
     * Scale posture: one doc_id-grain join plus one cluster-grain argmin —
     * both on frames the image family already bounds. */
@@ -184,12 +234,15 @@ object Multimodal {
     import groups.sparkSession.implicits._
     val g = groups.select($"doc_id", $"cluster_id")
       .join(decoded.select($"doc_id",
-        ($"width" * $"height").cast("long").as("pixel_area")), Seq("doc_id"))
+        ($"width" * $"height").cast("long").as("pixel_area"),
+        $"payload_bytes"), Seq("doc_id"))
+      .withColumn("bpp_e6", expr("(payload_bytes * 1000000) div pixel_area"))
     val best = g.groupBy($"cluster_id")
-      .agg(min(struct((-$"pixel_area").as("na"), $"doc_id")).as("m"))
+      .agg(min(struct((-$"pixel_area").as("na"), (-$"bpp_e6").as("nb"), $"doc_id")).as("m"))
       .select($"cluster_id", $"m.doc_id".as("best_doc_id"))
     g.join(best, Seq("cluster_id"))
-      .select($"doc_id", $"cluster_id", $"pixel_area", $"best_doc_id",
+      .select($"doc_id", $"cluster_id", $"pixel_area", $"payload_bytes",
+        $"bpp_e6", $"best_doc_id",
         ($"doc_id" === $"best_doc_id").cast("long").as("kept_best"))
   }
 

@@ -791,20 +791,27 @@ class ExtSpec extends AnyFunSuite {
       s"image re-encode with unique text must be dropped by the cross-modal gate: $mm")
   }
 
-  test("image keep-best: the higher-resolution member wins over the min-id member") {
+  test("image keep-best: resolution wins; bytes-per-pixel breaks area ties over min-id") {
     import spark.implicits._
     // cluster {1, 5}: doc 5 decodes LARGER than doc 1 — the quality key
-    // must pick 5 where the min-id canonical (j5_phash_groups) picks 1
-    val groups = Seq((1L, 1L), (5L, 1L), (9L, 9L))
+    // must pick 5 where the min-id canonical (j5_phash_groups) picks 1.
+    // cluster {20, 21}: EQUAL area, doc 21 carries more payload bytes
+    // per pixel (least-compressed) — the round-15 production key must
+    // pick 21 over the min-id 20.
+    val groups = Seq((1L, 1L), (5L, 1L), (9L, 9L), (20L, 20L), (21L, 20L))
       .toDF("doc_id", "cluster_id")
-    val decoded = Seq((1L, 4L, 3L), (5L, 18L, 7L), (9L, 12L, 4L))
-      .toDF("doc_id", "width", "height")
+    val decoded = Seq(
+        (1L, 4L, 3L, 200L), (5L, 18L, 7L, 100L), (9L, 12L, 4L, 50L),
+        (20L, 6L, 4L, 120L), (21L, 4L, 6L, 300L))
+      .toDF("doc_id", "width", "height", "payload_bytes")
     val got = ext.Multimodal.keepBestImages(groups, decoded)
       .select($"doc_id", $"best_doc_id", $"kept_best").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == ((5L, 0L)) && got(5L) == ((5L, 1L)),
       s"highest pixel area must win within the cluster: $got")
     assert(got(9L) == ((9L, 1L)), s"singleton keeps itself: $got")
+    assert(got(20L) == ((21L, 0L)) && got(21L) == ((21L, 1L)),
+      s"equal area must fall to the least-compressed member: $got")
     // harness law: exactly one survivor per cluster
     val perCluster = ext.Multimodal.keepBestImages(
         ext.Dedup.ccGroupsConverged(
@@ -1031,12 +1038,15 @@ class ExtSpec extends AnyFunSuite {
     val docs = spark.range(0L, 40L).select($"id".as("doc_id"))
     val decoded = Multimodal.decodeImages(Multimodal.pngFixture(docs))
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
     for (id <- 0L until 40L) {
       val (w, h) = (id % 13 + 3, id % 7 + 2)
       val expected = (for { x <- 0L until w; y <- 0L until h; c <- 0 to 2 }
         yield (id + 7 * x + 13 * y + 29 * c) % 256).sum
-      assert(decoded(id) == ((w, h, 3L, expected, "imageio")), s"doc $id")
+      // storedPng closed form: one stored deflate block over h*(1+3w) raw
+      val plen = h * (3 * w + 1) + 68
+      assert(decoded(id) == ((w, h, 3L, expected, plen, "imageio")), s"doc $id")
     }
 
     // JPEG path: lossy, so pixel sums are codec-dependent — but the decode
@@ -1052,7 +1062,7 @@ class ExtSpec extends AnyFunSuite {
     val mixed = Seq((100L, jpegBytes), (101L, "not an image".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
     val m = Multimodal.decodeImages(mixed).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))).toMap
     assert(m(100L) == ((17L, 9L, 3L, "imageio")))
     assert(m(101L)._4 == "stub")
   }
