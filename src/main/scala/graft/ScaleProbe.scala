@@ -403,6 +403,24 @@ object ScaleProbe {
     val (semStF, semReF) = semStatePoint(factor)
     println(f"semdedup_inc fixed batch: state $semSt1%.2fs -> $semStF%.2fs (x${semStF / semSt1}%.2f) | recompute $semRe1%.2fs -> $semReF%.2fs (x${semReF / semRe1}%.2f)")
 
+    // cell-PSI state form (round-15): the nightly drift monitor's bill is
+    // the batch assignment against PERSISTED centroids + standing
+    // histogram — fixed batch, so the wall must stay ~flat while the
+    // recompute twin (Lloyd retrain in-query) grows with the corpus.
+    // Shares semStatePoint's keys so the state tables build once.
+    def cellPsiPoint(f: Int): (Double, Double) = {
+      semWall(ext.Similarity.cellDriftState(spark,
+        s"graft_probe_semstate_f$f", embStateProbe(f), corpusPct = 50L))
+      val st = (1 to 2).map(_ => semWall(ext.Similarity.cellDriftState(spark,
+        s"graft_probe_semstate_f$f", embStateProbe(f), corpusPct = 50L))).min
+      val re = (1 to 2).map(_ => semWall(
+        ext.Similarity.cellDrift(embStateProbe(f), corpusPct = 50L))).min
+      (st, re)
+    }
+    val (psiSt1, psiRe1) = cellPsiPoint(1)
+    val (psiStF, psiReF) = cellPsiPoint(factor)
+    println(f"cell_psi fixed batch: state $psiSt1%.2fs -> $psiStF%.2fs (x${psiStF / psiSt1}%.2f) | recompute $psiRe1%.2fs -> $psiReF%.2fs (x${psiReF / psiRe1}%.2f)")
+
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -457,6 +475,10 @@ object ScaleProbe {
       failed ::= f"semdedup state form not cheaper than recompute at ${factor}x fixed batch: $semStF%.2f >= $semReF%.2f"
     if (semStF >= (factor / 2.0) * semSt1)
       failed ::= f"semdedup state form scales with the corpus at fixed batch: x${semStF / semSt1}%.2f at ${factor}x"
+    if (psiStF >= psiReF)
+      failed ::= f"cell-psi state form not cheaper than recompute at ${factor}x fixed batch: $psiStF%.2f >= $psiReF%.2f"
+    if (psiStF >= (factor / 2.0) * psiSt1)
+      failed ::= f"cell-psi state form scales with the corpus at fixed batch: x${psiStF / psiSt1}%.2f at ${factor}x"
     deepRes.foreach { case (name, _, wd, qd, _, base) =>
       if (qd > base.quad1)
         failed ::= s"$name: quadratic join shapes grew ${base.quad1} -> $qd at ${deepFactor}x"
@@ -473,7 +495,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"cell_psi_fixed_batch":{"state_1x_sec":${f"$psiSt1%.3f"},"state_fx_sec":${f"$psiStF%.3f"},"state_ratio":${f"${psiStF / psiSt1}%.3f"},"recompute_1x_sec":${f"$psiRe1%.3f"},"recompute_fx_sec":${f"$psiReF%.3f"},"recompute_ratio":${f"${psiReF / psiRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()
