@@ -276,6 +276,10 @@ class PlanSpec extends AnyFunSuite {
     //   j7_curriculum  same inherited 1-row V broadcast (it stages the
     //                  ppl-bucket terciles; the order itself is one range
     //                  shuffle through Dist)
+    //   j7_funnel_full / j7_funnel_marginal  same inherited 1-row V
+    //                  broadcast (the ppl gate joins the lm-bits chain
+    //                  into the flag frame); every other join in the
+    //                  funnels is doc-grain equi
     //   j2_bloom_stats three 1-row summary aggregates crossed into the
     //                  one stats row (the j7_pack_fit_stats shape)
     //   j3_semdedup_inc_state  the 1-row id-cutoff aggregate only (the
@@ -334,7 +338,8 @@ class PlanSpec extends AnyFunSuite {
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
       "j4_quality_clf", "j4_quality_clf_agree", "j7_decontam_sem",
-      "j7_ppl_buckets", "j7_mix_epochs", "j7_span_corrupt_bpe",
+      "j7_ppl_buckets", "j7_funnel_full", "j7_funnel_marginal",
+      "j7_mix_epochs", "j7_span_corrupt_bpe",
       "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
       "st_sem_probe", "j8_cell_psi", "j8_cell_psi_state", "j2_bloom_scale_upsert",
