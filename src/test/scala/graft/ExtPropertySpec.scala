@@ -86,6 +86,40 @@ class ExtPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("geometric bloom dials: contiguous bands, fill-at-cap sizing, telescoped budget") {
+    // laws of the dial TABLE itself, for arbitrary (cap0, k0) — the
+    // constants both engines consume. (1) the (lo, hi] bands partition
+    // [1, cum-capacity] with cap_i = cap0 * 2^i exactly; (2) every slice
+    // is sized to the <= 50%-fill-at-cap point: m * ln2 >= k * cap
+    // (integer-rational check, same inequality the builder uses) AND m/2
+    // would violate it (m is the SMALLEST such power of two — oversizing
+    // would hide an error-model regression behind low fills); (3) k grows
+    // by exactly 1 per slice from k0, so the compound error telescopes:
+    // sum_i fill^k_i <= sum_i 2^-(k0+i) < 2^(1-k0).
+    val rnd = new scala.util.Random(20260816L)
+    for (sample <- 1 to 6) {
+      val cap0 = 1L + rnd.nextInt(9000)
+      val k0 = 2 + rnd.nextInt(10)
+      val n = 4 + rnd.nextInt(37)
+      val ps = ext.Dedup.bloomSliceParams(cap0, k0, n)
+      assert(ps.size == n)
+      var lo = 0L
+      ps.zipWithIndex.foreach { case (s, i) =>
+        assert(s.slice == i.toLong, s"[$sample] slice ids dense: $s")
+        assert(s.lo == lo && s.hi == lo + (cap0 << i),
+          s"[$sample cap0=$cap0] band $i not contiguous-geometric: $s")
+        assert(s.k == k0 + i, s"[$sample k0=$k0] k must grow by 1: $s")
+        assert(java.lang.Long.bitCount(s.m) == 1, s"[$sample] m not a power of two: $s")
+        val cap = cap0 << i
+        assert(BigInt(s.m) * 693147 >= BigInt(s.k) * cap * 1000000,
+          s"[$sample] slice $i undersized (fill at cap would exceed 50%): $s")
+        assert(BigInt(s.m / 2) * 693147 < BigInt(s.k) * cap * 1000000,
+          s"[$sample] slice $i oversized (m not minimal): $s")
+        lo = s.hi
+      }
+    }
+  }
+
   test("BPE decode inverts encode for random word-soup corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
