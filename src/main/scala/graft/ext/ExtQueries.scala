@@ -397,6 +397,15 @@ object ExtQueries {
         groups0 = Some(neardupGroups(s, d)),
         imgGroups0 = Some(phashGroups(s, d)))),
 
+    // J7 — the INGEST-gate audit (round 15): one batch through the three
+    // standing dedup modalities (exact hash, sliced-Bloom lines, LSH
+    // near-dup) with per-doc verdicts, first-firing-gate attribution in
+    // the cheap-to-expensive production order, and the final keep — the
+    // incremental complement of j7_funnel's whole-corpus accounting.
+    "j7_ingest_audit" -> ((s, d) =>
+      Pipeline.ingestAudit(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -2053,6 +2062,43 @@ object ExtQueries {
     // form reads a persisted corpus index built from the identical
     // per-doc row-local signatures — equality also pinned in ExtSpec).
     "j2_incremental" -> incrementalNearDupOracle,
+
+    // Ingest audit: the lexical probe chain (toks..jac/best), the sliced
+    // bloom chain (t..hit/bl — disjoint CTE names by construction), and
+    // the exact-hash gate composed at the batch doc grain.
+    "j7_ingest_audit" ->
+      s"""$incProbeChain,
+         |best AS (SELECT doc_n, doc_c, j_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+         |    FROM jac) z WHERE rn = 1),
+         |${bloomScaleCtes.replaceFirst("^t AS", "t AS")},
+         |bpd AS (SELECT b.doc_id,
+         |    (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |      // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6
+         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  GROUP BY 1),
+         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+         |audit AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN md5(d.text) IN (SELECT h FROM exh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+         |    p.bloom_dup_frac_e6,
+         |    CAST(CASE WHEN p.bloom_dup_frac_e6 >= ${Dedup.BloomDropE6} THEN 1 ELSE 0 END AS BIGINT) AS bloom_drop,
+         |    coalesce(b.doc_c, -1) AS match_doc_id,
+         |    coalesce(b.j_e6, 0) AS jaccard_e6,
+         |    CAST(CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
+         |      THEN 1 ELSE 0 END AS BIGINT) AS neardup_drop
+         |  FROM documents d
+         |  JOIN bpd p ON p.doc_id = d.doc_id
+         |  LEFT JOIN best b ON b.doc_n = d.doc_id
+         |  WHERE d.doc_id % 10 = 0)
+         |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
+         |  match_doc_id, jaccard_e6, neardup_drop,
+         |  CASE WHEN exact_dup = 1 THEN 'exact'
+         |       WHEN bloom_drop = 1 THEN 'bloom'
+         |       WHEN neardup_drop = 1 THEN 'near_dup'
+         |       ELSE 'kept' END AS drop_stage,
+         |  CAST(CASE WHEN exact_dup + bloom_drop + neardup_drop = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM audit""".stripMargin,
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "st_inc_probe" -> incProbePairOracle,

@@ -141,6 +141,49 @@ object Pipeline {
         ($"n_splits" > 1L).cast("long").as("leak"))
   }
 
+  /** J7 — the INGEST-gate AUDIT (round 15): one incoming batch run
+    * through the THREE standing dedup modalities a nightly ingest job
+    * consults — exact text hash against the corpus, the geometric
+    * sliced-Bloom line filter, and the LSH near-dup probe — with per-doc
+    * attribution: each gate's own verdict, the first gate that fires
+    * (exact → bloom → near_dup, the cheap-to-expensive production
+    * order), and the final keep. The incremental complement of
+    * [[curationFunnel]]'s whole-corpus accounting: the funnel audits a
+    * standing corpus; this audits a batch against standing STATE. Every
+    * verdict is the graded kernel's own (no new decision logic), and the
+    * exact→bloom no-false-negative law (an exact duplicate's lines are
+    * all standing, so the line filter must also fire) becomes a pinned
+    * cross-modality invariant.
+    *
+    * 100 TB posture: the exact gate is one hash semi-join, the other two
+    * are the probes' own bounded plans; the audit adds two doc-grain
+    * equi-joins at the batch grain. */
+  def ingestAudit(docs: DataFrame, mod: Int = 10,
+                  sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val corpusH = docs.filter($"doc_id" % mod =!= 0)
+      .select(md5($"text".cast("binary")).as("h")).distinct()
+      .withColumn("e", lit(1L))
+    val ex = docs.filter($"doc_id" % mod === 0)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .join(corpusH, Seq("h"), "left")
+      .select($"doc_id", coalesce($"e", lit(0L)).as("exact_dup"))
+    val bl = Dedup.bloomScaleProbe(docs, mod, sliceLines0 = sliceLines0)
+      .select($"doc_id", $"bloom_dup_frac_e6", $"drop_doc".as("bloom_drop"))
+    val lx = Dedup.incrementalNearDup(docs, mod)
+      .select($"doc_id", $"match_doc_id", $"jaccard_e6",
+        ($"verdict" === "drop").cast("long").as("neardup_drop"))
+    ex.join(bl, Seq("doc_id")).join(lx, Seq("doc_id"))
+      .select($"doc_id", $"exact_dup", $"bloom_dup_frac_e6", $"bloom_drop",
+        $"match_doc_id", $"jaccard_e6", $"neardup_drop",
+        when($"exact_dup" === 1L, "exact")
+          .when($"bloom_drop" === 1L, "bloom")
+          .when($"neardup_drop" === 1L, "near_dup")
+          .otherwise("kept").as("drop_stage"),
+        (($"exact_dup" + $"bloom_drop" + $"neardup_drop") === 0L)
+          .cast("long").as("kept"))
+  }
+
   /** [[curationFunnel]] gate order — shared by the op and its oracle
     * generator so the two stage lists can never drift. */
   val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",

@@ -702,6 +702,33 @@ class ExtSpec extends AnyFunSuite {
       "fixture corpus must exercise at least one gate")
   }
 
+  test("ingest audit: exact implies bloom (cross-modality FN law), attribution consistent") {
+    import spark.implicits._
+    val a = ext.Pipeline.ingestAudit(
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      // an exact duplicate's lines are ALL standing, so the line filter
+      // must fire too — a false negative here is a broken Bloom family
+      if (r.getAs[Long]("exact_dup") == 1L)
+        assert(r.getAs[Long]("bloom_drop") == 1L,
+          s"exact dup escaped the line filter: $r")
+      val fired = r.getAs[Long]("exact_dup") + r.getAs[Long]("bloom_drop") +
+        r.getAs[Long]("neardup_drop")
+      assert((r.getAs[Long]("kept") == 1L) == (fired == 0L), s"kept flag: $r")
+      val expected =
+        if (r.getAs[Long]("exact_dup") == 1L) "exact"
+        else if (r.getAs[Long]("bloom_drop") == 1L) "bloom"
+        else if (r.getAs[Long]("neardup_drop") == 1L) "near_dup"
+        else "kept"
+      assert(r.getAs[String]("drop_stage") == expected, s"attribution order: $r")
+    }
+    assert(a.exists(_.getAs[Long]("kept") == 0L),
+      "fixture corpus must drop at least one batch doc")
+    assert(a.exists(_.getAs[Long]("kept") == 1L),
+      "fixture corpus must keep at least one batch doc")
+  }
+
   test("cell PSI: a mode-shifted batch scores higher drift than a same-distribution batch") {
     import spark.implicits._
     // two well-separated modes on dim 1; corpus alternates modes, so the

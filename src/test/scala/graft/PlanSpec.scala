@@ -315,6 +315,9 @@ class PlanSpec extends AnyFunSuite {
     //                  broadcast); j2_bloom_scale_stats adds the 1-row
     //                  lifecycle x 1-row probe-totals cross (the
     //                  j2_bloom_stats summary-row shape)
+    //   j7_ingest_audit  composes j2_bloom_scale_probe's allowlisted
+    //                  dial-table range join and lines x standing-slices
+    //                  cross (both bounded, above)
     //   j2_bloom_scale_upsert  the same dial-table range join plus the
     //                  1-row standing-line-count aggregate broadcast onto
     //                  the ranked new lines (the j7_mix_temp
@@ -344,7 +347,7 @@ class PlanSpec extends AnyFunSuite {
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
       "st_sem_probe", "j8_cell_psi", "j8_cell_psi_state", "j2_bloom_scale_upsert",
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_stats",
-      "st_bloom_scale",
+      "st_bloom_scale", "j7_ingest_audit",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
