@@ -1011,9 +1011,10 @@ object Dedup {
 
   /** The dial table as a broadcast-ready frame (slice, lo, hi, m, k). */
   private[graft] def bloomParamsDf(s: org.apache.spark.sql.SparkSession,
-                                   cap0: Long = BloomSliceCap0): DataFrame = {
+                                   cap0: Long = BloomSliceCap0,
+                                   k0: Int = BloomSliceK0): DataFrame = {
     import s.implicits._
-    bloomSliceParams(cap0).toDF()
+    bloomSliceParams(cap0, k0).toDF()
   }
 
   /** Per-(line, seed-index) slice-local Bloom position: the low bits of
@@ -1031,11 +1032,12 @@ object Dedup {
     * two-phase [[graft.Dist.withGlobalRank]] — no single-task window;
     * the band join is a broadcast of the bounded 40-row dial table). */
   private[graft] def bloomSliceLines(corpusLines: DataFrame,
-                                     cap0: Long = BloomSliceCap0): DataFrame = {
+                                     cap0: Long = BloomSliceCap0,
+                                     k0: Int = BloomSliceK0): DataFrame = {
     import corpusLines.sparkSession.implicits._
     val firsts = corpusLines.groupBy($"line").agg(min($"doc_id").as("first_doc"))
     graft.Dist.withGlobalRank(firsts, "rn", Seq($"first_doc", $"line"))
-      .join(broadcast(bloomParamsDf(corpusLines.sparkSession, cap0)),
+      .join(broadcast(bloomParamsDf(corpusLines.sparkSession, cap0, k0)),
         $"rn" > $"lo" && $"rn" <= $"hi")
       .select($"line", $"slice")
   }
@@ -1045,10 +1047,11 @@ object Dedup {
     * matter how large the corpus grows, with each slice's set bounded by
     * its m_i. */
   private[graft] def bloomSlicePositions(sliceLines: DataFrame,
-                                         cap0: Long = BloomSliceCap0): DataFrame = {
+                                         cap0: Long = BloomSliceCap0,
+                                         k0: Int = BloomSliceK0): DataFrame = {
     import sliceLines.sparkSession.implicits._
     sliceLines
-      .join(broadcast(bloomParamsDf(sliceLines.sparkSession, cap0)
+      .join(broadcast(bloomParamsDf(sliceLines.sparkSession, cap0, k0)
         .select($"slice", $"m", $"k")), Seq("slice"))
       .select($"slice", explode(slicePositionsOf($"line", $"k", $"m")).as("p"))
       .distinct()
@@ -1070,16 +1073,16 @@ object Dedup {
     * the stream probe ([[graft.streaming.StreamOps.bloomScaleFilters]])
     * materializes. */
   def bloomScaleStats(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
-                      cap0: Long = BloomSliceCap0,
+                      cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
                       sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sl = sliceLines0.getOrElse(bloomSliceLines(
-      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0))
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
     val nl = sl.groupBy($"slice").agg(count(lit(1)).as("n_lines"))
-    val np = bloomSlicePositions(sl, cap0)
+    val np = bloomSlicePositions(sl, cap0, k0)
       .groupBy($"slice").agg(count(lit(1)).as("n_set_positions"))
     nl.join(np, Seq("slice"))
-      .join(broadcast(bloomParamsDf(docs.sparkSession, cap0)
+      .join(broadcast(bloomParamsDf(docs.sparkSession, cap0, k0)
         .select($"slice", $"m", $"k")), Seq("slice"))
       .select($"slice".as("slice_id"), $"n_lines", $"n_set_positions",
         $"m".as("m_bits"), $"k".cast("long").as("k_hashes"),
@@ -1097,10 +1100,10 @@ object Dedup {
     * STANDING slices only (a bounded broadcast of the dial rows that
     * exist in state), and the position join is equi on (slice, p). */
   private def bloomScaleMembers(lines: DataFrame, slicePos: DataFrame,
-                                cap0: Long): DataFrame = {
+                                cap0: Long, k0: Int = BloomSliceK0): DataFrame = {
     import lines.sparkSession.implicits._
     val standing = broadcast(slicePos.select($"slice").distinct()
-      .join(bloomParamsDf(lines.sparkSession, cap0), Seq("slice"))
+      .join(bloomParamsDf(lines.sparkSession, cap0, k0), Seq("slice"))
       .select($"slice", $"m", $"k"))
     // lines x standing-slices: bounded by the O(log corpus) slice count
     val probe = lines.crossJoin(standing)
@@ -1123,16 +1126,16 @@ object Dedup {
     * guarantees to be 0; the column makes the guarantee a graded artifact
     * rather than a comment. */
   def bloomScaleProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
-                      cap0: Long = BloomSliceCap0,
+                      cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
                       dropE6: Long = BloomDropE6,
                       sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
     val slicePos = bloomSlicePositions(
-      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0)), cap0)
+      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0)), cap0, k0)
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
-    val hits = bloomScaleMembers(batch, slicePos, cap0)
+    val hits = bloomScaleMembers(batch, slicePos, cap0, k0)
       .withColumn("bh", lit(1))
     batch
       .join(hits, Seq("doc_id", "line"), "left")
@@ -1170,10 +1173,11 @@ object Dedup {
   def bloomScaleStatsCompound(docs: DataFrame, mod: Int = 10,
                               w: Int = LineTokens,
                               cap0: Long = BloomSliceCap0,
+                              k0: Int = BloomSliceK0,
                               dropE6: Long = BloomDropE6,
                               sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val lifecycle = bloomScaleStats(docs, mod, w, cap0, sliceLines0)
+    val lifecycle = bloomScaleStats(docs, mod, w, cap0, k0, sliceLines0)
       .agg(count(lit(1)).as("n_slices"),
         sum($"n_lines").as("n_corpus_lines"),
         sort_array(collect_list(struct($"slice_id", $"fpr_e6"))).as("fa"))
@@ -1181,7 +1185,7 @@ object Dedup {
         (lit(1000000L) - expr("aggregate(fa, cast(1000000 as bigint), " +
           "(acc, x) -> (acc * (1000000 - x.fpr_e6)) div 1000000)"))
           .as("predicted_fpr_e6"))
-    val probe = bloomScaleProbe(docs, mod, w, cap0, dropE6, sliceLines0)
+    val probe = bloomScaleProbe(docs, mod, w, cap0, k0, dropE6, sliceLines0)
       .agg(sum($"n_lines").as("n_batch_lines"),
         sum($"n_bloom_dup").as("n_bloom_hits"),
         sum($"n_exact_dup").as("n_exact_dups"),
@@ -1219,7 +1223,8 @@ object Dedup {
     val nStanding = sliceLines.agg(count(lit(1)).as("n_standing"))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val members = bloomScaleMembers(batch, slicePos, cap0)
-    val kept = bloomScaleProbe(docs, mod, w, cap0, dropE6, Some(sliceLines))
+    val kept = bloomScaleProbe(docs, mod, w, cap0, BloomSliceK0, dropE6,
+      Some(sliceLines))
       .filter($"drop_doc" === 0L).select($"doc_id")
     val newLines = batch
       .join(kept, Seq("doc_id"), "left_semi")

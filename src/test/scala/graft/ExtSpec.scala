@@ -966,6 +966,22 @@ class ExtSpec extends AnyFunSuite {
       sliced.getAs[Long]("n_exact_dups") + sliced.getAs[Long]("n_false_pos")
         - sliced.getAs[Long]("n_false_neg"),
       s"compound count identity violated: $sliced")
+    // NEGATIVE CONTROL (the j4_bpe_decode corrupted-table convention —
+    // prove the tripwire can FIRE): at the degenerate k0 = 1 dial the
+    // telescoped budget is 2^0 = 100% and slices saturate their error —
+    // the same chain must MEASURE a large FPR on the same corpus, and
+    // the in-row model must track it (a model that stays green while
+    // measurement explodes is exactly the round-14 failure shape).
+    val bad = ext.Dedup.bloomScaleStatsCompound(docs, cap0 = 100L, k0 = 1)
+      .collect()(0)
+    val badMeas = bad.getAs[Long]("measured_fpr_e6")
+    val badPred = bad.getAs[Long]("predicted_fpr_e6")
+    assert(badMeas > 50000L,
+      s"degenerate dial must measure a large FPR (tripwire fires): $bad")
+    assert(badMeas <= 3 * badPred + 2000 && badPred <= 3 * badMeas + 2000,
+      s"model must track measurement even in the bad regime: $bad")
+    assert(badMeas > 20L * math.max(sliced.getAs[Long]("measured_fpr_e6"), 1L),
+      s"healthy dial must beat the degenerate one by >20x: healthy=$sliced bad=$bad")
   }
 
   test("IVF ANN: recall vs brute force is usable at 16 cells / 4 probes") {
