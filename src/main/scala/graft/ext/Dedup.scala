@@ -219,16 +219,7 @@ object Dedup {
                    bucketCap: Int = BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
     val (sa, bandSig) = shingleBands(docs, bands, rows)
-    // keep only buckets with 2..bucketCap docs: <2 yields no pairs,
-    // >cap is the boilerplate mega-bucket (quadratic blowup guard)
-    val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
-      .select($"band", $"sig")
-    val pruned = bandSig.join(ok, Seq("band", "sig"), "left_semi")
-    val cand = pruned.select($"doc_id".as("doc_a"), $"band", $"sig")
-      .join(pruned.select($"doc_id".as("doc_b"), $"band", $"sig"), Seq("band", "sig"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    val cand = candidatePairsOf(bandSig, bucketCap)
     // distinct shingle sets come straight off the per-row arrays — the
     // exploded .distinct() + groupBy-count this replaces shuffled the full
     // shingle grain twice
@@ -245,6 +236,67 @@ object Dedup {
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         round($"ninter".cast("double") / ($"na" + $"nb" - $"ninter"), 6).as("jaccard"))
+  }
+
+  /** The LSH CANDIDATE stage alone (docs sharing any 2..cap band bucket):
+    * <2 yields no pairs, >cap is the boilerplate mega-bucket (quadratic
+    * blowup guard). Shared by [[nearDupPairs]] (which verifies with exact
+    * Jaccard) and [[lshRecall]] (which grades this stage against the
+    * exact-join ground truth). */
+  private def candidatePairsOf(bandSig: DataFrame, bucketCap: Int): DataFrame = {
+    import bandSig.sparkSession.implicits._
+    val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2 && $"cnt" <= bucketCap)
+      .select($"band", $"sig")
+    val pruned = bandSig.join(ok, Seq("band", "sig"), "left_semi")
+    pruned.select($"doc_id".as("doc_a"), $"band", $"sig")
+      .join(pruned.select($"doc_id".as("doc_b"), $"band", $"sig"), Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+  }
+
+  /** J2 — the text-LSH RECALL/PRECISION row (round-15 verdict #2): the
+    * banded candidate generator graded against its IN-REPO ground truth —
+    * the exact prefix-filter n-gram Jaccard join ([[jaccardNgramPairs]])
+    * at the near-dup decision threshold [[NearDupGroupJaccard]] — at both
+    * banding dial points (the default [[Bands]]x[[RowsPerBand]] and the
+    * high-recall 4x1 of `j2_neardup_pairs_b4r1`). One row per dial point:
+    * truth pairs, candidate pairs, their intersection, and recall /
+    * precision in exact millionths — the `j3_ann_recall` convention
+    * applied to the text family, so EVERY approximate candidate generator
+    * now carries a graded fit-for-purpose number (ANN: recall@k vs brute
+    * force; Bloom: measured-vs-predicted FPR; LSH: this row). Recall here
+    * is the CANDIDATE stage's (verification is exact, so candidate recall
+    * IS pipeline recall); precision is the verify-cost number (what
+    * fraction of exact-Jaccard verifications the banding wastes).
+    *
+    * 100 TB posture: both dial points share ONE shingle/minhash build
+    * (row-local signatures off the same tracked frames); the truth side
+    * is the prefix-filter join the repo already bounds; the compare is
+    * two pair-grain semi-join counts folded into bounded 1-row aggregates
+    * (broadcast-crossed — the `j2_bloom_stats` summary-row shape). */
+  def lshRecall(docs: DataFrame,
+                truthT: Double = NearDupGroupJaccard,
+                bucketCap: Int = BucketCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val truth = graft.Pinned.track(
+      jaccardNgramPairs(docs, truthT, bucketCap).select($"doc_a", $"doc_b"))
+    def rowFor(cfg: String, bands: Int, rows: Int): DataFrame = {
+      val cand = graft.Pinned.track(
+        candidatePairsOf(shingleBands(docs, bands, rows)._2, bucketCap))
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hits))
+        .select(lit(cfg).as("config"),
+          lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"),
+          $"n_truth", $"n_cand", $"n_hit",
+          expr("(n_hit * 1000000) div greatest(n_truth, 1)").as("recall_e6"),
+          expr("(n_hit * 1000000) div greatest(n_cand, 1)").as("precision_e6"))
+    }
+    rowFor("default", Bands, RowsPerBand)
+      .unionByName(rowFor("b4r1", 4, 1))
   }
 
   /** Verified-pair Jaccard threshold for clustering ([[nearDupGroups]]) —
@@ -971,11 +1023,22 @@ object Dedup {
     * k_i positions all live in its own slice, and the probe tests every
     * standing slice with exactly that slice's seed set 0..k_i-1.
     *
-    * The [[BloomSliceMax]] = 40-row dial table covers cap0 * (2^40 - 1)
-    * ~ 8.2e15 lines at the production cap0 = 7500 — past a 100 TB corpus —
-    * with max m_39 ~ 2^58 inside the 60-bit hash space. Seeds are the
-    * hash indices 0..k_i-1 themselves (hash input "j:line"), so k growth
-    * needs no seed table. The compound-budget claim is itself GRADED:
+    * The [[BloomSliceMax]] = 40-row dial table admits cap0 * (2^40 - 1)
+    * lines at the production cap0 = 7500, with max m_39 ~ 2^58 inside the
+    * 60-bit hash space — but the GRADED coverage claim is scoped to
+    * ~slice 30 (cap0 * 2^31 ~ 1.6e13 lines, comfortably past a 100 TB
+    * corpus at ~100-token lines): beyond that, `fill_e6 =
+    * n_set_positions * 1000000` in [[bloomScaleStats]] would overflow
+    * int64 once a slice holds > 9.2e12 set positions (Spark wraps where
+    * DuckDB errors, forking the twins), and the streaming packed-bitmap
+    * form ([[graft.streaming.StreamOps.bloomScaleFilters]]) would have to
+    * materialize up to 2^52 longs for the largest slices — its practical
+    * ceiling is a slice's bitmap fitting a broadcast (~m_i <= 2^34); the
+    * batch family's distributed (slice, p) equi-join is the scale-safe
+    * twin past that. The tail rows keep the table total (no re-dial on
+    * growth) without a graded claim attached. Seeds are the hash indices
+    * 0..k_i-1 themselves (hash input "j:line"), so k growth needs no seed
+    * table. The compound-budget claim is itself GRADED:
     * [[bloomScaleStatsCompound]] emits predicted-vs-measured FPR in one
     * row (the `j2_bloom_stats` convention the round-14 family skipped),
     * ExtSpec pins the bound, and ScaleProbe re-measures it at 10x/30x. */
@@ -1214,25 +1277,53 @@ object Dedup {
   private[graft] def bloomScaleNewLineSlices(docs: DataFrame, mod: Int = 10,
                                              w: Int = LineTokens,
                                              cap0: Long = BloomSliceCap0,
+                                             k0: Int = BloomSliceK0,
                                              dropE6: Long = BloomDropE6,
                                              sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
-    val sliceLines = sliceLines0.getOrElse(bloomSliceLines(corpus, cap0))
-    val slicePos = bloomSlicePositions(sliceLines, cap0)
-    val nStanding = sliceLines.agg(count(lit(1)).as("n_standing"))
+    val sliceLines = sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
-    val members = bloomScaleMembers(batch, slicePos, cap0)
-    val kept = bloomScaleProbe(docs, mod, w, cap0, BloomSliceK0, dropE6,
-      Some(sliceLines))
-      .filter($"drop_doc" === 0L).select($"doc_id")
+    bloomScaleIngestNewSlices(sliceLines, batch, cap0, k0, dropE6)
+  }
+
+  /** The write path's batch-generic core: against an arbitrary standing
+    * line-state (line, slice), probe one batch's (doc_id, line) rows,
+    * apply the drop rule, and emit the KEPT docs' non-member lines with
+    * their rank-continued slice assignment — the Almeida insert discipline
+    * at batch grain, reusable across consecutive ingests
+    * ([[bloomScaleUpsert2]]) and against the composed keep
+    * ([[graft.ext.Pipeline.ingestUpsert]], which passes `keptDocs0`). */
+  private[graft] def bloomScaleIngestNewSlices(sliceLines: DataFrame,
+                                               batch: DataFrame,
+                                               cap0: Long = BloomSliceCap0,
+                                               k0: Int = BloomSliceK0,
+                                               dropE6: Long = BloomDropE6,
+                                               keptDocs0: Option[DataFrame] = None,
+                                               slicePos0: Option[DataFrame] = None): DataFrame = {
+    import batch.sparkSession.implicits._
+    // slicePos0: a caller-tracked position frame — the standing distinct
+    // is the step's dominant cost, so multi-consumer callers (upsert,
+    // upsert2, the composed ingest) materialize it ONCE and pass it in
+    val slicePos = slicePos0.getOrElse(bloomSlicePositions(sliceLines, cap0, k0))
+    val nStanding = sliceLines.agg(count(lit(1)).as("n_standing"))
+    val members = bloomScaleMembers(batch, slicePos, cap0, k0)
+    // per-doc drop rule from the membership rollup — identical to
+    // bloomScaleProbe's verdict (same count, same frac arithmetic)
+    val kept = keptDocs0.getOrElse(
+      batch.join(members.withColumn("bh", lit(1)), Seq("doc_id", "line"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(coalesce($"bh", lit(0))).cast("long").as("n_dup"))
+        .filter(expr("(n_dup * 1000000) div greatest(n_lines, 1)") < dropE6)
+        .select($"doc_id"))
     val newLines = batch
       .join(kept, Seq("doc_id"), "left_semi")
       .join(members, Seq("doc_id", "line"), "left_anti")
       .groupBy($"line").agg(min($"doc_id").as("first_doc"))
     graft.Dist.withGlobalRank(newLines, "rn", Seq($"first_doc", $"line"))
       .crossJoin(broadcast(nStanding))
-      .join(broadcast(bloomParamsDf(docs.sparkSession, cap0)),
+      .join(broadcast(bloomParamsDf(batch.sparkSession, cap0, k0)),
         $"rn" + $"n_standing" > $"lo" && $"rn" + $"n_standing" <= $"hi")
       .select($"line", $"slice")
   }
@@ -1249,17 +1340,71 @@ object Dedup {
     * per-slice bounded by its own m. */
   def bloomScaleUpsert(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                        cap0: Long = BloomSliceCap0,
+                       k0: Int = BloomSliceK0,
                        dropE6: Long = BloomDropE6,
                        sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sl = sliceLines0.getOrElse(bloomSliceLines(
-      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0))
-    val standing = bloomSlicePositions(sl, cap0)
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
+    // ONE materialization of the standing distinct — consumed by the
+    // probe, the novel-position anti-join, and the output union (the
+    // un-tracked form recomputed the heaviest stage three times)
+    val standing = graft.Pinned.track(bloomSlicePositions(sl, cap0, k0))
+    val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val newPos = bloomSlicePositions(
-        bloomScaleNewLineSlices(docs, mod, w, cap0, dropE6, Some(sl)), cap0)
+        bloomScaleIngestNewSlices(sl, batch, cap0, k0, dropE6,
+          slicePos0 = Some(standing)), cap0, k0)
       .join(standing, Seq("slice", "p"), "left_anti")
     standing.withColumn("is_new", lit(0L))
       .unionByName(newPos.withColumn("is_new", lit(1L)))
+  }
+
+  /** J2 — TWO-CONSECUTIVE-INGEST state evolution (round-15 verdict #3):
+    * the batch carve splits in half (batch 1 = doc_id % 2*`mod` == `mod`,
+    * batch 2 = doc_id % 2*`mod` == 0 — together exactly the single-step
+    * family's batch), and the write step runs TWICE through
+    * [[bloomScaleIngestNewSlices]]: batch 1 probes the corpus state v0 and
+    * its kept docs' novel lines continue v0's global rank (filling the
+    * active slice's headroom, then opening geometric slices); batch 2 then
+    * probes the RESULTING state v1 = v0 ∪ batch-1 inserts — so a batch-2
+    * line duplicating a batch-1 insert is a MEMBER (no false negative
+    * across the ingest boundary; ExtSpec pins it) — and its novel lines
+    * continue v1's rank. One row per post-ingest (slice, position) with
+    * `batch_no` ∈ {0 standing, 1, 2} attributing which ingest set it: the
+    * write path's COMPOSITION over consecutive nights as a graded
+    * artifact, not an ExtSpec-only law.
+    *
+    * 100 TB posture: each step is the single-step upsert's plan (bounded
+    * (slice, p) state, one rank over the novel-line grain, broadcast dial
+    * table); the composition adds nothing super-linear. */
+  def bloomScaleUpsert2(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                        cap0: Long = BloomSliceCap0,
+                        k0: Int = BloomSliceK0,
+                        dropE6: Long = BloomDropE6,
+                        sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sl0 = sliceLines0.getOrElse(bloomSliceLines(
+      bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
+    val batch1 = bloomDocLines(
+      docs.filter($"doc_id" % (2L * mod) === mod.toLong), w)
+    val batch2 = bloomDocLines(docs.filter($"doc_id" % (2L * mod) === 0L), w)
+    // each state's position set materializes ONCE (tracked): pos0 feeds
+    // the step-1 probe, both anti-joins, and the output; sp1 (= v1) feeds
+    // the step-2 probe and the step-2 anti-join
+    val pos0 = graft.Pinned.track(bloomSlicePositions(sl0, cap0, k0))
+    val ns1 = graft.Pinned.track(bloomScaleIngestNewSlices(
+      sl0, batch1, cap0, k0, dropE6, slicePos0 = Some(pos0)))
+    val pos1 = graft.Pinned.track(bloomSlicePositions(ns1, cap0, k0)
+      .join(pos0, Seq("slice", "p"), "left_anti"))
+    val sl1 = sl0.select($"line", $"slice").unionByName(ns1)
+    val sp1 = pos0.unionByName(pos1) // v1 positions, disjoint by construction
+    val ns2 = bloomScaleIngestNewSlices(sl1, batch2, cap0, k0, dropE6,
+      slicePos0 = Some(sp1))
+    val pos2 = bloomSlicePositions(ns2, cap0, k0)
+      .join(sp1, Seq("slice", "p"), "left_anti")
+    pos0.withColumn("batch_no", lit(0L))
+      .unionByName(pos1.withColumn("batch_no", lit(1L)))
+      .unionByName(pos2.withColumn("batch_no", lit(2L)))
   }
 
   /** J2/J7 — SOURCE-overlap matrix (round 14): exact Jaccard of every
@@ -1520,6 +1665,32 @@ object Dedup {
     flat(corpIdx, "doc_c", 0L)
       .unionByName(flat(
         bandN.join(keptIds, Seq("doc_id"), "left_semi"), "doc_id", 1L))
+  }
+
+  /** The lexical band-index write step against a CALLER-SUPPLIED keep set
+    * (the composed ingest decision, [[graft.ext.Pipeline.ingestUpsert]]):
+    * the corpus side's cap-gated band rows flattened to
+    * (doc_id, band, k0..k{rows-1}, is_new = 0) plus every band row of the
+    * kept batch docs (is_new = 1) — [[incrementalNearDupUpsert]]'s emitted
+    * shape with the keep decision injected instead of the LSH gate's own
+    * verdict. Sub-shingle docs contribute no rows, identically on both
+    * engines. */
+  private[graft] def bandIndexUpsert(docs: DataFrame, keptDocs: DataFrame,
+                                     mod: Int = 10,
+                                     bands: Int = Bands, rows: Int = RowsPerBand,
+                                     bucketCap: Int = BucketCap): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (_, corpB) = shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)
+    val ok = corpB.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= bucketCap).select($"band", $"sig")
+    val corpIdx = corpB.join(ok, Seq("band", "sig"), "left_semi")
+    val (_, bandN) = shingleBands(docs.filter($"doc_id" % mod === 0), bands, rows)
+    def flat(df: DataFrame, isNew: Long): DataFrame =
+      df.select((col("doc_id") +: col("band").cast("long").as("band") +:
+        (0 until rows).map(r => col(s"sig.k$r").as(s"k$r"))) :+
+        lit(isNew).as("is_new"): _*)
+    flat(corpIdx, 0L)
+      .unionByName(flat(bandN.join(keptDocs, Seq("doc_id"), "left_semi"), 1L))
   }
 
   /** Jaccard threshold for the EXACT n-gram similarity join

@@ -200,6 +200,14 @@ object ExtQueries {
     "j2_jaccard_ngram" -> ((s, d) =>
       Dedup.jaccardNgramPairs(Tables.documents(s, d))),
 
+    // J2 — text-LSH recall/precision vs the IN-REPO exact ground truth
+    // (round-15 verdict #2): the banded candidate stage graded against
+    // the prefix-filter exact Jaccard join at the 0.9 decision threshold,
+    // at BOTH banding dial points in one table — the j3_ann_recall
+    // convention applied to the text family.
+    "j2_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecall(Tables.documents(s, d))),
+
     // J2 — near-dup CLUSTERS: connected components over the verified pair
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
     "j2_neardup_groups" -> ((s, d) => neardupGroups(s, d)),
@@ -347,6 +355,16 @@ object ExtQueries {
       Dedup.bloomScaleUpsert(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J2 — TWO-consecutive-ingest state evolution (round-15 verdict #3):
+    // the batch carve halves (doc_id % 20 == 10, then % 20 == 0); batch 1
+    // writes against the corpus state v0, batch 2 probes and writes
+    // against the RESULTING v1 — slice-headroom continuation then
+    // geometric roll across two nights, with batch_no attribution. The
+    // write path's composition as a graded artifact.
+    "j2_bloom_scale_upsert2" -> ((s, d) =>
+      Dedup.bloomScaleUpsert2(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
     // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
     // headline signal): merged duplicated-10-gram runs surfaced as run
     // count / longest run / total duplicated tokens + the >=50-token
@@ -404,6 +422,16 @@ object ExtQueries {
     // incremental complement of j7_funnel's whole-corpus accounting.
     "j7_ingest_audit" -> ((s, d) =>
       Pipeline.ingestAudit(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
+    // J7 — the COMPOSED ingest upsert (round-15 verdict #1): the write
+    // step driven by the audit's production keep (exact AND bloom AND
+    // near-dup) — one normalized post-ingest state table (bloom
+    // positions, LSH band index, membership roster), so a doc dropped by
+    // ANY gate enters NO standing state; the per-family upserts stay as
+    // the single-modality twins.
+    "j7_ingest_upsert" -> ((s, d) =>
+      Pipeline.ingestUpsert(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
@@ -777,6 +805,16 @@ object ExtQueries {
 
     // the one-row W dial: fill at W=32 vs W=256 over the same counts —
     // the shard-local fill loss quantified (delta >= 0 pinned in ExtSpec).
+    // J7 — INTERLEAVED multimodal packing (round-15 verdict #5): the VLM
+    // loader shape — each doc is a (text span, image-placeholder span)
+    // item whose image cost comes from the REAL decoded dims (ViT patch
+    // count), gated on the image near-dup canonical, packed whole-doc
+    // through the packFit FFD kernel; manifest emits both span offsets.
+    "j7_pack_mm" -> ((s, d) =>
+      Pipeline.packMm(Tables.documents(s, d),
+        Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d))),
+        phashGroups(s, d))),
+
     "j7_pack_fit_wdial" -> ((s, d) => {
       import s.implicits._
       Pipeline.packFitWindowDial(bpeEncoded(s, d).select($"doc_id", $"n_tokens"),
@@ -1039,7 +1077,7 @@ object ExtQueries {
   // (bands, rows) layout so the non-default banding dial's oracle is
   // generated by the same code (bands*rows must not exceed the minhash
   // columns tokCtes materializes).
-  private def bandCtesFor(bands: Int, rows: Int): String = {
+  private def bandCtesFor(bands: Int, rows: Int, sfx: String = ""): String = {
     require(bands * rows <= nMinhashes, s"banding $bands x $rows needs more than $nMinhashes hashes")
     (0 until bands).map { b =>
       val keys = (0 until rows).map(r => s"h${b * rows + r}")
@@ -1047,14 +1085,14 @@ object ExtQueries {
       val pos = (1 to keys.size).mkString(", ")
       val gOn = keys.map(k => s"g.$k = a.$k").mkString(" AND ")
       val abOn = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
-      s"""ok$b AS (SELECT $sel FROM mh GROUP BY $pos HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
-         |cand$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a
-         |  JOIN ok$b g ON $gOn
+      s"""ok$sfx$b AS (SELECT $sel FROM mh GROUP BY $pos HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+         |cand$sfx$b AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a
+         |  JOIN ok$sfx$b g ON $gOn
          |  JOIN mh b ON $abOn AND a.doc_id < b.doc_id)""".stripMargin
     }.mkString(",\n")
   }
-  private def candUnionFor(bands: Int): String =
-    (0 until bands).map(b => s"SELECT * FROM cand$b").mkString(" UNION ALL ")
+  private def candUnionFor(bands: Int, sfx: String = ""): String =
+    (0 until bands).map(b => s"SELECT * FROM cand$sfx$b").mkString(" UNION ALL ")
   private val bandCtes = bandCtesFor(Dedup.Bands, Dedup.RowsPerBand)
   private val candUnion = candUnionFor(Dedup.Bands)
 
@@ -1553,6 +1591,40 @@ object ExtQueries {
        |FROM fitagg f, ca c""".stripMargin
   }
 
+  /** DuckDB twin of [[Pipeline.packMm]]: the image-cluster chain (the
+    * funnel oracle's icomp CTEs) gates to canonical-image docs, the item
+    * cost is text tokens + the CLOSED-FORM ViT patch count from the PNG
+    * fixture dims (w = doc_id%13+3, h = doc_id%7+2 — what the Spark side
+    * must REPRODUCE through the real imageio decode), and the pack is the
+    * shared [[packFitChain]] recurrence over a custom `enc`/`pk0` prefix. */
+  private val packMmOracle: String = {
+    val p = Pipeline.MmPatch
+    val seed = Pipeline.ShuffleSeed
+    s"""WITH RECURSIVE $ahashHamCtes,
+       |ihp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pruned a JOIN pruned b ON b.blk = a.blk AND b.val = a.val
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+       |iedges AS (SELECT doc_a, doc_b FROM ihp
+       |  UNION ALL SELECT doc_b, doc_a FROM ihp),
+       |ireach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+       |  UNION SELECT e.doc_a AS v, r.l FROM ireach r JOIN iedges e ON e.doc_b = r.v),
+       |icomp AS (SELECT v AS doc_id, min(l) AS icluster FROM ireach GROUP BY v),
+       |mcnt AS (SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_text,
+       |    ((d.doc_id % 13 + 3 + $p - 1) // $p) * ((d.doc_id % 7 + 2 + $p - 1) // $p) AS n_img
+       |  FROM documents d JOIN icomp ic ON ic.doc_id = d.doc_id
+       |  WHERE ic.doc_id = ic.icluster),
+       |enc AS (SELECT doc_id, n_text + n_img AS n_tokens FROM mcnt),
+       |pk0 AS (SELECT doc_id, n_tokens,
+       |    ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey FROM enc),
+       |${packFitChain(Pipeline.PackFitWindowDocs, "")}
+       |SELECT o.doc_id, m.n_text AS n_text_tokens, m.n_img AS n_img_tokens,
+       |  o.n_tokens, o.window_id, o.bin_in_window, o.seq_id, o.seq_offset,
+       |  o.seq_offset + m.n_text AS img_offset, o.bin_tokens, o.fill_e6
+       |FROM pf_out o JOIN mcnt m ON m.doc_id = o.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[Pipeline.spanCorruptBpe]]: the encode chain's ids
     * re-listed per doc, the same (seed, doc, block) md5 draws at the
     * ID-block grain, sentinels = vmax + 1 + ordinal. */
@@ -1881,6 +1953,36 @@ object ExtQueries {
        |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0)""".stripMargin
   }
 
+  /** The ingest-AUDIT chain shared by `j7_ingest_audit` (verdict table)
+    * and `j7_ingest_upsert` (the composed write step): the lexical probe
+    * chain (toks..jac/best), the sliced bloom chain (t..hit/bl — disjoint
+    * CTE names by construction), and the exact-hash gate composed at the
+    * batch doc grain into relation `audit`. */
+  private val ingestAuditCtes: String =
+    s"""$incProbeChain,
+       |best AS (SELECT doc_n, doc_c, j_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+       |    FROM jac) z WHERE rn = 1),
+       |$bloomScaleCtes,
+       |bpd AS (SELECT b.doc_id,
+       |    (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |      // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6
+       |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
+       |  GROUP BY 1),
+       |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+       |audit AS (SELECT d.doc_id,
+       |    CAST(CASE WHEN md5(d.text) IN (SELECT h FROM exh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |    p.bloom_dup_frac_e6,
+       |    CAST(CASE WHEN p.bloom_dup_frac_e6 >= ${Dedup.BloomDropE6} THEN 1 ELSE 0 END AS BIGINT) AS bloom_drop,
+       |    coalesce(b.doc_c, -1) AS match_doc_id,
+       |    coalesce(b.j_e6, 0) AS jaccard_e6,
+       |    CAST(CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
+       |      THEN 1 ELSE 0 END AS BIGINT) AS neardup_drop
+       |  FROM documents d
+       |  JOIN bpd p ON p.doc_id = d.doc_id
+       |  LEFT JOIN best b ON b.doc_n = d.doc_id
+       |  WHERE d.doc_id % 10 = 0)""".stripMargin
+
 
   /** Funnel oracle generator — stage list and cumulative-flag SQL both
     * derive from Pipeline.FunnelStages / FunnelStagesFull, the same Seqs
@@ -2067,29 +2169,7 @@ object ExtQueries {
     // bloom chain (t..hit/bl — disjoint CTE names by construction), and
     // the exact-hash gate composed at the batch doc grain.
     "j7_ingest_audit" ->
-      s"""$incProbeChain,
-         |best AS (SELECT doc_n, doc_c, j_e6 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
-         |    FROM jac) z WHERE rn = 1),
-         |${bloomScaleCtes.replaceFirst("^t AS", "t AS")},
-         |bpd AS (SELECT b.doc_id,
-         |    (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-         |      // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6
-         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line
-         |  GROUP BY 1),
-         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
-         |audit AS (SELECT d.doc_id,
-         |    CAST(CASE WHEN md5(d.text) IN (SELECT h FROM exh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
-         |    p.bloom_dup_frac_e6,
-         |    CAST(CASE WHEN p.bloom_dup_frac_e6 >= ${Dedup.BloomDropE6} THEN 1 ELSE 0 END AS BIGINT) AS bloom_drop,
-         |    coalesce(b.doc_c, -1) AS match_doc_id,
-         |    coalesce(b.j_e6, 0) AS jaccard_e6,
-         |    CAST(CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
-         |      THEN 1 ELSE 0 END AS BIGINT) AS neardup_drop
-         |  FROM documents d
-         |  JOIN bpd p ON p.doc_id = d.doc_id
-         |  LEFT JOIN best b ON b.doc_n = d.doc_id
-         |  WHERE d.doc_id % 10 = 0)
+      s"""$ingestAuditCtes
          |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
          |  match_doc_id, jaccard_e6, neardup_drop,
          |  CASE WHEN exact_dup = 1 THEN 'exact'
@@ -2099,6 +2179,69 @@ object ExtQueries {
          |  CAST(CASE WHEN exact_dup + bloom_drop + neardup_drop = 0
          |    THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM audit""".stripMargin,
+
+    // The COMPOSED ingest upsert: the audit chain's kept set drives all
+    // three write legs — the bloom single-step upsert tail, the cap-gated
+    // band-index flatten, and the membership roster — in one normalized
+    // (family, k1..k4, is_new) union.
+    "j7_ingest_upsert" -> {
+      val rows = Dedup.RowsPerBand
+      val lshCorp = (0 until Dedup.Bands).map { b =>
+        val keys = (0 until rows).map(r => s"h${b * rows + r}")
+        val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+        s"""SELECT 'lsh' AS family, c.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+           |  c.${keys(0)} AS k3, c.${keys(1)} AS k4, CAST(0 AS BIGINT) AS is_new
+           |FROM corp c JOIN iok$b g ON $gOn""".stripMargin
+      }
+      val lshBatch = (0 until Dedup.Bands).map { b =>
+        val keys = (0 until rows).map(r => s"h${b * rows + r}")
+        s"""SELECT 'lsh' AS family, i.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+           |  i.${keys(0)} AS k3, i.${keys(1)} AS k4, CAST(1 AS BIGINT) AS is_new
+           |FROM inc i JOIN keptc kk ON kk.doc_id = i.doc_id""".stripMargin
+      }
+      s"""$ingestAuditCtes,
+         |keptc AS (SELECT doc_id FROM audit
+         |  WHERE exact_dup + bloom_drop + neardup_drop = 0),
+         |unl AS (SELECT b.line, min(b.doc_id) AS first_doc
+         |  FROM bl b JOIN keptc kk ON kk.doc_id = b.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM hit h
+         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+         |  GROUP BY 1),
+         |unst AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl),
+         |unrk AS (SELECT line,
+         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+         |      + (SELECT n_standing FROM unst) AS g
+         |  FROM unl),
+         |unsl AS (SELECT n.line, p.slice, p.m, p.k FROM unrk n
+         |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
+         |unp0 AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM unsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+         |unp AS (SELECT n.slice, n.p FROM unp0 n
+         |  WHERE NOT EXISTS (SELECT 1 FROM spos sp
+         |    WHERE sp.slice = n.slice AND sp.p = n.p))
+         |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+         |  CAST(0 AS BIGINT) AS is_new
+         |FROM spos
+         |UNION ALL
+         |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+         |  CAST(1 AS BIGINT) AS is_new
+         |FROM unp
+         |UNION ALL
+         |${(lshCorp ++ lshBatch).mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+         |  CAST(0 AS BIGINT) AS is_new
+         |FROM documents WHERE doc_id % 10 <> 0
+         |UNION ALL
+         |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+         |  CAST(1 AS BIGINT) AS is_new
+         |FROM keptc""".stripMargin
+    },
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "st_inc_probe" -> incProbePairOracle,
@@ -2161,6 +2304,61 @@ object ExtQueries {
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= ${Dedup.JaccardJoinThreshold}""".stripMargin,
+
+    // Text-LSH recall/precision: both banding dial points' candidate
+    // chains (suffixed CTEs over the SAME mh minhashes) against the
+    // exact prefix-filter truth at the 0.9 decision threshold — one row
+    // per dial point with recall/precision in exact millionths.
+    "j2_lsh_recall" -> {
+      val t = Dedup.NearDupGroupJaccard
+      s"""WITH $tokCtes,
+         |${bandCtesFor(Dedup.Bands, Dedup.RowsPerBand)},
+         |${bandCtesFor(4, 1, "h")},
+         |canda AS (SELECT DISTINCT doc_a, doc_b FROM (${candUnionFor(Dedup.Bands)})),
+         |candh AS (SELECT DISTINCT doc_a, doc_b FROM (${candUnionFor(4, "h")})),
+         |tds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
+         |tsz AS (SELECT doc_id, count(*) AS n FROM tds GROUP BY 1),
+         |tfq AS (SELECT shingle, count(*) AS cnt FROM tds GROUP BY 1),
+         |tpre AS (SELECT doc_id, shingle FROM (
+         |    SELECT d.doc_id, d.shingle, s.n,
+         |      row_number() OVER (PARTITION BY d.doc_id ORDER BY f.cnt, d.shingle) AS r
+         |    FROM tds d JOIN tfq f ON f.shingle = d.shingle
+         |    JOIN tsz s ON s.doc_id = d.doc_id) z
+         |  WHERE r <= n - CAST(ceil($t * n) AS BIGINT) + 1),
+         |tok0 AS (SELECT shingle FROM tpre GROUP BY 1 HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
+         |tpr AS (SELECT p.doc_id, p.shingle FROM tpre p JOIN tok0 o ON o.shingle = p.shingle),
+         |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tpr a JOIN tpr b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         |tint AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter FROM tcand c
+         |  JOIN tds x ON x.doc_id = c.doc_a
+         |  JOIN tds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT c.doc_a, c.doc_b FROM tcand c
+         |  JOIN tint i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN tsz sa ON sa.doc_id = c.doc_a
+         |  JOIN tsz sb ON sb.doc_id = c.doc_b
+         |  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= $t),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nca AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM canda),
+         |nch AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM candh),
+         |hta AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM truth t
+         |  JOIN canda c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |hth AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM truth t
+         |  JOIN candh c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT 'default' AS config, CAST(${Dedup.Bands} AS BIGINT) AS bands,
+         |  CAST(${Dedup.RowsPerBand} AS BIGINT) AS rows_per_band,
+         |  t.n_truth, c.n_cand, h.n_hit,
+         |  (h.n_hit * 1000000) // greatest(t.n_truth, 1) AS recall_e6,
+         |  (h.n_hit * 1000000) // greatest(c.n_cand, 1) AS precision_e6
+         |FROM tr t, nca c, hta h
+         |UNION ALL
+         |SELECT 'b4r1' AS config, CAST(4 AS BIGINT) AS bands,
+         |  CAST(1 AS BIGINT) AS rows_per_band,
+         |  t.n_truth, c.n_cand, h.n_hit,
+         |  (h.n_hit * 1000000) // greatest(t.n_truth, 1) AS recall_e6,
+         |  (h.n_hit * 1000000) // greatest(c.n_cand, 1) AS precision_e6
+         |FROM tr t, nch c, hth h""".stripMargin
+    },
 
     // Source-overlap matrix: distinct (source, fp) grain, fp-grain
     // self-join, upper triangle with zero pairs from the size cross.
@@ -2751,6 +2949,84 @@ object ExtQueries {
          |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(0 AS BIGINT) AS is_new FROM spos
          |UNION ALL
          |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(1 AS BIGINT) AS is_new FROM np""".stripMargin,
+
+    // Two-consecutive-ingest evolution: batch 1 (doc_id % 20 = 10) writes
+    // against the corpus state (spos), batch 2 (doc_id % 20 = 0) probes
+    // and writes against the RESULTING v1 — each step is the single-step
+    // upsert chain with the standing count and position set advanced.
+    "j2_bloom_scale_upsert2" ->
+      s"""WITH $bloomScaleCtes,
+         |b1 AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 20 = 10),
+         |p1 AS (SELECT b.doc_id, b.line, x.slice, x.k, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || b.line), 1, 15))::BIGINT % x.m AS p
+         |  FROM b1 b CROSS JOIN ss x, LATERAL (SELECT unnest(generate_series(0, x.k - 1)) AS s) s),
+         |h1g AS (SELECT p.doc_id, p.line FROM p1 p JOIN spos sp ON sp.slice = p.slice AND sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, p.slice, p.k HAVING count(DISTINCT p.sd) = p.k),
+         |h1 AS (SELECT DISTINCT doc_id, line FROM h1g),
+         |pd1 AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM b1 b LEFT JOIN h1 h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  GROUP BY 1),
+         |k1 AS (SELECT doc_id FROM pd1
+         |  WHERE (n_dup * 1000000) // greatest(n_lines, 1) < ${Dedup.BloomDropE6}),
+         |nl1 AS (SELECT b.line, min(b.doc_id) AS first_doc
+         |  FROM b1 b JOIN k1 kk ON kk.doc_id = b.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM h1 h
+         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+         |  GROUP BY 1),
+         |ns0 AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl),
+         |nr1 AS (SELECT line,
+         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+         |      + (SELECT n_standing FROM ns0) AS g
+         |  FROM nl1),
+         |nsl1 AS (SELECT n.line, p.slice, p.m, p.k FROM nr1 n
+         |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
+         |np1 AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM nsl1 l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+         |np1n AS (SELECT n.slice, n.p FROM np1 n
+         |  WHERE NOT EXISTS (SELECT 1 FROM spos sp
+         |    WHERE sp.slice = n.slice AND sp.p = n.p)),
+         |sl1 AS (SELECT line, slice, m, k FROM sl
+         |  UNION ALL SELECT line, slice, m, k FROM nsl1),
+         |sp1 AS (SELECT slice, p FROM spos UNION SELECT slice, p FROM np1n),
+         |ss1 AS (SELECT DISTINCT slice, m, k FROM sl1),
+         |b2 AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 20 = 0),
+         |p2 AS (SELECT b.doc_id, b.line, x.slice, x.k, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || b.line), 1, 15))::BIGINT % x.m AS p
+         |  FROM b2 b CROSS JOIN ss1 x, LATERAL (SELECT unnest(generate_series(0, x.k - 1)) AS s) s),
+         |h2g AS (SELECT p.doc_id, p.line FROM p2 p JOIN sp1 sp ON sp.slice = p.slice AND sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, p.slice, p.k HAVING count(DISTINCT p.sd) = p.k),
+         |h2 AS (SELECT DISTINCT doc_id, line FROM h2g),
+         |pd2 AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM b2 b LEFT JOIN h2 h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  GROUP BY 1),
+         |k2 AS (SELECT doc_id FROM pd2
+         |  WHERE (n_dup * 1000000) // greatest(n_lines, 1) < ${Dedup.BloomDropE6}),
+         |nl2 AS (SELECT b.line, min(b.doc_id) AS first_doc
+         |  FROM b2 b JOIN k2 kk ON kk.doc_id = b.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM h2 h
+         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+         |  GROUP BY 1),
+         |ns1 AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl1),
+         |nr2 AS (SELECT line,
+         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+         |      + (SELECT n_standing FROM ns1) AS g
+         |  FROM nl2),
+         |nsl2 AS (SELECT n.line, p.slice, p.m, p.k FROM nr2 n
+         |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
+         |np2 AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM nsl2 l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+         |np2n AS (SELECT n.slice, n.p FROM np2 n
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp1 sp
+         |    WHERE sp.slice = n.slice AND sp.p = n.p))
+         |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(0 AS BIGINT) AS batch_no FROM spos
+         |UNION ALL
+         |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(1 AS BIGINT) AS batch_no FROM np1n
+         |UNION ALL
+         |SELECT CAST(slice AS BIGINT) AS slice, p, CAST(2 AS BIGINT) AS batch_no FROM np2n""".stripMargin,
 
     // Bloom upsert: the probe chain's per-doc verdicts gate which batch
     // docs insert; the emitted set is standing ∪ kept-novel positions.
@@ -3744,6 +4020,7 @@ object ExtQueries {
         "j4_bpe_encode_docs" -> bpeEncodeDocsOracle(6),
         "j7_pack_bpe" -> bpePackOracle(6),
         "j7_pack_fit" -> packFitOracle(6),
+        "j7_pack_mm" -> packMmOracle,
         "j7_pack_fit_stats" -> packFitStatsOracle(6),
         "j7_pack_fit_w256" -> packFitW256Oracle(6),
         "j7_pack_fit_wdial" -> packFitWdialOracle(6),

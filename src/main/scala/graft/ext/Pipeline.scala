@@ -184,6 +184,68 @@ object Pipeline {
           .cast("long").as("kept"))
   }
 
+  /** J7 — the COMPOSED ingest-gate UPSERT (round-15 verdict #1, the
+    * closure of the cross-modality read–probe–write loop): the nightly
+    * job's WRITE step driven by [[ingestAudit]]'s production keep
+    * (passes exact AND bloom AND near-dup) rather than each family's own
+    * gate — a doc any gate drops enters NO standing state (ExtSpec pins
+    * it). One normalized post-ingest state table:
+    *
+    *   - family = 'bloom': the sliced filter's (slice, position) rows —
+    *     standing (is_new = 0) plus the positions of the composed-KEPT
+    *     docs' non-member lines, rank-continued per the Almeida insert
+    *     discipline (is_new = 1); k1 = slice, k2 = position.
+    *   - family = 'lsh': the cap-gated band index — standing corpus rows
+    *     (is_new = 0) plus the kept batch docs' band rows (is_new = 1);
+    *     k1 = doc_id, k2 = band, (k3, k4) = the band's 2-row signature
+    *     (the flattened [[graft.ext.Dedup.incrementalNearDupUpsert]]
+    *     shape; RowsPerBand = 2 by the family's layout).
+    *   - family = 'member': post-ingest corpus membership — standing
+    *     corpus docs (is_new = 0) plus kept batch docs (is_new = 1);
+    *     k1 = doc_id.
+    *
+    * Unused key columns carry -1 (typed sentinels keep the union schema
+    * hashable). The per-family upserts (`j2_bloom_scale_upsert`,
+    * `j2_incremental_upsert`, `j3_semdedup_inc_upsert`) stay as the
+    * single-modality twins; this is the composition a production ingest
+    * actually writes.
+    *
+    * 100 TB posture: the audit's own bounded plans feed one keep
+    * semi-join per family; each leg is its single-modality upsert's
+    * shape (bounded (slice, p) state, band-grain equi-joins, doc-grain
+    * unions). */
+  def ingestUpsert(docs: DataFrame, mod: Int = 10,
+                   sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val kept = ingestAudit(docs, mod, sliceLines0)
+      .filter($"kept" === 1L).select($"doc_id")
+    val neg = lit(-1L)
+    // bloom leg: the single-step upsert with the composed keep injected
+    val sl0 = sliceLines0.getOrElse(Dedup.bloomSliceLines(
+      Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))))
+    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
+    val batch = Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0))
+    val newPos = Dedup.bloomSlicePositions(
+        Dedup.bloomScaleIngestNewSlices(sl0, batch, keptDocs0 = Some(kept),
+          slicePos0 = Some(standing)))
+      .join(standing, Seq("slice", "p"), "left_anti")
+    val bloom = standing.withColumn("is_new", lit(0L))
+      .unionByName(newPos.withColumn("is_new", lit(1L)))
+      .select(lit("bloom").as("family"), $"slice".as("k1"), $"p".as("k2"),
+        neg.as("k3"), neg.as("k4"), $"is_new")
+    // lsh leg: band index written under the composed keep
+    val lsh = Dedup.bandIndexUpsert(docs, kept, mod)
+      .select(lit("lsh").as("family"), $"doc_id".as("k1"), $"band".as("k2"),
+        $"k0".as("k3"), $"k1".as("k4"), $"is_new")
+    // membership leg: the post-ingest corpus roster
+    val mem = docs.filter($"doc_id" % mod =!= 0)
+      .select($"doc_id".as("k1")).withColumn("is_new", lit(0L))
+      .unionByName(kept.select($"doc_id".as("k1")).withColumn("is_new", lit(1L)))
+      .select(lit("member").as("family"), $"k1", neg.as("k2"),
+        neg.as("k3"), neg.as("k4"), $"is_new")
+    bloom.unionByName(lsh).unionByName(mem)
+  }
+
   /** [[curationFunnel]] gate order — shared by the op and its oracle
     * generator so the two stage lists can never drift. */
   val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",
@@ -1212,6 +1274,53 @@ object Pipeline {
         expr(s"(total_tokens * 1000000) div (n_bins_w_large * $seqLen)")
           .as("fill_w_large_e6"))
       .withColumn("fill_delta_e6", $"fill_w_large_e6" - $"fill_w_small_e6")
+  }
+
+  /** [[packMm]] ViT patch size: an image contributes
+    * ceil(w/patch) * ceil(h/patch) placeholder tokens — the deterministic
+    * vision-tower token count every VLM loader budgets from the DECODED
+    * dims. 2 keeps the fixture's tiny images multi-token. */
+  val MmPatch = 2L
+
+  /** J7 — INTERLEAVED MULTIMODAL sequence packing (round-15 verdict #5,
+    * the VLM-loader capstone `j7_trainset_mm` gates but never packed):
+    * each document is an interleaved (text span, image-placeholder span)
+    * item of n_text + n_img tokens, where n_img =
+    * ceil(w/[[MmPatch]]) * ceil(h/[[MmPatch]]) comes from the REAL
+    * decoded dimensions ([[graft.ext.Multimodal.decodeImages]] — a codec
+    * defect that mis-reads dims changes every pack downstream and breaks
+    * the closed-form oracle), gated FIRST on the image near-dup canonical
+    * (`j5_phash_groups` — a doc whose image is a re-encode of another's
+    * never enters the loader). The combined item packs through the SAME
+    * FFD kernel as [[packFit]] (whole docs, no straddle), and the
+    * manifest emits both spans: the doc's text starts at `seq_offset`,
+    * its image placeholders at `img_offset` = seq_offset + n_text_tokens
+    * — contiguous by construction (ExtSpec pins span adjacency,
+    * no-straddle, and the canonical gate).
+    *
+    * 100 TB posture: the gate is one doc-grain semi-join against the
+    * bounded cluster frame, the dims one decode pass the image family
+    * already runs, and the pack is [[packFit]]'s plan (ONE range shuffle,
+    * window-local W² fold, window-grain cumsum). */
+  def packMm(docs: DataFrame, decoded: DataFrame, imgGroups: DataFrame,
+             seqLen: Long = PackSeqLen, windowDocs: Long = PackFitWindowDocs,
+             seed: Int = ShuffleSeed, patch: Long = MmPatch): DataFrame = {
+    import docs.sparkSession.implicits._
+    val canonical = imgGroups.filter($"doc_id" === $"cluster_id").select($"doc_id")
+    val counts = docs.join(canonical, Seq("doc_id"), "left_semi")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_text_tokens"))
+      .join(decoded.select($"doc_id",
+        (expr(s"(width + $patch - 1) div $patch") *
+          expr(s"(height + $patch - 1) div $patch")).cast("long").as("n_img_tokens")),
+        Seq("doc_id"))
+    val fit = packFit(
+      counts.select($"doc_id", ($"n_text_tokens" + $"n_img_tokens").as("n_tokens")),
+      seqLen, windowDocs, seed)
+    fit.join(counts, Seq("doc_id"))
+      .select($"doc_id", $"n_text_tokens", $"n_img_tokens", $"n_tokens",
+        $"window_id", $"bin_in_window", $"seq_id", $"seq_offset",
+        ($"seq_offset" + $"n_text_tokens").as("img_offset"),
+        $"bin_tokens", $"fill_e6")
   }
 
   val QualityDropPct = 10L

@@ -569,17 +569,19 @@ object StreamOps {
     * corpus size. */
   def bloomScaleFilters(corpusLines: DataFrame,
                         sliceLines0: Option[DataFrame] = None,
-                        cap0: Long = graft.ext.Dedup.BloomSliceCap0): DataFrame = {
+                        cap0: Long = graft.ext.Dedup.BloomSliceCap0,
+                        k0: Int = graft.ext.Dedup.BloomSliceK0): DataFrame = {
     import corpusLines.sparkSession.implicits._
     val slicePos = graft.ext.Dedup.bloomSlicePositions(
-      sliceLines0.getOrElse(graft.ext.Dedup.bloomSliceLines(corpusLines, cap0)), cap0)
+      sliceLines0.getOrElse(
+        graft.ext.Dedup.bloomSliceLines(corpusLines, cap0, k0)), cap0, k0)
     val words = slicePos
       .select($"slice", shiftright($"p", 6).as("w"),
         expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("b"))
       .groupBy($"slice", $"w").agg(expr("bit_or(b)").as("wv"))
     val packed = words.groupBy($"slice")
       .agg(map_from_entries(collect_list(struct($"w", $"wv"))).as("wm"))
-      .join(broadcast(graft.ext.Dedup.bloomParamsDf(corpusLines.sparkSession, cap0)
+      .join(broadcast(graft.ext.Dedup.bloomParamsDf(corpusLines.sparkSession, cap0, k0)
         .select($"slice", $"m", $"k")), Seq("slice"))
       .select($"slice", $"m", $"k",
         expr("transform(sequence(0, greatest(m div 64, 1) - 1), " +

@@ -318,6 +318,15 @@ class PlanSpec extends AnyFunSuite {
     //   j7_ingest_audit  composes j2_bloom_scale_probe's allowlisted
     //                  dial-table range join and lines x standing-slices
     //                  cross (both bounded, above)
+    //   j7_ingest_upsert  the audit's allowlisted joins (above) plus the
+    //                  bloom write leg's 1-row standing-line-count
+    //                  broadcast (j2_bloom_scale_upsert's shape)
+    //   j2_bloom_scale_upsert2  the same dial-table range joins and 1-row
+    //                  standing-count broadcasts, once per ingest step
+    //                  (two consecutive batches)
+    //   j2_lsh_recall  1-row truth/candidate/hit count aggregates crossed
+    //                  into the two comparison rows (the j2_bloom_stats
+    //                  summary-row shape, twice)
     //   j2_bloom_scale_upsert  the same dial-table range join plus the
     //                  1-row standing-line-count aggregate broadcast onto
     //                  the ranked new lines (the j7_mix_temp
@@ -347,7 +356,8 @@ class PlanSpec extends AnyFunSuite {
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
       "st_sem_probe", "j8_cell_psi", "j8_cell_psi_state", "j2_bloom_scale_upsert",
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_stats",
-      "st_bloom_scale", "j7_ingest_audit",
+      "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
+      "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
