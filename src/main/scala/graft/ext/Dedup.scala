@@ -1667,6 +1667,69 @@ object Dedup {
         bandN.join(keptIds, Seq("doc_id"), "left_semi"), "doc_id", 1L))
   }
 
+  /** J2 — TWO-consecutive-ingest evolution of the LEXICAL index (round-15
+    * verdict #3 applied beyond the Bloom family): the batch carve halves
+    * (batch 1 = doc_id % 2*`mod` == `mod`, batch 2 = % 2*`mod` == 0), and
+    * the read–probe–write loop runs TWICE — batch 1 probes the cap-gated
+    * corpus index v0 and its kept docs' band rows are APPENDED (the
+    * stored-table convention of [[incrementalNearDupUpsert]]); batch 2
+    * probes v1 = v0 ∪ batch-1 inserts with the bucket cap re-applied at
+    * probe time over the GROWN buckets, and verifies against the corpus
+    * AND batch-1 shingle sets — so a batch-2 near-duplicate of a
+    * batch-1-KEPT doc is caught across the ingest boundary (the
+    * composition a nightly pipeline actually relies on; ExtSpec pins it
+    * on a crafted fixture). One row per post-ingest band-index entry with
+    * `batch_no` ∈ {0 standing, 1, 2}.
+    *
+    * 100 TB posture: ONE shared row-local shingle/signature build sliced
+    * three ways, two band-grain equi-join probe rounds, cap gates as
+    * bounded (band, sig) aggregates — per-ingest cost scales with that
+    * ingest's batch, exactly the single-step family's plan twice. */
+  def incrementalNearDupUpsert2(docs: DataFrame, mod: Int = 10,
+                                bands: Int = Bands, rows: Int = RowsPerBand,
+                                bucketCap: Int = BucketCap,
+                                dropE6: Long = IncrementalDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (sa, bandSig) = shingleBands(docs, bands, rows)
+    def gate(idx: DataFrame): DataFrame = {
+      val ok = idx.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" <= bucketCap).select($"band", $"sig")
+      idx.join(ok, Seq("band", "sig"), "left_semi")
+    }
+    val corpIdx = graft.Pinned.track(gate(bandSig.filter($"doc_id" % mod =!= 0)))
+    val b1Ids = docs.filter($"doc_id" % (2L * mod) === mod.toLong).select($"doc_id")
+    val b2Ids = docs.filter($"doc_id" % (2L * mod) === 0L).select($"doc_id")
+    val b1B = bandSig.join(b1Ids, Seq("doc_id"), "left_semi")
+    val b2B = bandSig.join(b2Ids, Seq("doc_id"), "left_semi")
+    val v1 = incProbeTail(b1Ids,
+      b1B.select($"doc_id".as("doc_n"), $"band", $"sig"),
+      sa.join(b1Ids, Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("doc_n"), $"dshings".as("sha")),
+      corpIdx.select($"doc_id".as("doc_c"), $"band", $"sig"),
+      sa.filter($"doc_id" % mod =!= 0)
+        .select($"doc_id".as("doc_c"), $"dshings".as("shb")), dropE6)
+    val kept1 = graft.Pinned.track(
+      v1.filter($"verdict" === "keep").select($"doc_id"))
+    val b1Kept = b1B.join(kept1, Seq("doc_id"), "left_semi")
+    val idx2 = gate(corpIdx.unionByName(b1Kept))
+    val v2 = incProbeTail(b2Ids,
+      b2B.select($"doc_id".as("doc_n"), $"band", $"sig"),
+      sa.join(b2Ids, Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("doc_n"), $"dshings".as("sha")),
+      idx2.select($"doc_id".as("doc_c"), $"band", $"sig"),
+      sa.filter($"doc_id" % mod =!= 0)
+        .unionByName(sa.join(kept1, Seq("doc_id"), "left_semi"))
+        .select($"doc_id".as("doc_c"), $"dshings".as("shb")), dropE6)
+    val kept2 = v2.filter($"verdict" === "keep").select($"doc_id")
+    def flat(df: DataFrame, batchNo: Long): DataFrame =
+      df.select((col("doc_id") +: col("band").cast("long").as("band") +:
+        (0 until rows).map(r => col(s"sig.k$r").as(s"k$r"))) :+
+        lit(batchNo).as("batch_no"): _*)
+    flat(corpIdx, 0L)
+      .unionByName(flat(b1Kept, 1L))
+      .unionByName(flat(b2B.join(kept2, Seq("doc_id"), "left_semi"), 2L))
+  }
+
   /** The lexical band-index write step against a CALLER-SUPPLIED keep set
     * (the composed ingest decision, [[graft.ext.Pipeline.ingestUpsert]]):
     * the corpus side's cap-gated band rows flattened to

@@ -296,6 +296,16 @@ object ExtQueries {
     "j2_incremental_upsert" -> ((s, d) =>
       Dedup.incrementalNearDupUpsert(s, d, Tables.documents(s, d))),
 
+    // J2 — TWO-consecutive-ingest evolution of the lexical index
+    // (round-15 verdict #3 beyond the Bloom family): batch 1 (% 20 = 10)
+    // probes the cap-gated corpus index and appends its kept docs' band
+    // rows; batch 2 (% 20 = 0) probes the RESULTING v1 (cap re-applied
+    // over grown buckets) and verifies against corpus AND batch-1
+    // shingle sets — a batch-2 near-dup of a batch-1-kept doc is caught
+    // across the ingest boundary. batch_no attribution per row.
+    "j2_incremental_upsert2" -> ((s, d) =>
+      Dedup.incrementalNearDupUpsert2(Tables.documents(s, d))),
+
     // J2 — BLOOM-FILTER line-membership probe (the Dolma bounded-memory
     // ingest filter): k=3 md5 positions in a fixed 2^19-bit array over the
     // corpus's distinct lines; batch lines probe it. State is bounded by m
@@ -599,6 +609,15 @@ object ExtQueries {
     // post-ingest kept-member index (standing members + kept batch vectors
     // in their cells, is_new-flagged), graded against the same oracle
     // chain as the verdict twins so read and write paths cannot disagree.
+    // J3 — TWO-consecutive-ingest evolution of the semantic index
+    // (round-15 verdict #3, third modality): the newest 10% splits at
+    // 95% into two ingests; batch 1 probes the persisted corpus state,
+    // batch 2 probes standing ∪ batch-1 kept members — a batch-2 vector
+    // near a batch-1 insert is dropped across the boundary; centroids
+    // stay frozen (re-trained only by the next full pass).
+    "j3_semdedup_inc_upsert2" -> ((s, d) =>
+      Similarity.semDedupIncrementalUpsert2(s, d, Tables.embeddings(s, d))),
+
     "j3_semdedup_inc_upsert" -> ((s, d) =>
       Similarity.semDedupIncrementalUpsert(s, d, Tables.embeddings(s, d))),
 
@@ -1803,6 +1822,68 @@ object ExtQueries {
       |LEFT JOIN best b ON b.vid = be.vec_id
       |WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}""".stripMargin
 
+  /** The TWO-consecutive-ingest semantic oracle
+    * (`j3_semdedup_inc_upsert2`): the corpus chain at the 90% cutoff,
+    * then two suffixed batch stages — batch 1 = [90%, 95%) of the id
+    * range probing the standing kept members, batch 2 = [95%, ...)
+    * probing standing ∪ batch-1 kept members (vectors/norms unioned from
+    * the corpus and batch-1 grains); centroids frozen throughout. */
+  private val semDedupIncUpsert2Oracle: String = {
+    val cut1 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
+    val cut2 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncMidPct} // 100 FROM embeddings)"
+    def stage(x: String, pred: String, keptmRel: String, mQe: String,
+              mNorms: String): String =
+      s"""b${x}emb AS (SELECT * FROM embeddings WHERE $pred),
+         |b${x}qe AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+         |  FROM b${x}emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |b${x}norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM b${x}qe GROUP BY 1),
+         |b${x}cd AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+         |        FROM b${x}qe e JOIN b${x}norms nv0 ON nv0.vec_id = e.vec_id AND nv0.nq > 0
+         |        JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+         |b${x}vcos AS (SELECT d.vec_id, d.cid,
+         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
+         |  FROM b${x}cd d JOIN b${x}norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
+         |b${x}cells AS (SELECT vec_id AS vid, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM b${x}vcos) z
+         |  WHERE rn = 1),
+         |b${x}dots AS (SELECT b.vid, b.cid, k.mid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+         |  FROM b${x}cells b JOIN b${x}norms bn ON bn.vec_id = b.vid AND bn.nq > 0
+         |  JOIN $keptmRel k ON k.cid = b.cid
+         |  JOIN b${x}qe x ON x.vec_id = b.vid JOIN $mQe y ON y.vec_id = k.mid AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |b${x}scored AS (SELECT d.vid, d.mid,
+         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(bn.nq AS DOUBLE) * CAST(mn.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
+         |  FROM b${x}dots d JOIN b${x}norms bn ON bn.vec_id = d.vid JOIN $mNorms mn ON mn.vec_id = d.mid),
+         |b${x}best AS (SELECT vid, mid, cos_sim_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM b${x}scored) z
+         |  WHERE rn = 1)""".stripMargin
+    s"""${semDedupChain(s"vec_id < $cut1")},
+       |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
+       |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
+       |  JOIN norms nm ON nm.vec_id = cl.vid AND nm.nq > 0),
+       |${stage("1", s"vec_id >= $cut1 AND vec_id < $cut2", "keptm", "qe", "norms")},
+       |m1 AS (SELECT be.vec_id AS mid, bc.cid FROM b1emb be
+       |  JOIN b1cells bc ON bc.vid = be.vec_id
+       |  JOIN b1norms n ON n.vec_id = be.vec_id AND n.nq > 0
+       |  LEFT JOIN b1best b ON b.vid = be.vec_id
+       |  WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}),
+       |keptm2 AS (SELECT mid, cid FROM keptm UNION ALL SELECT mid, cid FROM m1),
+       |uqe AS (SELECT vec_id, i, q FROM qe UNION ALL SELECT vec_id, i, q FROM b1qe),
+       |unorms AS (SELECT vec_id, nq FROM norms UNION ALL SELECT vec_id, nq FROM b1norms),
+       |${stage("2", s"vec_id >= $cut2", "keptm2", "uqe", "unorms")}
+       |SELECT mid AS vec_id, cid AS cell_id, CAST(0 AS BIGINT) AS batch_no FROM keptm
+       |UNION ALL
+       |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id, CAST(1 AS BIGINT) AS batch_no
+       |FROM b1emb be LEFT JOIN b1cells bc ON bc.vid = be.vec_id
+       |LEFT JOIN b1best b ON b.vid = be.vec_id
+       |WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}
+       |UNION ALL
+       |SELECT be.vec_id, coalesce(bc.cid, -1) AS cell_id, CAST(2 AS BIGINT) AS batch_no
+       |FROM b2emb be LEFT JOIN b2cells bc ON bc.vid = be.vec_id
+       |LEFT JOIN b2best b ON b.vid = be.vec_id
+       |WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}""".stripMargin
+  }
+
   /** The incremental near-dup oracle — shared verbatim by j2_incremental
     * (recompute) and j2_incremental_state (persisted LSH index tables):
     * incoming (doc_id % 10 = 0) probes corpus band buckets (cap-gated on
@@ -1886,6 +1967,90 @@ object ExtQueries {
        |keptb AS (SELECT d.doc_id FROM documents d LEFT JOIN best b ON b.doc_n = d.doc_id
        |  WHERE d.doc_id % 10 = 0 AND coalesce(b.j_e6, 0) < ${Dedup.IncrementalDropE6})
        |${(corpSelects ++ batchSelects).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** The TWO-consecutive-ingest lexical oracle (`j2_incremental_upsert2`):
+    * step 1 probes the cap-gated corpus index (inc1 = doc_id % 20 = 10),
+    * step 2 probes v1 = gated-corpus ∪ kept-batch-1 rows with the cap
+    * re-applied over the grown buckets (inc2 = % 20 = 0) and verifies
+    * against corpus AND batch-1 shingle sets. */
+  private val incUpsert2Oracle: String = {
+    val rows = Dedup.RowsPerBand
+    def keysOf(b: Int) = (0 until rows).map(r => s"h${b * rows + r}")
+    val step1 = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val pos = (1 to keys.size).mkString(", ")
+      val gOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+      val cOn = keys.map(k => s"c.$k = i.$k").mkString(" AND ")
+      s"""u1ok$b AS (SELECT ${keys.mkString(", ")} FROM ucorp GROUP BY $pos
+         |  HAVING count(*) <= ${Dedup.BucketCap}),
+         |u1cand$b AS (SELECT i.doc_id AS doc_n, c.doc_id AS doc_c FROM uinc1 i
+         |  JOIN u1ok$b g ON $gOn
+         |  JOIN ucorp c ON $cOn)""".stripMargin
+    }.mkString(",\n")
+    val step2 = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val pos = (1 to keys.size).mkString(", ")
+      val gcOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      val giOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+      val viOn = keys.map(k => s"v.$k = i.$k").mkString(" AND ")
+      s"""v1b$b AS (SELECT c.doc_id, ${keys.map(k => s"c.$k").mkString(", ")}
+         |    FROM ucorp c JOIN u1ok$b g ON $gcOn
+         |  UNION ALL
+         |  SELECT i.doc_id, ${keys.map(k => s"i.$k").mkString(", ")}
+         |    FROM uinc1 i JOIN ukept1 kk ON kk.doc_id = i.doc_id),
+         |u2ok$b AS (SELECT ${keys.mkString(", ")} FROM v1b$b GROUP BY $pos
+         |  HAVING count(*) <= ${Dedup.BucketCap}),
+         |u2cand$b AS (SELECT i.doc_id AS doc_n, v.doc_id AS doc_c FROM uinc2 i
+         |  JOIN u2ok$b g ON $giOn
+         |  JOIN v1b$b v ON $viOn)""".stripMargin
+    }.mkString(",\n")
+    def verify(sfx: String, candUnion: String, carve: String): String =
+      s"""ucand$sfx AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
+         |uint$sfx AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM ucand$sfx c
+         |  JOIN uds x ON x.doc_id = c.doc_n
+         |  JOIN uds y ON y.doc_id = c.doc_c AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |ujac$sfx AS (SELECT c.doc_n, c.doc_c,
+         |  CAST(round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.ninter, 0)) * 1000000.0) AS BIGINT) AS j_e6
+         |  FROM ucand$sfx c
+         |  LEFT JOIN uint$sfx i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
+         |  JOIN usz sa ON sa.doc_id = c.doc_n
+         |  JOIN usz sb ON sb.doc_id = c.doc_c),
+         |ubest$sfx AS (SELECT doc_n, j_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+         |    FROM ujac$sfx) z WHERE rn = 1),
+         |ukept$sfx AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN ubest$sfx b ON b.doc_n = d.doc_id
+         |  WHERE $carve AND coalesce(b.j_e6, 0) < ${Dedup.IncrementalDropE6})""".stripMargin
+    val cu1 = (0 until Dedup.Bands).map(b => s"SELECT * FROM u1cand$b").mkString(" UNION ALL ")
+    val cu2 = (0 until Dedup.Bands).map(b => s"SELECT * FROM u2cand$b").mkString(" UNION ALL ")
+    val outCorp = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      val proj = keys.zipWithIndex.map { case (k, r) => s"c.$k AS k$r" }.mkString(", ")
+      s"""SELECT c.doc_id, CAST($b AS BIGINT) AS band, $proj, CAST(0 AS BIGINT) AS batch_no
+         |FROM ucorp c JOIN u1ok$b g ON $gOn""".stripMargin
+    }
+    def outBatch(inc: String, kept: String, batchNo: Int) =
+      (0 until Dedup.Bands).map { b =>
+        val proj = keysOf(b).zipWithIndex.map { case (k, r) => s"i.$k AS k$r" }.mkString(", ")
+        s"""SELECT i.doc_id, CAST($b AS BIGINT) AS band, $proj, CAST($batchNo AS BIGINT) AS batch_no
+           |FROM $inc i JOIN $kept kk ON kk.doc_id = i.doc_id""".stripMargin
+      }
+    s"""WITH $tokCtes,
+       |ucorp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
+       |uinc1 AS (SELECT * FROM mh WHERE doc_id % 20 = 10),
+       |uinc2 AS (SELECT * FROM mh WHERE doc_id % 20 = 0),
+       |uds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
+       |usz AS (SELECT doc_id, count(*) AS n FROM uds GROUP BY 1),
+       |$step1,
+       |${verify("1", cu1, "d.doc_id % 20 = 10")},
+       |$step2,
+       |${verify("2", cu2, "d.doc_id % 20 = 0")}
+       |${(outCorp ++ outBatch("uinc1", "ukept1", 1) ++ outBatch("uinc2", "ukept2", 2))
+           .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** The verified-pair grain itself — st_inc_probe's oracle. */
@@ -2244,6 +2409,7 @@ object ExtQueries {
     },
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
+    "j2_incremental_upsert2" -> incUpsert2Oracle,
     "st_inc_probe" -> incProbePairOracle,
 
     // Stream-static bloom probe: the j2_bloom_probe chain emitted at the
@@ -3400,6 +3566,7 @@ object ExtQueries {
     "j3_semdedup_inc_state" -> semDedupIncOracle,
     "j8_cell_psi_state" -> oracleSqlCellPsi,
     "j3_semdedup_inc_upsert" -> semDedupIncUpsertOracle,
+    "j3_semdedup_inc_upsert2" -> semDedupIncUpsert2Oracle,
     "st_sem_probe" -> semProbePairOracle,
 
     "j2_embed_neardup" ->

@@ -779,6 +779,56 @@ object Similarity {
         .select($"vec_id", $"cell_id", lit(1L).as("is_new")))
   }
 
+  /** Mid cutoff percent for [[semDedupIncrementalUpsert2]]: the newest
+    * 10% (the single-step family's batch) splits at this id-range point
+    * into two consecutive ingests. */
+  val SemIncMidPct = 95L
+
+  /** J3 — TWO-consecutive-ingest evolution of the SEMANTIC index
+    * (round-15 verdict #3 applied to the third dedup modality): the
+    * single-step batch (newest 10% of the id range) splits at
+    * [[SemIncMidPct]] into two consecutive ingests. Batch 1 probes the
+    * persisted corpus state (frozen centroids + kept members) and its
+    * kept cell-assigned vectors are APPENDED to the member index; batch 2
+    * probes v1 = standing ∪ batch-1 inserts — so a batch-2 vector whose
+    * nearest kept neighbor is a BATCH-1 insert is dropped across the
+    * ingest boundary (ExtSpec pins it on a crafted fixture). Centroids
+    * stay frozen across ingests (the family's documented design: the
+    * quantizer retrains on the next full pass); zero-norm kept singletons
+    * (cell -1) enter the roster but never the candidate index, as in the
+    * single-step upsert. One row per post-ingest member with `batch_no`
+    * ∈ {0 standing, 1, 2}.
+    *
+    * 100 TB posture: two |batch| x sqrt(N) assignments + two cell-local
+    * candidate joins — the single-step bill per ingest, composed. */
+  def semDedupIncrementalUpsert2(s: org.apache.spark.sql.SparkSession, key: String,
+                                 emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                                 iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                                 corpusPct: Long = SemIncCorpusPct,
+                                 midPct: Long = SemIncMidPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
+    val cuts = emb.agg(
+      expr(s"(max(vec_id) + 1) * $corpusPct div 100").as("c1"),
+      expr(s"(max(vec_id) + 1) * $midPct div 100").as("c2"))
+    val batch1 = emb.crossJoin(broadcast(cuts))
+      .filter($"vec_id" >= $"c1" && $"vec_id" < $"c2").drop("c1", "c2")
+    val batch2 = emb.crossJoin(broadcast(cuts))
+      .filter($"vec_id" >= $"c2").drop("c1", "c2")
+    val v1 = semIncBatch(batch1, cents, keptM, thresholdE6)
+    val m1 = v1.filter($"kept" === 1L && $"cell_id" =!= -1L)
+      .select($"vec_id".as("mid"), $"cell_id".as("cid"))
+      .join(base(batch1).select($"vec_id".as("mid"), $"qv".as("mv"),
+        $"nq".as("mn")).filter($"mn" > 0L), Seq("mid"))
+    val v2 = semIncBatch(batch2, cents, keptM.unionByName(m1), thresholdE6)
+    keptM.select($"mid".as("vec_id"), $"cid".as("cell_id"), lit(0L).as("batch_no"))
+      .unionByName(v1.filter($"kept" === 1L)
+        .select($"vec_id", $"cell_id", lit(1L).as("batch_no")))
+      .unionByName(v2.filter($"kept" === 1L)
+        .select($"vec_id", $"cell_id", lit(2L).as("batch_no")))
+  }
+
   /** J8/J3 — EMBEDDING drift at the QUANTIZER-CELL grain (round 14): PSI
     * of the batch's cell-occupancy histogram against the standing
     * corpus's — the production "did the embedding distribution move?"

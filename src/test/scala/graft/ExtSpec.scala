@@ -1042,6 +1042,57 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("incremental upsert2: batch-2 near-dup of a batch-1-kept doc caught across the boundary") {
+    import spark.implicits._
+    // corpus 1..9 unique; batch 1 (% 20 == 10): doc 10 novel -> kept and
+    // INDEXED; batch 2 (% 20 == 0): doc 20 = doc 10 with only the last
+    // token changed (39 of 41 shingles shared, J ~ 0.95 >= 0.9) -> must
+    // DROP against the v1 index (the cross-boundary composition the
+    // single-step upsert cannot express), doc 40 novel -> kept.
+    def mk(p: String, n: Int = 40) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = ((1 to 9).map(d => (d.toLong, mk(s"c$d"))) ++
+      Seq((10L, mk("x")),
+        (20L, (1 to 39).map(i => s"x$i").mkString(" ") + " q40"),
+        (40L, mk("z")))).toDF("doc_id", "text")
+    val up = ext.Dedup.incrementalNearDupUpsert2(docs)
+    val perDoc = up.groupBy($"doc_id")
+      .agg(max($"batch_no").as("bn"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.get(10L).contains(1L), s"batch-1 kept doc must be indexed: $perDoc")
+    assert(!perDoc.contains(20L),
+      s"batch-2 near-dup of the batch-1 insert must be dropped: $perDoc")
+    assert(perDoc.get(40L).contains(2L), s"batch-2 novel doc must be indexed: $perDoc")
+    assert((1L to 9L).forall(d => perDoc.get(d).contains(0L)),
+      s"standing corpus rows must pass through: $perDoc")
+    graft.Pinned.release(spark)
+  }
+
+  test("semdedup upsert2: batch-2 vector near a batch-1 insert dropped across the boundary") {
+    import spark.implicits._
+    // orthogonal one-hot corpus (dims 0..7, ids 0..89) so cross-direction
+    // cosines are exactly 0; batch 1 = ids 90..94 on unique dims (all
+    // kept and INDEXED); batch 2 = ids 95..99 where vec 95 == vec 90
+    // (cos 1e6 >= the 350000 threshold -> must drop against the batch-1
+    // insert, the cross-boundary law) and the rest are unique (kept).
+    val dim = 16
+    def oneHot(d: Int): Seq[Float] = (0 until dim).map(i => if (i == d) 1f else 0f)
+    val rows = (0 until 90).map(id => (id.toLong, oneHot(id % 8))) ++ Seq(
+      90L -> oneHot(9), 91L -> oneHot(11), 92L -> oneHot(12),
+      93L -> oneHot(13), 94L -> oneHot(14),
+      95L -> oneHot(9), 96L -> oneHot(10), 97L -> oneHot(15),
+      98L -> oneHot(8), 99L -> (0 until dim).map(i => if (i == 8 || i == 15) 1f else 0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val up = Similarity.semDedupIncrementalUpsert2(spark, "extspec_sem_upsert2", emb)
+    val byBatch = up.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byBatch.get(90L).contains(1L), s"batch-1 unique vector must be indexed: $byBatch")
+    assert(!byBatch.contains(95L),
+      s"batch-2 duplicate of the batch-1 insert must be dropped: $byBatch")
+    assert(Seq(96L, 97L, 98L).forall(v => byBatch.get(v).contains(2L)),
+      s"unique batch-2 vectors must be kept: $byBatch")
+    assert(byBatch.exists(_._2 == 0L), "standing members must pass through")
+    graft.Pinned.release(spark)
+  }
+
   test("ingest upsert: a doc dropped by ANY gate enters NO standing state") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

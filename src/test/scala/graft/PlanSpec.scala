@@ -327,6 +327,9 @@ class PlanSpec extends AnyFunSuite {
     //   j2_lsh_recall  1-row truth/candidate/hit count aggregates crossed
     //                  into the two comparison rows (the j2_bloom_stats
     //                  summary-row shape, twice)
+    //   j3_semdedup_inc_upsert2  the 1-row two-cutoff aggregate broadcast
+    //                  (the semIncSplit shape, two batch carves) over the
+    //                  same read state tables as the single-step upsert
     //   j2_bloom_scale_upsert  the same dial-table range join plus the
     //                  1-row standing-line-count aggregate broadcast onto
     //                  the ranked new lines (the j7_mix_temp
@@ -345,7 +348,7 @@ class PlanSpec extends AnyFunSuite {
     //                  id-cutoff aggregate (corpus/batch split)
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
-      "j3_semdedup_inc_upsert",
+      "j3_semdedup_inc_upsert", "j3_semdedup_inc_upsert2",
       "w13_ntile", "pm_sp_batches", "j6_sketch", "j3_pq_adc", "j4_bm25",
       "j3_range", "c14_quantiles", "j6_hll", "j8_drift", "j6_kmv",
       "j4_lm_bits", "j4_tfidf", "j8_psi", "j8_psi_series", "j7_mix_temp",
