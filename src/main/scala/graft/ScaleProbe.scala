@@ -233,6 +233,13 @@ object ScaleProbe {
       // sublinear two decades up (the constant-slice chain's O(slices)
       // per-position fan-out would not have)
       Head("j2_bloom_scale_probe", f => ext.Dedup.bloomScaleProbe(docsAt(f))),
+      // round-16: the WRITE paths join the probe — the sliced filter's
+      // single-step upsert (rank-continued novel-line insert; the most
+      // expensive bench query, so its scaling must be measured) and the
+      // lexical two-batch evolution (two probe rounds + cap re-gates)
+      Head("j2_bloom_scale_upsert", f => ext.Dedup.bloomScaleUpsert(docsAt(f))),
+      Head("j2_incremental_upsert2", f =>
+        ext.Dedup.incrementalNearDupUpsert2(docsAt(f))),
       Head("j5_phash_hamming", f =>
         ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docsAt(f)))),
       Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
