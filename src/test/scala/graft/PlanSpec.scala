@@ -330,6 +330,9 @@ class PlanSpec extends AnyFunSuite {
     //   j3_semdedup_inc_upsert2  the 1-row two-cutoff aggregate broadcast
     //                  (the semIncSplit shape, two batch carves) over the
     //                  same read state tables as the single-step upsert
+    //   j2_bloom_scale_state  the probe chain's allowlisted joins over
+    //                  the persisted (line, slice) state table (same
+    //                  dial-table range join + standing-slices cross)
     //   j2_bloom_scale_upsert  the same dial-table range join plus the
     //                  1-row standing-line-count aggregate broadcast onto
     //                  the ranked new lines (the j7_mix_temp
@@ -358,7 +361,8 @@ class PlanSpec extends AnyFunSuite {
       "j7_pack_fit_stats", "j7_pack_fit_wdial", "j3_hard_negatives",
       "j3_ann_recall", "j3_ann_recall_np1", "j7_curriculum", "j2_bloom_stats",
       "st_sem_probe", "j8_cell_psi", "j8_cell_psi_state", "j2_bloom_scale_upsert",
-      "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_stats",
+      "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_state",
+      "j2_bloom_scale_stats",
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
