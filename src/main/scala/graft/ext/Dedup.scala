@@ -187,7 +187,7 @@ object Dedup {
     * rows). The sig is the struct of the band's raw minhash values —
     * tuple EQUALITY, not a re-hash, so the candidate set is bit-identical
     * to the per-band form. */
-  private def shingleBands(docs: DataFrame, bands: Int,
+  private[graft] def shingleBands(docs: DataFrame, bands: Int,
                            rows: Int): (DataFrame, DataFrame) = {
     import docs.sparkSession.implicits._
     val sa = graft.Pinned.track(shingleFpArrays(docs))
@@ -1162,7 +1162,7 @@ object Dedup {
     * lines never re-insert). The probe explodes each line over the
     * STANDING slices only (a bounded broadcast of the dial rows that
     * exist in state), and the position join is equi on (slice, p). */
-  private def bloomScaleMembers(lines: DataFrame, slicePos: DataFrame,
+  private[graft] def bloomScaleMembers(lines: DataFrame, slicePos: DataFrame,
                                 cap0: Long, k0: Int = BloomSliceK0): DataFrame = {
     import lines.sparkSession.implicits._
     val standing = broadcast(slicePos.select($"slice").distinct()
@@ -1586,7 +1586,7 @@ object Dedup {
     * (ties to the smallest corpus id), keep/drop verdict. Inputs:
     * incIds (doc_id), incBand (doc_n, band, sig), incSh (doc_n, sha),
     * corpIdx (doc_c, band, sig), corpSh (doc_c, shb). */
-  private def incProbeTail(incIds: DataFrame, incBand: DataFrame,
+  private[graft] def incProbeTail(incIds: DataFrame, incBand: DataFrame,
                            incSh: DataFrame, corpIdx: DataFrame,
                            corpSh: DataFrame, dropE6: Long): DataFrame = {
     import incIds.sparkSession.implicits._

@@ -452,6 +452,16 @@ object ExtQueries {
       Pipeline.ingestUpsert(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J7 — the COMPOSED ingest loop over TWO consecutive nights (round
+    // 16 capstone): batch 1 (% 20 = 10) through the full three-gate
+    // audit against v0, its composed-kept docs advance ALL three states;
+    // batch 2 (% 20 = 0) audits against the RESULTING v1 — any
+    // modality's near-miss of a batch-1 insert drops across the
+    // boundary. Normalized (family, k1..k4, batch_no) state table.
+    "j7_ingest_upsert2" -> ((s, d) =>
+      Pipeline.ingestUpsert2(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -2061,6 +2071,190 @@ object ExtQueries {
            .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The COMPOSED two-night ingest oracle (`j7_ingest_upsert2`): per
+    * step, all three gate verdicts (exact hash set, sliced-Bloom line
+    * membership, cap-gated LSH probe) against that step's states, the
+    * composed keep, and the three write continuations — step 2's states
+    * are v1 = v0 advanced by step 1's composed-kept docs. All CTEs
+    * w-prefixed; shares tokCtes' mh/shf for the lexical grain and the
+    * Dedup.bloomSliceParams Seq for the dial table. */
+  private val ingestUpsert2Oracle: String = {
+    val w = Dedup.LineTokens
+    val prVals = Dedup.bloomSliceParams().map(r =>
+      s"(${r.slice}, ${r.lo}, ${r.hi}, ${r.m}, ${r.k})").mkString(", ")
+    val rows = Dedup.RowsPerBand
+    def keysOf(b: Int) = (0 until rows).map(r => s"h${b * rows + r}")
+    val lshStep1 = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val pos = (1 to keys.size).mkString(", ")
+      val gOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+      val cOn = keys.map(k => s"c.$k = i.$k").mkString(" AND ")
+      s"""wok$b AS (SELECT ${keys.mkString(", ")} FROM wcorp GROUP BY $pos
+         |  HAVING count(*) <= ${Dedup.BucketCap}),
+         |wcnd1$b AS (SELECT i.doc_id AS doc_n, c.doc_id AS doc_c FROM winc1 i
+         |  JOIN wok$b g ON $gOn
+         |  JOIN wcorp c ON $cOn)""".stripMargin
+    }.mkString(",\n")
+    val lshStep2 = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val pos = (1 to keys.size).mkString(", ")
+      val gcOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      val giOn = keys.map(k => s"g.$k = i.$k").mkString(" AND ")
+      val viOn = keys.map(k => s"v.$k = i.$k").mkString(" AND ")
+      s"""wv$b AS (SELECT c.doc_id, ${keys.map(k => s"c.$k").mkString(", ")}
+         |    FROM wcorp c JOIN wok$b g ON $gcOn
+         |  UNION ALL
+         |  SELECT i.doc_id, ${keys.map(k => s"i.$k").mkString(", ")}
+         |    FROM winc1 i JOIN wkept1 kk ON kk.doc_id = i.doc_id),
+         |wok2$b AS (SELECT ${keys.mkString(", ")} FROM wv$b GROUP BY $pos
+         |  HAVING count(*) <= ${Dedup.BucketCap}),
+         |wcnd2$b AS (SELECT i.doc_id AS doc_n, v.doc_id AS doc_c FROM winc2 i
+         |  JOIN wok2$b g ON $giOn
+         |  JOIN wv$b v ON $viOn)""".stripMargin
+    }.mkString(",\n")
+    def lshVerify(sfx: String, candUnion: String): String =
+      s"""wcand$sfx AS (SELECT DISTINCT doc_n, doc_c FROM ($candUnion)),
+         |wint$sfx AS (SELECT c.doc_n, c.doc_c, count(*) AS ninter FROM wcand$sfx c
+         |  JOIN wds x ON x.doc_id = c.doc_n
+         |  JOIN wds y ON y.doc_id = c.doc_c AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |wjac$sfx AS (SELECT c.doc_n, c.doc_c,
+         |  CAST(round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.ninter, 0)) * 1000000.0) AS BIGINT) AS j_e6
+         |  FROM wcand$sfx c
+         |  LEFT JOIN wint$sfx i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
+         |  JOIN wsz sa ON sa.doc_id = c.doc_n
+         |  JOIN wsz sb ON sb.doc_id = c.doc_c),
+         |wbest$sfx AS (SELECT doc_n, j_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
+         |    FROM wjac$sfx) z WHERE rn = 1)""".stripMargin
+    def bloomProbe(x: String, bPred: String, ssRel: String, spRel: String): String =
+      s"""wb$x AS (SELECT DISTINCT doc_id, line FROM wln WHERE $bPred),
+         |wpp$x AS (SELECT b.doc_id, b.line, s2.slice, s2.k, s.s AS sd,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || b.line), 1, 15))::BIGINT % s2.m AS p
+         |  FROM wb$x b CROSS JOIN $ssRel s2, LATERAL (SELECT unnest(generate_series(0, s2.k - 1)) AS s) s),
+         |whg$x AS (SELECT p.doc_id, p.line FROM wpp$x p
+         |  JOIN $spRel sp ON sp.slice = p.slice AND sp.p = p.p
+         |  GROUP BY p.doc_id, p.line, p.slice, p.k HAVING count(DISTINCT p.sd) = p.k),
+         |whit$x AS (SELECT DISTINCT doc_id, line FROM whg$x),
+         |wbl$x AS (SELECT b.doc_id,
+         |    CAST(CASE WHEN (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6} THEN 1 ELSE 0 END AS BIGINT) AS bdrop
+         |  FROM wb$x b LEFT JOIN whit$x h ON h.doc_id = b.doc_id AND h.line = b.line
+         |  GROUP BY 1)""".stripMargin
+    def newLines(x: String, keptRel: String, nstFrom: String, spRel: String): String =
+      s"""wnl$x AS (SELECT b.line, min(b.doc_id) AS first_doc
+         |  FROM wb$x b JOIN $keptRel kk ON kk.doc_id = b.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM whit$x h
+         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+         |  GROUP BY 1),
+         |wns$x AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM $nstFrom),
+         |wnr$x AS (SELECT line,
+         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+         |      + (SELECT n_standing FROM wns$x) AS g
+         |  FROM wnl$x),
+         |wnsl$x AS (SELECT n.line, p.slice, p.m, p.k FROM wnr$x n
+         |  JOIN wpr p ON n.g > p.lo AND n.g <= p.hi),
+         |wnp$x AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM wnsl$x l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+         |wnpn$x AS (SELECT n.slice, n.p FROM wnp$x n
+         |  WHERE NOT EXISTS (SELECT 1 FROM $spRel sp
+         |    WHERE sp.slice = n.slice AND sp.p = n.p))""".stripMargin
+    def keptOf(x: String, carve: String, exRel: String): String =
+      s"""wkept$x AS (SELECT d.doc_id FROM documents d
+         |  JOIN wbl$x p ON p.doc_id = d.doc_id
+         |  LEFT JOIN wbest$x b ON b.doc_n = d.doc_id
+         |  WHERE $carve
+         |    AND md5(d.text) NOT IN (SELECT h FROM $exRel)
+         |    AND p.bdrop = 0
+         |    AND coalesce(b.j_e6, 0) < ${Dedup.IncrementalDropE6})""".stripMargin
+    val cu1 = (0 until Dedup.Bands).map(b => s"SELECT * FROM wcnd1$b").mkString(" UNION ALL ")
+    val cu2 = (0 until Dedup.Bands).map(b => s"SELECT * FROM wcnd2$b").mkString(" UNION ALL ")
+    val outCorp = (0 until Dedup.Bands).map { b =>
+      val keys = keysOf(b)
+      val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      s"""SELECT 'lsh' AS family, c.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+         |  c.${keys(0)} AS k3, c.${keys(1)} AS k4, CAST(0 AS BIGINT) AS batch_no
+         |FROM wcorp c JOIN wok$b g ON $gOn""".stripMargin
+    }
+    def outBatch(inc: String, kept: String, n: Int) =
+      (0 until Dedup.Bands).map { b =>
+        val keys = keysOf(b)
+        s"""SELECT i.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+           |  i.${keys(0)} AS k3, i.${keys(1)} AS k4 FROM $inc i
+           |  JOIN $kept kk ON kk.doc_id = i.doc_id""".stripMargin
+      }.map(sel => s"SELECT 'lsh' AS family, k1, k2, k3, k4, CAST($n AS BIGINT) AS batch_no FROM ($sel) z")
+    s"""WITH $tokCtes,
+       |wcorp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
+       |winc1 AS (SELECT * FROM mh WHERE doc_id % 20 = 10),
+       |winc2 AS (SELECT * FROM mh WHERE doc_id % 20 = 0),
+       |wds AS (SELECT DISTINCT doc_id, fp AS shingle FROM shf),
+       |wsz AS (SELECT doc_id, count(*) AS n FROM wds GROUP BY 1),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |wln AS (SELECT DISTINCT doc_id,
+       |    array_to_string(toks[b * $w + 1 : least((b + 1) * $w, len(toks))], ' ') AS line
+       |  FROM wt, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $w)) AS b) z),
+       |wpr(slice, lo, hi, m, k) AS (VALUES $prVals),
+       |wcl0 AS (SELECT line, min(doc_id) AS first_doc FROM wln WHERE doc_id % 10 <> 0 GROUP BY 1),
+       |wrk AS (SELECT line, CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT) AS rn FROM wcl0),
+       |wsl AS (SELECT r.line, p.slice, p.m, p.k FROM wrk r JOIN wpr p ON r.rn > p.lo AND r.rn <= p.hi),
+       |wsp0 AS (SELECT DISTINCT l.slice,
+       |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+       |  FROM wsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+       |wss0 AS (SELECT DISTINCT slice, m, k FROM wsl),
+       |wex0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+       |$lshStep1,
+       |${lshVerify("1", cu1)},
+       |${bloomProbe("1", "doc_id % 20 = 10", "wss0", "wsp0")},
+       |${keptOf("1", "d.doc_id % 20 = 10", "wex0")},
+       |${newLines("1", "wkept1", "wsl", "wsp0")},
+       |wsl1 AS (SELECT line, slice, m, k FROM wsl
+       |  UNION ALL SELECT line, slice, m, k FROM wnsl1),
+       |wsp1 AS (SELECT slice, p FROM wsp0 UNION SELECT slice, p FROM wnpn1),
+       |wss1 AS (SELECT DISTINCT slice, m, k FROM wsl1),
+       |wex1 AS (SELECT h FROM wex0
+       |  UNION SELECT md5(d.text) AS h FROM documents d
+       |    JOIN wkept1 k ON k.doc_id = d.doc_id),
+       |$lshStep2,
+       |${lshVerify("2", cu2)},
+       |${bloomProbe("2", "doc_id % 20 = 0", "wss1", "wsp1")},
+       |${keptOf("2", "d.doc_id % 20 = 0", "wex1")},
+       |${newLines("2", "wkept2", "wsl1", "wsp1")}
+       |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(0 AS BIGINT) AS batch_no
+       |FROM wsp0
+       |UNION ALL
+       |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(1 AS BIGINT) AS batch_no
+       |FROM wnpn1
+       |UNION ALL
+       |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(2 AS BIGINT) AS batch_no
+       |FROM wnpn2
+       |UNION ALL
+       |${(outCorp ++ outBatch("winc1", "wkept1", 1) ++ outBatch("winc2", "wkept2", 2))
+          .mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(0 AS BIGINT) AS batch_no
+       |FROM documents WHERE doc_id % 10 <> 0
+       |UNION ALL
+       |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(1 AS BIGINT) AS batch_no
+       |FROM wkept1
+       |UNION ALL
+       |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(2 AS BIGINT) AS batch_no
+       |FROM wkept2""".stripMargin
+  }
+
   /** The verified-pair grain itself — st_inc_probe's oracle. */
   private val incProbePairOracle: String =
     s"""$incProbeChain
@@ -2438,6 +2632,7 @@ object ExtQueries {
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "j2_incremental_upsert2" -> incUpsert2Oracle,
+    "j7_ingest_upsert2" -> ingestUpsert2Oracle,
     "st_inc_probe" -> incProbePairOracle,
 
     // Stream-static bloom probe: the j2_bloom_probe chain emitted at the

@@ -246,6 +246,122 @@ object Pipeline {
     bloom.unionByName(lsh).unionByName(mem)
   }
 
+  /** J7 — the COMPOSED ingest loop over TWO consecutive nights
+    * (`j7_ingest_upsert2`, round 16 — the capstone product of the
+    * round's two axes: [[ingestUpsert]] composes the three dedup
+    * modalities at ONE ingest; the upsert2 family composes ONE modality
+    * over consecutive ingests; this composes BOTH): batch 1
+    * (doc_id % 2·`mod` == `mod`) runs the full three-gate audit (exact ∧
+    * sliced-Bloom ∧ LSH) against the corpus states v0 and its
+    * composed-KEPT docs advance ALL THREE states; batch 2 (% 2·mod == 0)
+    * audits against the RESULTING v1 — its exact gate sees batch-1 kept
+    * texts, its line filter sees batch-1 inserted lines, its LSH probe
+    * sees batch-1 band rows (cap re-gated) and verifies against batch-1
+    * shingle sets — so ANY modality's near-miss of a batch-1 insert
+    * drops across the boundary (ExtSpec pins the exact-text and
+    * permuted-line-Bloom cases on crafted fixtures). One normalized
+    * post-ingest state table (family ∈ {bloom, lsh, member}, k1..k4)
+    * with `batch_no` ∈ {0 standing, 1, 2}.
+    *
+    * 100 TB posture: each step is [[ingestUpsert]]'s bill (the gate
+    * probes' own bounded plans + one keep semi-join per family); state
+    * position sets and the kept sets materialize once per step
+    * (tracked). */
+  def ingestUpsert2(docs: DataFrame, mod: Int = 10,
+                    sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val neg = lit(-1L)
+    val corpus = docs.filter($"doc_id" % mod =!= 0)
+    val b1 = docs.filter($"doc_id" % (2L * mod) === mod.toLong)
+    val b2 = docs.filter($"doc_id" % (2L * mod) === 0L)
+    val (sa, bandSig) = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
+    def gateIdx(idx: DataFrame): DataFrame = {
+      val ok = idx.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" <= Dedup.BucketCap).select($"band", $"sig")
+      idx.join(ok, Seq("band", "sig"), "left_semi")
+    }
+    val corpIdx = graft.Pinned.track(gateIdx(bandSig.filter($"doc_id" % mod =!= 0)))
+    val corpSh = sa.filter($"doc_id" % mod =!= 0)
+    val sl0 = sliceLines0.getOrElse(Dedup.bloomSliceLines(
+      Dedup.bloomDocLines(corpus)))
+    val pos0 = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
+    val h0 = graft.Pinned.track(
+      corpus.select(md5($"text".cast("binary")).as("h")).distinct())
+    // one step's composed keep: the three gate verdicts against the
+    // given states, a doc kept iff NONE fires (the ingestAudit rule)
+    def keptOf(bDocs: DataFrame, idxStored: DataFrame, memberSh: DataFrame,
+               slPos: DataFrame, hSet: DataFrame): DataFrame = {
+      val bIds = bDocs.select($"doc_id")
+      val ex = bDocs.select($"doc_id", md5($"text".cast("binary")).as("h"))
+        .join(hSet.withColumn("e", lit(1L)), Seq("h"), "left")
+        .select($"doc_id", coalesce($"e", lit(0L)).as("exact_dup"))
+      val bLines = Dedup.bloomDocLines(bDocs)
+      val bl = bLines
+        .join(Dedup.bloomScaleMembers(bLines, slPos, Dedup.BloomSliceCap0)
+            .withColumn("bh", lit(1)),
+          Seq("doc_id", "line"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nl"),
+          sum(coalesce($"bh", lit(0))).cast("long").as("nd"))
+        .select($"doc_id",
+          (expr("(nd * 1000000) div greatest(nl, 1)") >= Dedup.BloomDropE6)
+            .cast("long").as("bloom_drop"))
+      val lx = Dedup.incProbeTail(bIds,
+        bandSig.join(bIds, Seq("doc_id"), "left_semi")
+          .select($"doc_id".as("doc_n"), $"band", $"sig"),
+        sa.join(bIds, Seq("doc_id"), "left_semi")
+          .select($"doc_id".as("doc_n"), $"dshings".as("sha")),
+        gateIdx(idxStored).select($"doc_id".as("doc_c"), $"band", $"sig"),
+        memberSh.select($"doc_id".as("doc_c"), $"dshings".as("shb")),
+        Dedup.IncrementalDropE6)
+        .select($"doc_id", ($"verdict" === "drop").cast("long").as("nd_drop"))
+      bIds.join(ex, Seq("doc_id")).join(bl, Seq("doc_id")).join(lx, Seq("doc_id"))
+        .filter($"exact_dup" === 0L && $"bloom_drop" === 0L && $"nd_drop" === 0L)
+        .select($"doc_id")
+    }
+    // step 1 against v0
+    val kept1 = graft.Pinned.track(keptOf(b1, corpIdx, corpSh, pos0, h0))
+    // v1 states: exact hashes, bloom lines/positions, band index
+    val ns1 = graft.Pinned.track(Dedup.bloomScaleIngestNewSlices(
+      sl0, Dedup.bloomDocLines(b1), keptDocs0 = Some(kept1),
+      slicePos0 = Some(pos0)))
+    val pos1new = graft.Pinned.track(Dedup.bloomSlicePositions(ns1)
+      .join(pos0, Seq("slice", "p"), "left_anti"))
+    val sl1 = sl0.select($"line", $"slice").unionByName(ns1)
+    val sp1 = pos0.unionByName(pos1new)
+    val b1KeptBands = bandSig.join(kept1, Seq("doc_id"), "left_semi")
+    val idx1 = corpIdx.unionByName(b1KeptBands)
+    val memberSh1 = corpSh.unionByName(sa.join(kept1, Seq("doc_id"), "left_semi"))
+    val h1 = h0.unionByName(b1.join(kept1, Seq("doc_id"), "left_semi")
+      .select(md5($"text".cast("binary")).as("h"))).distinct()
+    // step 2 against v1
+    val kept2 = graft.Pinned.track(keptOf(b2, idx1, memberSh1, sp1, h1))
+    val ns2 = Dedup.bloomScaleIngestNewSlices(sl1, Dedup.bloomDocLines(b2),
+      keptDocs0 = Some(kept2), slicePos0 = Some(sp1))
+    val pos2new = Dedup.bloomSlicePositions(ns2)
+      .join(sp1, Seq("slice", "p"), "left_anti")
+    // normalized union
+    def bloomRows(df: DataFrame, n: Long) =
+      df.select(lit("bloom").as("family"), $"slice".as("k1"), $"p".as("k2"),
+        neg.as("k3"), neg.as("k4"), lit(n).as("batch_no"))
+    def lshRows(df: DataFrame, n: Long) =
+      df.select(lit("lsh").as("family"), $"doc_id".as("k1"),
+        $"band".cast("long").as("k2"), $"sig.k0".as("k3"), $"sig.k1".as("k4"),
+        lit(n).as("batch_no"))
+    def memRows(ids: DataFrame, n: Long) =
+      ids.select(lit("member").as("family"), $"doc_id".as("k1"), neg.as("k2"),
+        neg.as("k3"), neg.as("k4"), lit(n).as("batch_no"))
+    bloomRows(pos0, 0L)
+      .unionByName(bloomRows(pos1new, 1L))
+      .unionByName(bloomRows(pos2new, 2L))
+      .unionByName(lshRows(corpIdx, 0L))
+      .unionByName(lshRows(b1KeptBands, 1L))
+      .unionByName(lshRows(bandSig.join(kept2, Seq("doc_id"), "left_semi"), 2L))
+      .unionByName(memRows(corpus.select($"doc_id"), 0L))
+      .unionByName(memRows(kept1, 1L))
+      .unionByName(memRows(kept2, 2L))
+  }
+
   /** [[curationFunnel]] gate order — shared by the op and its oracle
     * generator so the two stage lists can never drift. */
   val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",

@@ -1105,6 +1105,43 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("ingest upsert2: any modality's near-miss of a batch-1 insert drops across the boundary") {
+    import spark.implicits._
+    // corpus 1..9 unique; batch 1 (% 20 == 10): doc 10 novel -> composed
+    // keep, advances ALL THREE states. batch 2 (% 20 == 0):
+    //   doc 20 = EXACT copy of doc 10        -> exact gate vs v1 hashes
+    //   doc 40 = doc 10's 5-token LINE BLOCKS in reverse order (same
+    //            line SET, different text)   -> sliced-Bloom gate vs v1
+    //   doc 60 = novel                       -> kept, batch_no = 2
+    def mk(p: String, n: Int = 40) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val xToks = (1 to 40).map(i => s"x$i")
+    val xRevLines = xToks.grouped(ext.Dedup.LineTokens).toSeq.reverse.flatten.mkString(" ")
+    val docs = ((1 to 9).map(d => (d.toLong, mk(s"c$d"))) ++ Seq(
+      (10L, xToks.mkString(" ")),
+      (20L, xToks.mkString(" ")),
+      (40L, xRevLines),
+      (60L, mk("z")))).toDF("doc_id", "text")
+    val up = ext.Pipeline.ingestUpsert2(docs)
+    val members = up.filter($"family" === "member")
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(members.get(10L).contains(1L), s"batch-1 novel doc must be kept: $members")
+    assert(!members.contains(20L),
+      s"exact copy of the batch-1 insert must drop at the v1 exact gate: $members")
+    assert(!members.contains(40L),
+      s"line-permuted copy must drop at the v1 sliced-Bloom gate: $members")
+    assert(members.get(60L).contains(2L), s"batch-2 novel doc must be kept: $members")
+    // the dropped docs entered NO state in any family
+    val newKeyed = up.filter($"family" =!= "bloom" && $"batch_no" > 0L)
+      .select($"k1").as[Long].collect().toSet
+    assert(!newKeyed.contains(20L) && !newKeyed.contains(40L),
+      "a dropped doc's rows entered the lsh/member state")
+    // bloom: batch-2 contributed only doc 60's novel lines (doc 40's
+    // lines are all members of v1 and never re-insert)
+    val b2pos = up.filter($"family" === "bloom" && $"batch_no" === 2L).count()
+    assert(b2pos > 0L, "batch-2 novel doc must insert lines")
+    graft.Pinned.release(spark)
+  }
+
   test("ingest upsert: a doc dropped by ANY gate enters NO standing state") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -321,6 +321,9 @@ class PlanSpec extends AnyFunSuite {
     //   j7_ingest_upsert  the audit's allowlisted joins (above) plus the
     //                  bloom write leg's 1-row standing-line-count
     //                  broadcast (j2_bloom_scale_upsert's shape)
+    //   j7_ingest_upsert2  the same bounded joins once per ingest step
+    //                  (two dial-table range joins, two standing-slice
+    //                  crosses, two 1-row standing-count broadcasts)
     //   j2_bloom_scale_upsert2  the same dial-table range joins and 1-row
     //                  standing-count broadcasts, once per ingest step
     //                  (two consecutive batches)
@@ -364,6 +367,7 @@ class PlanSpec extends AnyFunSuite {
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_state",
       "j2_bloom_scale_stats",
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
+      "j7_ingest_upsert2",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
