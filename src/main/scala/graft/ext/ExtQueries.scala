@@ -162,6 +162,31 @@ object ExtQueries {
     })
   }
 
+  /** Night-1 state of the composed two-night ingest (`j7_ingest_upsert2`)
+    * — the standing artifact night 2's job READS, so it follows the
+    * memoized-stage lifecycle (stageEager leaves per (session, dataset),
+    * dataset-switch eviction releasing every member frame). Staging is
+    * what keeps the composed query's plan DESCRIPTION bounded: these
+    * frames are referenced up to four times each by night 2's chains,
+    * and persisted-with-lineage intermediates at that depth expanded the
+    * description multiplicatively (a 196-million-character plan string
+    * before staging — the documented Pinned.stage rationale). */
+  private val ingestNight1Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Pipeline.IngestNight1]()
+  private def ingestNight1Frame(s: SparkSession, d: String): Pipeline.IngestNight1 = {
+    import scala.jdk.CollectionConverters._
+    ingestNight1Cache.keySet.asScala.toList
+      .filter { case (ks, kd) => ks.sparkContext.isStopped || (ks == s && kd != d) }
+      .foreach { k =>
+        Option(ingestNight1Cache.remove(k)).foreach(v =>
+          if (!k._1.sparkContext.isStopped) v.frames.foreach(graft.Pinned.releaseFrame))
+      }
+    ingestNight1Cache.computeIfAbsent((s, d), _ =>
+      Pipeline.ingestNight1(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        stager = graft.Pinned.stageEager))
+  }
+
   val queries: Map[String, Q] = Map(
     // J1 — exact dedup, deterministic representative.
     "j1_dedup_docs" -> ((s, d) => {
@@ -460,7 +485,8 @@ object ExtQueries {
     // boundary. Normalized (family, k1..k4, batch_no) state table.
     "j7_ingest_upsert2" -> ((s, d) =>
       Pipeline.ingestUpsert2(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        night1 = Some(ingestNight1Frame(s, d)))),
 
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
