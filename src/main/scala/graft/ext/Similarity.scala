@@ -628,14 +628,20 @@ object Similarity {
     * batch vectors re-enter through the final left join as kept singletons
     * with no cell (cell_id -1), mirroring the oracle. */
   private def semIncBatch(batch: DataFrame, cents: DataFrame, keptM: DataFrame,
-                          thresholdE6: Long): DataFrame = {
+                          thresholdE6: Long,
+                          excludeSelf: Boolean = false): DataFrame = {
     import batch.sparkSession.implicits._
     val bb = base(batch)
     val bcells = assignCells(centCos(bb.filter($"nq" > 0L), cents))
-    val cand = bcells
+    val cand0 = bcells
       .join(bb.select($"vec_id".as("vid"), $"qv", $"nq").filter($"nq" > 0L),
         Seq("vid"))
       .join(keptM, Seq("cid"))
+    // excludeSelf: the composed-ingest audit's batch carve overlaps the
+    // standing id range, so a standing kept member would trivially match
+    // itself at cosine 1.0 — the gate asks whether ANOTHER standing kept
+    // member duplicates the doc
+    val cand = (if (excludeSelf) cand0.filter($"mid" =!= $"vid") else cand0)
       .select($"vid", $"mid",
         round(idot($"qv", $"mv").cast("double") /
           sqrt($"nq".cast("double") * $"mn".cast("double")) * 1000000d)
@@ -752,6 +758,32 @@ object Similarity {
       cellCap, corpusPct)
     val (_, batch) = semIncSplit(emb, corpusPct)
     semProbeJoin(batch, cents, keptM, thresholdE6)
+  }
+
+  /** The SEMANTIC gate of the composed five-modality ingest audit
+    * (`j7_ingest_audit_mm`, round-17 verdict #1): the batch ids' vectors
+    * probe the PERSISTED corpus state ([[semStateTables]] — the same
+    * frozen centroids + kept members every other semantic consumer
+    * reads) through the shared [[semIncBatch]] tail with SELF-EXCLUSION:
+    * the audit's batch carve (doc_id % mod == 0) overlaps the standing
+    * id range, and a standing kept member always matches itself at
+    * cosine 1e6 — the gate's question is whether a DIFFERENT standing
+    * kept member sits within the [[SemDedupCosE6]] radius. One row per
+    * batch id: assigned cell, best non-self kept match, exact cosine,
+    * keep verdict.
+    *
+    * 100 TB posture: the single-step incremental bill — |batch| × √N
+    * broadcast assignment + the cell-local candidate join. */
+  def semGateVerdicts(s: org.apache.spark.sql.SparkSession, key: String,
+                      emb: DataFrame, batchIds: DataFrame,
+                      thresholdE6: Long = SemDedupCosE6,
+                      iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                      corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
+    val batch = emb.join(batchIds.select($"vec_id"), Seq("vec_id"), "left_semi")
+    semIncBatch(batch, cents, keptM, thresholdE6, excludeSelf = true)
   }
 
   /** J3 — the state UPSERT (round 13): the nightly job's WRITE step,

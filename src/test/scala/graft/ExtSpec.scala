@@ -1181,6 +1181,104 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("ingest state audit: row-identical to the recompute audit (persisted composed state cannot drift)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = ext.Pipeline.ingestAudit(docs)
+    val s = ext.Pipeline.ingestAuditState(spark, "/root/testdata/sf0.001", docs)
+    assert(s.exceptAll(a).count() == 0 && a.exceptAll(s).count() == 0,
+      "state-table audit diverged from the recompute audit")
+    graft.Pinned.release(spark)
+  }
+
+  test("five-gate audit: attribution order, sem self-exclusion, both new gates fire on the harness") {
+    import spark.implicits._
+    val key = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, key)
+    val emb = Tables.embeddings(spark, key)
+    val sem = ext.Similarity.semGateVerdicts(spark, key, emb,
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id"))
+    val img = ext.Dedup.ccGroupsConverged(docs.select($"doc_id".as("v")),
+      ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docs))
+        .select($"doc_a", $"doc_b"))
+    val a = ext.Pipeline.ingestAuditMm(docs, sem, img).collect()
+    assert(a.length == 50, "one row per batch doc")
+    a.foreach { r =>
+      val gates = Seq("exact_dup", "bloom_drop", "neardup_drop", "sem_drop",
+        "img_drop").map(r.getAs[Long])
+      assert((r.getAs[Long]("kept") == 1L) == (gates.sum == 0L), s"kept flag: $r")
+      val expected = Seq("exact", "bloom", "near_dup", "semantic", "image")
+        .zip(gates).collectFirst { case (nm, 1L) => nm }.getOrElse("kept")
+      assert(r.getAs[String]("drop_stage") == expected, s"attribution order: $r")
+      // self-exclusion: the sem gate never matches the doc's own vector
+      assert(r.getAs[Long]("sem_match") != r.getAs[Long]("doc_id"),
+        s"sem gate matched itself: $r")
+    }
+    // the three lexical columns are EXACTLY the three-gate audit's
+    val lex3 = ext.Pipeline.ingestAudit(docs)
+      .select($"doc_id", $"exact_dup", $"bloom_drop", $"neardup_drop")
+    val lexMm = ext.Pipeline.ingestAuditMm(docs, sem, img)
+      .select($"doc_id", $"exact_dup", $"bloom_drop", $"neardup_drop")
+    assert(lexMm.exceptAll(lex3).count() == 0 && lex3.exceptAll(lexMm).count() == 0,
+      "widening to five gates changed a lexical verdict")
+    // the two NEW gates both differentiate on the harness corpus
+    assert(a.exists(_.getAs[String]("drop_stage") == "semantic"),
+      "fixture corpus must drop at least one doc at the semantic gate")
+    assert(a.exists(_.getAs[String]("drop_stage") == "image"),
+      "fixture corpus must drop at least one doc at the image gate")
+    assert(a.exists(_.getAs[Long]("kept") == 1L), "some batch doc must survive all five")
+    graft.Pinned.release(spark)
+  }
+
+  test("five-gate upsert: a doc dropped by ANY gate enters NO state in ANY family, sem included") {
+    import spark.implicits._
+    val key = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, key)
+    val emb = Tables.embeddings(spark, key)
+    val sem = ext.Similarity.semGateVerdicts(spark, key, emb,
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id"))
+    val img = ext.Dedup.ccGroupsConverged(docs.select($"doc_id".as("v")),
+      ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docs))
+        .select($"doc_a", $"doc_b"))
+    val audit = ext.Pipeline.ingestAuditMm(docs, sem, img)
+    val kept = audit.filter($"kept" === 1L).select($"doc_id").as[Long].collect().toSet
+    val dropped = audit.filter($"kept" === 0L).select($"doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && dropped.nonEmpty, "fixture must exercise both paths")
+    // at least one doc passes the three lexical gates but is dropped by a
+    // NEW gate — the docs the three-gate upsert would have (wrongly) written
+    val lexOnly = audit.filter($"exact_dup" === 0L && $"bloom_drop" === 0L &&
+      $"neardup_drop" === 0L && $"kept" === 0L).count()
+    assert(lexOnly > 0L, "a sem/image drop must bite beyond the lexical gates")
+    val keptM = ext.Similarity.semStateTables(spark, key, emb)(1)
+    val up = ext.Pipeline.ingestUpsertMm(docs, keptM, sem, img)
+    val memNew = up.filter($"family" === "member" && $"is_new" === 1L)
+      .select($"k1").as[Long].collect().toSet
+    assert(memNew == kept, "membership roster diverged from the five-gate keep")
+    val lshNew = up.filter($"family" === "lsh" && $"is_new" === 1L)
+      .select($"k1").as[Long].collect().toSet
+    assert(lshNew.subsetOf(kept) && (lshNew & dropped).isEmpty,
+      "a five-gate-dropped doc's band rows entered the LSH index")
+    // the sem member index: exactly the kept docs (every doc has a vector)
+    val semNew = up.filter($"family" === "sem" && $"is_new" === 1L)
+      .select($"k1").as[Long].collect().toSet
+    assert(semNew == kept, "sem member index diverged from the five-gate keep")
+    // bloom: inserted lines originate from five-gate-kept docs only
+    val keptDf = audit.filter($"kept" === 1L).select($"doc_id")
+    val sl0 = ext.Dedup.bloomSliceLines(
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 =!= 0)))
+    val batch = ext.Dedup.bloomDocLines(docs.filter($"doc_id" % 10 === 0))
+    val standing = ext.Dedup.bloomSlicePositions(sl0)
+    val expected = ext.Dedup.bloomSlicePositions(
+        ext.Dedup.bloomScaleIngestNewSlices(sl0, batch, keptDocs0 = Some(keptDf)))
+      .join(standing, Seq("slice", "p"), "left_anti")
+    val gotB = up.filter($"family" === "bloom" && $"is_new" === 1L)
+      .select($"k1".as("slice"), $"k2".as("p"))
+    assert(gotB.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(gotB).count() == 0,
+      "bloom is_new positions diverged from the five-gate insert set")
+    graft.Pinned.release(spark)
+  }
+
   test("pack_mm: spans adjacent, whole docs never straddle, image-canonical gate enforced") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -352,6 +352,15 @@ class PlanSpec extends AnyFunSuite {
     //                  point is collapsing the bounded sqrt(N) centroid
     //                  table into a single broadcast row) plus the 1-row
     //                  id-cutoff aggregate (corpus/batch split)
+    //   j7_ingest_state  the audit's allowlisted joins (dial-table range
+    //                  join + lines x standing-slices cross) over the
+    //                  persisted per-family state TABLES
+    //   j7_ingest_audit_mm / j7_ingest_upsert_mm  the audit's allowlisted
+    //                  joins plus the semantic state probe's bounded
+    //                  broadcasts (read centroid/kept-member TABLES — the
+    //                  j3_semdedup_inc_state shape, <= ceil(sqrt(N)) rows)
+    //                  and, in the upsert, the bloom write leg's 1-row
+    //                  standing-count broadcast
     val allowed = Set("d4_interval", "j3_knn_cosine", "j3_ivf_ann",
       "j3_ivf_np1", "j3_semdedup", "j3_semdedup_inc", "j3_semdedup_inc_state",
       "j3_semdedup_inc_upsert", "j3_semdedup_inc_upsert2",
@@ -367,7 +376,8 @@ class PlanSpec extends AnyFunSuite {
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_state",
       "j2_bloom_scale_stats",
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
-      "j7_ingest_upsert2",
+      "j7_ingest_upsert2", "j7_ingest_state", "j7_ingest_audit_mm",
+      "j7_ingest_upsert_mm",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
