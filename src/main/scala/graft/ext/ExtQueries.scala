@@ -528,6 +528,27 @@ object ExtQueries {
         semGateFrame(s, d), phashGroups(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J7 — STATE RETRACTION (round 17): the takedown batch — remove the
+    // doc_id % 25 == 11 carve from EVERY maintained state and emit the
+    // post-retraction composed state; the Bloom filter is REBUILT from
+    // the persisted (line, slice) relation minus retired lines (the
+    // family cannot delete in place), and each image cluster re-elects
+    // its keep-best among survivors.
+    "j7_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Pipeline.retract(docs, phashGroups(s, d),
+        Multimodal.decodeImages(Multimodal.pngFixture(docs)),
+        Similarity.semStateTables(s, d, Tables.embeddings(s, d))(1),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))
+    }),
+
+    // J3 — the QUANTIZER RETRAIN (round 17): centroids retrained on the
+    // accumulated population (standing kept members + kept batch), every
+    // member re-assigned — old vs new cell per member with the moved
+    // flag; the frozen-centroid family's promised "next full pass".
+    "j3_semdedup_retrain" -> ((s, d) =>
+      Similarity.semDedupRetrain(s, d, Tables.embeddings(s, d))),
+
     // J7 — SPLIT-LEAKAGE audit (round 14): near-dup clusters straddling
     // the train/val/test split — what splitting before deduplicating
     // ships; per-cluster member/split counts + the leak verdict.
@@ -1779,67 +1800,74 @@ object ExtQueries {
     * Shared by j3_semdedup (pred TRUE) and the frozen corpus side of
     * j3_semdedup_inc. */
   private def semDedupChain(pred: String): String =
-    s"""WITH RECURSIVE cemb AS (SELECT * FROM embeddings WHERE $pred),
-      |qe AS (
+    s"WITH RECURSIVE ${semDedupChainP("", pred)}"
+
+  /** [[semDedupChain]] with every CTE name prefixed — a second kmeans
+    * chain (the quantizer RETRAIN's, over the accumulated population)
+    * composes into the same query without name collisions. The
+    * population predicate may reference earlier CTEs. */
+  private def semDedupChainP(p: String, pred: String): String =
+    s"""${p}cemb AS (SELECT * FROM embeddings WHERE $pred),
+      |${p}qe AS (
         |  SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
-        |  FROM cemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM qe GROUP BY 1),
-        |nn AS (SELECT count(*) AS cnt, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM cemb),
-        |nn2 AS (SELECT ncells, greatest(1, cnt // ncells) AS stride,
-        |          greatest(1, cnt // (ncells * ${Similarity.IvfTrainPerCell})) AS tstride FROM nn),
-        |cents AS (SELECT vec_id AS cid FROM cemb, nn2
+        |  FROM ${p}cemb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |${p}norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nq FROM ${p}qe GROUP BY 1),
+        |${p}nn AS (SELECT count(*) AS cnt, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM ${p}cemb),
+        |${p}nn2 AS (SELECT ncells, greatest(1, cnt // ncells) AS stride,
+        |          greatest(1, cnt // (ncells * ${Similarity.IvfTrainPerCell})) AS tstride FROM ${p}nn),
+        |${p}cents AS (SELECT vec_id AS cid FROM ${p}cemb, ${p}nn2
         |          WHERE vec_id % stride = 0 AND vec_id < stride * ncells),
-        |train AS (SELECT e.vec_id FROM cemb e, nn2 WHERE e.vec_id % tstride = 0),
-        |cvec0 AS (SELECT c.cid, x.i, x.q FROM cents c JOIN qe x ON x.vec_id = c.cid),
-        |cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec0 c ON c.i = e.i JOIN cnorm0 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vc1 AS (SELECT d.vec_id, d.cid,
+        |${p}train AS (SELECT e.vec_id FROM ${p}cemb e, ${p}nn2 WHERE e.vec_id % tstride = 0),
+        |${p}cvec0 AS (SELECT c.cid, x.i, x.q FROM ${p}cents c JOIN ${p}qe x ON x.vec_id = c.cid),
+        |${p}cnorm0 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM ${p}cvec0 GROUP BY 1 HAVING sum(q * q) > 0),
+        |${p}cd1 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM ${p}qe e JOIN ${p}train t ON t.vec_id = e.vec_id
+        |        JOIN ${p}cvec0 c ON c.i = e.i JOIN ${p}cnorm0 g ON g.cid = c.cid GROUP BY 1, 2),
+        |${p}vc1 AS (SELECT d.vec_id, d.cid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd1 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm0 cn ON cn.cid = d.cid),
-        |as1 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc1) z
+        |  FROM ${p}cd1 d JOIN ${p}norms nv ON nv.vec_id = d.vec_id JOIN ${p}cnorm0 cn ON cn.cid = d.cid),
+        |${p}as1 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ${p}vc1) z
         |  WHERE rn = 1),
-        |cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as1 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN train t ON t.vec_id = e.vec_id
-        |        JOIN cvec1 c ON c.i = e.i JOIN cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vc2 AS (SELECT d.vec_id, d.cid,
+        |${p}cvec1 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM ${p}as1 a JOIN ${p}qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |${p}cnorm1 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM ${p}cvec1 GROUP BY 1 HAVING sum(q * q) > 0),
+        |${p}cd2 AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM ${p}qe e JOIN ${p}train t ON t.vec_id = e.vec_id
+        |        JOIN ${p}cvec1 c ON c.i = e.i JOIN ${p}cnorm1 g ON g.cid = c.cid GROUP BY 1, 2),
+        |${p}vc2 AS (SELECT d.vec_id, d.cid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cd2 d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm1 cn ON cn.cid = d.cid),
-        |as2 AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc2) z
+        |  FROM ${p}cd2 d JOIN ${p}norms nv ON nv.vec_id = d.vec_id JOIN ${p}cnorm1 cn ON cn.cid = d.cid),
+        |${p}as2 AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ${p}vc2) z
         |  WHERE rn = 1),
-        |cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
-        |          FROM as2 a JOIN qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
-        |cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
-        |cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
-        |        FROM qe e JOIN cvec2 c ON c.i = e.i JOIN cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
-        |vcos AS (SELECT d.vec_id, d.cid,
+        |${p}cvec2 AS (SELECT a.cid, x.i, CAST(floor(CAST(sum(x.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+        |          FROM ${p}as2 a JOIN ${p}qe x ON x.vec_id = a.vid GROUP BY a.cid, x.i),
+        |${p}cnorm2 AS (SELECT cid, CAST(sum(q * q) AS BIGINT) AS nc FROM ${p}cvec2 GROUP BY 1 HAVING sum(q * q) > 0),
+        |${p}cdf AS (SELECT e.vec_id, c.cid, CAST(sum(e.q * c.q) AS BIGINT) AS dot
+        |        FROM ${p}qe e JOIN ${p}cvec2 c ON c.i = e.i JOIN ${p}cnorm2 g ON g.cid = c.cid GROUP BY 1, 2),
+        |${p}vcos AS (SELECT d.vec_id, d.cid,
         |  CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(nv.nq AS DOUBLE) * CAST(cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT) AS ccos
-        |  FROM cdf d JOIN norms nv ON nv.vec_id = d.vec_id JOIN cnorm2 cn ON cn.cid = d.cid),
-        |cells AS (SELECT vec_id AS vid, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vcos) z
+        |  FROM ${p}cdf d JOIN ${p}norms nv ON nv.vec_id = d.vec_id JOIN ${p}cnorm2 cn ON cn.cid = d.cid),
+        |${p}cells AS (SELECT vec_id AS vid, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ${p}vcos) z
         |  WHERE rn = 1),
-        |okc AS (SELECT cid FROM cells GROUP BY cid HAVING count(*) <= ${Similarity.SemCellCap}),
-        |cellok AS (SELECT c.vid, c.cid FROM cells c JOIN okc o ON o.cid = c.cid),
-        |dots AS (SELECT a.vid AS doc_a, b.vid AS doc_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
-        |         FROM cellok a JOIN cellok b ON b.cid = a.cid AND a.vid < b.vid
-        |         JOIN qe x ON x.vec_id = a.vid JOIN qe y ON y.vec_id = b.vid AND y.i = x.i
+        |${p}okc AS (SELECT cid FROM ${p}cells GROUP BY cid HAVING count(*) <= ${Similarity.SemCellCap}),
+        |${p}cellok AS (SELECT c.vid, c.cid FROM ${p}cells c JOIN ${p}okc o ON o.cid = c.cid),
+        |${p}dots AS (SELECT a.vid AS doc_a, b.vid AS doc_b, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |         FROM ${p}cellok a JOIN ${p}cellok b ON b.cid = a.cid AND a.vid < b.vid
+        |         JOIN ${p}qe x ON x.vec_id = a.vid JOIN ${p}qe y ON y.vec_id = b.vid AND y.i = x.i
         |         GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM (
+        |${p}pairs AS (SELECT doc_a, doc_b FROM (
         |  SELECT d.doc_a, d.doc_b,
         |    CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_sim_e6
-        |  FROM dots d JOIN norms na ON na.vec_id = d.doc_a AND na.nq > 0
-        |    JOIN norms nb ON nb.vec_id = d.doc_b AND nb.nq > 0) z
+        |  FROM ${p}dots d JOIN ${p}norms na ON na.vec_id = d.doc_a AND na.nq > 0
+        |    JOIN ${p}norms nb ON nb.vec_id = d.doc_b AND nb.nq > 0) z
         |  WHERE cos_sim_e6 >= ${Similarity.SemDedupCosE6}),
-        |edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (SELECT vec_id AS v, vec_id AS l FROM cemb
-        |  UNION SELECT e.doc_a AS v, r.l FROM reach r JOIN edges e ON e.doc_b = r.v),
-        |comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM reach GROUP BY 1)""".stripMargin
+        |${p}edges AS (SELECT doc_a, doc_b FROM ${p}pairs UNION ALL SELECT doc_b, doc_a FROM ${p}pairs),
+        |${p}reach AS (SELECT vec_id AS v, vec_id AS l FROM ${p}cemb
+        |  UNION SELECT e.doc_a AS v, r.l FROM ${p}reach r JOIN ${p}edges e ON e.doc_b = r.v),
+        |${p}comp AS (SELECT v AS vec_id, min(l) AS near_set_id FROM ${p}reach GROUP BY 1)""".stripMargin
 
   /** The incremental-SemDeDup oracle — shared verbatim by j3_semdedup_inc
     * (recompute) and j3_semdedup_inc_state (persisted state tables): both
@@ -2815,6 +2843,72 @@ object ExtQueries {
          |  CAST(1 AS BIGINT) AS is_new
          |FROM bmemb be JOIN keptc kk ON kk.doc_id = be.vec_id
          |LEFT JOIN bmcells bc ON bc.vid = be.vec_id""".stripMargin,
+    // State retraction: every leg re-derives its family's standing state
+    // from the shared chains and subtracts the % 25 == 11 carve; the
+    // bloom leg re-hashes the SURVIVING (line, slice) rows (the rebuild),
+    // the img leg re-runs the keep-best argmin over surviving members.
+    "j7_retract" -> {
+      val rows = Dedup.RowsPerBand
+      val lshSel = (0 until Dedup.Bands).map { b =>
+        val keys = (0 until rows).map(r => s"h${b * rows + r}")
+        val gOn = keys.map(k => s"g.$k = c.$k").mkString(" AND ")
+        s"""SELECT 'lsh' AS family, c.doc_id AS k1, CAST($b AS BIGINT) AS k2,
+           |  c.${keys(0)} AS k3, c.${keys(1)} AS k4
+           |FROM corp c JOIN iok$b g ON $gOn WHERE c.doc_id % 25 <> 11""".stripMargin
+      }
+      s"""$ingestAuditMmCtes,
+         |rsurvln AS (SELECT DISTINCT line FROM ln
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 25 <> 11),
+         |rsl AS (SELECT s.line, s.slice, s.m, s.k FROM sl s
+         |  WHERE s.line IN (SELECT line FROM rsurvln)),
+         |rpos AS (SELECT DISTINCT l.slice,
+         |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || l.line), 1, 15))::BIGINT % l.m AS p
+         |  FROM rsl l, LATERAL (SELECT unnest(generate_series(0, l.k - 1)) AS s) s),
+         |rg AS (SELECT c.doc_id, c.icluster AS cluster_id,
+         |    CAST((c.doc_id % 13 + 3) * (c.doc_id % 7 + 2) AS BIGINT) AS pixel_area,
+         |    CAST((c.doc_id % 7 + 2) * (3 * (c.doc_id % 13 + 3) + 1) + 68 AS BIGINT) AS payload_bytes
+         |  FROM imcomp c WHERE c.doc_id % 25 <> 11),
+         |rg2 AS (SELECT *, (payload_bytes * 1000000) // pixel_area AS bpp_e6 FROM rg),
+         |rbest AS (SELECT cluster_id, doc_id AS best FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY pixel_area DESC, bpp_e6 DESC, doc_id) AS rn FROM rg2) z
+         |  WHERE rn = 1)
+         |SELECT 'member' AS family, doc_id AS k1, CAST(-1 AS BIGINT) AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4
+         |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 25 <> 11
+         |UNION ALL
+         |${lshSel.mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'sem' AS family, mid AS k1, cid AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4
+         |FROM keptm WHERE mid % 25 <> 11
+         |UNION ALL
+         |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4
+         |FROM rpos
+         |UNION ALL
+         |SELECT 'img' AS family, cluster_id AS k1, best AS k2,
+         |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4
+         |FROM rbest""".stripMargin
+    },
+
+    // Quantizer retrain: the incremental chain's standing + kept-batch
+    // members form the population; a SECOND (r-prefixed) kmeans chain
+    // retrains over it with the same deterministic procedure; one row
+    // per member with old vs new cell.
+    "j3_semdedup_retrain" ->
+      s"""$semDedupIncCtes,
+         |rold AS (SELECT mid AS vec_id, cid AS old_cell FROM keptm
+         |  UNION ALL
+         |  SELECT be.vec_id, coalesce(bc.cid, -1) AS old_cell
+         |  FROM bemb be LEFT JOIN bcells bc ON bc.vid = be.vec_id
+         |  LEFT JOIN best b ON b.vid = be.vec_id
+         |  WHERE coalesce(b.cos_sim_e6, 0) < ${Similarity.SemDedupCosE6}),
+         |${semDedupChainP("r", "vec_id IN (SELECT vec_id FROM rold)")}
+         |SELECT o.vec_id, o.old_cell, coalesce(rc.cid, -1) AS new_cell,
+         |  CAST(CASE WHEN o.old_cell <> coalesce(rc.cid, -1) THEN 1 ELSE 0 END AS BIGINT) AS moved
+         |FROM rold o LEFT JOIN rcells rc ON rc.vid = o.vec_id""".stripMargin,
+
     "j2_incremental_state" -> incrementalNearDupOracle,
     "j2_incremental_upsert" -> incUpsertOracle,
     "j2_incremental_upsert2" -> incUpsert2Oracle,

@@ -586,6 +586,98 @@ object Pipeline {
       .unionByName(memRows(kept2, 2L))
   }
 
+  /** [[retract]] takedown carve: standing docs with
+    * doc_id % [[RetractMod]] == [[RetractRes]] are removed. 11 mod 25
+    * hits only ids ≡ 1 or 6 (mod 10) — always inside the lexical
+    * families' standing corpus (doc_id % 10 != 0) — and removes winners
+    * of multi-member image clusters at every harness SF, so the
+    * re-election path is exercised. */
+  val RetractMod = 25L
+  val RetractRes = 11L
+
+  /** J7 — STATE RETRACTION (round-17 verdict #3): the takedown batch a
+    * GDPR/DMCA request sends — remove a set of standing documents from
+    * EVERY maintained dedup state, and emit the post-retraction composed
+    * state. One normalized row per surviving state entry, family ∈
+    *
+    *   - `member`: the corpus roster minus the removed docs (k1 = doc_id);
+    *   - `lsh`: the cap-gated band index minus the removed docs' rows
+    *     (k1 = doc_id, k2 = band, k3/k4 = signature). Removal only
+    *     DELETES rows: a bucket the cap gated out stays out even if the
+    *     removal shrank it back under the cap — gates re-apply on the
+    *     next full pass, the family's standing convention;
+    *   - `sem`: the kept-member index minus the removed docs (k1 =
+    *     vec_id, k2 = cell). Near-set survivors whose canonical was
+    *     removed are NOT re-elected here — the semantic canonical is the
+    *     full clustering's artifact and retrains with the quantizer;
+    *   - `bloom`: the filter REBUILT from the persisted (line, slice)
+    *     relation minus the retired lines (the Bloom family cannot
+    *     delete by construction — the state table is exactly what makes
+    *     the rebuild possible without re-ranking the corpus). A line is
+    *     retired only when NO surviving doc carries it; surviving lines
+    *     keep their slice, so the rebuild is one position pass over the
+    *     surviving line-state (k1 = slice, k2 = position) and has ZERO
+    *     false negatives on surviving lines by construction (ExtSpec
+    *     probes it);
+    *   - `img`: the keep-best election RE-RUN over each cluster's
+    *     surviving members (k1 = cluster_id, k2 = the new best doc) — a
+    *     cluster whose winner was removed promotes its next-best member
+    *     (the [[graft.ext.Multimodal.keepBestImages]] key: max pixel
+    *     area, ties to highest bytes-per-pixel, then min doc_id).
+    *     Cluster LABELS stay frozen from the standing clustering — a
+    *     removed bridge doc can in reality split a component, and that
+    *     re-labeling belongs to the next full clustering pass.
+    *
+    * Each family retracts from ITS OWN standing population (lexical/
+    * bloom: doc_id % mod != 0; sem: the oldest 90% of the id range; img:
+    * the whole clustered corpus) — the removed set is the same carve
+    * intersected with each.
+    *
+    * 100 TB posture: every leg is one anti-join of a bounded state
+    * relation against the (tiny, broadcastable) takedown set; the bloom
+    * rebuild is one line-grain semi-join + the position pass the family
+    * already bounds; the img re-election is the bounded cluster-grain
+    * argmin. */
+  def retract(docs: DataFrame, imgGroups: DataFrame, decoded: DataFrame,
+              semKeptM: DataFrame, mod: Int = 10,
+              sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val neg = lit(-1L)
+    val corpus = docs.filter($"doc_id" % mod =!= 0)
+    val removed = docs.filter($"doc_id" % RetractMod === RetractRes)
+      .select($"doc_id")
+    val surviving = corpus.join(removed, Seq("doc_id"), "left_anti")
+    val mem = surviving
+      .select(lit("member").as("family"), $"doc_id".as("k1"), neg.as("k2"),
+        neg.as("k3"), neg.as("k4"))
+    // lsh: the cap-gated standing index minus the removed docs' rows
+    val (_, corpB) = Dedup.shingleBands(corpus, Dedup.Bands, Dedup.RowsPerBand)
+    val lsh = gateIdx(corpB)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(lit("lsh").as("family"), $"doc_id".as("k1"),
+        $"band".cast("long").as("k2"), $"sig.k0".as("k3"), $"sig.k1".as("k4"))
+    // sem: kept members minus removed
+    val sem = semKeptM
+      .join(removed.select($"doc_id".as("mid")), Seq("mid"), "left_anti")
+      .select(lit("sem").as("family"), $"mid".as("k1"), $"cid".as("k2"),
+        neg.as("k3"), neg.as("k4"))
+    // bloom: rebuild from the (line, slice) state minus retired lines
+    val sl = sliceLines0.getOrElse(
+      Dedup.bloomSliceLines(Dedup.bloomDocLines(corpus)))
+    val survLines = Dedup.bloomDocLines(surviving).select($"line").distinct()
+    val bloom = Dedup.bloomSlicePositions(
+        sl.select($"line", $"slice").join(survLines, Seq("line"), "left_semi"))
+      .select(lit("bloom").as("family"), $"slice".as("k1"), $"p".as("k2"),
+        neg.as("k3"), neg.as("k4"))
+    // img: keep-best re-elected over each cluster's surviving members
+    val img = Multimodal.keepBestImages(
+        imgGroups.join(removed, Seq("doc_id"), "left_anti"), decoded)
+      .select($"cluster_id", $"best_doc_id").distinct()
+      .select(lit("img").as("family"), $"cluster_id".as("k1"),
+        $"best_doc_id".as("k2"), neg.as("k3"), neg.as("k4"))
+    mem.unionByName(lsh).unionByName(sem).unionByName(bloom).unionByName(img)
+  }
+
   /** [[curationFunnel]] gate order — shared by the op and its oracle
     * generator so the two stage lists can never drift. */
   val FunnelStages: Seq[String] = Seq("exact_dedup", "near_dup", "image_dup",

