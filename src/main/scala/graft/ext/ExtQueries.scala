@@ -1164,7 +1164,19 @@ object ExtQueries {
     // ZERO state; best-match is rank-at-serve (j3_semdedup_inc_state
     // grades that reduction in batch).
     "st_sem_probe" -> ((s, d) =>
-      Similarity.semProbeBatch(s, d, Tables.embeddings(s, d)))
+      Similarity.semProbeBatch(s, d, Tables.embeddings(s, d))),
+
+    // I + J7 — the STREAM-STATIC COMPOSED ingest audit (round 17):
+    // incoming docs run the first-firing-gate attribution against the
+    // exact hash set (doc-grain stream-static equi-join), the packed
+    // sliced-Bloom filter row (row-local line-array aggregate), and the
+    // cap-gated LSH index (witnessed pair join) in ONE append-mode pass
+    // with ZERO state. Pair-grain output + one row per candidate-less
+    // (doc, band); the doc-grain reduction is rank-at-serve, graded in
+    // batch by j7_ingest_audit.
+    "st_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.ingestProbe(Tables.documents(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2914,6 +2926,40 @@ object ExtQueries {
     "j2_incremental_upsert2" -> incUpsert2Oracle,
     "j7_ingest_upsert2" -> ingestUpsert2Oracle,
     "st_inc_probe" -> incProbePairOracle,
+
+    // The composed stream-static ingest audit: the audit chain's doc-grain
+    // exact/bloom columns replicated onto (a) each verified pair, with the
+    // witness band = the smallest cap-passing matching band, and (b) one
+    // row per (doc, band) whose bucket matched nothing.
+    "st_ingest" -> {
+      val candU = (0 until Dedup.Bands)
+        .map(b => s"SELECT doc_n, doc_c, CAST($b AS BIGINT) AS b FROM icand$b")
+        .mkString(" UNION ALL ")
+      val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+      s"""$ingestAuditCtes,
+         |sicand AS ($candU),
+         |sipair AS (SELECT doc_n, doc_c, min(b) AS band FROM sicand GROUP BY 1, 2),
+         |simatch AS (SELECT p.doc_n AS doc_id, p.band, p.doc_c, j.j_e6
+         |  FROM sipair p JOIN jac j ON j.doc_n = p.doc_n AND j.doc_c = p.doc_c),
+         |sinull AS (SELECT a.doc_id, CAST(b.b AS BIGINT) AS band
+         |  FROM audit a CROSS JOIN (VALUES $bandVals) b(b)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sicand c
+         |    WHERE c.doc_n = a.doc_id AND c.b = b.b))
+         |SELECT a.doc_id, m.band, a.exact_dup, a.bloom_dup_frac_e6, a.bloom_drop,
+         |  m.doc_c, m.j_e6,
+         |  CASE WHEN a.exact_dup = 1 THEN 'exact'
+         |       WHEN a.bloom_drop = 1 THEN 'bloom'
+         |       WHEN m.j_e6 >= ${Dedup.IncrementalDropE6} THEN 'near_dup'
+         |       ELSE 'pass' END AS gate
+         |FROM audit a JOIN simatch m ON m.doc_id = a.doc_id
+         |UNION ALL
+         |SELECT a.doc_id, n.band, a.exact_dup, a.bloom_dup_frac_e6, a.bloom_drop,
+         |  CAST(-1 AS BIGINT) AS doc_c, CAST(0 AS BIGINT) AS j_e6,
+         |  CASE WHEN a.exact_dup = 1 THEN 'exact'
+         |       WHEN a.bloom_drop = 1 THEN 'bloom'
+         |       ELSE 'pass' END AS gate
+         |FROM audit a JOIN sinull n ON n.doc_id = a.doc_id""".stripMargin
+    },
 
     // Stream-static bloom probe: the j2_bloom_probe chain emitted at the
     // (doc, line) grain the filter actually answers.

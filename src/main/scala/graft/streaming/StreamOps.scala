@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-user running state for the stateful-streaming example. */
@@ -614,6 +614,134 @@ object StreamOps {
         coalesce($"ex", lit(0L)).as("exact"))
       .withColumn("false_pos",
         when($"bloom" === 1L && $"exact" === 0L, 1L).otherwise(0L))
+  }
+
+  /** J7/I — the COMPOSED ingest audit, stream-static form (round-17
+    * verdict #5): incoming documents arrive as a stream and run the
+    * first-firing-gate attribution of `j7_ingest_audit` against three
+    * STATIC standing states in one pass — the exact hash set (one
+    * stream-static equi-join at the doc grain), the sliced-Bloom packed
+    * filter row (the [[bloomScaleFilters]] broadcast; the per-doc line
+    * fraction is a ROW-LOCAL `aggregate` over the doc's line array, no
+    * explode, no stateful re-aggregation), and the cap-gated corpus LSH
+    * index (the [[incProbeStream]] equi-join with the smallest-matching-
+    * band witness). Append-mode with ZERO state.
+    *
+    * Output grain (the family's rank-at-serve convention — the doc-grain
+    * any-candidate reduction is graded in batch by `j7_ingest_audit`):
+    * one row per verified (doc, corpus candidate) pair carrying the
+    * doc-grain exact/bloom verdicts, PLUS one row per (doc, band) whose
+    * bucket matched nothing (doc_c = -1), so a doc every lexical bucket
+    * misses still reports its exact/bloom gates. `gate` is the first
+    * firing gate in production order, the near-dup leg judged by THIS
+    * row's pair.
+    *
+    * 100 TB posture: the static sides are the maintained state artifacts
+    * (hash set, packed O(sum m_i)-bit filter row, cap-gated index
+    * table); per micro-batch cost is row-local hashing plus two hash
+    * joins — the canonical stream-static enrichment. */
+  def ingestProbe(docs: DataFrame, mod: Int = 10,
+                  sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val D = graft.ext.Dedup
+    val corpus = docs.filter($"doc_id" % mod =!= 0)
+    ingestProbeJoin(docs.filter($"doc_id" % mod === 0),
+      corpus.select(md5($"text".cast("binary")).as("h")).distinct(),
+      bloomScaleFilters(D.bloomDocLines(corpus), sliceLines0),
+      D.corpusProbeIndex(corpus))
+  }
+
+  /** Streaming form of [[ingestProbe]]: `incoming` is a STREAMING
+    * documents frame; `hashes` (h), `filters` (the packed one-row
+    * [[bloomScaleFilters]] relation) and `corpusIndex`
+    * ([[graft.ext.Dedup.corpusProbeIndex]]) the static states. */
+  def ingestProbeStream(incoming: DataFrame, hashes: DataFrame,
+                        filters: DataFrame, corpusIndex: DataFrame): DataFrame =
+    ingestProbeJoin(incoming, hashes, filters, corpusIndex)
+
+  private def ingestProbeJoin(docsIn: DataFrame, hashes: DataFrame,
+                              filters: DataFrame,
+                              corpusIndex: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val D = graft.ext.Dedup
+    val w = D.LineTokens
+    val bands = D.Bands
+    val rows = D.RowsPerBand
+    // doc-grain gates, all row-local against broadcast/static state
+    val memberLn: Column => Column = ln => exists($"filters", f =>
+      forall(
+        transform(sequence(lit(0), f.getField("k") - 1), j =>
+          pmod(graft.functions.Md5Head60(concat(j.cast("string"), lit(":"), ln)),
+            f.getField("m"))),
+        p => graft.functions.BloomBitTest(f.getField("bits"), p)))
+    val enriched = docsIn
+      .select($"doc_id", $"text", md5($"text".cast("binary")).as("h"))
+      .join(hashes.withColumn("e", lit(1L)), Seq("h"), "left")
+      .withColumn("one", lit(1))
+      .join(broadcast(filters), Seq("one"))
+      .withColumn("toks", split($"text", " "))
+      .withColumn("lines", expr(
+        s"array_distinct(transform(sequence(0, (size(toks) - 1) div $w), " +
+          s"b -> array_join(slice(toks, b * $w + 1, $w), ' ')))"))
+      .withColumn("exact_dup", coalesce($"e", lit(0L)))
+      .withColumn("nl", size($"lines").cast("long"))
+      .withColumn("nd", aggregate($"lines", lit(0L),
+        (acc, ln) => acc + when(memberLn(ln), 1L).otherwise(0L)))
+      .withColumn("bloom_dup_frac_e6", expr("(nd * 1000000) div greatest(nl, 1)"))
+      .withColumn("bloom_drop",
+        ($"bloom_dup_frac_e6" >= D.BloomDropE6).cast("long"))
+    // row-local shingle/sign (the bandRowsWithSets construction, carrying
+    // the doc-grain verdict columns; a sub-shingle doc keeps null
+    // signatures — it matches no bucket but its band rows survive the
+    // left join, so its exact/bloom verdicts still surface)
+    val n3 = greatest(size($"toks") - 2, lit(0))
+    val shings = coalesce(
+      zip_with(
+        zip_with(slice($"toks", lit(1), n3), slice($"toks", lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"toks", lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)),
+      typedLit(Seq.empty[String]))
+    val sigCols = (0 until bands * rows).map(s =>
+      array_min(transform($"dshings", x => D.md5Hash32(s, x))).as(s"h$s"))
+    val carry = Seq($"doc_id", $"exact_dup", $"bloom_dup_frac_e6",
+      $"bloom_drop", $"dshings")
+    val mh = enriched
+      .withColumn("shings", shings)
+      .withColumn("dshings", expr(
+        "array_distinct(transform(shings, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"))
+      .select(carry ++ sigCols: _*)
+    val hCols = (0 until bands * rows).map(s => col(s"h$s"))
+    val bsCol = explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*).as("sig"))
+    }: _*)).as("bs")
+    val bandRows = mh.select((carry ++ hCols) :+ bsCol: _*)
+      .select((carry ++ hCols) :+ $"bs.band".as("band") :+ $"bs.sig".as("sig"): _*)
+    // the incProbeJoin witness: emit a pair only from its smallest
+    // matching, cap-passing band
+    val witness = (0 until bands).map { b =>
+      val earlierMiss = (0 until b).map { bp =>
+        (0 until rows).map(r =>
+          col(s"h${bp * rows + r}") =!= col(s"ch${bp * rows + r}"))
+          .reduce(_ || _) || element_at($"cgated", bp + 1) === 1L
+      }
+      earlierMiss.foldLeft($"band" === b)(_ && _)
+    }.reduce(_ || _)
+    val jE6 = round(size(array_intersect($"dshings", $"shb")).cast("double") /
+      (size($"dshings") + size($"shb") - size(array_intersect($"dshings", $"shb"))) *
+      1000000.0).cast("long")
+    bandRows.join(corpusIndex, Seq("band", "sig"), "left")
+      .filter($"doc_c".isNull || witness)
+      .select($"doc_id", $"band".cast("long").as("band"),
+        $"exact_dup", $"bloom_dup_frac_e6", $"bloom_drop",
+        coalesce($"doc_c", lit(-1L)).as("doc_c"),
+        coalesce(jE6, lit(0L)).as("j_e6"))
+      .withColumn("gate",
+        when($"exact_dup" === 1L, "exact")
+          .when($"bloom_drop" === 1L, "bloom")
+          .when($"j_e6" >= D.IncrementalDropE6, "near_dup")
+          .otherwise("pass"))
   }
 
   /** J3/I — SEMANTIC ingest probe, stream-static form (round-13 verdict

@@ -355,6 +355,15 @@ class PlanSpec extends AnyFunSuite {
     //   j7_ingest_state  the audit's allowlisted joins (dial-table range
     //                  join + lines x standing-slices cross) over the
     //                  persisted per-family state TABLES
+    //   st_ingest      the composed stream-shape audit: st_bloom_scale's
+    //                  allowlisted dial-table range join (building the
+    //                  packed one-row filter relation) — the probe itself
+    //                  is equi-joins only
+    //   j3_semdedup_retrain  the sem family's allowlisted stride/centroid
+    //                  folds TWICE (the frozen state probe + the retrain
+    //                  chain over the accumulated population — both
+    //                  bounded: 1-row stride frames, <= ceil(sqrt(N))-row
+    //                  centroid frames) plus the 1-row id-cutoff broadcast
     //   j7_ingest_audit_mm / j7_ingest_upsert_mm  the audit's allowlisted
     //                  joins plus the semantic state probe's bounded
     //                  broadcasts (read centroid/kept-member TABLES — the
@@ -377,7 +386,7 @@ class PlanSpec extends AnyFunSuite {
       "j2_bloom_scale_stats",
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
       "j7_ingest_upsert2", "j7_ingest_state", "j7_ingest_audit_mm",
-      "j7_ingest_upsert_mm",
+      "j7_ingest_upsert_mm", "st_ingest", "j3_semdedup_retrain",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>

@@ -464,6 +464,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static composed ingest audit equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val expected = StreamOps.ingestProbe(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the composed probe must emit rows")
+    // every batch doc surfaces (pair rows or candidate-less band rows)
+    val docsCovered = StreamOps.ingestProbe(docs)
+      .select($"doc_id").distinct().count()
+    assert(docsCovered == docs.filter($"doc_id" % 10 === 0).count(),
+      "a doc with no lexical candidates must still report its gates")
+    // static sides: the standing states a nightly job maintains
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val hashes = corpus.select(md5($"text".cast("binary")).as("h")).distinct()
+    val filters = StreamOps.bloomScaleFilters(ext.Dedup.bloomDocLines(corpus))
+    val idx = ext.Dedup.corpusProbeIndex(corpus)
+    val staged = java.nio.file.Files.createTempDirectory("graft_stingest").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.ingestProbeStream(stream, hashes, filters, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stingest_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_stingest_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("stream-static sliced-bloom probe equals the batch probe (append mode, zero state)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
