@@ -484,6 +484,33 @@ object ScaleProbe {
     val (psiStF, psiReF) = cellPsiPoint(factor)
     println(f"cell_psi fixed batch: state $psiSt1%.2fs -> $psiStF%.2fs (x${psiStF / psiSt1}%.2f) | recompute $psiRe1%.2fs -> $psiReF%.2fs (x${psiReF / psiRe1}%.2f)")
 
+    // composed-ingest state form (round 17): the nightly three-gate audit
+    // from PERSISTED per-family state tables pays the BATCH's shingle/sign
+    // plus three probes — fixed batch, so the wall must stay ~flat while
+    // the recompute twin (re-line, re-sign, re-hash the corpus in-query)
+    // grows with the corpus. Corpus ids are remapped to ≡ 1 (mod 10) so
+    // the fixed batch (the base corpus's ≡ 0 carve) stays the audit's
+    // batch at every factor.
+    def ingestStateDocs(f: Int): DataFrame = {
+      val c = docsAt(f).select((($"doc_id" * 10L) + 1L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars")
+      c.unionByName(docs0.filter($"doc_id" % 10 === 0))
+    }
+    def ingestStatePoint(f: Int): (Double, Double) = {
+      // warmup also BUILDS this factor's state tables outside the window
+      semWall(ext.Pipeline.ingestAuditState(spark,
+        s"graft_probe_ingeststate_f$f", ingestStateDocs(f)))
+      val st = (1 to 2).map(_ => semWall(ext.Pipeline.ingestAuditState(spark,
+        s"graft_probe_ingeststate_f$f", ingestStateDocs(f)))).min
+      semWall(ext.Pipeline.ingestAudit(ingestStateDocs(f)))
+      val re = (1 to 2).map(_ => semWall(
+        ext.Pipeline.ingestAudit(ingestStateDocs(f)))).min
+      (st, re)
+    }
+    val (ingSt1, ingRe1) = ingestStatePoint(1)
+    val (ingStF, ingReF) = ingestStatePoint(factor)
+    println(f"ingest_audit fixed batch: state $ingSt1%.2fs -> $ingStF%.2fs (x${ingStF / ingSt1}%.2f) | recompute $ingRe1%.2fs -> $ingReF%.2fs (x${ingReF / ingRe1}%.2f)")
+
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -527,6 +554,10 @@ object ScaleProbe {
       if (fn != 0)
         failed ::= s"scalable-bloom false negatives at ${f}x: $fn"
     }
+    // the composed state read must beat its recompute twin where it
+    // matters — at the grown corpus (the whole point of the tables)
+    if (ingStF >= ingReF)
+      failed ::= f"composed ingest state read (${ingStF}%.2fs) not cheaper than recompute (${ingReF}%.2fs) at ${factor}x"
     results.foreach { r =>
       // post-fix invariant (round-15 verdict #6): with bounded crosses
       // excluded by measurement, every probed head must carry ZERO real
@@ -564,7 +595,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"cell_psi_fixed_batch":{"state_1x_sec":${f"$psiSt1%.3f"},"state_fx_sec":${f"$psiStF%.3f"},"state_ratio":${f"${psiStF / psiSt1}%.3f"},"recompute_1x_sec":${f"$psiRe1%.3f"},"recompute_fx_sec":${f"$psiReF%.3f"},"recompute_ratio":${f"${psiReF / psiRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"cell_psi_fixed_batch":{"state_1x_sec":${f"$psiSt1%.3f"},"state_fx_sec":${f"$psiStF%.3f"},"state_ratio":${f"${psiStF / psiSt1}%.3f"},"recompute_1x_sec":${f"$psiRe1%.3f"},"recompute_fx_sec":${f"$psiReF%.3f"},"recompute_ratio":${f"${psiReF / psiRe1}%.3f"}},"ingest_state_fixed_batch":{"state_1x_sec":${f"$ingSt1%.3f"},"state_fx_sec":${f"$ingStF%.3f"},"state_ratio":${f"${ingStF / ingSt1}%.3f"},"recompute_1x_sec":${f"$ingRe1%.3f"},"recompute_fx_sec":${f"$ingReF%.3f"},"recompute_ratio":${f"${ingReF / ingRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()
