@@ -508,6 +508,15 @@ object ExtQueries {
     "j7_ingest_state" -> ((s, d) =>
       Pipeline.ingestAuditState(s, d, Tables.documents(s, d))),
 
+    // J7 — night 2's audit from the PERSISTED post-night-1 state v1
+    // (round 17): the ingestNight1 derivation runs once inside the
+    // StateStore builder, its four advanced artifacts land as tables,
+    // and the graded query signs only batch 2 and probes them — the
+    // second night's production read. Graded by the upsert2 oracle's
+    // own step-2 relations.
+    "j7_ingest_state2" -> ((s, d) =>
+      Pipeline.ingestAuditState2(s, d, Tables.documents(s, d))),
+
     // J7 — the FIVE-modality ingest audit (round 17): exact ∧ bloom ∧
     // text-LSH ∧ semantic (persisted frozen-quantizer state probe,
     // self-excluded) ∧ image-canonical (phash cluster labels) — per-doc
@@ -2202,7 +2211,10 @@ object ExtQueries {
     * are v1 = v0 advanced by step 1's composed-kept docs. All CTEs
     * w-prefixed; shares tokCtes' mh/shf for the lexical grain and the
     * Dedup.bloomSliceParams Seq for the dial table. */
-  private val ingestUpsert2Oracle: String = {
+  /** Built together: the two-night chain (ending at step 2's gate
+    * relations — reused by the persisted-v1 audit `j7_ingest_state2`)
+    * and the full upsert2 oracle (chain + the normalized state union). */
+  private val (ingestUpsert2Ctes: String, ingestUpsert2Oracle: String) = {
     val w = Dedup.LineTokens
     val prVals = Dedup.bloomSliceParams().map(r =>
       s"(${r.slice}, ${r.lo}, ${r.hi}, ${r.m}, ${r.k})").mkString(", ")
@@ -2249,7 +2261,7 @@ object ExtQueries {
          |  LEFT JOIN wint$sfx i ON i.doc_n = c.doc_n AND i.doc_c = c.doc_c
          |  JOIN wsz sa ON sa.doc_id = c.doc_n
          |  JOIN wsz sb ON sb.doc_id = c.doc_c),
-         |wbest$sfx AS (SELECT doc_n, j_e6 FROM (
+         |wbest$sfx AS (SELECT doc_n, doc_c, j_e6 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY j_e6 DESC, doc_c) AS rn
          |    FROM wjac$sfx) z WHERE rn = 1)""".stripMargin
     def bloomProbe(x: String, bPred: String, ssRel: String, spRel: String): String =
@@ -2262,6 +2274,8 @@ object ExtQueries {
          |  GROUP BY p.doc_id, p.line, p.slice, p.k HAVING count(DISTINCT p.sd) = p.k),
          |whit$x AS (SELECT DISTINCT doc_id, line FROM whg$x),
          |wbl$x AS (SELECT b.doc_id,
+         |    (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |      // greatest(CAST(count(*) AS BIGINT), 1) AS bfrac,
          |    CAST(CASE WHEN (CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
          |      // greatest(CAST(count(*) AS BIGINT), 1) >= ${Dedup.BloomDropE6} THEN 1 ELSE 0 END AS BIGINT) AS bdrop
          |  FROM wb$x b LEFT JOIN whit$x h ON h.doc_id = b.doc_id AND h.line = b.line
@@ -2309,7 +2323,7 @@ object ExtQueries {
            |  i.${keys(0)} AS k3, i.${keys(1)} AS k4 FROM $inc i
            |  JOIN $kept kk ON kk.doc_id = i.doc_id""".stripMargin
       }.map(sel => s"SELECT 'lsh' AS family, k1, k2, k3, k4, CAST($n AS BIGINT) AS batch_no FROM ($sel) z")
-    s"""WITH $tokCtes,
+    val chain = s"""WITH $tokCtes,
        |wcorp AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
        |winc1 AS (SELECT * FROM mh WHERE doc_id % 20 = 10),
        |winc2 AS (SELECT * FROM mh WHERE doc_id % 20 = 0),
@@ -2344,7 +2358,8 @@ object ExtQueries {
        |${lshVerify("2", cu2)},
        |${bloomProbe("2", "doc_id % 20 = 0", "wss1", "wsp1")},
        |${keptOf("2", "d.doc_id % 20 = 0", "wex1")},
-       |${newLines("2", "wkept2", "wsl1", "wsp1")}
+       |${newLines("2", "wkept2", "wsl1", "wsp1")}""".stripMargin
+    val full = s"""$chain
        |SELECT 'bloom' AS family, CAST(slice AS BIGINT) AS k1, p AS k2,
        |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
        |  CAST(0 AS BIGINT) AS batch_no
@@ -2377,7 +2392,34 @@ object ExtQueries {
        |  CAST(-1 AS BIGINT) AS k3, CAST(-1 AS BIGINT) AS k4,
        |  CAST(2 AS BIGINT) AS batch_no
        |FROM wkept2""".stripMargin
+    (chain, full)
   }
+
+  /** The persisted-v1 audit oracle (`j7_ingest_state2`): night 2's batch
+    * through the three gates against the ADVANCED states v1 — the chain's
+    * own step-2 relations (wex1 hashes, wbl2 line fraction, wbest2 match)
+    * reduced to the audit's presentation columns. */
+  private val ingestState2Oracle: String =
+    s"""$ingestUpsert2Ctes
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN md5(d.text) IN (SELECT h FROM wex1) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |  p.bfrac AS bloom_dup_frac_e6, p.bdrop AS bloom_drop,
+       |  coalesce(b.doc_c, -1) AS match_doc_id,
+       |  coalesce(b.j_e6, 0) AS jaccard_e6,
+       |  CAST(CASE WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6}
+       |    THEN 1 ELSE 0 END AS BIGINT) AS neardup_drop,
+       |  CASE WHEN md5(d.text) IN (SELECT h FROM wex1) THEN 'exact'
+       |       WHEN p.bdrop = 1 THEN 'bloom'
+       |       WHEN coalesce(b.j_e6, 0) >= ${Dedup.IncrementalDropE6} THEN 'near_dup'
+       |       ELSE 'kept' END AS drop_stage,
+       |  CAST(CASE WHEN md5(d.text) NOT IN (SELECT h FROM wex1)
+       |      AND p.bdrop = 0
+       |      AND coalesce(b.j_e6, 0) < ${Dedup.IncrementalDropE6}
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM documents d
+       |JOIN wbl2 p ON p.doc_id = d.doc_id
+       |LEFT JOIN wbest2 b ON b.doc_n = d.doc_id
+       |WHERE d.doc_id % 20 = 0""".stripMargin
 
   /** The verified-pair grain itself — st_inc_probe's oracle. */
   private val incProbePairOracle: String =
@@ -2925,6 +2967,7 @@ object ExtQueries {
     "j2_incremental_upsert" -> incUpsertOracle,
     "j2_incremental_upsert2" -> incUpsert2Oracle,
     "j7_ingest_upsert2" -> ingestUpsert2Oracle,
+    "j7_ingest_state2" -> ingestState2Oracle,
     "st_inc_probe" -> incProbePairOracle,
 
     // The composed stream-static ingest audit: the audit chain's doc-grain

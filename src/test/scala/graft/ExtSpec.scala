@@ -1279,6 +1279,23 @@ class ExtSpec extends AnyFunSuite {
     graft.Pinned.release(spark)
   }
 
+  test("ingest state2: the persisted-v1 audit agrees with the in-query two-night loop about night 2") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a2 = ext.Pipeline.ingestAuditState2(spark, "/root/testdata/sf0.001", docs)
+    val kept2 = a2.filter($"kept" === 1L).select($"doc_id").as[Long].collect().toSet
+    val loopKept2 = ext.Pipeline.ingestUpsert2(docs)
+      .filter($"family" === "member" && $"batch_no" === 2L)
+      .select($"k1").as[Long].collect().toSet
+    assert(kept2 == loopKept2,
+      s"persisted-v1 audit and the in-query loop disagree about night 2: $kept2 vs $loopKept2")
+    assert(a2.count() == docs.filter($"doc_id" % 20 === 0).count(),
+      "one audit row per night-2 batch doc")
+    assert(kept2.nonEmpty && a2.filter($"kept" === 0L).count() > 0,
+      "night 2 must exercise both keep and drop paths")
+    graft.Pinned.release(spark)
+  }
+
   test("retract: removed doc absent from every family, next-best promoted, bloom rebuilt zero-FN") {
     import spark.implicits._
     // corpus ids 1..9 + 36 (36 % 25 == 11 — the takedown). Doc 36 shares

@@ -352,9 +352,10 @@ class PlanSpec extends AnyFunSuite {
     //                  point is collapsing the bounded sqrt(N) centroid
     //                  table into a single broadcast row) plus the 1-row
     //                  id-cutoff aggregate (corpus/batch split)
-    //   j7_ingest_state  the audit's allowlisted joins (dial-table range
-    //                  join + lines x standing-slices cross) over the
-    //                  persisted per-family state TABLES
+    //   j7_ingest_state / j7_ingest_state2  the audit's allowlisted joins
+    //                  (dial-table range join + lines x standing-slices
+    //                  cross) over the persisted state TABLES (v0 per
+    //                  family; v1 = the night-1-advanced composed set)
     //   st_ingest      the composed stream-shape audit: st_bloom_scale's
     //                  allowlisted dial-table range join (building the
     //                  packed one-row filter relation) — the probe itself
@@ -385,7 +386,8 @@ class PlanSpec extends AnyFunSuite {
       "j2_bloom_scale", "j2_bloom_scale_probe", "j2_bloom_scale_state",
       "j2_bloom_scale_stats",
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
-      "j7_ingest_upsert2", "j7_ingest_state", "j7_ingest_audit_mm",
+      "j7_ingest_upsert2", "j7_ingest_state", "j7_ingest_state2",
+      "j7_ingest_audit_mm",
       "j7_ingest_upsert_mm", "st_ingest", "j3_semdedup_retrain",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
