@@ -245,6 +245,12 @@ object ScaleProbe {
         ext.Dedup.incrementalNearDupUpsert2(docsAt(f))),
       Head("j5_phash_hamming", f =>
         ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docsAt(f)))),
+      // round-17: the image family's incremental probe joins the write/
+      // probe heads — fused row-local decode+hash, banded equi-join
+      // against the cap-gated standing index (its fixed-batch state twin
+      // is probed separately below)
+      Head("j5_incremental", f =>
+        ext.Multimodal.incrementalImages(docsAt(f))),
       Head("j7_shuffle", f => ext.Pipeline.globalShuffle(docsAt(f))),
       Head("j4_quality_clf", f => ext.TextOps.qualityClassifier(docsAt(f))),
       Head("j3_semdedup_inc", f => ext.Similarity.semDedupIncremental(embAt(f))),
@@ -511,6 +517,24 @@ object ScaleProbe {
     val (ingStF, ingReF) = ingestStatePoint(factor)
     println(f"ingest_audit fixed batch: state $ingSt1%.2fs -> $ingStF%.2fs (x${ingStF / ingSt1}%.2f) | recompute $ingRe1%.2fs -> $ingReF%.2fs (x${ingReF / ingRe1}%.2f)")
 
+    // round-17: the image family's state read at fixed batch — the probe
+    // only decodes/hashes the batch and joins the persisted index table,
+    // so it must stay ~flat while the recompute twin re-decodes the grown
+    // corpus (same remapped-corpus carve as the composed ingest head)
+    def imgStatePoint(f: Int): (Double, Double) = {
+      semWall(ext.Multimodal.incrementalImagesState(spark,
+        s"graft_probe_imgstate_f$f", ingestStateDocs(f)))
+      val st = (1 to 2).map(_ => semWall(ext.Multimodal.incrementalImagesState(
+        spark, s"graft_probe_imgstate_f$f", ingestStateDocs(f)))).min
+      semWall(ext.Multimodal.incrementalImages(ingestStateDocs(f)))
+      val re = (1 to 2).map(_ => semWall(
+        ext.Multimodal.incrementalImages(ingestStateDocs(f)))).min
+      (st, re)
+    }
+    val (imgSt1, imgRe1) = imgStatePoint(1)
+    val (imgStF, imgReF) = imgStatePoint(factor)
+    println(f"image probe fixed batch: state $imgSt1%.2fs -> $imgStF%.2fs (x${imgStF / imgSt1}%.2f) | recompute $imgRe1%.2fs -> $imgReF%.2fs (x${imgReF / imgRe1}%.2f)")
+
     val calibEnd = calibrate(spark)
 
     var failed = List.empty[String]
@@ -558,6 +582,10 @@ object ScaleProbe {
     // matters — at the grown corpus (the whole point of the tables)
     if (ingStF >= ingReF)
       failed ::= f"composed ingest state read (${ingStF}%.2fs) not cheaper than recompute (${ingReF}%.2fs) at ${factor}x"
+    if (imgStF >= imgReF)
+      failed ::= f"image state read (${imgStF}%.2fs) not cheaper than recompute (${imgReF}%.2fs) at ${factor}x"
+    if (imgStF >= (factor / 2.0) * imgSt1)
+      failed ::= f"image state form scales with the corpus at fixed batch: x${imgStF / imgSt1}%.2f at ${factor}x"
     results.foreach { r =>
       // post-fix invariant (round-15 verdict #6): with bounded crosses
       // excluded by measurement, every probed head must carry ZERO real
@@ -595,7 +623,7 @@ object ScaleProbe {
         deepRes.map { case (name, nd, wd, qd, sd, base) =>
           s""""$name":{"rows":$nd,"wall_sec":${f"$wd%.3f"},"ratio_vs_1x":${f"${wd / base.wall1}%.3f"},"quad_joins":$qd,"shuffle_joins":$sd}"""
         }.mkString(",")
-      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"cell_psi_fixed_batch":{"state_1x_sec":${f"$psiSt1%.3f"},"state_fx_sec":${f"$psiStF%.3f"},"state_ratio":${f"${psiStF / psiSt1}%.3f"},"recompute_1x_sec":${f"$psiRe1%.3f"},"recompute_fx_sec":${f"$psiReF%.3f"},"recompute_ratio":${f"${psiReF / psiRe1}%.3f"}},"ingest_state_fixed_batch":{"state_1x_sec":${f"$ingSt1%.3f"},"state_fx_sec":${f"$ingStF%.3f"},"state_ratio":${f"${ingStF / ingSt1}%.3f"},"recompute_1x_sec":${f"$ingRe1%.3f"},"recompute_fx_sec":${f"$ingReF%.3f"},"recompute_ratio":${f"${ingReF / ingRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      }}},"scrub_worstcase":{"wall_equal_mass_len1000_sec":${f"$scrubA%.3f"},"wall_equal_mass_len2000_sec":${f"$scrubB%.3f"},"ratio":${f"${scrubB / scrubA}%.3f"}},"sem_state_fixed_batch":{"batch_rows":$semBatchN,"state_1x_sec":${f"$semSt1%.3f"},"state_fx_sec":${f"$semStF%.3f"},"state_ratio":${f"${semStF / semSt1}%.3f"},"recompute_1x_sec":${f"$semRe1%.3f"},"recompute_fx_sec":${f"$semReF%.3f"},"recompute_ratio":${f"${semReF / semRe1}%.3f"}},"cell_psi_fixed_batch":{"state_1x_sec":${f"$psiSt1%.3f"},"state_fx_sec":${f"$psiStF%.3f"},"state_ratio":${f"${psiStF / psiSt1}%.3f"},"recompute_1x_sec":${f"$psiRe1%.3f"},"recompute_fx_sec":${f"$psiReF%.3f"},"recompute_ratio":${f"${psiReF / psiRe1}%.3f"}},"ingest_state_fixed_batch":{"state_1x_sec":${f"$ingSt1%.3f"},"state_fx_sec":${f"$ingStF%.3f"},"state_ratio":${f"${ingStF / ingSt1}%.3f"},"recompute_1x_sec":${f"$ingRe1%.3f"},"recompute_fx_sec":${f"$ingReF%.3f"},"recompute_ratio":${f"${ingReF / ingRe1}%.3f"}},"img_state_fixed_batch":{"state_1x_sec":${f"$imgSt1%.3f"},"state_fx_sec":${f"$imgStF%.3f"},"state_ratio":${f"${imgStF / imgSt1}%.3f"},"recompute_1x_sec":${f"$imgRe1%.3f"},"recompute_fx_sec":${f"$imgReF%.3f"},"recompute_ratio":${f"${imgReF / imgRe1}%.3f"}},"max_bucket_1x":$maxBucket1,"max_bucket_fx":$maxBucketF,"bucket_cap":${ext.Dedup.BucketCap},"bloom_positions_1x":$bloomPos1,"bloom_positions_fx":$bloomPosF,"bloom_positions_deep":$bloomPosD,"bloom_lines_1x":$bloomLines1,"bloom_lines_fx":$bloomLinesF,"bloom_lines_deep":$bloomLinesD,"bloom_bits":${ext.Dedup.BloomBits},"bloom_scale":{"cap0":${ext.Dedup.BloomSliceCap0},"k0":${ext.Dedup.BloomSliceK0},"slices_1x":$slices1,"slices_fx":$slicesF,"slices_deep":$slicesD,"max_fill_e6_1x":$sliceFill1,"max_fill_e6_fx":$sliceFillF,"max_fill_e6_deep":$sliceFillD,"compound_fpr_e6":{"pred_1x":$bsPred1,"meas_1x":$bsMeas1,"pred_fx":$bsPredF,"meas_fx":$bsMeasF,"pred_deep":$bsPredD,"meas_deep":$bsMeasD},"false_neg":[$bsFn1,$bsFnF,$bsFnD]},"drift_max_bins_per_window_1x":$binsWin1,"drift_max_bins_per_window_fx":$binsWinF,"drift_max_bins_per_window_deep":$binsWinD,"calibration":{"fixed_work_start_sec":${f"$calibStart%.3f"},"fixed_work_end_sec":${f"$calibEnd%.3f"}},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
     println(json)
     spark.stop()

@@ -127,6 +127,33 @@ object ExtQueries {
     })
   }
 
+  /** The fused per-doc aHash frame (ALL docs) feeds every query of the
+    * incremental image family — the standing index build plus each
+    * query's batch slice — and the PNG decode under it is the expensive
+    * step: memoize one eagerly-staged build per (session, dataset). */
+  private val imgHashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def imgHashFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(imgHashCache, s, d)
+    imgHashCache.computeIfAbsent((s, d), _ => graft.Pinned.stageEager(
+      Multimodal.aHashLocal(Multimodal.pngFixture(Tables.documents(s, d)))))
+  }
+
+  /** The standing cap-gated image index (with the gated-block mask) —
+    * probed by j5_incremental, written by the upsert, persisted by the
+    * state form's builder, and joined by the stream-static twin; memoized
+    * per (session, dataset) like every shared standing state. */
+  private val imgIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def imgIdxFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(imgIdxCache, s, d)
+    imgIdxCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      graft.Pinned.stageEager(
+        Multimodal.imgIndex(imgHashFrame(s, d).filter($"doc_id" % 10 =!= 0)))
+    })
+  }
+
   /** The FFD packing manifests feed multiple graded consumers per window
     * width (W=32: j7_pack_fit, the concat-comparison stats row, and the
     * dial; W=256: j7_pack_fit_w256 and the dial) — memoize each width's
@@ -1022,6 +1049,42 @@ object ExtQueries {
       Multimodal.keepBestImages(phashGroups(s, d),
         Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d))))),
 
+    // J5 — INCREMENTAL image near-dup lookup (round 17: the image family
+    // joins the read–probe–write conventions of the lexical/Bloom/
+    // semantic families): a new batch (doc_id % 10 == 0) probes the
+    // standing corpus's cap-gated 16-bit-block aHash index at the
+    // hamming-3 radius; per-batch cost scales with the batch.
+    "j5_incremental" -> ((s, d) =>
+      Multimodal.incrementalImages(Tables.documents(s, d),
+        hashes0 = Some(imgHashFrame(s, d)), idx0 = Some(imgIdxFrame(s, d)))),
+
+    // J5 — the STATE-TABLE form of the incremental image lookup: the
+    // standing aHash index is PERSISTED as parquet once per (process,
+    // dataset) and the graded query only decodes/hashes the incoming
+    // batch and probes the TABLE. Hash-equal to j5_incremental (shared
+    // probe tail + shared oracle; ExtSpec pins row equality).
+    "j5_phash_state" -> ((s, d) =>
+      Multimodal.incrementalImagesState(s, d, Tables.documents(s, d),
+        hashes0 = Some(imgHashFrame(s, d)), idx0 = Some(imgIdxFrame(s, d)))),
+
+    // J5 — the image state UPSERT: the aHash-index WRITE step — the
+    // post-ingest index (standing cap-gated block rows + kept batch docs'
+    // block rows, is_new-flagged; dropped near-dups never enter), graded
+    // against the same probe chain as the verdict twin.
+    "j5_phash_upsert" -> ((s, d) =>
+      Multimodal.incrementalImagesUpsert(Tables.documents(s, d),
+        hashes0 = Some(imgHashFrame(s, d)), idx0 = Some(imgIdxFrame(s, d)))),
+
+    // J5 — TWO-consecutive-ingest evolution of the image index: batch 1
+    // (% 20 = 10) probes the cap-gated corpus index and appends its kept
+    // docs' block rows; batch 2 (% 20 = 0) probes the RESULTING v1 (cap
+    // re-applied over grown buckets) — a batch-2 near-dup of a
+    // batch-1-kept image is caught across the ingest boundary. batch_no
+    // attribution per row.
+    "j5_phash_upsert2" -> ((s, d) =>
+      Multimodal.incrementalImagesUpsert2(Tables.documents(s, d),
+        hashes0 = Some(imgHashFrame(s, d)))),
+
     // J6 — sketches. No DuckDB-equivalent oracle exists (HLL registers and
     // quantile sketches are engine-specific), so the row is SELF-CHECKING
     // instead: the same query computes the exact twins and emits bound
@@ -1174,6 +1237,17 @@ object ExtQueries {
     // grades that reduction in batch).
     "st_sem_probe" -> ((s, d) =>
       Similarity.semProbeBatch(s, d, Tables.embeddings(s, d))),
+
+    // I + J5 — STREAM-STATIC image ingest probe (round 17): incoming docs
+    // decode + aHash ROW-LOCALLY (the fused single-pass hash exists
+    // precisely because the distributed form's pooled-grain groupBy can't
+    // run append-mode) and probe the standing cap-gated block index; one
+    // row per candidate pair with exact hamming + verdict; candidate
+    // dedup is the row-local smallest-matching-block witness over the
+    // carried hashes + gated-block mask — append-mode with ZERO state.
+    "st_phash_probe" -> ((s, d) =>
+      graft.streaming.StreamOps.imgProbe(Tables.documents(s, d),
+        idx0 = Some(imgIdxFrame(s, d)), hashes0 = Some(imgHashFrame(s, d)))),
 
     // I + J7 — the STREAM-STATIC COMPOSED ingest audit (round 17):
     // incoming docs run the first-firing-gate attribution against the
@@ -1509,6 +1583,41 @@ object ExtQueries {
        |  FROM ${p}bands b JOIN ${p}ok o ON o.blk = b.blk AND o.val = b.val)""".stripMargin
 
   private val ahashHamCtes = ahashHamCtesP("")
+
+  /** The incremental image oracle chain, shared by all five image-family
+    * probe/write oracles: the closed-form aHash chain (prefix `ii`),
+    * standing block rows cap-gated with the INDEX convention (upper bound
+    * only — a singleton bucket still serves probes, unlike the pair
+    * chain's BETWEEN 2 AND cap), batch rows probe, exact hamming per
+    * DISTINCT candidate pair, best match per batch doc (min hamming, ties
+    * to the smallest standing id; 999 = no candidate). */
+  private val imgIncChain: String =
+    s"""${ahashHamCtesP("ii")},
+       |iicorp AS (SELECT doc_id, ahash, blk, val FROM iibands WHERE doc_id % 10 <> 0),
+       |iigok AS (SELECT blk, val FROM iicorp GROUP BY 1, 2
+       |  HAVING count(*) <= ${Multimodal.AHashHamBucketCap}),
+       |iiidx AS (SELECT c.doc_id, c.ahash, c.blk, c.val FROM iicorp c
+       |  JOIN iigok o ON o.blk = c.blk AND o.val = c.val),
+       |iiinc AS (SELECT doc_id, ahash, blk, val FROM iibands WHERE doc_id % 10 = 0),
+       |iicand AS (SELECT DISTINCT i.doc_id AS doc_n, x.doc_id AS doc_c,
+       |    CAST(bit_count(xor(i.ahash, x.ahash)) AS BIGINT) AS hamming
+       |  FROM iiinc i JOIN iiidx x ON x.blk = i.blk AND x.val = i.val),
+       |iibest AS (SELECT doc_n, doc_c, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY hamming, doc_c) AS rn
+       |    FROM iicand) z WHERE rn = 1)""".stripMargin
+
+  /** Best-per-doc verdict reduction over [[imgIncChain]] — shared verbatim
+    * by j5_incremental (recompute) and j5_phash_state (persisted index
+    * table), the state==recompute oracle convention. */
+  private val imgIncrementalOracle: String =
+    s"""WITH $imgIncChain
+       |SELECT d.doc_id,
+       |  coalesce(b.doc_c, -1) AS match_doc_id,
+       |  coalesce(b.hamming, 999) AS hamming,
+       |  CASE WHEN coalesce(b.hamming, 999) <= ${Multimodal.AHashHamMaxHamming}
+       |    THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM documents d LEFT JOIN iibest b ON b.doc_n = d.doc_id
+       |WHERE d.doc_id % 10 = 0""".stripMargin
 
   /** DuckDB twin of [[TextOps.bpeTrain]], generated with one CTE block per
     * merge round (the rounds are inherently sequential, so the SQL unrolls
@@ -4957,6 +5066,76 @@ object ExtQueries {
         |  b.best_doc_id,
         |  CAST(CASE WHEN g.doc_id = b.best_doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept_best
         |FROM g2 g JOIN best b ON b.cluster_id = g.cluster_id""".stripMargin,
+
+    // The incremental image family (round 17): the recompute probe and the
+    // persisted-index state form share ONE oracle (the state==recompute
+    // convention); the upsert grades the post-ingest index contents
+    // against the same probe chain.
+    "j5_incremental" -> imgIncrementalOracle,
+    "j5_phash_state" -> imgIncrementalOracle,
+
+    "j5_phash_upsert" ->
+      s"""WITH $imgIncChain,
+        |iikept AS (SELECT d.doc_id FROM documents d
+        |  LEFT JOIN iibest b ON b.doc_n = d.doc_id
+        |  WHERE d.doc_id % 10 = 0
+        |    AND coalesce(b.hamming, 999) > ${Multimodal.AHashHamMaxHamming})
+        |SELECT doc_id, blk, val, ahash, CAST(0 AS BIGINT) AS is_new FROM iiidx
+        |UNION ALL
+        |SELECT i.doc_id, i.blk, i.val, i.ahash, CAST(1 AS BIGINT) AS is_new
+        |FROM iiinc i JOIN iikept k ON k.doc_id = i.doc_id""".stripMargin,
+
+    // Two consecutive ingests: batch 1 (% 20 = 10) probes the gated
+    // corpus index v0; batch 2 (% 20 = 0) probes v1 = v0 ∪ kept-batch-1
+    // rows with the cap re-applied over the grown buckets.
+    "j5_phash_upsert2" ->
+      s"""WITH $imgIncChain,
+        |iib1 AS (SELECT * FROM iiinc WHERE doc_id % 20 = 10),
+        |iib2 AS (SELECT * FROM iiinc WHERE doc_id % 20 = 0),
+        |iic1 AS (SELECT DISTINCT i.doc_id AS doc_n, x.doc_id AS doc_c,
+        |    CAST(bit_count(xor(i.ahash, x.ahash)) AS BIGINT) AS hamming
+        |  FROM iib1 i JOIN iiidx x ON x.blk = i.blk AND x.val = i.val),
+        |iibest1 AS (SELECT doc_n, hamming FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY hamming, doc_c) AS rn
+        |    FROM iic1) z WHERE rn = 1),
+        |iikept1 AS (SELECT d.doc_id FROM documents d
+        |  LEFT JOIN iibest1 b ON b.doc_n = d.doc_id
+        |  WHERE d.doc_id % 20 = 10
+        |    AND coalesce(b.hamming, 999) > ${Multimodal.AHashHamMaxHamming}),
+        |iiv1b AS (SELECT doc_id, ahash, blk, val FROM iiidx
+        |  UNION ALL
+        |  SELECT i.doc_id, i.ahash, i.blk, i.val FROM iib1 i
+        |  JOIN iikept1 k ON k.doc_id = i.doc_id),
+        |iigok2 AS (SELECT blk, val FROM iiv1b GROUP BY 1, 2
+        |  HAVING count(*) <= ${Multimodal.AHashHamBucketCap}),
+        |iiv1 AS (SELECT v.doc_id, v.ahash, v.blk, v.val FROM iiv1b v
+        |  JOIN iigok2 o ON o.blk = v.blk AND o.val = v.val),
+        |iic2 AS (SELECT DISTINCT i.doc_id AS doc_n, v.doc_id AS doc_c,
+        |    CAST(bit_count(xor(i.ahash, v.ahash)) AS BIGINT) AS hamming
+        |  FROM iib2 i JOIN iiv1 v ON v.blk = i.blk AND v.val = i.val),
+        |iibest2 AS (SELECT doc_n, hamming FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_n ORDER BY hamming, doc_c) AS rn
+        |    FROM iic2) z WHERE rn = 1),
+        |iikept2 AS (SELECT d.doc_id FROM documents d
+        |  LEFT JOIN iibest2 b ON b.doc_n = d.doc_id
+        |  WHERE d.doc_id % 20 = 0
+        |    AND coalesce(b.hamming, 999) > ${Multimodal.AHashHamMaxHamming})
+        |SELECT doc_id, blk, val, ahash, CAST(0 AS BIGINT) AS batch_no FROM iiidx
+        |UNION ALL
+        |SELECT i.doc_id, i.blk, i.val, i.ahash, CAST(1 AS BIGINT) AS batch_no
+        |FROM iib1 i JOIN iikept1 k ON k.doc_id = i.doc_id
+        |UNION ALL
+        |SELECT i.doc_id, i.blk, i.val, i.ahash, CAST(2 AS BIGINT) AS batch_no
+        |FROM iib2 i JOIN iikept2 k ON k.doc_id = i.doc_id""".stripMargin,
+
+    // The stream-static image probe's batch twin: the candidate-pair
+    // grain itself (best-match is rank-at-serve in the streaming shape).
+    "st_phash_probe" ->
+      s"""WITH $imgIncChain
+        |SELECT doc_n, doc_c, hamming,
+        |  CASE WHEN hamming <= ${Multimodal.AHashHamMaxHamming}
+        |    THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM iicand""".stripMargin,
 
     "st_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

@@ -392,6 +392,270 @@ object Multimodal {
       .distinct()
   }
 
+  /** FUSED single-pass aHash: decode + adaptive pool + threshold + bit-pack
+    * inside ONE mapPartitions batch — (doc_id, ahash) with zero shuffles,
+    * bit-identical to the [[aHash]] chain (integer-exact pooling: per-cell
+    * floor(sum/n), floor-mean over all p*p cells, bit per cell above the
+    * mean; ExtSpec pins row equality). The incremental image family runs
+    * on this form because the probe side must be per-doc ROW-LOCAL: the
+    * streaming twin ([[graft.streaming.StreamOps.imgProbeStream]]) cannot
+    * carry [[aHash]]'s 64-rows-per-doc groupBy in append mode, and at
+    * 100 TB the fused form spares the pooled-grain exchange entirely.
+    * Payloads without a JDK codec emit no row (the [[poolImages]]
+    * convention). */
+  private[graft] def aHashLocal(payloads: DataFrame, p: Int = 8): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select($"doc_id", $"payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (!jdkDecodable(bytes)) Iterator.empty
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          val pooled = new Array[Long](p * p)
+          var meanSum = 0L
+          var py = 0
+          while (py < p) {
+            var px = 0
+            while (px < p) {
+              val y0 = py * h / p; val y1 = (py + 1) * h / p
+              val x0 = px * w / p; val x1 = (px + 1) * w / p
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val q = img.getRGB(x, y)
+                  sum += ((q >> 16) & 0xff) + ((q >> 8) & 0xff) + (q & 0xff)
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val cell = if (n == 0) 0L else sum / n
+              pooled(py * p + px) = cell
+              meanSum += cell
+              px += 1
+            }
+            py += 1
+          }
+          val mean = meanSum / (p * p)
+          var hash = 0L
+          var i = 0
+          while (i < p * p) {
+            if (pooled(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          Iterator.single((id, hash))
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Manku 16-bit block rows (doc_id, ahash, blk, val) over a hash frame —
+    * the [[aHashHammingPairs]] candidate key, factored so the incremental
+    * probe, the index builder, and the upserts share one spelling. */
+  private[graft] def aHashBlockRows(hashes: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
+    hashes.select($"doc_id", $"ahash",
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .select($"doc_id", $"ahash", $"blk".cast("long").as("blk"),
+        expr("shiftright(ahash, cast(blk * 16 as int)) & 65535").as("val"))
+  }
+
+  /** The STANDING image index: cap-gated block rows of the corpus side's
+    * hashes — (doc_c, hb, blk, val, cgated), where `cgated[b] = 1` iff the
+    * doc's block-b bucket was cap-gated OUT. The mask is dead weight for
+    * the batch probe (it dedups candidates with `distinct`) but is what
+    * keeps the streaming twin's smallest-matching-block witness exact
+    * (the [[Dedup.corpusProbeIndex]] round-14 rule): an earlier block that
+    * agrees by value but was gated never produced an index row, so it must
+    * not suppress the later cap-passing hit. ONE persisted relation serves
+    * the state probe, the upsert write, and the stream-static probe. */
+  private[graft] def imgIndex(corpusHashes: DataFrame,
+                              cap: Int = AHashHamBucketCap): DataFrame = {
+    import corpusHashes.sparkSession.implicits._
+    val bl = graft.Pinned.track(aHashBlockRows(corpusHashes))
+    val ok = bl.groupBy($"blk", $"val").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= cap).select($"blk", $"val")
+    val gmask = bl.join(ok.withColumn("pass", lit(1)), Seq("blk", "val"), "left")
+      .select($"doc_id", $"blk",
+        when($"pass".isNull, 1L).otherwise(0L).as("g"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"blk", $"g"))).as("bg"))
+      .select($"doc_id", transform($"bg", x => x.getField("g")).as("cgated"))
+    bl.join(ok, Seq("blk", "val"), "left_semi")
+      .join(gmask, Seq("doc_id"))
+      .select($"doc_id".as("doc_c"), $"ahash".as("hb"), $"blk", $"val", $"cgated")
+  }
+
+  /** The shared image probe tail ([[Dedup.incProbeTail]] mirror): incoming
+    * block rows equi-join the standing cap-gated index, one codegen'd
+    * bit_count(xor) per DISTINCT candidate pair verifies the exact
+    * distance (the hash rides on both sides, so — unlike the lexical
+    * family — no separate verify relation is needed), best match per
+    * incoming doc (min hamming, ties to the smallest standing id),
+    * keep/drop at the [[AHashHamMaxHamming]] radius. `999` is the
+    * no-candidate hamming (> any real 64-bit distance). */
+  private[graft] def imgProbeTail(incIds: DataFrame, incBlocks: DataFrame,
+                                  idx: DataFrame,
+                                  maxHamming: Int = AHashHamMaxHamming): DataFrame = {
+    import incIds.sparkSession.implicits._
+    val cand = incBlocks.select($"doc_id".as("doc_n"), $"ahash".as("ha"), $"blk", $"val")
+      .join(idx.select($"doc_c", $"hb", $"blk", $"val"), Seq("blk", "val"))
+      .select($"doc_n", $"doc_c",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .distinct()
+    val best = cand
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_n")
+          .orderBy($"hamming", $"doc_c")))
+      .filter($"rn" === 1)
+    incIds
+      .join(best.select($"doc_n".as("doc_id"), $"doc_c", $"hamming"),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"doc_c", lit(-1L)).as("match_doc_id"),
+        coalesce($"hamming", lit(999L)).as("hamming"),
+        when(coalesce($"hamming", lit(999L)) <= maxHamming, "drop")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** J5 — INCREMENTAL image near-dup lookup (the image family joins the
+    * read–probe–write conventions the lexical/Bloom/semantic families
+    * established): a new batch (doc_id % `mod` == 0) probes the standing
+    * corpus's cap-gated 16-bit-block aHash index at the hamming-3 radius;
+    * per-batch cost scales with the batch (one batch decode + one
+    * banded equi-join), not the corpus.
+    * @param hashes0 an already-built (doc_id, ahash) frame over ALL docs
+    *                to slice (the query layer's memoized build);
+    * @param idx0    an already-built standing index to probe. */
+  def incrementalImages(docs: DataFrame, mod: Int = 10,
+                        cap: Int = AHashHamBucketCap,
+                        maxHamming: Int = AHashHamMaxHamming,
+                        hashes0: Option[DataFrame] = None,
+                        idx0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    lazy val hashes = graft.Pinned.track(aHashLocal(pngFixture(docs)))
+    val idx = idx0.getOrElse(imgIndex(hashes.filter($"doc_id" % mod =!= 0), cap))
+    val batchHashes = hashes0.getOrElse(hashes).filter($"doc_id" % mod === 0)
+    imgProbeTail(docs.filter($"doc_id" % mod === 0).select($"doc_id"),
+      aHashBlockRows(batchHashes), idx, maxHamming)
+  }
+
+  /** The image family's persisted state ([[StateStore]], the
+    * `j2_incremental_state` convention): ONE table, `ahash_index` — the
+    * cap-gated standing block rows with hashes and the gated-block mask —
+    * shared by the state probe, the upsert, and the streaming twin, so no
+    * two paths can persist diverging state for one dataset. */
+  private[graft] def imgStateTables(s: org.apache.spark.sql.SparkSession,
+                                    key: String, docs: DataFrame,
+                                    mod: Int = 10, cap: Int = AHashHamBucketCap,
+                                    idx0: Option[DataFrame] = None): Seq[DataFrame] = {
+    import docs.sparkSession.implicits._
+    StateStore.tables(s, "graft_j5_imgstate", key, Seq("ahash_index")) {
+      Seq(idx0.getOrElse(imgIndex(
+        aHashLocal(pngFixture(docs.filter($"doc_id" % mod =!= 0))), cap)))
+    }
+  }
+
+  /** J5 — the STATE-TABLE form of the incremental image lookup: the
+    * standing aHash index is read from its persisted parquet table and the
+    * graded query only decodes/hashes the incoming batch — the production
+    * nightly shape whose per-run cost scales with the batch. Hash-equal to
+    * [[incrementalImages]] (shared probe tail + shared oracle; ExtSpec
+    * pins row equality). */
+  def incrementalImagesState(s: org.apache.spark.sql.SparkSession, key: String,
+                             docs: DataFrame, mod: Int = 10,
+                             cap: Int = AHashHamBucketCap,
+                             maxHamming: Int = AHashHamMaxHamming,
+                             hashes0: Option[DataFrame] = None,
+                             idx0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(idx) = imgStateTables(s, key, docs, mod, cap, idx0)
+    val batch = docs.filter($"doc_id" % mod === 0)
+    val batchHashes = hashes0.getOrElse(aHashLocal(pngFixture(batch)))
+      .filter($"doc_id" % mod === 0)
+    imgProbeTail(batch.select($"doc_id"), aHashBlockRows(batchHashes), idx,
+      maxHamming)
+  }
+
+  /** J5 — the image state UPSERT: the aHash-index WRITE step. Emits the
+    * post-ingest index at the (doc_id, blk, val, ahash, is_new) grain —
+    * the standing cap-gated rows (is_new = 0) plus every block row of the
+    * batch docs the probe KEEPS (is_new = 1; dropped near-duplicates never
+    * enter the index). Graded against the same probe chain as the verdict
+    * twin, so read and write paths cannot disagree about index contents. */
+  def incrementalImagesUpsert(docs: DataFrame, mod: Int = 10,
+                              cap: Int = AHashHamBucketCap,
+                              maxHamming: Int = AHashHamMaxHamming,
+                              hashes0: Option[DataFrame] = None,
+                              idx0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    lazy val hashes = graft.Pinned.track(aHashLocal(pngFixture(docs)))
+    val idx = idx0.getOrElse(imgIndex(hashes.filter($"doc_id" % mod =!= 0), cap))
+    val batchBlocks = aHashBlockRows(
+      hashes0.getOrElse(hashes).filter($"doc_id" % mod === 0))
+    val verdicts = imgProbeTail(docs.filter($"doc_id" % mod === 0).select($"doc_id"),
+      batchBlocks, idx, maxHamming)
+    val keptIds = verdicts.filter($"verdict" === "keep").select($"doc_id")
+    idx.select($"doc_c".as("doc_id"), $"blk", $"val", $"hb".as("ahash"),
+        lit(0L).as("is_new"))
+      .unionByName(batchBlocks
+        .join(keptIds, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"blk", $"val", $"ahash", lit(1L).as("is_new")))
+  }
+
+  /** J5 — TWO-consecutive-ingest evolution of the image index (the
+    * `j2_incremental_upsert2` convention applied to the image family):
+    * batch 1 (doc_id % 2`mod` == `mod`) probes the cap-gated corpus index
+    * v0 and its kept docs' block rows are appended; batch 2 (% 2`mod` ==
+    * 0) probes v1 = v0 ∪ batch-1 inserts with the bucket cap re-applied
+    * over the GROWN buckets — so a batch-2 near-duplicate of a
+    * batch-1-KEPT image is caught across the ingest boundary (ExtSpec
+    * pins it on a crafted exact-copy payload fixture). One row per
+    * post-ingest index entry, `batch_no` ∈ {0 standing, 1, 2}.
+    *
+    * 100 TB posture: ONE decode/hash pass sliced three ways, two
+    * block-grain equi-join probe rounds, cap gates as bounded (blk, val)
+    * aggregates — per-ingest cost is the single-step family's plan twice.
+    * @param payloads0 a crafted (doc_id, payload) frame replacing the
+    *                  closed-form PNG fixture (spec fixtures only). */
+  def incrementalImagesUpsert2(docs: DataFrame, mod: Int = 10,
+                               cap: Int = AHashHamBucketCap,
+                               maxHamming: Int = AHashHamMaxHamming,
+                               payloads0: Option[DataFrame] = None,
+                               hashes0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashes = hashes0.getOrElse(graft.Pinned.track(
+      aHashLocal(payloads0.getOrElse(pngFixture(docs)))))
+    val blocks = graft.Pinned.track(aHashBlockRows(hashes))
+    def gate(bl: DataFrame): DataFrame = {
+      val ok = bl.groupBy($"blk", $"val").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" <= cap).select($"blk", $"val")
+      bl.join(ok, Seq("blk", "val"), "left_semi")
+    }
+    val v0 = graft.Pinned.track(gate(blocks.filter($"doc_id" % mod =!= 0)))
+    def idxShape(bl: DataFrame): DataFrame =
+      bl.select($"doc_id".as("doc_c"), $"ahash".as("hb"), $"blk", $"val")
+    val b1Ids = docs.filter($"doc_id" % (2L * mod) === mod.toLong).select($"doc_id")
+    val b2Ids = docs.filter($"doc_id" % (2L * mod) === 0L).select($"doc_id")
+    val b1B = blocks.join(b1Ids, Seq("doc_id"), "left_semi")
+    val b2B = blocks.join(b2Ids, Seq("doc_id"), "left_semi")
+    val v1 = imgProbeTail(b1Ids, b1B, idxShape(v0), maxHamming)
+    val kept1 = graft.Pinned.track(
+      v1.filter($"verdict" === "keep").select($"doc_id"))
+    val b1Kept = b1B.join(kept1, Seq("doc_id"), "left_semi")
+    val idx2 = gate(v0.unionByName(b1Kept))
+    val v2 = imgProbeTail(b2Ids, b2B, idxShape(idx2), maxHamming)
+    val kept2 = v2.filter($"verdict" === "keep").select($"doc_id")
+    def out(bl: DataFrame, batchNo: Long): DataFrame =
+      bl.select($"doc_id", $"blk", $"val", $"ahash", lit(batchNo).as("batch_no"))
+    out(v0, 0L)
+      .unionByName(out(b1Kept, 1L))
+      .unionByName(out(b2B.join(kept2, Seq("doc_id"), "left_semi"), 2L))
+  }
+
   /** Samples per energy window for [[audioEnergy]]. */
   val AudioWindow = 64
 

@@ -502,6 +502,68 @@ object StreamOps {
   def incProbeStream(incoming: DataFrame, corpusIndex: DataFrame): DataFrame =
     incProbeJoin(graft.ext.Dedup.bandRowsWithSets(incoming), corpusIndex)
 
+  /** J5/I — STREAM-STATIC image ingest probe: incoming docs are decoded and
+    * aHashed ROW-LOCALLY ([[graft.ext.Multimodal.aHashLocal]] — the fused
+    * single-pass form exists precisely because the distributed hash's
+    * pooled-grain groupBy cannot run append-mode), their 16-bit block rows
+    * probe the standing cap-gated index, and one codegen'd bit_count(xor)
+    * verifies the exact distance per pair — append-mode with ZERO state.
+    * Candidate dedup is the row-local smallest-matching-block witness over
+    * the carried hashes + the index's gated-block mask (the
+    * [[incProbeJoin]] round-14 rule: an earlier block that agrees by value
+    * but was cap-gated out never produced an index row, so it must not
+    * suppress the later cap-passing hit). Pair-grain output with verdicts;
+    * best-match is rank-at-serve (`j5_incremental` grades that reduction
+    * in batch).
+    * @param idx0 an already-built standing index (the query layer's
+    *             memoized/persisted frame). */
+  def imgProbe(docs: DataFrame, mod: Int = 10,
+               cap: Int = graft.ext.Multimodal.AHashHamBucketCap,
+               idx0: Option[DataFrame] = None,
+               hashes0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val idx = idx0.getOrElse(graft.ext.Multimodal.imgIndex(
+      graft.ext.Multimodal.aHashLocal(graft.ext.Multimodal.pngFixture(
+        docs.filter($"doc_id" % mod =!= 0))), cap))
+    val batchHashes = hashes0
+      .getOrElse(graft.ext.Multimodal.aHashLocal(graft.ext.Multimodal.pngFixture(docs)))
+      .filter($"doc_id" % mod === 0)
+    imgProbeJoin(graft.ext.Multimodal.aHashBlockRows(batchHashes), idx)
+  }
+
+  /** Streaming form of [[imgProbe]]: `incoming` is a STREAMING documents
+    * frame; `imgIndex` the static [[graft.ext.Multimodal.imgIndex]]
+    * relation (persisted by the image family's state table). */
+  def imgProbeStream(incoming: DataFrame, imgIndex: DataFrame): DataFrame =
+    imgProbeJoin(graft.ext.Multimodal.aHashBlockRows(
+      graft.ext.Multimodal.aHashLocal(
+        graft.ext.Multimodal.pngFixture(incoming))), imgIndex)
+
+  /** The shared image probe: equi-join on (blk, val), smallest-matching-
+    * block witness dedup (block agreement recomputed row-locally from the
+    * two carried hashes; gated phantom blocks excused via the index's
+    * `cgated` mask), exact hamming + verdict — identical on batch and
+    * streaming incoming block rows. */
+  private def imgProbeJoin(incoming: DataFrame, imgIndex: DataFrame): DataFrame = {
+    import incoming.sparkSession.implicits._
+    val witness = (0 until 4).map { b =>
+      val earlierMiss = (0 until b).map { bp =>
+        (expr(s"shiftright(ha, ${bp * 16}) & 65535") =!=
+          expr(s"shiftright(hb, ${bp * 16}) & 65535")) ||
+          element_at($"cgated", bp + 1) === 1L
+      }
+      earlierMiss.foldLeft($"blk" === b.toLong)(_ && _)
+    }.reduce(_ || _)
+    incoming.select($"doc_id".as("doc_n"), $"ahash".as("ha"), $"blk", $"val")
+      .join(imgIndex, Seq("blk", "val"))
+      .filter(witness)
+      .select($"doc_n", $"doc_c",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .withColumn("verdict",
+        when($"hamming" <= graft.ext.Multimodal.AHashHamMaxHamming, "drop")
+          .otherwise("keep"))
+  }
+
   /** The shared probe: equi-join on (band, sig), witness dedup, row-local
     * exact-Jaccard verify + verdict — identical on batch and streaming
     * `incoming` band rows. */

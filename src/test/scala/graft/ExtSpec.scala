@@ -2382,6 +2382,86 @@ class ExtSpec extends AnyFunSuite {
     assert(psiSt == psiRe, "cell-PSI state form must be row-identical to recompute")
   }
 
+  test("fused aHash equals the distributed pool/threshold chain") {
+    val d = "/root/testdata/sf0.001"
+    val pf = ext.Multimodal.pngFixture(Tables.documents(spark, d))
+    val dist = ext.Multimodal.aHash(pf, 8)
+      .select("doc_id", "ahash").collect().map(_.toSeq).toSet
+    val fused = ext.Multimodal.aHashLocal(pf)
+      .collect().map(_.toSeq).toSet
+    assert(fused == dist,
+      "the single-pass aHash must be bit-identical to the pooled chain")
+  }
+
+  test("image state form equals the recompute probe (persisted aHash index)") {
+    val d = "/root/testdata/sf0.001"
+    val re = ext.Multimodal.incrementalImages(Tables.documents(spark, d))
+      .collect().map(_.toSeq).toSet
+    val st = ext.Multimodal.incrementalImagesState(spark, d,
+      Tables.documents(spark, d)).collect().map(_.toSeq).toSet
+    assert(st == re, "image state form must be row-identical to recompute")
+  }
+
+  test("image upsert: dropped duplicate never indexed, kept doc joins flagged new") {
+    import spark.implicits._
+    // pngFixture images repeat with period lcm(13, 7, 256) = 23296 in
+    // doc_id, so 23300 (batch: % 10 == 0) is BYTE-IDENTICAL to standing
+    // doc 4 (% 10 == 4) — a genuine cross-carve duplicate with no payload
+    // injection; 50 is unique among these ids (verified by the verdict
+    // assertion below, which would fail if it near-dup'd anything).
+    val docs = Seq(4L, 3L, 7L, 23300L, 50L).toDF("doc_id")
+    val up = ext.Multimodal.incrementalImagesUpsert(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val byDoc = up.groupBy(_._1)
+    assert(!byDoc.contains(23300L), s"dropped duplicate must not enter the index: $up")
+    assert(byDoc.contains(50L) && byDoc(50L).forall(_._2 == 1L),
+      s"kept unique doc joins the index flagged new: $up")
+    assert(byDoc.contains(4L) && byDoc(4L).forall(_._2 == 0L),
+      s"standing rows keep is_new = 0: $up")
+    val v = ext.Multimodal.incrementalImages(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(v.collect { case (23300L, m, hm, vd) => (m, hm, vd) }.toSeq ==
+      Seq((4L, 0L, "drop")),
+      s"the duplicate must match its standing source at hamming 0: ${v.toSeq}")
+    assert(v.collect { case (50L, _, _, vd) => vd }.toSeq == Seq("keep"),
+      s"the unique doc must be kept: ${v.toSeq}")
+  }
+
+  test("image upsert2: a batch-2 copy of a batch-1-kept image drops ACROSS the ingest boundary") {
+    import spark.implicits._
+    // standing {1, 3}; batch 1 = {30} (% 20 == 10); batch 2 = {20, 40}
+    // (% 20 == 0). Payload injection gives doc 20 EXACTLY doc 30's PNG
+    // bytes — the carve arithmetic cannot produce that copy naturally
+    // (23296k ≡ 10 (mod 20) has no solution), which is the point: only
+    // the night-1 insert can catch it.
+    val ids = Seq(1L, 3L, 30L, 40L).toDF("doc_id")
+    val base = ext.Multimodal.pngFixture(ids)
+    val payloads = base.unionByName(
+      base.filter($"doc_id" === 30L).select(lit(20L).as("doc_id"), $"payload"))
+    val docs = Seq(1L, 3L, 20L, 30L, 40L).toDF("doc_id")
+    // the copy is invisible to v0: doc 20's hash is NOT within the radius
+    // of any standing hash, so a probe of the pre-night-1 index keeps it
+    val h = ext.Multimodal.aHashLocal(payloads)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 3L).foreach { s =>
+      assert(java.lang.Long.bitCount(h(20L) ^ h(s)) >
+        ext.Multimodal.AHashHamMaxHamming,
+        s"fixture: doc 20 must be novel vs standing doc $s")
+    }
+    val up = ext.Multimodal.incrementalImagesUpsert2(docs,
+        payloads0 = Some(payloads))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val byDoc = up.groupBy(_._1)
+    assert(byDoc.contains(30L) && byDoc(30L).forall(_._2 == 1L),
+      s"batch-1 unique doc must be kept and attributed batch_no = 1: $up")
+    assert(!byDoc.contains(20L),
+      s"batch-2 copy of the batch-1 insert must drop across the boundary: $up")
+    assert(byDoc.contains(40L) && byDoc(40L).forall(_._2 == 2L),
+      s"batch-2 unique doc kept, attributed batch_no = 2: $up")
+    assert(Seq(1L, 3L).forall(s => byDoc(s).forall(_._2 == 0L)),
+      s"standing rows preserved at batch_no = 0: $up")
+  }
+
   test("packFit: whole docs never straddle; FFD beats concat-chunk on the crafted mix") {
     import spark.implicits._
     // six docs that FFD packs PERFECTLY (300+212 = 512 three times) while

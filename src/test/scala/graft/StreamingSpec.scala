@@ -464,6 +464,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static image probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val expected = StreamOps.imgProbe(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the image probe must find candidate pairs on the harness corpus")
+    // static side: the standing aHash index (as the state table persists
+    // it); stream side: the incoming carve arriving as files, decoded and
+    // hashed row-locally per micro-batch
+    val idx = ext.Multimodal.imgIndex(ext.Multimodal.aHashLocal(
+      ext.Multimodal.pngFixture(docs.filter($"doc_id" % 10 =!= 0))))
+    val staged = java.nio.file.Files.createTempDirectory("graft_imgprobe").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.imgProbeStream(stream, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_imgprobe_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_imgprobe_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("stream-static composed ingest audit equals the batch probe (append mode, zero state)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
