@@ -553,6 +553,17 @@ object ExtQueries {
         semGateFrame(s, d), phashGroups(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)))),
 
+    // J7 — the FIVE-gate audit from PERSISTED state tables (round 17):
+    // every modality's standing state read as a TABLE — the lexical
+    // three from their per-family StateStore tables, the semantic gate
+    // from the persisted frozen-quantizer state, and the image canonical
+    // from the NEW persisted cluster-label table (previously the one leg
+    // the composed audit consulted from a session cache). Hash-equal to
+    // j7_ingest_audit_mm (shared presentation + shared oracle).
+    "j7_ingest_state_mm" -> ((s, d) =>
+      Pipeline.ingestAuditStateMm(s, d, Tables.documents(s, d),
+        semGateFrame(s, d), imgGroups0 = Some(phashGroups(s, d)))),
+
     // J7 — the FIVE-gate composed UPSERT (round 17): the three lexical
     // write legs under the five-modality keep PLUS the semantic member
     // index as a fourth state family — a doc ANY of the five gates drops
@@ -2972,6 +2983,23 @@ object ExtQueries {
     // probe (self-excluded) + the image-canonical verdict, first-firing
     // gate in production order.
     "j7_ingest_audit_mm" ->
+      s"""$ingestAuditMmCtes
+         |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
+         |  match_doc_id, jaccard_e6, neardup_drop,
+         |  sem_cell, sem_match, sem_cos_e6, sem_drop, img_cluster, img_drop,
+         |  CASE WHEN exact_dup = 1 THEN 'exact'
+         |       WHEN bloom_drop = 1 THEN 'bloom'
+         |       WHEN neardup_drop = 1 THEN 'near_dup'
+         |       WHEN sem_drop = 1 THEN 'semantic'
+         |       WHEN img_drop = 1 THEN 'image'
+         |       ELSE 'kept' END AS drop_stage,
+         |  CAST(CASE WHEN exact_dup + bloom_drop + neardup_drop + sem_drop + img_drop = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM auditmm""".stripMargin,
+
+    // The five-gate state read shares the audit's oracle verbatim (the
+    // state==recompute convention).
+    "j7_ingest_state_mm" ->
       s"""$ingestAuditMmCtes
          |SELECT doc_id, exact_dup, bloom_dup_frac_e6, bloom_drop,
          |  match_doc_id, jaccard_e6, neardup_drop,

@@ -656,6 +656,22 @@ object Multimodal {
       .unionByName(out(b2B.join(kept2, Seq("doc_id"), "left_semi"), 2L))
   }
 
+  /** The image family's CLUSTER state: the converged phash cluster labels
+    * (doc_id, cluster_id, is_canonical) persisted via [[StateStore]] — the
+    * artifact the composed five-gate audit's image leg reads, so the
+    * state-read form of that audit ([[Pipeline.ingestAuditStateMm]])
+    * consults a TABLE like every other gate, not a session cache. */
+  private[graft] def imgGroupsTable(s: org.apache.spark.sql.SparkSession,
+                                    key: String, docs: DataFrame,
+                                    groups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    StateStore.tables(s, "graft_j5_imggroups", key, Seq("cluster_labels")) {
+      Seq(groups0.getOrElse(Dedup.ccGroupsConverged(
+        docs.select($"doc_id".as("v")),
+        aHashHammingPairs(pngFixture(docs)).select($"doc_a", $"doc_b"))))
+    }.head
+  }
+
   /** Samples per energy window for [[audioEnergy]]. */
   val AudioWindow = 64
 

@@ -200,8 +200,18 @@ object Pipeline {
     * equi-joins over [[ingestAudit]]'s bill. */
   def ingestAuditMm(docs: DataFrame, semVerdicts: DataFrame,
                     imgGroups: DataFrame, mod: Int = 10,
-                    sliceLines0: Option[DataFrame] = None): DataFrame = {
-    import docs.sparkSession.implicits._
+                    sliceLines0: Option[DataFrame] = None): DataFrame =
+    auditMmFrom(ingestGateVerdicts(docs, mod, sliceLines0), semVerdicts,
+      imgGroups)
+
+  /** The five-gate presentation over [[gateVerdicts]]' columns — the ONE
+    * place the composed five-modality rule is spelled (the audit and its
+    * persisted-state read share it, the verdict-#6 discipline): the
+    * semantic and image legs join onto the lexical verdicts, first-firing
+    * gate in cheap-to-expensive production order, composed keep. */
+  private def auditMmFrom(v: DataFrame, semVerdicts: DataFrame,
+                          imgGroups: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
     val sem = semVerdicts.select($"vec_id".as("doc_id"),
       $"cell_id".as("sem_cell"), $"best_match".as("sem_match"),
       $"best_cos_e6".as("sem_cos_e6"), (lit(1L) - $"kept").as("sem_drop"))
@@ -210,8 +220,7 @@ object Pipeline {
     // LEFT join the sem side: a doc with no embedding row (the harness's
     // larger SFs carry fewer vectors than docs, and a real corpus embeds
     // lazily) has nothing to semantically dedup — that gate passes
-    ingestGateVerdicts(docs, mod, sliceLines0)
-      .join(sem, Seq("doc_id"), "left")
+    v.join(sem, Seq("doc_id"), "left")
       .na.fill(-1L, Seq("sem_cell", "sem_match"))
       .na.fill(0L, Seq("sem_cos_e6", "sem_drop"))
       .join(img, Seq("doc_id"))
@@ -307,6 +316,38 @@ object Pipeline {
       corpIdx.select($"doc_c".as("doc_id"), $"band", $"sig"),
       corpSh.select($"doc_c".as("doc_id"), $"shb".as("dshings")),
       Dedup.bloomSlicePositions(sliceLines), hSet))
+  }
+
+  /** J7 — the FIVE-gate audit from PERSISTED state tables (the
+    * [[ingestAuditState]] convention completed across all five
+    * modalities): the lexical three gates read the same per-family
+    * [[graft.ext.StateStore]] tables as the three-gate state form, the
+    * semantic gate probes the persisted frozen-quantizer state (the
+    * caller's `semVerdicts` — [[graft.ext.Similarity.semGateVerdicts]]
+    * is table-backed), and the image-canonical gate reads the PERSISTED
+    * cluster-label table ([[graft.ext.Multimodal.imgGroupsTable]]) —
+    * previously the one leg the composed audit consulted from a session
+    * cache. Hash-identical to [[ingestAuditMm]] (shared [[auditMmFrom]]
+    * presentation + shared oracle; ExtSpec pins row equality). */
+  def ingestAuditStateMm(s: org.apache.spark.sql.SparkSession, key: String,
+                         docs: DataFrame, semVerdicts: DataFrame,
+                         mod: Int = 10,
+                         imgGroups0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val Seq(corpIdx, corpSh) = Dedup.incStateTables(s, key, docs, mod)
+    val sliceLines = Dedup.bloomStateTable(s, key, docs, mod)
+    val Seq(hSet) = StateStore.tables(s, "graft_j7_ingeststate", key,
+      Seq("exact_hashes")) {
+      Seq(docs.filter($"doc_id" % mod =!= 0)
+        .select(md5($"text".cast("binary")).as("h")).distinct())
+    }
+    val img = Multimodal.imgGroupsTable(s, key, docs, imgGroups0)
+    val batch = docs.filter($"doc_id" % mod === 0)
+    val (saN, bandN) = Dedup.shingleBands(batch, Dedup.Bands, Dedup.RowsPerBand)
+    auditMmFrom(gateVerdicts(batch, saN, bandN,
+      corpIdx.select($"doc_c".as("doc_id"), $"band", $"sig"),
+      corpSh.select($"doc_c".as("doc_id"), $"shb".as("dshings")),
+      Dedup.bloomSlicePositions(sliceLines), hSet), semVerdicts, img)
   }
 
   /** J7 — night 2's audit from the PERSISTED POST-NIGHT-1 state v1

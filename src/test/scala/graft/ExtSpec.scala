@@ -2402,6 +2402,24 @@ class ExtSpec extends AnyFunSuite {
     assert(st == re, "image state form must be row-identical to recompute")
   }
 
+  test("five-gate state audit equals the recompute audit (every modality read from tables)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val sem = ext.Similarity.semGateVerdicts(spark, d, emb,
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id"))
+    val groups = ext.Dedup.ccGroupsConverged(
+      docs.select($"doc_id".as("v")),
+      ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docs))
+        .select($"doc_a", $"doc_b"))
+    val re = ext.Pipeline.ingestAuditMm(docs, sem, groups)
+      .collect().map(_.toSeq).toSet
+    val st = ext.Pipeline.ingestAuditStateMm(spark, d, docs, sem)
+      .collect().map(_.toSeq).toSet
+    assert(st == re, "five-gate state read must be row-identical to the recompute audit")
+  }
+
   test("image upsert: dropped duplicate never indexed, kept doc joins flagged new") {
     import spark.implicits._
     // pngFixture images repeat with period lcm(13, 7, 256) = 23296 in
