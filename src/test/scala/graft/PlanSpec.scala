@@ -388,6 +388,14 @@ class PlanSpec extends AnyFunSuite {
       "st_bloom_scale", "j7_ingest_audit", "j7_ingest_upsert",
       "j7_ingest_upsert2", "j7_ingest_state", "j7_ingest_state2",
       "j7_ingest_audit_mm",
+      // j7_ingest_state_mm  the five-gate state read — the same reviewed
+      //                  bounded crosses as j7_ingest_state (the bloom
+      //                  probe chain's dial-table / 1-row broadcasts over
+      //                  persisted tables) plus j7_ingest_audit_mm's sem
+      //                  leg (<= ceil(sqrt(N))-row centroid/kept-member
+      //                  TABLE broadcasts); the image leg is a doc-grain
+      //                  equi-join against the persisted label table
+      "j7_ingest_state_mm",
       "j7_ingest_upsert_mm", "st_ingest", "j3_semdedup_retrain",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")
