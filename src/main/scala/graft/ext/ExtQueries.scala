@@ -1249,6 +1249,23 @@ object ExtQueries {
     "st_sem_probe" -> ((s, d) =>
       Similarity.semProbeBatch(s, d, Tables.embeddings(s, d))),
 
+    // I + J7 — the STREAM-STATIC FIVE-gate composed ingest probe
+    // (round 17): st_ingest widened to every production modality — the
+    // semantic gate computed ROW-LOCALLY per incoming doc (stream-static
+    // embeddings join, packed-centroid assignment, best self-excluded
+    // kept match via an array_min fold over the cell's PACKED member
+    // list), the image-canonical gate one stream-static equi-join
+    // against the persisted cluster labels. Append-mode, ZERO state;
+    // pair grain with five-gate first-firing attribution (doc-grain
+    // reduction graded by j7_ingest_audit_mm).
+    "st_ingest_mm" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val Seq(cents, keptM) = Similarity.semStateTables(s, d, emb)
+      graft.streaming.StreamOps.ingestProbeMm(Tables.documents(s, d), emb,
+        cents, keptM, phashGroups(s, d),
+        sliceLines0 = Some(bloomSliceFrame(s, d)))
+    }),
+
     // I + J5 — STREAM-STATIC image ingest probe (round 17): incoming docs
     // decode + aHash ROW-LOCALLY (the fused single-pass hash exists
     // precisely because the distributed form's pooled-grain groupBy can't
@@ -3139,6 +3156,47 @@ object ExtQueries {
          |       WHEN a.bloom_drop = 1 THEN 'bloom'
          |       ELSE 'pass' END AS gate
          |FROM audit a JOIN sinull n ON n.doc_id = a.doc_id""".stripMargin
+    },
+
+    // The five-gate stream probe: the st_ingest pair-grain chain over the
+    // auditmm relation, with the sem/img doc-grain columns carried and
+    // the first-firing attribution extended to production order.
+    "st_ingest_mm" -> {
+      val candU = (0 until Dedup.Bands)
+        .map(b => s"SELECT doc_n, doc_c, CAST($b AS BIGINT) AS b FROM icand$b")
+        .mkString(" UNION ALL ")
+      val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+      s"""$ingestAuditMmCtes,
+         |smcand AS ($candU),
+         |smpair AS (SELECT doc_n, doc_c, min(b) AS band FROM smcand GROUP BY 1, 2),
+         |smmatch AS (SELECT p.doc_n AS doc_id, p.band, p.doc_c, j.j_e6
+         |  FROM smpair p JOIN jac j ON j.doc_n = p.doc_n AND j.doc_c = p.doc_c),
+         |smnull AS (SELECT a.doc_id, CAST(b.b AS BIGINT) AS band
+         |  FROM auditmm a CROSS JOIN (VALUES $bandVals) b(b)
+         |  WHERE NOT EXISTS (SELECT 1 FROM smcand c
+         |    WHERE c.doc_n = a.doc_id AND c.b = b.b))
+         |SELECT a.doc_id, m.band, a.exact_dup, a.bloom_dup_frac_e6, a.bloom_drop,
+         |  m.doc_c, m.j_e6,
+         |  a.sem_cell, a.sem_match, a.sem_cos_e6, a.sem_drop,
+         |  a.img_cluster, a.img_drop,
+         |  CASE WHEN a.exact_dup = 1 THEN 'exact'
+         |       WHEN a.bloom_drop = 1 THEN 'bloom'
+         |       WHEN m.j_e6 >= ${Dedup.IncrementalDropE6} THEN 'near_dup'
+         |       WHEN a.sem_drop = 1 THEN 'semantic'
+         |       WHEN a.img_drop = 1 THEN 'image'
+         |       ELSE 'pass' END AS gate
+         |FROM auditmm a JOIN smmatch m ON m.doc_id = a.doc_id
+         |UNION ALL
+         |SELECT a.doc_id, n.band, a.exact_dup, a.bloom_dup_frac_e6, a.bloom_drop,
+         |  CAST(-1 AS BIGINT) AS doc_c, CAST(0 AS BIGINT) AS j_e6,
+         |  a.sem_cell, a.sem_match, a.sem_cos_e6, a.sem_drop,
+         |  a.img_cluster, a.img_drop,
+         |  CASE WHEN a.exact_dup = 1 THEN 'exact'
+         |       WHEN a.bloom_drop = 1 THEN 'bloom'
+         |       WHEN a.sem_drop = 1 THEN 'semantic'
+         |       WHEN a.img_drop = 1 THEN 'image'
+         |       ELSE 'pass' END AS gate
+         |FROM auditmm a JOIN smnull n ON n.doc_id = a.doc_id""".stripMargin
     },
 
     // Stream-static bloom probe: the j2_bloom_probe chain emitted at the

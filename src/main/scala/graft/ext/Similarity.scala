@@ -747,6 +747,60 @@ object Similarity {
         when($"cos_sim_e6" >= thresholdE6, "drop").otherwise("keep"))
   }
 
+  /** ROW-LOCAL doc-grain semantic gate columns for the streaming composed
+    * audit (`st_ingest_mm`): appends sem_cell / sem_match / sem_cos_e6 /
+    * sem_drop to a doc-grain frame with ZERO stateful aggregation — the
+    * per-doc best-match argmax that [[semIncBatch]] computes with a
+    * groupBy becomes an `array_min` fold over the doc's cell's PACKED
+    * kept-member list (the [[semProbeJoin]] packed-centroid trick applied
+    * one level down: members per cell are bounded by the cell cap, cells
+    * by ceil(sqrt(N)), so both broadcasts are bounded relations), with
+    * the self-exclusion filter evaluated row-locally. Docs without an
+    * embedding row or with a zero-norm vector pass the gate (the
+    * composed audit's LEFT-join semantics). Bit-identical to
+    * [[semGateVerdicts]]' columns: same assignment fold, same rounding,
+    * same (max cos, min mid) tie-break — `struct(-cos, mid)` array_min
+    * reproduces the groupBy `min(struct(-cos, mid, cos))`. */
+  private[graft] def withSemGateColumns(docsIn: DataFrame, emb: DataFrame,
+                                        cents: DataFrame, keptM: DataFrame,
+                                        thresholdE6: Long = SemDedupCosE6): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val packedC = broadcast(cents
+      .agg(collect_list(struct($"cid", $"cv", $"nc")).as("cents"))
+      .withColumn("one", lit(1)))
+    val packedM = broadcast(keptM
+      .groupBy($"cid").agg(collect_list(struct($"mid", $"mv", $"mn")).as("members"))
+      .select($"cid".as("sem_cell"), $"members"))
+    val embS = base(emb).select($"vec_id".as("doc_id"), $"qv", $"nq")
+    docsIn
+      .join(embS, Seq("doc_id"), "left")
+      .withColumn("one", lit(1))
+      .join(packedC, Seq("one"))
+      .withColumn("sem_cell",
+        when($"qv".isNull || $"nq" <= 0L, lit(-1L)).otherwise(
+          array_min(transform($"cents", c =>
+            struct(
+              (-round(idot($"qv", c.getField("cv")).cast("double") /
+                sqrt($"nq".cast("double") * c.getField("nc").cast("double")) *
+                1000000d).cast("long")).as("negc"),
+              c.getField("cid").as("cid")))).getField("cid")))
+      .drop("cents", "one")
+      .join(packedM, Seq("sem_cell"), "left")
+      .withColumn("bm",
+        when($"members".isNull, lit(null)).otherwise(
+          array_min(transform(
+            filter($"members", m => m.getField("mid") =!= $"doc_id"),
+            m => struct(
+              (-round(idot($"qv", m.getField("mv")).cast("double") /
+                sqrt($"nq".cast("double") * m.getField("mn").cast("double")) *
+                1000000d).cast("long")).as("nc"),
+              m.getField("mid").as("mid"))))))
+      .withColumn("sem_match", coalesce($"bm.mid", lit(-1L)))
+      .withColumn("sem_cos_e6", coalesce(-$"bm.nc", lit(0L)))
+      .withColumn("sem_drop", ($"sem_cos_e6" >= thresholdE6).cast("long"))
+      .drop("qv", "nq", "members", "bm")
+  }
+
   /** The batch twin of [[semProbeJoin]] over the persisted state tables —
     * the graded `st_sem_probe` form (the stream form is pinned
     * row-identical in StreamingSpec). */

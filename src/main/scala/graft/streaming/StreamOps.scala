@@ -721,9 +721,70 @@ object StreamOps {
                         filters: DataFrame, corpusIndex: DataFrame): DataFrame =
     ingestProbeJoin(incoming, hashes, filters, corpusIndex)
 
+  /** J7/I — the STREAM-STATIC FIVE-gate composed ingest probe: the
+    * three-gate [[ingestProbe]] shape widened to every production
+    * modality — the SEMANTIC gate computed ROW-LOCALLY per incoming doc
+    * ([[graft.ext.Similarity.withSemGateColumns]]: the doc's vector from
+    * a stream-static embeddings join, cell assignment over the packed
+    * centroid broadcast, best self-excluded kept match via an array_min
+    * fold over the cell's PACKED member list — the per-doc argmax that
+    * batch computes with a groupBy, with zero stateful aggregation), and
+    * the IMAGE-CANONICAL gate one stream-static equi-join against the
+    * persisted cluster-label relation. Still append-mode with ZERO
+    * state; pair grain with the five-gate first-firing attribution,
+    * doc-grain reduction graded in batch by `j7_ingest_audit_mm`. */
+  def ingestProbeMm(docs: DataFrame, emb: DataFrame, cents: DataFrame,
+                    keptM: DataFrame, imgLabels: DataFrame, mod: Int = 10,
+                    sliceLines0: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val D = graft.ext.Dedup
+    val corpus = docs.filter($"doc_id" % mod =!= 0)
+    ingestProbeJoinMm(docs.filter($"doc_id" % mod === 0),
+      corpus.select(md5($"text".cast("binary")).as("h")).distinct(),
+      bloomScaleFilters(D.bloomDocLines(corpus), sliceLines0),
+      D.corpusProbeIndex(corpus), emb, cents, keptM, imgLabels)
+  }
+
+  /** Streaming form of [[ingestProbeMm]]: `incoming` is a STREAMING
+    * documents frame; every other relation is the corresponding standing
+    * state (embeddings, frozen centroids, kept members, image cluster
+    * labels — all static tables). */
+  def ingestProbeStreamMm(incoming: DataFrame, hashes: DataFrame,
+                          filters: DataFrame, corpusIndex: DataFrame,
+                          emb: DataFrame, cents: DataFrame, keptM: DataFrame,
+                          imgLabels: DataFrame): DataFrame =
+    ingestProbeJoinMm(incoming, hashes, filters, corpusIndex, emb, cents,
+      keptM, imgLabels)
+
+  private def ingestProbeJoinMm(docsIn: DataFrame, hashes: DataFrame,
+                                filters: DataFrame, corpusIndex: DataFrame,
+                                emb: DataFrame, cents: DataFrame,
+                                keptM: DataFrame, imgLabels: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docGates: DataFrame => DataFrame = df =>
+      graft.ext.Similarity.withSemGateColumns(df, emb, cents, keptM)
+        .join(imgLabels.select($"doc_id", $"cluster_id".as("img_cluster"),
+          ($"cluster_id" =!= $"doc_id").cast("long").as("img_drop")),
+          Seq("doc_id"))
+    ingestProbeJoin(docsIn, hashes, filters, corpusIndex, docGates,
+      Seq("sem_cell", "sem_match", "sem_cos_e6", "sem_drop",
+        "img_cluster", "img_drop"))
+  }
+
+  /** @param docGates   decorator appending further DOC-GRAIN gate columns
+    *                    to the enriched frame (must stay append-mode-safe:
+    *                    stream-static joins and row-local folds only) —
+    *                    the five-gate form's semantic/image legs;
+    * @param extraCarry  the decorator's column names, carried through the
+    *                    band explode and emitted after j_e6; if it
+    *                    contains `sem_drop`/`img_drop`, the first-firing
+    *                    `gate` attribution extends to the five-gate
+    *                    production order. */
   private def ingestProbeJoin(docsIn: DataFrame, hashes: DataFrame,
                               filters: DataFrame,
-                              corpusIndex: DataFrame): DataFrame = {
+                              corpusIndex: DataFrame,
+                              docGates: DataFrame => DataFrame = identity,
+                              extraCarry: Seq[String] = Nil): DataFrame = {
     import docsIn.sparkSession.implicits._
     val D = graft.ext.Dedup
     val w = D.LineTokens
@@ -752,6 +813,7 @@ object StreamOps {
       .withColumn("bloom_dup_frac_e6", expr("(nd * 1000000) div greatest(nl, 1)"))
       .withColumn("bloom_drop",
         ($"bloom_dup_frac_e6" >= D.BloomDropE6).cast("long"))
+      .transform(docGates)
     // row-local shingle/sign (the bandRowsWithSets construction, carrying
     // the doc-grain verdict columns; a sub-shingle doc keeps null
     // signatures — it matches no bucket but its band rows survive the
@@ -767,7 +829,7 @@ object StreamOps {
     val sigCols = (0 until bands * rows).map(s =>
       array_min(transform($"dshings", x => D.md5Hash32(s, x))).as(s"h$s"))
     val carry = Seq($"doc_id", $"exact_dup", $"bloom_dup_frac_e6",
-      $"bloom_drop", $"dshings")
+      $"bloom_drop", $"dshings") ++ extraCarry.map(col)
     val mh = enriched
       .withColumn("shings", shings)
       .withColumn("dshings", expr(
@@ -793,17 +855,21 @@ object StreamOps {
     val jE6 = round(size(array_intersect($"dshings", $"shb")).cast("double") /
       (size($"dshings") + size($"shb") - size(array_intersect($"dshings", $"shb"))) *
       1000000.0).cast("long")
+    val baseGate = when($"exact_dup" === 1L, "exact")
+      .when($"bloom_drop" === 1L, "bloom")
+      .when($"j_e6" >= D.IncrementalDropE6, "near_dup")
+    val gate =
+      if (extraCarry.contains("sem_drop"))
+        baseGate.when($"sem_drop" === 1L, "semantic")
+          .when($"img_drop" === 1L, "image").otherwise("pass")
+      else baseGate.otherwise("pass")
     bandRows.join(corpusIndex, Seq("band", "sig"), "left")
       .filter($"doc_c".isNull || witness)
-      .select($"doc_id", $"band".cast("long").as("band"),
+      .select(Seq($"doc_id", $"band".cast("long").as("band"),
         $"exact_dup", $"bloom_dup_frac_e6", $"bloom_drop",
         coalesce($"doc_c", lit(-1L)).as("doc_c"),
-        coalesce(jE6, lit(0L)).as("j_e6"))
-      .withColumn("gate",
-        when($"exact_dup" === 1L, "exact")
-          .when($"bloom_drop" === 1L, "bloom")
-          .when($"j_e6" >= D.IncrementalDropE6, "near_dup")
-          .otherwise("pass"))
+        coalesce(jE6, lit(0L)).as("j_e6")) ++ extraCarry.map(col): _*)
+      .withColumn("gate", gate)
   }
 
   /** J3/I — SEMANTIC ingest probe, stream-static form (round-13 verdict

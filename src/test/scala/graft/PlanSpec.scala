@@ -396,6 +396,13 @@ class PlanSpec extends AnyFunSuite {
       //                  TABLE broadcasts); the image leg is a doc-grain
       //                  equi-join against the persisted label table
       "j7_ingest_state_mm",
+      // st_ingest_mm   st_ingest's reviewed bounded crosses (the packed
+      //                one-row bloom-filter broadcast) plus st_sem_probe's
+      //                (the packed <= ceil(sqrt(N))-row centroid broadcast
+      //                and the per-cell packed member lists, bounded by
+      //                the cell cap) — all literal-key broadcast joins
+      //                against bounded standing state
+      "st_ingest_mm",
       "j7_ingest_upsert_mm", "st_ingest", "j3_semdedup_retrain",
       "j2_bloom_scale_upsert2", "j2_lsh_recall",
       "j2_source_overlap")

@@ -464,6 +464,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static FIVE-gate composed probe equals the batch probe (append mode, zero state)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val Seq(cents, keptM) = ext.Similarity.semStateTables(spark, dir, emb)
+    val labels = ext.Dedup.ccGroupsConverged(
+      docs.select($"doc_id".as("v")),
+      ext.Multimodal.aHashHammingPairs(ext.Multimodal.pngFixture(docs))
+        .select($"doc_a", $"doc_b"))
+    val expected = StreamOps.ingestProbeMm(docs, emb, cents, keptM, labels)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the five-gate composed probe must emit rows")
+    assert(expected.exists(_.contains("semantic")) ||
+      expected.exists(_.contains("image")) ||
+      StreamOps.ingestProbeMm(docs, emb, cents, keptM, labels)
+        .filter($"sem_drop" === 1L || $"img_drop" === 1L).count() > 0,
+      "at least one doc must exercise a non-lexical gate on the harness corpus")
+    // every batch doc surfaces (pair rows or candidate-less band rows)
+    val docsCovered = StreamOps.ingestProbeMm(docs, emb, cents, keptM, labels)
+      .select($"doc_id").distinct().count()
+    assert(docsCovered == docs.filter($"doc_id" % 10 === 0).count(),
+      "a doc with no lexical candidates must still report its five gates")
+    // static sides: the standing states a nightly job maintains
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val hashes = corpus.select(md5($"text".cast("binary")).as("h")).distinct()
+    val filters = StreamOps.bloomScaleFilters(ext.Dedup.bloomDocLines(corpus))
+    val idx = ext.Dedup.corpusProbeIndex(corpus)
+    val staged = java.nio.file.Files.createTempDirectory("graft_stingestmm").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$staged/documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(staged)
+      .filter($"doc_id" % 10 === 0)
+    val q = StreamOps.ingestProbeStreamMm(stream, hashes, filters, idx,
+        emb, cents, keptM, labels)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stingestmm_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_stingestmm_test")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+    } finally q.stop()
+  }
+
   test("stream-static image probe equals the batch probe (append mode, zero state)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
