@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JOB wall attribution for any declared query — diagnostics only,
+  * not part of the graded surface. Runs each named query cold in its own
+  * session (same confs as Bench) with a job listener, printing every
+  * Spark job's start offset, duration and description, plus the
+  * uncovered (driver-side) gaps between jobs. This is the round-17
+  * optimization loop's "which stage is the time in" tool (guide §1/§7).
+  *
+  * Usage: tools/run.sh graft.QueryProbe [sfDir] q1 [q2 ...]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    names.foreach { n =>
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val spark = Harness.tmpfsLocalDir(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.maxPlanStringLength", "65536")
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        .config("spark.ui.enabled", "false")).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      // same warmup as Bench so the first job isn't charged startup cost
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        val r = spark.range(0, 1000000L, 1, 8).toDF("id")
+        r.join(r.withColumnRenamed("id", "id2"),
+            org.apache.spark.sql.functions.col("id") === org.apache.spark.sql.functions.col("id2"))
+          .groupBy(org.apache.spark.sql.functions.expr("id % 7")).count().count()
+      } catch { case _: Throwable => }
+
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String, Int)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties).flatMap(p =>
+            Option(p.getProperty("spark.job.description"))).orElse(
+            j.stageInfos.lastOption.map(_.name)).getOrElse("")
+          starts.put(j.jobId, (j.time, desc.take(110), j.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, d, nt) =>
+            jobs.add((j.jobId, t0, j.time - t0, d, nt))
+          }
+        }
+      })
+      SparkEntry.queries.get(n) match {
+        case None => println(s"unknown query: $n")
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          val rows = fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(700) // drain the async listener bus
+          import scala.jdk.CollectionConverters._
+          val js = jobs.asScala.toSeq.sortBy(_._2)
+          println(s"\n========== $n  wall=${f"$wall%.2f"}s rows=$rows jobs=${js.size} ==========")
+          val base = js.headOption.map(_._2).getOrElse(0L)
+          js.foreach { case (id, t, dur, d, nt) =>
+            println(f"job $id%4d  +${(t - base) / 1e3}%8.3f s  dur ${dur / 1e3}%8.3f s  tasks $nt%4d  $d")
+          }
+          val covered = js.map(_._3).sum / 1e3
+          println(f"covered by jobs: $covered%.2f s of $wall%.2f s (gap = driver/plan time)")
+      }
+      Pinned.release(spark)
+      spark.stop()
+    }
+  }
+}
