@@ -1208,8 +1208,10 @@ object Dedup {
                       sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
-    val slicePos = bloomSlicePositions(
-      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0)), cap0, k0)
+    // tracked: bloomScaleMembers consumes the position set twice (the
+    // standing-slice broadcast and the probe equi-join)
+    val slicePos = graft.Pinned.track(bloomSlicePositions(
+      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0)), cap0, k0))
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val hits = bloomScaleMembers(batch, slicePos, cap0, k0)
@@ -1798,16 +1800,25 @@ object Dedup {
     * shape with the keep decision injected instead of the LSH gate's own
     * verdict. Sub-shingle docs contribute no rows, identically on both
     * engines. */
+  /** @param bandSig0 an already-built whole-corpus band-signature frame to
+    *                  slice by the carve instead of re-running the two
+    *                  shingle/minhash builds (signatures are per-doc
+    *                  row-local, so the slices are bit-identical to
+    *                  per-carve builds — the incrementalNearDupState
+    *                  argument). */
   private[graft] def bandIndexUpsert(docs: DataFrame, keptDocs: DataFrame,
                                      mod: Int = 10,
                                      bands: Int = Bands, rows: Int = RowsPerBand,
-                                     bucketCap: Int = BucketCap): DataFrame = {
+                                     bucketCap: Int = BucketCap,
+                                     bandSig0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val (_, corpB) = shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)
+    val corpB = bandSig0.map(_.filter($"doc_id" % mod =!= 0)).getOrElse(
+      shingleBands(docs.filter($"doc_id" % mod =!= 0), bands, rows)._2)
     val ok = corpB.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" <= bucketCap).select($"band", $"sig")
     val corpIdx = corpB.join(ok, Seq("band", "sig"), "left_semi")
-    val (_, bandN) = shingleBands(docs.filter($"doc_id" % mod === 0), bands, rows)
+    val bandN = bandSig0.map(_.filter($"doc_id" % mod === 0)).getOrElse(
+      shingleBands(docs.filter($"doc_id" % mod === 0), bands, rows)._2)
     // signature columns are sk* (not the graded incrementalNearDupUpsert
     // shape's k*): the one consumer is the composed ingest's normalized
     // union, whose k1..k4 projection must not read like a self-reference

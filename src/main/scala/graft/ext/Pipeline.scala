@@ -166,14 +166,27 @@ object Pipeline {
     * states derived in-query from the corpus carve — the recompute form
     * shared by the audit, the five-modality audit ([[ingestAuditMm]]),
     * and the composed upserts. */
+  /** @param slicePos0 an already-TRACKED standing (slice, p) position set
+    *                    to reuse — the positions chain (per-line k-hash
+    *                    explode + distinct) is the audit's dominant
+    *                    scan-rooted cost and [[gateVerdicts]] consumes it
+    *                    twice, so single-audit callers default to one
+    *                    tracked materialization and the upserts pass the
+    *                    frame their write legs already hold.
+    * @param build0 an already-built [[Dedup.shingleBands]] pair to reuse
+    *               (the upserts' write legs need the same signatures). */
   private[graft] def ingestGateVerdicts(docs: DataFrame, mod: Int = 10,
-                                        sliceLines0: Option[DataFrame] = None): DataFrame = {
+                                        sliceLines0: Option[DataFrame] = None,
+                                        slicePos0: Option[DataFrame] = None,
+                                        build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = docs.filter($"doc_id" % mod =!= 0)
     val batch = docs.filter($"doc_id" % mod === 0)
-    val (sa, bandSig) = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
-    val slPos = Dedup.bloomSlicePositions(sliceLines0.getOrElse(
-      Dedup.bloomSliceLines(Dedup.bloomDocLines(corpus))))
+    val (sa, bandSig) = build0.getOrElse(
+      Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand))
+    val slPos = slicePos0.getOrElse(graft.Pinned.track(
+      Dedup.bloomSlicePositions(sliceLines0.getOrElse(
+        Dedup.bloomSliceLines(Dedup.bloomDocLines(corpus))))))
     val h0 = corpus.select(md5($"text".cast("binary")).as("h")).distinct()
     gateVerdicts(batch, sa, bandSig,
       bandSig.filter($"doc_id" % mod =!= 0), sa.filter($"doc_id" % mod =!= 0),
@@ -200,9 +213,11 @@ object Pipeline {
     * equi-joins over [[ingestAudit]]'s bill. */
   def ingestAuditMm(docs: DataFrame, semVerdicts: DataFrame,
                     imgGroups: DataFrame, mod: Int = 10,
-                    sliceLines0: Option[DataFrame] = None): DataFrame =
-    auditMmFrom(ingestGateVerdicts(docs, mod, sliceLines0), semVerdicts,
-      imgGroups)
+                    sliceLines0: Option[DataFrame] = None,
+                    slicePos0: Option[DataFrame] = None,
+                    build0: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    auditMmFrom(ingestGateVerdicts(docs, mod, sliceLines0, slicePos0, build0),
+      semVerdicts, imgGroups)
 
   /** The five-gate presentation over [[gateVerdicts]]' columns — the ONE
     * place the composed five-modality rule is spelled (the audit and its
@@ -315,7 +330,7 @@ object Pipeline {
     auditFrom(gateVerdicts(batch, saN, bandN,
       corpIdx.select($"doc_c".as("doc_id"), $"band", $"sig"),
       corpSh.select($"doc_c".as("doc_id"), $"shb".as("dshings")),
-      Dedup.bloomSlicePositions(sliceLines), hSet))
+      graft.Pinned.track(Dedup.bloomSlicePositions(sliceLines)), hSet))
   }
 
   /** J7 — the FIVE-gate audit from PERSISTED state tables (the
@@ -347,7 +362,8 @@ object Pipeline {
     auditMmFrom(gateVerdicts(batch, saN, bandN,
       corpIdx.select($"doc_c".as("doc_id"), $"band", $"sig"),
       corpSh.select($"doc_c".as("doc_id"), $"shb".as("dshings")),
-      Dedup.bloomSlicePositions(sliceLines), hSet), semVerdicts, img)
+      graft.Pinned.track(Dedup.bloomSlicePositions(sliceLines)), hSet),
+      semVerdicts, img)
   }
 
   /** J7 — night 2's audit from the PERSISTED POST-NIGHT-1 state v1
@@ -384,29 +400,45 @@ object Pipeline {
     val b2 = docs.filter($"doc_id" % (2L * mod) === 0L)
     val (sa2, band2) = Dedup.shingleBands(b2, Dedup.Bands, Dedup.RowsPerBand)
     auditFrom(gateVerdicts(b2, sa2, band2, idx1, memberSh1,
-      Dedup.bloomSlicePositions(sl1), h1))
+      graft.Pinned.track(Dedup.bloomSlicePositions(sl1)), h1))
   }
 
   def ingestUpsert(docs: DataFrame, mod: Int = 10,
                    sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val kept = ingestAudit(docs, mod, sliceLines0)
-      .filter($"kept" === 1L).select($"doc_id")
-    upsertLegs(docs, kept, mod, sliceLines0)
+    // ONE shared signature build, ONE tracked standing position set, ONE
+    // tracked keep set: the un-shared form evaluated the full audit chain
+    // once per write leg (three times) and built the positions and
+    // signatures separately for the audit and the legs — the round-17
+    // optimization's headline recompute waste (guide §1.2 step 1).
+    val sl0 = sliceLines0.getOrElse(graft.Pinned.track(
+      Dedup.bloomSliceLines(Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0)))))
+    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
+    val build = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
+    val kept = graft.Pinned.track(
+      auditFrom(ingestGateVerdicts(docs, mod, Some(sl0), Some(standing),
+        Some(build)))
+        .filter($"kept" === 1L).select($"doc_id"))
+    upsertLegs(docs, kept, mod, Some(sl0), Some(standing), Some(build))
   }
 
   /** The three lexical write legs under a CALLER-SUPPLIED keep set — the
     * normalized (family ∈ {bloom, lsh, member}, k1..k4, is_new) state
     * union shared by [[ingestUpsert]] (three-gate keep) and
-    * [[ingestUpsertMm]] (five-gate keep + the sem leg on top). */
+    * [[ingestUpsertMm]] (five-gate keep + the sem leg on top).
+    * `slicePos0`/`build0`: the caller's already-materialized standing
+    * positions and signature build (see [[ingestGateVerdicts]]). */
   private def upsertLegs(docs: DataFrame, kept: DataFrame, mod: Int,
-                         sliceLines0: Option[DataFrame]): DataFrame = {
+                         sliceLines0: Option[DataFrame],
+                         slicePos0: Option[DataFrame] = None,
+                         build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val neg = lit(-1L)
     // bloom leg: the single-step upsert with the composed keep injected
     val sl0 = sliceLines0.getOrElse(Dedup.bloomSliceLines(
       Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0))))
-    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
+    val standing = slicePos0.getOrElse(
+      graft.Pinned.track(Dedup.bloomSlicePositions(sl0)))
     val batch = Dedup.bloomDocLines(docs.filter($"doc_id" % mod === 0))
     val newPos = Dedup.bloomSlicePositions(
         Dedup.bloomScaleIngestNewSlices(sl0, batch, keptDocs0 = Some(kept),
@@ -417,7 +449,7 @@ object Pipeline {
       .select(lit("bloom").as("family"), $"slice".as("k1"), $"p".as("k2"),
         neg.as("k3"), neg.as("k4"), $"is_new")
     // lsh leg: band index written under the composed keep
-    val lsh = Dedup.bandIndexUpsert(docs, kept, mod)
+    val lsh = Dedup.bandIndexUpsert(docs, kept, mod, bandSig0 = build0.map(_._2))
       .select(lit("lsh").as("family"), $"doc_id".as("k1"), $"band".as("k2"),
         $"sk0".as("k3"), $"sk1".as("k4"), $"is_new")
     // membership leg: the post-ingest corpus roster
@@ -451,9 +483,16 @@ object Pipeline {
                      sliceLines0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val neg = lit(-1L)
-    // the five-gate keep is consumed by all four legs — materialize once
+    // ONE shared signature build + tracked standing position set (the
+    // ingestUpsert discipline), and the five-gate keep materialized once —
+    // it is consumed by all four legs
+    val sl0 = sliceLines0.getOrElse(graft.Pinned.track(
+      Dedup.bloomSliceLines(Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0)))))
+    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
+    val build = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
     val kept = graft.Pinned.track(
-      ingestAuditMm(docs, semVerdicts, imgGroups, mod, sliceLines0)
+      ingestAuditMm(docs, semVerdicts, imgGroups, mod, Some(sl0),
+        Some(standing), Some(build))
         .filter($"kept" === 1L).select($"doc_id"))
     val sem = semKeptM.select($"mid".as("k1"), $"cid".as("k2"))
       .withColumn("is_new", lit(0L))
@@ -463,7 +502,8 @@ object Pipeline {
         .withColumn("is_new", lit(1L)))
       .select(lit("sem").as("family"), $"k1", $"k2", neg.as("k3"),
         neg.as("k4"), $"is_new")
-    upsertLegs(docs, kept, mod, sliceLines0).unionByName(sem)
+    upsertLegs(docs, kept, mod, Some(sl0), Some(standing), Some(build))
+      .unionByName(sem)
   }
 
   /** J7 — the COMPOSED ingest loop over TWO consecutive nights
