@@ -223,10 +223,16 @@ object Dedup {
 
   /** LSH candidate pairs (docs sharing any band bucket) verified with exact
     * Jaccard over distinct shingle sets. */
+  /** @param sa0 an already-materialized [[shingleFpArrays]] frame to reuse
+    *            (the ExtQueries session memo); `bandSig0` likewise an
+    *            already-built band frame FOR THIS (bands, rows) layout. */
   def nearDupPairs(docs: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand,
-                   bucketCap: Int = BucketCap): DataFrame = {
+                   bucketCap: Int = BucketCap,
+                   sa0: Option[DataFrame] = None,
+                   bandSig0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val (sa, bandSig) = shingleBands(docs, bands, rows)
+    val sa = sa0.getOrElse(graft.Pinned.track(shingleFpArrays(docs)))
+    val bandSig = bandSig0.getOrElse(bandSigFrom(sa, bands, rows))
     val cand = candidatePairsOf(bandSig, bucketCap)
     // distinct shingle sets come straight off the per-row arrays — the
     // exploded .distinct() + groupBy-count this replaces shuffled the full
@@ -285,13 +291,14 @@ object Dedup {
     * (broadcast-crossed — the `j2_bloom_stats` summary-row shape). */
   def lshRecall(docs: DataFrame,
                 truthT: Double = NearDupGroupJaccard,
-                bucketCap: Int = BucketCap): DataFrame = {
+                bucketCap: Int = BucketCap,
+                sa0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     // ONE tracked shingle build, shared STRUCTURALLY by the truth side and
     // both band layouts (round-16 advice: the sharing previously leaned on
     // the cache manager's same-plan persist dedup, an implementation
-    // accident, not a guarantee)
-    val sa = graft.Pinned.track(shingleFpArrays(docs))
+    // accident, not a guarantee); sa0 = the session-memoized frame
+    val sa = sa0.getOrElse(graft.Pinned.track(shingleFpArrays(docs)))
     val truth = graft.Pinned.track(
       jaccardNgramPairs(docs, truthT, bucketCap, sa0 = Some(sa))
         .select($"doc_a", $"doc_b"))
@@ -1151,12 +1158,13 @@ object Dedup {
     * materializes. */
   def bloomScaleStats(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                       cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
-                      sliceLines0: Option[DataFrame] = None): DataFrame = {
+                      sliceLines0: Option[DataFrame] = None,
+                      slicePos0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sl = sliceLines0.getOrElse(bloomSliceLines(
       bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
     val nl = sl.groupBy($"slice").agg(count(lit(1)).as("n_lines"))
-    val np = bloomSlicePositions(sl, cap0, k0)
+    val np = slicePos0.getOrElse(bloomSlicePositions(sl, cap0, k0))
       .groupBy($"slice").agg(count(lit(1)).as("n_set_positions"))
     nl.join(np, Seq("slice"))
       .join(broadcast(bloomParamsDf(docs.sparkSession, cap0, k0)
@@ -1205,13 +1213,14 @@ object Dedup {
   def bloomScaleProbe(docs: DataFrame, mod: Int = 10, w: Int = LineTokens,
                       cap0: Long = BloomSliceCap0, k0: Int = BloomSliceK0,
                       dropE6: Long = BloomDropE6,
-                      sliceLines0: Option[DataFrame] = None): DataFrame = {
+                      sliceLines0: Option[DataFrame] = None,
+                      slicePos0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val corpus = bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w)
     // tracked: bloomScaleMembers consumes the position set twice (the
     // standing-slice broadcast and the probe equi-join)
-    val slicePos = graft.Pinned.track(bloomSlicePositions(
-      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0)), cap0, k0))
+    val slicePos = slicePos0.getOrElse(graft.Pinned.track(bloomSlicePositions(
+      sliceLines0.getOrElse(bloomSliceLines(corpus, cap0, k0)), cap0, k0)))
     val corpusLines = corpus.select($"line").distinct().withColumn("ex", lit(1))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val hits = bloomScaleMembers(batch, slicePos, cap0, k0)
@@ -1254,9 +1263,10 @@ object Dedup {
                               cap0: Long = BloomSliceCap0,
                               k0: Int = BloomSliceK0,
                               dropE6: Long = BloomDropE6,
-                              sliceLines0: Option[DataFrame] = None): DataFrame = {
+                              sliceLines0: Option[DataFrame] = None,
+                              slicePos0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val lifecycle = bloomScaleStats(docs, mod, w, cap0, k0, sliceLines0)
+    val lifecycle = bloomScaleStats(docs, mod, w, cap0, k0, sliceLines0, slicePos0)
       .agg(count(lit(1)).as("n_slices"),
         sum($"n_lines").as("n_corpus_lines"),
         sort_array(collect_list(struct($"slice_id", $"fpr_e6"))).as("fa"))
@@ -1264,7 +1274,8 @@ object Dedup {
         (lit(1000000L) - expr("aggregate(fa, cast(1000000 as bigint), " +
           "(acc, x) -> (acc * (1000000 - x.fpr_e6)) div 1000000)"))
           .as("predicted_fpr_e6"))
-    val probe = bloomScaleProbe(docs, mod, w, cap0, k0, dropE6, sliceLines0)
+    val probe = bloomScaleProbe(docs, mod, w, cap0, k0, dropE6, sliceLines0,
+        slicePos0)
       .agg(sum($"n_lines").as("n_batch_lines"),
         sum($"n_bloom_dup").as("n_bloom_hits"),
         sum($"n_exact_dup").as("n_exact_dups"),
@@ -1397,14 +1408,16 @@ object Dedup {
                        cap0: Long = BloomSliceCap0,
                        k0: Int = BloomSliceK0,
                        dropE6: Long = BloomDropE6,
-                       sliceLines0: Option[DataFrame] = None): DataFrame = {
+                       sliceLines0: Option[DataFrame] = None,
+                       slicePos0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sl = sliceLines0.getOrElse(bloomSliceLines(
       bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
     // ONE materialization of the standing distinct — consumed by the
     // probe, the novel-position anti-join, and the output union (the
     // un-tracked form recomputed the heaviest stage three times)
-    val standing = graft.Pinned.track(bloomSlicePositions(sl, cap0, k0))
+    val standing = slicePos0.getOrElse(
+      graft.Pinned.track(bloomSlicePositions(sl, cap0, k0)))
     val batch = bloomDocLines(docs.filter($"doc_id" % mod === 0), w)
     val newPos = bloomSlicePositions(
         bloomScaleIngestNewSlices(sl, batch, cap0, k0, dropE6,
@@ -1436,7 +1449,8 @@ object Dedup {
                         cap0: Long = BloomSliceCap0,
                         k0: Int = BloomSliceK0,
                         dropE6: Long = BloomDropE6,
-                        sliceLines0: Option[DataFrame] = None): DataFrame = {
+                        sliceLines0: Option[DataFrame] = None,
+                        slicePos0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val sl0 = sliceLines0.getOrElse(bloomSliceLines(
       bloomDocLines(docs.filter($"doc_id" % mod =!= 0), w), cap0, k0))
@@ -1446,7 +1460,8 @@ object Dedup {
     // each state's position set materializes ONCE (tracked): pos0 feeds
     // the step-1 probe, both anti-joins, and the output; sp1 (= v1) feeds
     // the step-2 probe and the step-2 anti-join
-    val pos0 = graft.Pinned.track(bloomSlicePositions(sl0, cap0, k0))
+    val pos0 = slicePos0.getOrElse(
+      graft.Pinned.track(bloomSlicePositions(sl0, cap0, k0)))
     val ns1 = graft.Pinned.track(bloomScaleIngestNewSlices(
       sl0, batch1, cap0, k0, dropE6, slicePos0 = Some(pos0)))
     val pos1 = graft.Pinned.track(bloomSlicePositions(ns1, cap0, k0)
@@ -1475,9 +1490,9 @@ object Dedup {
     * hot-key cap needed — the key's multiplicity is the SOURCE count,
     * never the doc count), and a broadcast |sources|²-row matrix
     * assembly. */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+  def sourceOverlap(docs: DataFrame, sa0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val fps = shingleFpArrays(docs)
+    val fps = sa0.getOrElse(shingleFpArrays(docs))
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       .select($"source", explode($"dshings").as("fp")).distinct()
     val sizes = fps.groupBy($"source").agg(count(lit(1)).as("n"))
@@ -1523,13 +1538,15 @@ object Dedup {
   def incrementalNearDup(docs: DataFrame, mod: Int = 10,
                          bands: Int = Bands, rows: Int = RowsPerBand,
                          bucketCap: Int = BucketCap,
-                         dropE6: Long = IncrementalDropE6): DataFrame = {
+                         dropE6: Long = IncrementalDropE6,
+                         build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     // ONE shared shingle/signature build over all docs (signatures are
     // per-doc row-local, so slicing the shared frames is bit-identical to
     // building each side separately — the property the state form relies
-    // on), split by the deterministic carve.
-    val (sa, bandSig) = shingleBands(docs, bands, rows)
+    // on), split by the deterministic carve. build0 = the session-memoized
+    // (sa, bandSig) pair.
+    val (sa, bandSig) = build0.getOrElse(shingleBands(docs, bands, rows))
     val corpB = bandSig.filter($"doc_id" % mod =!= 0)
     val ok = corpB.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" <= bucketCap).select($"band", $"sig")
@@ -1750,9 +1767,10 @@ object Dedup {
   def incrementalNearDupUpsert2(docs: DataFrame, mod: Int = 10,
                                 bands: Int = Bands, rows: Int = RowsPerBand,
                                 bucketCap: Int = BucketCap,
-                                dropE6: Long = IncrementalDropE6): DataFrame = {
+                                dropE6: Long = IncrementalDropE6,
+                                build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val (sa, bandSig) = shingleBands(docs, bands, rows)
+    val (sa, bandSig) = build0.getOrElse(shingleBands(docs, bands, rows))
     def gate(idx: DataFrame): DataFrame = {
       val ok = idx.groupBy($"band", $"sig").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" <= bucketCap).select($"band", $"sig")

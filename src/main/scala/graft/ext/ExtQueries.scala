@@ -44,7 +44,9 @@ object ExtQueries {
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(pairsCache, s, d)
     pairsCache.computeIfAbsent((s, d), _ =>
-      graft.Pinned.stageEager(Dedup.nearDupPairs(Tables.documents(s, d))))
+      graft.Pinned.stageEager(Dedup.nearDupPairs(Tables.documents(s, d),
+        sa0 = Some(shingleFpFrame(s, d)),
+        bandSig0 = Some(bandSigFrame(s, d)))))
   }
 
   /** SemDeDup decision surface: the converged-CC kernel inside runs eager
@@ -189,6 +191,47 @@ object ExtQueries {
     })
   }
 
+  /** The standing sliced-Bloom POSITION set derived from [[bloomSliceFrame]]
+    * — the per-line k-hash explode + distinct that round-17 stage probes
+    * measured as the bloom family's dominant scan-rooted cost, previously
+    * re-materialized (tracked per query) by every probe/upsert/audit
+    * consumer. Once per (session, dataset), the bloomSliceFrame discipline. */
+  private val bloomPosCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bloomPosFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(bloomPosCache, s, d)
+    bloomPosCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Dedup.bloomSlicePositions(bloomSliceFrame(s, d))))
+  }
+
+  /** The distinct-shingle-fingerprint frame (doc_id, dshings) over the FULL
+    * documents table and the default-layout exploded band-signature frame
+    * over it — the shared row-local build behind the whole text-LSH surface
+    * (pairs, incremental family, ingest gates, exact-Jaccard truth sides).
+    * Round-17 stage probes measured each consumer re-running the
+    * scan-rooted shingle+minhash md5 build (~1–2 s single-task at sf0.1,
+    * released per query); memoized once per (session, dataset) they are
+    * built once per pass. Slicing the shared frames by a carve is
+    * bit-identical to per-carve builds (signatures are per-doc row-local —
+    * the incrementalNearDupState argument). */
+  private val shingleFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def shingleFpFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(shingleFpCache, s, d)
+    shingleFpCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Dedup.shingleFpArrays(Tables.documents(s, d))))
+  }
+  private val bandSigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bandSigFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(bandSigCache, s, d)
+    bandSigCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(
+        Dedup.bandSigFrom(shingleFpFrame(s, d), Dedup.Bands, Dedup.RowsPerBand)))
+  }
+  private def lshBuild(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (shingleFpFrame(s, d), bandSigFrame(s, d))
+
   /** Night-1 state of the composed two-night ingest (`j7_ingest_upsert2`)
     * — the standing artifact night 2's job READS, so it follows the
     * memoized-stage lifecycle (stageEager leaves per (session, dataset),
@@ -211,7 +254,9 @@ object ExtQueries {
     ingestNight1Cache.computeIfAbsent((s, d), _ =>
       Pipeline.ingestNight1(Tables.documents(s, d),
         sliceLines0 = Some(bloomSliceFrame(s, d)),
-        stager = graft.Pinned.stageEager))
+        stager = graft.Pinned.stageEager,
+        slicePos0 = Some(bloomPosFrame(s, d)),
+        build0 = Some(lshBuild(s, d))))
   }
 
   /** The semantic gate's verdict frame for the composed five-gate audit:
@@ -250,7 +295,8 @@ object ExtQueries {
     // default 2x2's 1-(1-j^2)^2) — the graded second point of the
     // recall/precision trade every LSH deployment tunes.
     "j2_neardup_pairs_b4r1" -> ((s, d) =>
-      Dedup.nearDupPairs(Tables.documents(s, d), bands = 4, rows = 1)),
+      Dedup.nearDupPairs(Tables.documents(s, d), bands = 4, rows = 1,
+        sa0 = Some(shingleFpFrame(s, d)))),
     "j2_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     // Manku-style simhash near-dup pairs (byte-block pigeonhole, exact
@@ -261,7 +307,8 @@ object ExtQueries {
     // J2 — EXACT n-gram Jaccard similarity join (prefix filter): the
     // no-false-negative complement to the LSH candidate path.
     "j2_jaccard_ngram" -> ((s, d) =>
-      Dedup.jaccardNgramPairs(Tables.documents(s, d))),
+      Dedup.jaccardNgramPairs(Tables.documents(s, d),
+        sa0 = Some(shingleFpFrame(s, d)))),
 
     // J2 — text-LSH recall/precision vs the IN-REPO exact ground truth
     // (round-15 verdict #2): the banded candidate stage graded against
@@ -269,7 +316,8 @@ object ExtQueries {
     // at BOTH banding dial points in one table — the j3_ann_recall
     // convention applied to the text family.
     "j2_lsh_recall" -> ((s, d) =>
-      Dedup.lshRecall(Tables.documents(s, d))),
+      Dedup.lshRecall(Tables.documents(s, d),
+        sa0 = Some(shingleFpFrame(s, d)))),
 
     // J2 — near-dup CLUSTERS: connected components over the verified pair
     // graph; the dedup decision surface (keep is_canonical, drop the rest).
@@ -280,7 +328,8 @@ object ExtQueries {
     // deciding whether two crawls get mixed, cross-deduped, or dropped;
     // full upper triangle incl. zero-overlap pairs.
     "j2_source_overlap" -> ((s, d) =>
-      Dedup.sourceOverlap(Tables.documents(s, d))),
+      Dedup.sourceOverlap(Tables.documents(s, d),
+        sa0 = Some(shingleFpFrame(s, d)))),
 
     // J2 — CROSS-document duplicated-10-gram fraction + the >30% scrub
     // verdict (the MassiveText/RefinedWeb boilerplate signal; catches
@@ -340,7 +389,8 @@ object ExtQueries {
     // probes the standing corpus LSH index; per-batch cost scales with
     // the batch, not the corpus.
     "j2_incremental" -> ((s, d) =>
-      Dedup.incrementalNearDup(Tables.documents(s, d))),
+      Dedup.incrementalNearDup(Tables.documents(s, d),
+        build0 = Some(lshBuild(s, d)))),
 
     // J2 — the STATE-TABLE form of the incremental lookup (round 13): the
     // standing corpus LSH index (cap-gated band rows + corpus shingle
@@ -367,7 +417,8 @@ object ExtQueries {
     // shingle sets — a batch-2 near-dup of a batch-1-kept doc is caught
     // across the ingest boundary. batch_no attribution per row.
     "j2_incremental_upsert2" -> ((s, d) =>
-      Dedup.incrementalNearDupUpsert2(Tables.documents(s, d))),
+      Dedup.incrementalNearDupUpsert2(Tables.documents(s, d),
+        build0 = Some(lshBuild(s, d)))),
 
     // J2 — BLOOM-FILTER line-membership probe (the Dolma bounded-memory
     // ingest filter): k=3 md5 positions in a fixed 2^19-bit array over the
@@ -408,7 +459,8 @@ object ExtQueries {
     // (= 0 by the slice construction, graded in-row).
     "j2_bloom_scale_probe" -> ((s, d) =>
       Dedup.bloomScaleProbe(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)))),
 
     // J2 — the sliced probe from the PERSISTED (line, slice) state TABLE
     // (round 16, completing the state-table convention across all three
@@ -425,7 +477,8 @@ object ExtQueries {
     // budget; ScaleProbe re-measures at 10x/30x.
     "j2_bloom_scale_stats" -> ((s, d) =>
       Dedup.bloomScaleStatsCompound(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)))),
 
     // J2 — the sliced filter's WRITE step (read-probe-write parity with
     // the fixed-filter upsert): standing (slice, p) rows + kept batch
@@ -434,7 +487,8 @@ object ExtQueries {
     // the Almeida insert discipline.
     "j2_bloom_scale_upsert" -> ((s, d) =>
       Dedup.bloomScaleUpsert(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)))),
 
     // J2 — TWO-consecutive-ingest state evolution (round-15 verdict #3):
     // the batch carve halves (doc_id % 20 == 10, then % 20 == 0); batch 1
@@ -444,7 +498,8 @@ object ExtQueries {
     // write path's composition as a graded artifact.
     "j2_bloom_scale_upsert2" -> ((s, d) =>
       Dedup.bloomScaleUpsert2(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)))),
 
     // J2 — maximal duplicated-run length per doc (Lee et al. 2022's
     // headline signal): merged duplicated-10-gram runs surfaced as run
@@ -503,7 +558,9 @@ object ExtQueries {
     // incremental complement of j7_funnel's whole-corpus accounting.
     "j7_ingest_audit" -> ((s, d) =>
       Pipeline.ingestAudit(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)),
+        build0 = Some(lshBuild(s, d)))),
 
     // J7 — the COMPOSED ingest upsert (round-15 verdict #1): the write
     // step driven by the audit's production keep (exact AND bloom AND
@@ -513,7 +570,9 @@ object ExtQueries {
     // the single-modality twins.
     "j7_ingest_upsert" -> ((s, d) =>
       Pipeline.ingestUpsert(Tables.documents(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)),
+        build0 = Some(lshBuild(s, d)))),
 
     // J7 — the COMPOSED ingest loop over TWO consecutive nights (round
     // 16 capstone): batch 1 (% 20 = 10) through the full three-gate
@@ -551,7 +610,9 @@ object ExtQueries {
     "j7_ingest_audit_mm" -> ((s, d) =>
       Pipeline.ingestAuditMm(Tables.documents(s, d),
         semGateFrame(s, d), phashGroups(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)),
+        build0 = Some(lshBuild(s, d)))),
 
     // J7 — the FIVE-gate audit from PERSISTED state tables (round 17):
     // every modality's standing state read as a TABLE — the lexical
@@ -573,7 +634,9 @@ object ExtQueries {
       Pipeline.ingestUpsertMm(Tables.documents(s, d),
         Similarity.semStateTables(s, d, Tables.embeddings(s, d))(1),
         semGateFrame(s, d), phashGroups(s, d),
-        sliceLines0 = Some(bloomSliceFrame(s, d)))),
+        sliceLines0 = Some(bloomSliceFrame(s, d)),
+        slicePos0 = Some(bloomPosFrame(s, d)),
+        build0 = Some(lshBuild(s, d)))),
 
     // J7 — STATE RETRACTION (round 17): the takedown batch — remove the
     // doc_id % 25 == 11 carve from EVERY maintained state and emit the

@@ -159,8 +159,10 @@ object Pipeline {
     * are the probes' own bounded plans; the audit adds two doc-grain
     * equi-joins at the batch grain. */
   def ingestAudit(docs: DataFrame, mod: Int = 10,
-                  sliceLines0: Option[DataFrame] = None): DataFrame =
-    auditFrom(ingestGateVerdicts(docs, mod, sliceLines0))
+                  sliceLines0: Option[DataFrame] = None,
+                  slicePos0: Option[DataFrame] = None,
+                  build0: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    auditFrom(ingestGateVerdicts(docs, mod, sliceLines0, slicePos0, build0))
 
   /** The three-gate verdict frame of [[ingestAudit]] with the standing
     * states derived in-query from the corpus carve — the recompute form
@@ -404,7 +406,9 @@ object Pipeline {
   }
 
   def ingestUpsert(docs: DataFrame, mod: Int = 10,
-                   sliceLines0: Option[DataFrame] = None): DataFrame = {
+                   sliceLines0: Option[DataFrame] = None,
+                   slicePos0: Option[DataFrame] = None,
+                   build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     // ONE shared signature build, ONE tracked standing position set, ONE
     // tracked keep set: the un-shared form evaluated the full audit chain
@@ -413,8 +417,10 @@ object Pipeline {
     // optimization's headline recompute waste (guide §1.2 step 1).
     val sl0 = sliceLines0.getOrElse(graft.Pinned.track(
       Dedup.bloomSliceLines(Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0)))))
-    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
-    val build = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
+    val standing = slicePos0.getOrElse(
+      graft.Pinned.track(Dedup.bloomSlicePositions(sl0)))
+    val build = build0.getOrElse(
+      Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand))
     val kept = graft.Pinned.track(
       auditFrom(ingestGateVerdicts(docs, mod, Some(sl0), Some(standing),
         Some(build)))
@@ -480,7 +486,9 @@ object Pipeline {
   def ingestUpsertMm(docs: DataFrame, semKeptM: DataFrame,
                      semVerdicts: DataFrame, imgGroups: DataFrame,
                      mod: Int = 10,
-                     sliceLines0: Option[DataFrame] = None): DataFrame = {
+                     sliceLines0: Option[DataFrame] = None,
+                     slicePos0: Option[DataFrame] = None,
+                     build0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val neg = lit(-1L)
     // ONE shared signature build + tracked standing position set (the
@@ -488,8 +496,10 @@ object Pipeline {
     // it is consumed by all four legs
     val sl0 = sliceLines0.getOrElse(graft.Pinned.track(
       Dedup.bloomSliceLines(Dedup.bloomDocLines(docs.filter($"doc_id" % mod =!= 0)))))
-    val standing = graft.Pinned.track(Dedup.bloomSlicePositions(sl0))
-    val build = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
+    val standing = slicePos0.getOrElse(
+      graft.Pinned.track(Dedup.bloomSlicePositions(sl0)))
+    val build = build0.getOrElse(
+      Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand))
     val kept = graft.Pinned.track(
       ingestAuditMm(docs, semVerdicts, imgGroups, mod, Some(sl0),
         Some(standing), Some(build))
@@ -539,15 +549,23 @@ object Pipeline {
     *                     created — releasing a localCheckpointed frame
     *                     another cache still serves would leave it with
     *                     unrecomputable missing blocks. */
+  /** `externalBuild`/`externalPos`: like `externalSl0`, mark the shared
+    * signature build (sa, bandSig) and the standing position set as
+    * CALLER-owned (session memo frames), so eviction only releases frames
+    * this constructor created. */
   final case class IngestNight1(sl0: DataFrame, sa: DataFrame,
                                 bandSig: DataFrame, corpIdx: DataFrame,
                                 pos0: DataFrame, h0: DataFrame,
                                 kept1: DataFrame, ns1: DataFrame,
                                 pos1new: DataFrame,
-                                externalSl0: Boolean = false) {
+                                externalSl0: Boolean = false,
+                                externalBuild: Boolean = false,
+                                externalPos: Boolean = false) {
     def frames: Seq[DataFrame] =
       (if (externalSl0) Seq.empty[DataFrame] else Seq(sl0)) ++
-        Seq(sa, bandSig, corpIdx, pos0, h0, kept1, ns1, pos1new)
+        (if (externalBuild) Seq.empty[DataFrame] else Seq(sa, bandSig)) ++
+        (if (externalPos) Seq.empty[DataFrame] else Seq(pos0)) ++
+        Seq(corpIdx, h0, kept1, ns1, pos1new)
   }
 
   private def gateIdx(idx: DataFrame): DataFrame = {
@@ -633,17 +651,20 @@ object Pipeline {
     * direct callers default to plain tracked persists. */
   def ingestNight1(docs: DataFrame, mod: Int = 10,
                    sliceLines0: Option[DataFrame] = None,
-                   stager: DataFrame => DataFrame = graft.Pinned.track): IngestNight1 = {
+                   stager: DataFrame => DataFrame = graft.Pinned.track,
+                   slicePos0: Option[DataFrame] = None,
+                   build0: Option[(DataFrame, DataFrame)] = None): IngestNight1 = {
     import docs.sparkSession.implicits._
     val corpus = docs.filter($"doc_id" % mod =!= 0)
     val b1 = docs.filter($"doc_id" % (2L * mod) === mod.toLong)
-    val (sa0, bandSig0) = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
-    val sa = stager(sa0)
-    val bandSig = stager(bandSig0)
+    val (sa, bandSig) = build0.getOrElse {
+      val (sa0, bandSig0) = Dedup.shingleBands(docs, Dedup.Bands, Dedup.RowsPerBand)
+      (stager(sa0), stager(bandSig0))
+    }
     val sl0 = sliceLines0.getOrElse(
       stager(Dedup.bloomSliceLines(Dedup.bloomDocLines(corpus))))
     val corpIdx = stager(gateIdx(bandSig.filter($"doc_id" % mod =!= 0)))
-    val pos0 = stager(Dedup.bloomSlicePositions(sl0))
+    val pos0 = slicePos0.getOrElse(stager(Dedup.bloomSlicePositions(sl0)))
     val h0 = stager(corpus.select(md5($"text".cast("binary")).as("h")).distinct())
     val kept1 = stager(composedKeep(b1, sa, bandSig, corpIdx,
       sa.filter($"doc_id" % mod =!= 0), pos0, h0))
@@ -653,7 +674,9 @@ object Pipeline {
     val pos1new = stager(Dedup.bloomSlicePositions(ns1)
       .join(pos0, Seq("slice", "p"), "left_anti"))
     IngestNight1(sl0, sa, bandSig, corpIdx, pos0, h0, kept1, ns1, pos1new,
-      externalSl0 = sliceLines0.isDefined)
+      externalSl0 = sliceLines0.isDefined,
+      externalBuild = build0.isDefined,
+      externalPos = slicePos0.isDefined)
   }
 
   def ingestUpsert2(docs: DataFrame, mod: Int = 10,
@@ -1712,8 +1735,11 @@ object Pipeline {
       .select($"doc_id", $"n_tokens", expr(s"(rk - 1) div $windowDocs").as("wid"))
     // FFD fold: items sorted largest-first (nn = -n ascending, doc_id
     // tiebreak); state = (bin remainders, placements). The first-fit index
-    // is recomputed per field of the state struct — bounded by W bins per
-    // window, so the fold stays ~W² row-local integer ops.
+    // is computed ONCE per item and bound as `p` via a transform over a
+    // singleton array (SQL has no let; the round-17 before-form recomputed
+    // the O(W) position scan five times per item — ~2.5x the interpreted
+    // fold work). Identical arithmetic; bounded by W bins per window, so
+    // the fold stays ~W² row-local integer ops.
     val folded = ranked.groupBy($"wid")
       .agg(array_sort(collect_list(
         struct((-$"n_tokens").as("nn"), $"doc_id", $"n_tokens".as("n")))).as("items"))
@@ -1722,23 +1748,21 @@ object Pipeline {
            |  named_struct(
            |    'rems', cast(array() as array<bigint>),
            |    'outs', cast(array() as array<struct<did: bigint, bin: bigint, off: bigint, n: bigint>>)),
-           |  (acc, x) -> named_struct(
-           |    'rems',
-           |      if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
-           |         transform(acc.rems, (r, i) ->
-           |           if(cast(i as bigint) = array_position(transform(acc.rems, r2 -> r2 >= x.n), true) - 1,
-           |              r - x.n, r)),
-           |         concat(acc.rems, array(greatest(cast($seqLen as bigint) - x.n, cast(0 as bigint))))),
-           |    'outs', concat(acc.outs, array(named_struct(
-           |      'did', x.doc_id,
-           |      'bin', if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
-           |               array_position(transform(acc.rems, r -> r >= x.n), true),
-           |               cast(size(acc.rems) + 1 as bigint)),
-           |      'off', if(array_position(transform(acc.rems, r -> r >= x.n), true) > 0,
-           |               cast($seqLen as bigint) - element_at(acc.rems,
-           |                 cast(array_position(transform(acc.rems, r -> r >= x.n), true) as int)),
-           |               cast(0 as bigint)),
-           |      'n', x.n)))),
+           |  (acc, x) -> element_at(transform(
+           |    array(array_position(transform(acc.rems, r -> r >= x.n), true)),
+           |    p -> named_struct(
+           |      'rems',
+           |        if(p > 0,
+           |           transform(acc.rems, (r, i) ->
+           |             if(cast(i as bigint) = p - 1, r - x.n, r)),
+           |           concat(acc.rems, array(greatest(cast($seqLen as bigint) - x.n, cast(0 as bigint))))),
+           |      'outs', concat(acc.outs, array(named_struct(
+           |        'did', x.doc_id,
+           |        'bin', if(p > 0, p, cast(size(acc.rems) + 1 as bigint)),
+           |        'off', if(p > 0,
+           |                 cast($seqLen as bigint) - element_at(acc.rems, cast(p as int)),
+           |                 cast(0 as bigint)),
+           |        'n', x.n))))), 1),
            |  acc -> acc.outs)""".stripMargin).as("outs"))
     val asg = folded.select($"wid", explode($"outs").as("o"))
       .select($"wid", $"o.did".as("doc_id"), $"o.bin".as("bin_in_window"),
