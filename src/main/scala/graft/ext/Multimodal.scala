@@ -156,7 +156,15 @@ object Multimodal {
   def pngFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"doc_id").as[Long].mapPartitions { it =>
+    // fan the id column out to the session's shuffle parallelism before the
+    // encode: the harness docs scan is one unsplittable parquet partition,
+    // so without this every PNG encode+decode chain downstream runs on ONE
+    // task (guide §2.5 input skew — repartition right after the read). The
+    // shuffle moves only the 8-byte ids; partition count follows the
+    // session conf, so a cluster-sized session scales it.
+    docs.select($"doc_id")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (id % 13 + 3).toInt
         val h = (id % 7 + 2).toInt
@@ -370,7 +378,10 @@ object Multimodal {
                         cap: Int = AHashHamBucketCap): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    val h = graft.Pinned.track(aHash(payloads, p).select($"doc_id", $"ahash"))
+    // hashes via the FUSED row-local kernel (bit-identical to the aHash
+    // chain — ExtSpec pins row equality): spares the pooled-grain exchange
+    // and its two groupBys per build, the aHashLocal scale rationale
+    val h = graft.Pinned.track(aHashLocal(payloads, p))
     val bands = h.select($"doc_id", $"ahash",
         explode(sequence(lit(0), lit(3))).as("blk"))
       .select($"doc_id", $"ahash", $"blk",

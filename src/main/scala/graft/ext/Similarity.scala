@@ -580,12 +580,31 @@ object Similarity {
     * — assignment is |batch| x sqrt(N) against the broadcast frozen
     * centroids, and the candidate join touches only the matching cell's
     * kept members (<= cellCap each); the corpus is never re-clustered. */
+  /** @param cells0 an already-materialized (cents, cells) pair for the
+    *               corpus carve (the ExtQueries session memo —
+    *               [[semIncCells]] staged once per dataset): the Lloyd
+    *               train + full-corpus assignment is the recompute twin's
+    *               dominant cost and the SAME derivation feeds
+    *               [[cellDrift]]. */
   def semDedupIncremental(emb: DataFrame, thresholdE6: Long = SemDedupCosE6,
                           iters: Int = IvfIters, cellCap: Int = SemCellCap,
-                          corpusPct: Long = SemIncCorpusPct): DataFrame = {
+                          corpusPct: Long = SemIncCorpusPct,
+                          cells0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val (corpus, batch) = semIncSplit(emb, corpusPct)
-    val (cents, keptM) = semIncCorpusState(corpus, thresholdE6, iters, cellCap)
+    val (cents, keptM) = semIncCorpusState(corpus, thresholdE6, iters, cellCap,
+      cells0)
     semIncBatch(batch, cents, keptM, thresholdE6)
+  }
+
+  /** The trained (centroids, full-corpus cell assignment) pair of the
+    * incremental family's corpus carve — exposed so the query layer can
+    * memoize ONE build per (session, dataset) for the recompute twins
+    * ([[semDedupIncremental]], [[cellDrift]]) that both derive it. */
+  private[graft] def semIncCells(emb: DataFrame, iters: Int = IvfIters,
+                                 corpusPct: Long = SemIncCorpusPct): (DataFrame, DataFrame) = {
+    val (corpus, _) = semIncSplit(emb, corpusPct)
+    val bc = base(corpus)
+    semCells(bc, corpus, iters)
   }
 
   /** (corpus, batch) halves of the incremental split: a 1-row id cutoff
@@ -602,10 +621,11 @@ object Similarity {
     * frame (cid, cv, nc) and the kept cap-passing cell members with their
     * vectors (mid, cid, mv, mn) — everything the batch side needs. */
   private def semIncCorpusState(corpus: DataFrame, thresholdE6: Long,
-                                iters: Int, cellCap: Int): (DataFrame, DataFrame) = {
+                                iters: Int, cellCap: Int,
+                                cells0: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
     import corpus.sparkSession.implicits._
     val bc = base(corpus)
-    val (cents, cells) = semCells(bc, corpus, iters)
+    val (cents, cells) = cells0.getOrElse(semCells(bc, corpus, iters))
     val state = semDedupFrom(corpus, bc, cells, thresholdE6, cellCap)
     val okc = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
       .filter($"n" <= cellCap).select($"cid")
@@ -987,11 +1007,11 @@ object Similarity {
     * assignment passes plus the Lloyd retrain; two bounded cell-grain
     * aggregates, one 1-row total. */
   def cellDrift(emb: DataFrame, iters: Int = IvfIters,
-                corpusPct: Long = SemIncCorpusPct): DataFrame = {
+                corpusPct: Long = SemIncCorpusPct,
+                cells0: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val (corpus, batch) = semIncSplit(emb, corpusPct)
-    val bc = base(corpus)
-    val (cents, cells) = semCells(bc, corpus, iters)
+    val (cents, cells) = cells0.getOrElse(semCells(base(corpus), corpus, iters))
     cellPsi(cents, cells.groupBy($"cid").agg(count(lit(1)).as("ca")), batch)
   }
 
