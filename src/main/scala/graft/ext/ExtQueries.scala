@@ -39,6 +39,20 @@ object ExtQueries {
     * memoize the eagerly-staged pairs frame with the same lifecycle, so
     * the shingle/minhash/bucket pipeline runs once per (session, dataset)
     * instead of once per consumer. */
+  /** Fan an unsplittable single-row-group harness scan out to the
+    * session's shuffle parallelism by its primary key (guide §2.5 input
+    * skew) — used ONLY inside the session memo builders, whose per-row
+    * work (md5 shingling/gram hashing, BPE merges, Lloyd kernels)
+    * otherwise runs on the scan's one task. The shuffle moves one pass of
+    * the raw columns; the partition count follows the session conf, so a
+    * cluster-sized session scales it. Query-level plans (and their
+    * locks, e.g. the shuffle-free per-doc dedup stages) are untouched. */
+  private def fanned(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.col(key))
+  private def fanDocs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    fanned(Tables.documents(s, d), "doc_id")
+
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def neardupPairs(s: SparkSession, d: String): DataFrame = {
@@ -58,7 +72,8 @@ object ExtQueries {
   private def semdedup(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(semdedupCache, s, d)
     semdedupCache.computeIfAbsent((s, d), _ =>
-      graft.Pinned.stageEager(Similarity.semDedup(Tables.embeddings(s, d))))
+      graft.Pinned.stageEager(Similarity.semDedup(
+        fanned(Tables.embeddings(s, d), "vec_id"))))
   }
 
   /** Trained BPE merge rules + the encoded vocabulary, each an
@@ -69,14 +84,14 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def bpeRules(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(bpeRulesCache, s, d)
-    bpeRulesCache.computeIfAbsent((s, d), _ => TextOps.bpeTrain(Tables.documents(s, d)))
+    bpeRulesCache.computeIfAbsent((s, d), _ => TextOps.bpeTrain(fanDocs(s, d)))
   }
   private val bpeAppliedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def bpeApplied(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(bpeAppliedCache, s, d)
     bpeAppliedCache.computeIfAbsent((s, d), _ =>
-      TextOps.bpeApply(Tables.documents(s, d), bpeRules(s, d)))
+      TextOps.bpeApply(fanDocs(s, d), bpeRules(s, d)))
   }
   // document-grain encodings feed j4_bpe_encode_docs AND j7_pack_bpe
   private val bpeEncodedCache =
@@ -84,7 +99,7 @@ object ExtQueries {
   private def bpeEncoded(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(bpeEncodedCache, s, d)
     bpeEncodedCache.computeIfAbsent((s, d), _ => graft.Pinned.stageEager(
-      TextOps.bpeEncodeDocs(Tables.documents(s, d), bpeApplied(s, d))))
+      TextOps.bpeEncodeDocs(fanDocs(s, d), bpeApplied(s, d))))
   }
 
   /** The scrub family's duplicated-run START index (doc_id, toks, ss)
@@ -99,7 +114,7 @@ object ExtQueries {
   private def dupStartsFrame(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(dupStartsCache, s, d)
     dupStartsCache.computeIfAbsent((s, d), _ =>
-      graft.Pinned.stageEager(Dedup.dupStarts(Tables.documents(s, d))))
+      graft.Pinned.stageEager(Dedup.dupStarts(fanDocs(s, d))))
   }
 
   /** Image hamming-pair graph feeds TWO graded queries (j5_phash_hamming
@@ -146,9 +161,22 @@ object ExtQueries {
         }
       }
     semIncCellsCache.computeIfAbsent((s, d), _ => {
-      val (cents, cells) = Similarity.semIncCells(Tables.embeddings(s, d))
+      val (cents, cells) = Similarity.semIncCells(
+        fanned(Tables.embeddings(s, d), "vec_id"))
       (graft.Pinned.stageEager(cents), graft.Pinned.stageEager(cells))
     })
+  }
+
+  /** The direct 13-gram decontamination verdict frame is consumed by
+    * FOUR graded queries (j7_decontam_ngram and the three funnels'
+    * decontam gate): one staged build per (session, dataset), gram
+    * hashing fanned like the other memo builders. */
+  private val decNgramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def decNgramFrame(s: SparkSession, d: String): DataFrame = {
+    graft.pm.PmQueries.evictOthers(decNgramCache, s, d)
+    decNgramCache.computeIfAbsent((s, d), _ =>
+      graft.Pinned.stageEager(Pipeline.decontamNgram(fanDocs(s, d))))
   }
 
   /** The REAL-decode stats frame (decodeImages over the PNG fixture) is
@@ -221,7 +249,7 @@ object ExtQueries {
     bloomSliceCache.computeIfAbsent((s, d), _ => {
       import s.implicits._
       graft.Pinned.stageEager(Dedup.bloomSliceLines(Dedup.bloomDocLines(
-        Tables.documents(s, d).filter($"doc_id" % 10 =!= 0))))
+        fanDocs(s, d).filter($"doc_id" % 10 =!= 0))))
     })
   }
 
@@ -253,7 +281,7 @@ object ExtQueries {
   private def shingleFpFrame(s: SparkSession, d: String): DataFrame = {
     graft.pm.PmQueries.evictOthers(shingleFpCache, s, d)
     shingleFpCache.computeIfAbsent((s, d), _ =>
-      graft.Pinned.stageEager(Dedup.shingleFpArrays(Tables.documents(s, d))))
+      graft.Pinned.stageEager(Dedup.shingleFpArrays(fanDocs(s, d))))
   }
   private val bandSigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -564,7 +592,8 @@ object ExtQueries {
     "j7_funnel" -> ((s, d) =>
       Pipeline.curationFunnel(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)),
-        imgGroups0 = Some(phashGroups(s, d)))),
+        imgGroups0 = Some(phashGroups(s, d)),
+        dec0 = Some(decNgramFrame(s, d)))),
 
     // J7 — the FULL-gate funnel (round-14 verdict #4): the base funnel
     // plus the Gopher rule bundle and the CCNet perplexity tercile gate
@@ -573,7 +602,8 @@ object ExtQueries {
     "j7_funnel_full" -> ((s, d) =>
       Pipeline.curationFunnelFull(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)),
-        imgGroups0 = Some(phashGroups(s, d)))),
+        imgGroups0 = Some(phashGroups(s, d)),
+        dec0 = Some(decNgramFrame(s, d)))),
 
     // J7 — per-gate MARGINAL attribution (the prefix funnel's complement,
     // round-14 verdict #7): for each gate over the FULL set, docs/tokens
@@ -583,7 +613,8 @@ object ExtQueries {
     "j7_funnel_marginal" -> ((s, d) =>
       Pipeline.funnelMarginal(Tables.documents(s, d),
         groups0 = Some(neardupGroups(s, d)),
-        imgGroups0 = Some(phashGroups(s, d)))),
+        imgGroups0 = Some(phashGroups(s, d)),
+        dec0 = Some(decNgramFrame(s, d)))),
 
     // J7 — the INGEST-gate audit (round 15): one batch through the three
     // standing dedup modalities (exact hash, sliced-Bloom lines, LSH
@@ -714,8 +745,7 @@ object ExtQueries {
     // convention): exact word-13-gram collisions between train docs and
     // the eval set; eval fingerprints broadcast, train corpus touched
     // once, per-doc gram counts row-local.
-    "j7_decontam_ngram" -> ((s, d) =>
-      Pipeline.decontamNgram(Tables.documents(s, d))),
+    "j7_decontam_ngram" -> ((s, d) => decNgramFrame(s, d)),
 
     // J7 — snapshot delta detection (CDC merge): added/deleted/changed/
     // unchanged across two crawl snapshots; the re-process-the-delta op.

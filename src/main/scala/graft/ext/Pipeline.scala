@@ -847,9 +847,10 @@ object Pipeline {
     * aggregate to a single row, and a row-local explode to the 8-row
     * stage table. */
   def curationFunnel(docs: DataFrame, groups0: Option[DataFrame] = None,
-                     imgGroups0: Option[DataFrame] = None): DataFrame =
+                     imgGroups0: Option[DataFrame] = None,
+                     dec0: Option[DataFrame] = None): DataFrame =
     funnelOver(docs, groups0, imgGroups0, extraFlags = None,
-      extraCols = Nil, stages0 = FunnelStages)
+      extraCols = Nil, stages0 = FunnelStages, dec0 = dec0)
 
   /** J7 — the FULL-gate funnel (round-14 verdict #4): [[curationFunnel]]
     * extended with the Gopher rule bundle and the CCNet perplexity gate
@@ -862,14 +863,16 @@ object Pipeline {
     * with j7_ppl_buckets' own run via the session cache), one extra
     * doc-grain join each. */
   def curationFunnelFull(docs: DataFrame, groups0: Option[DataFrame] = None,
-                         imgGroups0: Option[DataFrame] = None): DataFrame = {
+                         imgGroups0: Option[DataFrame] = None,
+                         dec0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
       .join(pplBuckets(docs)
         .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
         Seq("doc_id"))
     funnelOver(docs, groups0, imgGroups0, extraFlags = Some(extra),
-      extraCols = Seq("gopher_ok", "ppl_ok"), stages0 = FunnelStagesFull)
+      extraCols = Seq("gopher_ok", "ppl_ok"), stages0 = FunnelStagesFull,
+      dec0 = dec0)
   }
 
   /** J7 — per-gate MARGINAL attribution (round-14 verdict #7, the other
@@ -885,14 +888,15 @@ object Pipeline {
     * row-local all-others-pass product per gate, ONE aggregate row,
     * row-local explode to the |gates| table. */
   def funnelMarginal(docs: DataFrame, groups0: Option[DataFrame] = None,
-                     imgGroups0: Option[DataFrame] = None): DataFrame = {
+                     imgGroups0: Option[DataFrame] = None,
+                     dec0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
       .join(pplBuckets(docs)
         .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
         Seq("doc_id"))
     val (flags, flagCols) = funnelFlags(docs, groups0, imgGroups0,
-      Some(extra), Seq("gopher_ok", "ppl_ok"))
+      Some(extra), Seq("gopher_ok", "ppl_ok"), dec0)
     val aggs = flagCols.zipWithIndex.flatMap { case (c, i) =>
       val othersPass = flagCols.filter(_ != c).map(col).reduce(_ * _)
       Seq(
@@ -919,7 +923,8 @@ object Pipeline {
   private def funnelFlags(docs: DataFrame, groups0: Option[DataFrame],
                           imgGroups0: Option[DataFrame],
                           extraFlags: Option[DataFrame],
-                          extraCols: Seq[String]): (DataFrame, Seq[String]) = {
+                          extraCols: Seq[String],
+                          dec0: Option[DataFrame] = None): (DataFrame, Seq[String]) = {
     import docs.sparkSession.implicits._
     val mm = trainsetManifestMm(docs, groups0, imgGroups0)
       .select($"doc_id", $"dup_ok", $"img_ok", $"lang_ok", $"len_ok", $"quality_ok")
@@ -927,7 +932,8 @@ object Pipeline {
     val exactOk = eh
       .join(eh.groupBy($"h").agg(min($"doc_id").as("kid")), Seq("h"))
       .select($"doc_id", ($"doc_id" === $"kid").cast("long").as("exact_ok"))
-    val dec = decontamNgram(docs).select($"doc_id", $"contaminated")
+    val dec = dec0.getOrElse(decontamNgram(docs))
+      .select($"doc_id", $"contaminated")
     val flags0 = docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
       .join(exactOk, Seq("doc_id"))
@@ -945,10 +951,11 @@ object Pipeline {
                          imgGroups0: Option[DataFrame],
                          extraFlags: Option[DataFrame],
                          extraCols: Seq[String],
-                         stages0: Seq[String]): DataFrame = {
+                         stages0: Seq[String],
+                         dec0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val (flags, flagCols) =
-      funnelFlags(docs, groups0, imgGroups0, extraFlags, extraCols)
+      funnelFlags(docs, groups0, imgGroups0, extraFlags, extraCols, dec0)
     require(flagCols.size == stages0.size,
       s"funnel stages (${stages0.size}) and flags (${flagCols.size}) diverged")
     val withCum = flagCols.zipWithIndex.foldLeft(flags) { case (df, (c, i)) =>

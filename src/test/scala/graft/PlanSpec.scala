@@ -149,12 +149,21 @@ class PlanSpec extends AnyFunSuite {
       raw"ReadSchema: struct<(.*)>".r.findAllMatchIn(planOf(name)).map(_.group(1)).toSeq
     // documents has 5 columns; the text ops read at most (doc_id, text) —
     // bm25's corpus-stats branch prunes further, to text alone
-    for (q <- Seq("j2_jaccard_ngram", "j4_bm25")) {
-      val rs = readSchemas(q)
-      assert(rs.nonEmpty && rs.toSet.subsetOf(
-        Set("doc_id:bigint,text:string", "text:string")),
-        s"$q scan not pruned to (doc_id, text): $rs")
-    }
+    val rsB = readSchemas("j4_bm25")
+    assert(rsB.nonEmpty && rsB.toSet.subsetOf(
+      Set("doc_id:bigint,text:string", "text:string")),
+      s"j4_bm25 scan not pruned to (doc_id, text): $rsB")
+    // j2_jaccard_ngram plans against the session-MEMOIZED shingle leaf
+    // since round 17 (no parquet scan in the query plan at all — the scan
+    // happens once in the memo builder), so its pruning lock moves to the
+    // KERNEL's own plan, which is the shape the memo builder materializes.
+    val rsJ = raw"ReadSchema: struct<(.*)>".r.findAllMatchIn(
+      ext.Dedup.jaccardNgramPairs(Tables.documents(spark, sfDir))
+        .queryExecution.executedPlan.toString).map(_.group(1)).toSeq
+    assert(rsJ.nonEmpty && rsJ.toSet.subsetOf(
+      Set("doc_id:bigint,text:string", "text:string")),
+      s"jaccardNgramPairs kernel scan not pruned to (doc_id, text): $rsJ")
+    graft.Pinned.release(spark)
     // PQ reads (vec_id, embedding) everywhere, vec_id alone on the
     // query-filter branch, nothing at all for the 1-row stride count
     val pq = readSchemas("j3_pq_adc").toSet
