@@ -864,10 +864,11 @@ object Pipeline {
     * doc-grain join each. */
   def curationFunnelFull(docs: DataFrame, groups0: Option[DataFrame] = None,
                          imgGroups0: Option[DataFrame] = None,
-                         dec0: Option[DataFrame] = None): DataFrame = {
+                         dec0: Option[DataFrame] = None,
+                         ppl0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
-      .join(pplBuckets(docs)
+      .join(ppl0.getOrElse(pplBuckets(docs))
         .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
         Seq("doc_id"))
     funnelOver(docs, groups0, imgGroups0, extraFlags = Some(extra),
@@ -889,10 +890,11 @@ object Pipeline {
     * row-local explode to the |gates| table. */
   def funnelMarginal(docs: DataFrame, groups0: Option[DataFrame] = None,
                      imgGroups0: Option[DataFrame] = None,
-                     dec0: Option[DataFrame] = None): DataFrame = {
+                     dec0: Option[DataFrame] = None,
+                     ppl0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val extra = gopherGate(docs).select($"doc_id", $"kept".as("gopher_ok"))
-      .join(pplBuckets(docs)
+      .join(ppl0.getOrElse(pplBuckets(docs))
         .select($"doc_id", ($"bucket" <= 2L).cast("long").as("ppl_ok")),
         Seq("doc_id"))
     val (flags, flagCols) = funnelFlags(docs, groups0, imgGroups0,
@@ -1674,9 +1676,10 @@ object Pipeline {
     * two-phase distributed cumsum — ONE range shuffle on
     * (stage, shuffle_key), no single-task window anywhere. */
   def curriculum(docs: DataFrame, seed: Int = ShuffleSeed,
-                 seqLen: Long = PackSeqLen): DataFrame = {
+                 seqLen: Long = PackSeqLen,
+                 ppl0: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val kept = pplBuckets(docs).filter($"bucket" <= 2L)
+    val kept = ppl0.getOrElse(pplBuckets(docs)).filter($"bucket" <= 2L)
       .select($"doc_id", $"lang", $"bucket", $"bucket_label",
         // middle (bucket 2) -> stage 1 first; head (bucket 1) -> stage 2 last
         (lit(3L) - $"bucket").as("stage"))

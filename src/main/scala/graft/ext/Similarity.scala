@@ -234,15 +234,20 @@ object Similarity {
     * round plus once for assignment (or pre-partitioned by cell at rest),
     * and a query touches nProbes/nCells of the data — the standard IVF
     * cost dial. */
-  def annIvf(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK,
-             nCells: Int = IvfCells, nProbes: Int = IvfProbes,
-             iters: Int = IvfIters): DataFrame = {
+  /** The trained IVF coarse quantizer (seed stride + `iters` Lloyd rounds)
+    * — factored out of [[annIvf]] so the query layer can memoize ONE
+    * training per (session, dataset) for its four consumers (`j3_ivf_ann`,
+    * `j3_ivf_np1`, both recall rows). The stride is data-dependent but
+    * stays IN the plan (1-row aggregate, broadcast cross join): building
+    * this DataFrame runs zero Spark jobs — a driver-side emb.count() here
+    * forced a full corpus scan at plan-build time, mis-attributed in
+    * Bench/Verify timing (round-3 verdict). Lloyd rounds see only the
+    * deterministic training subsample (~nCells*IvfTrainPerCell vectors) —
+    * quantizer build cost stays flat as the corpus grows. */
+  private[graft] def ivfCents(emb: DataFrame, nCells: Int = IvfCells,
+                              iters: Int = IvfIters): DataFrame = {
     import emb.sparkSession.implicits._
     val b = base(emb)
-    // the stride is data-dependent but stays IN the plan (1-row aggregate,
-    // broadcast cross join): building this DataFrame runs zero Spark jobs —
-    // a driver-side emb.count() here forced a full corpus scan at plan-build
-    // time, mis-attributed in Bench/Verify timing (round-3 verdict)
     val strideF = emb.agg(
       greatest(lit(1L), (count(lit(1)) / nCells).cast("long")).as("stride"),
       greatest(lit(1L), (count(lit(1)) / (nCells * IvfTrainPerCell)).cast("long"))
@@ -251,20 +256,23 @@ object Similarity {
       .filter($"vec_id" % $"stride" === 0 && $"vec_id" < $"stride" * nCells)
       .select($"vec_id".as("cid"), $"qv".as("cv"), $"nq".as("nc"))
       .filter($"nc" > 0L) // mirror the oracle's HAVING: no zero-norm seeds
-    // Lloyd rounds see only the deterministic training subsample
-    // (~nCells*IvfTrainPerCell vectors) — quantizer build cost stays flat
-    // as the corpus grows; only the final assignment below scans it all
     val trainB = b.crossJoin(broadcast(strideF))
       .filter($"vec_id" % $"tstride" === 0)
       .select($"vec_id", $"qv", $"nq")
+    if (iters <= 0) seed
+    else graft.Pinned.track((1 to iters).foldLeft(seed)((c, _) => refineCents(trainB, c)))
+  }
+
+  def annIvf(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK,
+             nCells: Int = IvfCells, nProbes: Int = IvfProbes,
+             iters: Int = IvfIters,
+             cents0: Option[DataFrame] = None): DataFrame = {
+    import emb.sparkSession.implicits._
+    val b = base(emb)
     // the trained quantizer (<= nCells rows behind 2 shuffled rounds) is
-    // referenced by the assignment AND probe branches — persist it so one
-    // action trains once (the cluster analogue: train the IVF index once,
-    // store it, reuse). Pinned.track keeps the persist lazy (no plan-build
-    // jobs) and the harness releases it after each query action.
-    val cents =
-      if (iters <= 0) seed
-      else graft.Pinned.track((1 to iters).foldLeft(seed)((c, _) => refineCents(trainB, c)))
+    // referenced by the assignment AND probe branches — tracked inside
+    // ivfCents so one action trains once; cents0 = the session memo.
+    val cents = cents0.getOrElse(ivfCents(emb, nCells, iters))
     val vcos = centCos(b, cents)
     val cells = assignCells(vcos)
     // probe lists: top-nProbes cells per query
@@ -1215,10 +1223,11 @@ object Similarity {
     * ground truth comes from a held-out sample exactly like this); the
     * compare is one tiny (nQueries x k) join. */
   def annRecall(emb: DataFrame, nQueries: Int = AnnQueries, k: Int = AnnK,
-                nProbes: Int = IvfProbes): DataFrame = {
+                nProbes: Int = IvfProbes,
+                cents0: Option[DataFrame] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val truth = knnCosine(emb, nQueries, k).select($"qid", $"vid")
-    val approx = annIvf(emb, nQueries, k, nProbes = nProbes)
+    val approx = annIvf(emb, nQueries, k, nProbes = nProbes, cents0 = cents0)
       .select($"qid", $"vid").withColumn("hit", lit(1L))
     truth.join(approx, Seq("qid", "vid"), "left")
       .groupBy($"qid")
