@@ -113,9 +113,10 @@ object QueryProbe {
             def walk(p: SparkPlan, d: Int): Unit = {
               if (!seen.add(p)) { println("  " * d + s"[shared] ${p.nodeName}"); return }
               val ms = p.metrics.toSeq
-                .filter { case (k, v) => v.value > 0 &&
-                  (k.contains("time") || k.contains("duration") ||
-                    k == "numOutputRows" || k.contains("Bytes") || k.contains("spill")) }
+                .filter { case (k, v) => v.value > 0 && {
+                  val kl = k.toLowerCase
+                  kl.contains("time") || kl.contains("duration") ||
+                    k == "numOutputRows" || kl.contains("bytes") || kl.contains("spill") } }
                 .sortBy(_._1)
                 .map { case (k, v) => s"$k=${v.value}" }.mkString(" ")
               println("  " * d + p.nodeName + (if (ms.nonEmpty) s"  [$ms]" else ""))

@@ -148,9 +148,13 @@ object Dedup {
     * stays in whole-stage codegen at the scan. */
   private[ext] def shingleFpArrays(docs: DataFrame): DataFrame =
     shingleArrays(docs.filter(size(split(col("text"), " ")) >= 3))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(shings, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))")
-        .as("dshings"))
+      .select(col("doc_id"),
+        // native digest ([[graft.functions.Md5Head60]]) — bit-identical to
+        // the composed conv(substring(md5(s),1,15),16,10) form the oracle
+        // keeps, minus the per-ELEMENT hex string + substring + base-16
+        // parse (this transform runs once per shingle corpus-wide)
+        array_distinct(transform(col("shings"),
+          s => graft.functions.Md5Head60(s))).as("dshings"))
 
   /** MinHash signatures: bands*rowsPerBand independent 32-bit hashes,
     * computed row-locally over the shingle array (no explode, no shuffle —
@@ -509,9 +513,9 @@ object Dedup {
   def dupNgramFrac(docs: DataFrame, n: Int = DupNgramN,
                    gateE6: Long = DupFracGateE6): DataFrame = {
     import docs.sparkSession.implicits._
-    val withFps = ngramArrays(docs, n).select($"doc_id", expr(
-      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
-      .as("fps")).filter(size($"fps") > 0)
+    val withFps = ngramArrays(docs, n).select($"doc_id",
+      array_distinct(transform($"grams", g => graft.functions.Md5Head60(g)))
+        .as("fps")).filter(size($"fps") > 0)
     val ex = withFps.select($"doc_id", explode($"fps").as("fp"))
     val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
       .select($"fp")
@@ -566,9 +570,8 @@ object Dedup {
     * can never disagree about what "duplicated" means). */
   def dupStarts(docs: DataFrame, n: Int = DupNgramN): DataFrame = {
     import docs.sparkSession.implicits._
-    val pf = ngramArrays(docs, n).select($"doc_id", expr(
-      "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
-      .as("pfps"))
+    val pf = ngramArrays(docs, n).select($"doc_id",
+      transform($"grams", g => graft.functions.Md5Head60(g)).as("pfps"))
     val ex = pf.select($"doc_id", explode(array_distinct($"pfps")).as("fp"))
     val dup = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" >= 2)
       .select($"fp")
@@ -793,9 +796,9 @@ object Dedup {
       .select($"doc_id", $"toks", expr(
         s"transform(sequence(0, (size(toks) - 1) div $w), b -> slice(toks, b * $w + 1, $w))")
         .as("lines"))
-    val pf = lineized(docs).select($"doc_id", expr(
-      "transform(lines, l -> cast(conv(substring(md5(array_join(l, ' ')), 1, 15), 16, 10) as bigint))")
-      .as("lfps"))
+    val pf = lineized(docs).select($"doc_id",
+      transform($"lines", l =>
+        graft.functions.Md5Head60(array_join(l, " "))).as("lfps"))
     // cross-doc duplicated line set: distinct per doc, then df >= 2 —
     // the dupNgramFrac definition at the line grain
     val ex = pf.select($"doc_id", explode(array_distinct($"lfps")).as("fp"))

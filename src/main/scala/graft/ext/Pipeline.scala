@@ -1147,9 +1147,9 @@ object Pipeline {
   def decontamNgram(docs: DataFrame, n: Int = DecontamN,
                     evalDocs: Long = EvalDocs): DataFrame = {
     import docs.sparkSession.implicits._
-    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id", expr(
-      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
-      .as("fps"))
+    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id",
+      array_distinct(transform($"grams", g => graft.functions.Md5Head60(g)))
+        .as("fps"))
     val evalFp = withFps.filter($"doc_id" < evalDocs)
       .select(explode($"fps").as("fp"), $"doc_id".as("eval_doc")).distinct()
     val train = withFps.filter($"doc_id" >= evalDocs && size($"fps") > 0)
@@ -1275,9 +1275,9 @@ object Pipeline {
   def decontamEvalReport(docs: DataFrame, n: Int = DecontamN,
                          evalDocs: Long = EvalDocs): DataFrame = {
     import docs.sparkSession.implicits._
-    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id", expr(
-      "array_distinct(transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
-      .as("fps"))
+    val withFps = Dedup.ngramArrays(docs, n).select($"doc_id",
+      array_distinct(transform($"grams", g => graft.functions.Md5Head60(g)))
+        .as("fps"))
     val evalFp = withFps.filter($"doc_id" < evalDocs)
       .select($"doc_id".as("eval_doc"), explode($"fps").as("fp"))
     val trainFp = withFps.filter($"doc_id" >= evalDocs)

@@ -832,8 +832,8 @@ object StreamOps {
       $"bloom_drop", $"dshings") ++ extraCarry.map(col)
     val mh = enriched
       .withColumn("shings", shings)
-      .withColumn("dshings", expr(
-        "array_distinct(transform(shings, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"))
+      .withColumn("dshings", array_distinct(
+        transform($"shings", s => graft.functions.Md5Head60(s))))
       .select(carry ++ sigCols: _*)
     val hCols = (0 until bands * rows).map(s => col(s"h$s"))
     val bsCol = explode(array((0 until bands).map { b =>

@@ -65,12 +65,22 @@ case class LongDotExpr(left: Expression, right: Expression)
 /** Static hash helper referenced from generated code (janino resolves the
   * plain static method without Scala module indirection). */
 object GraftHash {
+  // one MessageDigest per task thread: MessageDigest.getInstance("MD5")
+  // does a provider lookup and allocates per call, and these helpers run
+  // once per array ELEMENT in the shingle/gram/bloom hot paths (millions
+  // of calls per stage); digest(bytes) leaves the instance reset for the
+  // next call
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 4 md5 bytes of the UTF-8 input as an unsigned big-endian long —
     * bit-identical to `conv(substring(md5(s), 1, 8), 16, 10)::long` /
     * DuckDB `('0x' || substr(md5(s), 1, 8))::BIGINT`, without the 32-char
     * hex string, substring, and string base conversion per call. */
   def md5Head32(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val d = localMd5.get().digest(bytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
@@ -81,7 +91,7 @@ object GraftHash {
     * (the scalable-Bloom slices size m geometrically past 2^31). The 15th
     * hex char is the HIGH nibble of digest byte 7. */
   def md5Head60(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val d = localMd5.get().digest(bytes)
     ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
       ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
