@@ -1190,17 +1190,26 @@ object Dedup {
   private[graft] def bloomScaleMembers(lines: DataFrame, slicePos: DataFrame,
                                 cap0: Long, k0: Int = BloomSliceK0): DataFrame = {
     import lines.sparkSession.implicits._
-    val standing = broadcast(slicePos.select($"slice").distinct()
+    val standingBase = slicePos.select($"slice").distinct()
       .join(bloomParamsDf(lines.sparkSession, cap0, k0), Seq("slice"))
-      .select($"slice", $"m", $"k"))
-    // lines x standing-slices: bounded by the O(log corpus) slice count
-    val probe = lines.crossJoin(standing)
-      .select($"doc_id", $"line", $"slice", $"k",
-        explode(transform(sequence(lit(0), $"k" - 1), j => struct(
+      .select($"slice", $"m", $"k")
+    val standing = broadcast(standingBase)
+    // the seed-indexed 60-bit head depends only on (seed, line) — digest
+    // ONCE per line at the max standing k, then each slice reads its own
+    // first k heads under its own modulus; the per-(line, slice) explode
+    // re-digested every line sum_s(k_s) times instead of max_s(k_s)
+    val heads = lines
+      .crossJoin(broadcast(standingBase.agg(max($"k").as("kmax"))))
+      .select($"doc_id", $"line",
+        explode(transform(sequence(lit(0), $"kmax" - 1), j => struct(
           j.as("sd"),
-          pmod(graft.functions.Md5Head60(concat(j.cast("string"), lit(":"), $"line")),
-            $"m").as("p")))).as("e"))
-      .select($"doc_id", $"line", $"slice", $"k", $"e.sd".as("sd"), $"e.p".as("p"))
+          graft.functions.Md5Head60(concat(j.cast("string"), lit(":"), $"line"))
+            .as("h")))).as("e"))
+      .select($"doc_id", $"line", $"e.sd".as("sd"), $"e.h".as("h"))
+    // heads x standing-slices: bounded by the O(log corpus) slice count
+    val probe = heads.crossJoin(standing)
+      .filter($"sd" < $"k")
+      .select($"doc_id", $"line", $"slice", $"k", $"sd", pmod($"h", $"m").as("p"))
     probe.join(slicePos, Seq("slice", "p"))
       .groupBy($"doc_id", $"line", $"slice", $"k")
       .agg(countDistinct($"sd").as("nk"))
